@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The reference (UIUC-PPL/charmpandas) tunes parallelism with an
+  * overdecomposition factor (`charmpandas/interface.py:156` odf=4 chares/PE,
+  * `src/partition.cpp:856` redist_odf=8 shuffle buckets/PE) and balances
+  * shuffle skew with a global histogram + greedy bucket assignment
+  * (`src/partition.cpp:1444-1482`). On Spark the same roles are played by
+  * `spark.sql.shuffle.partitions` and AQE (coalescing + skew-join splitting),
+  * so we turn AQE on everywhere and size shuffle partitions to the core
+  * count rather than the 200 default.
+  */
+object Graft {
+
+  /** Default local core count; the driver overrides via SPARK_GRAFT_CPUS. */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def session(
+      master: String = s"local[$cpus]",
+      appName: String = "graft",
+      shufflePartitions: Int = cpus.toInt
+  ): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // ns-precision parquet timestamps (events.ts) read as TIMESTAMP,
+      // truncated to Spark's us precision (SURVEY.md §7.3).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => F}
+
+/** Pandas-like façade with the exact operator surface of the reference
+  * client (`/root/reference/charmpandas/dataframe.py`), re-expressed over
+  * Spark DataFrames. Everything here builds a *lazy* Catalyst plan — the
+  * reference executes each op eagerly per-command
+  * (`src/partition.cpp:580-669`), Spark's deferred DAG is strictly
+  * stronger (fusion, pushdown, pruning happen across ops).
+  *
+  * Operator mapping (SURVEY.md §2):
+  *   - filter (op=7, `src/partition.cpp:478-489`)  -> `filter`
+  *   - set_column (op=2, `src/partition.cpp:463-476`) -> `setColumn`
+  *   - merge (op=4, 8 join types, `src/partition.cpp:1068-1106`) -> `merge`
+  *   - groupby+agg (op=3, `src/partition.cpp:1042-1066`) -> `groupby`
+  *   - sort_values (op=13, sample sort `src/partition.cpp:1135-1265`) -> `sortValues`
+  *   - concat (op=6, `src/partition.cpp:405-423`) -> `Table.concat`
+  *   - scalar reductions (op=12, `src/partition.cpp:509-550`) -> `sum`/`count`/...
+  *   - fetch (op=1) -> `get`; print (op=5) -> `show`; fetch_size (op=10) -> `count`
+  */
+final case class Table(df: DataFrame) {
+
+  /** Column reference: `df["x"]` (`dataframe.py:171`). */
+  def apply(name: String): Column = df(name)
+
+  /** Boolean-mask selection: `df[df["x"] > 5]`. Catalyst pushes the
+    * predicate into the parquet scan — the reference re-evaluates its AST
+    * against fully-materialized Arrow tables instead.
+    */
+  def filter(cond: Column): Table = Table(df.filter(cond))
+
+  /** set_column — add or replace a column (`src/operations.hpp:77-86`). */
+  def setColumn(name: String, value: Column): Table =
+    Table(df.withColumn(name, value))
+
+  def select(cols: String*): Table = Table(df.select(cols.map(df(_)): _*))
+
+  /** Equi hash join, all 8 reference types
+    * (`/root/reference/src/utils.hpp` join enum via
+    * `charmpandas/interface.py:90-112`):
+    * inner, left, right, full, left_semi, left_anti, right_semi, right_anti.
+    *
+    * `right_semi` / `right_anti` have no Spark `how` — planned as the
+    * side-swapped left variant, which is semantically identical.
+    *
+    * Colliding non-key column names get pandas/Acero-style `_l`/`_r`
+    * suffixes (HashJoinNodeOptions suffixes, `src/partition.cpp:1099-1102`);
+    * Spark would otherwise raise an ambiguity error.
+    *
+    * Scale note: this emits a plain Catalyst `Join`, so the planner is free
+    * to choose broadcast / shuffled-hash / sort-merge, and AQE re-plans
+    * skew at runtime — the reference hard-codes a shuffled hash join with
+    * its own histogram balancer (`src/partition.cpp:1444-1482`).
+    */
+  def merge(
+      other: Table,
+      on: Seq[String] = Nil,
+      leftOn: Seq[String] = Nil,
+      rightOn: Seq[String] = Nil,
+      how: String = "inner"
+  ): Table = {
+    val (lk, rk) =
+      if (on.nonEmpty) (on, on)
+      else {
+        require(leftOn.nonEmpty && rightOn.nonEmpty && leftOn.size == rightOn.size,
+          "merge needs `on` or equal-length `leftOn`/`rightOn`")
+        (leftOn, rightOn)
+      }
+    val (swapped, sparkHow) = how match {
+      case "right_semi" => (true, "left_semi")
+      case "right_anti" => (true, "left_anti")
+      case "left"       => (false, "left_outer")
+      case "right"      => (false, "right_outer")
+      case "full" | "outer" => (false, "full_outer")
+      case h            => (false, h) // inner, left_semi, left_anti, left_outer...
+    }
+    val (a, b, ak, bk) =
+      if (swapped) (other.df, df, rk, lk) else (df, other.df, lk, rk)
+
+    if (sparkHow == "left_semi" || sparkHow == "left_anti") {
+      val cond = ak.zip(bk).map { case (l, r) => a(l) === b(r) }.reduce(_ && _)
+      Table(a.join(b, cond, sparkHow))
+    } else {
+      // Suffix colliding names (keys included when both sides share the
+      // name — Acero suffixes any collision).
+      val collide = a.columns.toSet.intersect(b.columns.toSet)
+      val al = collide.foldLeft(a)((d, c) => d.withColumnRenamed(c, c + "_l"))
+      val bl = collide.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + "_r"))
+      def ln(c: String) = if (collide(c)) c + "_l" else c
+      def rn(c: String) = if (collide(c)) c + "_r" else c
+      val cond = ak.zip(bk).map { case (l, r) => al(ln(l)) === bl(rn(r)) }
+        .reduce(_ && _)
+      Table(al.join(bl, cond, sparkHow))
+    }
+  }
+
+  /** groupby — returns a grouped handle; terminal agg calls mirror
+    * `DataFrameGroupBy` (`dataframe.py:38-95`).
+    */
+  def groupby(keys: String*): GroupedTable = GroupedTable(df, keys)
+
+  /** Global sort. The reference implements a sample sort (samples →
+    * splitters → range shuffle → local sort, `src/partition.cpp:1135-1265`)
+    * for a single key; Spark's `SortExec` over `RangePartitioning` is the
+    * same algorithm, and multi-key ordering is a free superset.
+    */
+  def sortValues(by: Seq[String], ascending: Boolean = true): Table = {
+    val cols = by.map(c => if (ascending) df(c).asc else df(c).desc)
+    Table(df.orderBy(cols: _*))
+  }
+
+  /** fetch — collect to the client (`interface.py:203-214`, sync). */
+  def get(): Array[Row] = df.collect()
+
+  /** print (op=5) — per-partition pretty print in the reference;
+    * driver-side show here. */
+  def show(n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** fetch_size (op=10). */
+  def count(): Long = df.count()
+
+  // --- scalar reductions (op=12): whole-column, tree-reduced in the
+  //     reference (`src/reduction.hpp:102-131`); one-stage agg action here.
+  private def scalar(c: Column): Row = df.agg(c).head()
+  def sum(col: String): Double = scalar(F.sum(df(col)).cast("double")).getDouble(0)
+  def countCol(col: String): Long = scalar(F.count(df(col))).getLong(0)
+  def min(col: String): Any = scalar(F.min(df(col))).get(0)
+  def max(col: String): Any = scalar(F.max(df(col))).get(0)
+
+  def limit(n: Int): Table = Table(df.limit(n))
+  def distinct(): Table = Table(df.distinct())
+  def unionAll(other: Table): Table = Table(df.unionByName(other.df))
+  def intersect(other: Table): Table = Table(df.intersect(other.df))
+  def except(other: Table): Table = Table(df.except(other.df))
+}
+
+object Table {
+  def readParquet(spark: SparkSession, path: String): Table =
+    Table(graft.sources.Tables.readParquet(spark, path))
+
+  /** concat (op=6) — n-ary union-all. The reference concatenates local
+    * shards per partition with zero shuffle (`src/partition.cpp:405-423`);
+    * Spark `unionByName` is likewise a zero-shuffle plan node.
+    * Schema alignment is by name (safer than the reference's positional
+    * `arrow::ConcatenateTables`, same result on identical schemas).
+    */
+  def concat(tables: Seq[Table]): Table = {
+    require(tables.nonEmpty, "concat of zero tables")
+    tables.reduce(_ unionAll _)
+  }
+}
+
+/** Grouped-table handle; agg results are named `op(field)` exactly like
+  * the reference (`charmpandas/interface.py:78-82`).
+  */
+final case class GroupedTable(df: DataFrame, keys: Seq[String]) {
+
+  /** Full server-side aggregation vocabulary
+    * (`/root/reference/src/types.hpp:17-29` → Arrow fn names in
+    * `src/reduction.hpp:58-95`): sum, count, all, any, approximate_median,
+    * count_distinct, distinct, first, last. Spark's `HashAggregateExec`
+    * does the partial/final two-level split (incl. the count→sum merge
+    * the reference hand-codes in `src/reduction.hpp:182-191`)
+    * automatically.
+    */
+  def agg(specs: (String, String)*): Table = {
+    val exprs = specs.map { case (field, op) =>
+      val c = df(field)
+      val e: Column = op match {
+        case "sum"                => F.sum(c)
+        case "count"              => F.count(c)
+        case "all"                => F.every(c)
+        case "any"                => F.some(c)
+        // Arrow's approximate_median is a t-digest; Spark's exact median
+        // is deterministic and at least as accurate — used deliberately.
+        case "approximate_median" => F.median(c)
+        case "count_distinct"     => F.countDistinct(c)
+        case "distinct"           => F.sort_array(F.collect_set(c))
+        case "first"              => F.first(c)
+        case "last"               => F.last(c)
+        case "mean" | "avg"       => F.avg(c)
+        case "min"                => F.min(c)
+        case "max"                => F.max(c)
+        case other => throw new IllegalArgumentException(s"unknown agg: $other")
+      }
+      e.as(s"$op($field)")
+    }
+    Table(df.groupBy(keys.map(df(_)): _*).agg(exprs.head, exprs.tail: _*))
+  }
+
+  def sum(field: String): Table = agg(field -> "sum")
+  def count(field: String): Table = agg(field -> "count")
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet source layer.
+  *
+  * The reference's only source is `read_parquet` — each chare reads a
+  * contiguous row-range of every matched file using row-group metadata
+  * (`/root/reference/src/partition.cpp:748-849`). Spark's
+  * `FileSourceScanExec` does the identical split planning (plus row-group
+  * and page-level predicate pruning, which the reference lacks), so the
+  * source layer here is deliberately thin: path resolution + schema-stable
+  * readers for the driver's test corpus.
+  *
+  * The reference has **no write sink at all** (results leave only via
+  * fetch, `src/partition.cpp:363-383`); we expose parquet write as the
+  * canonical sink since any real 100 TB pipeline needs one.
+  */
+object Tables {
+
+  /** Read one table of the driver corpus: `{dir}/{name}.parquet`. */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Reference-parity reader: accepts a glob/regex-ish path. The reference
+    * regex-matches files (`src/partition.cpp:51-63`); Spark takes globs
+    * natively, so a trailing `.*`-style regex is translated to a glob.
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val globbed =
+      if (path.contains(".*")) path.replace(".*", "*") else path
+    spark.read.parquet(globbed)
+  }
+
+  /** Canonical sink. `mode=overwrite` matches the reference's
+    * store-under-new-handle semantics (a handle is always fresh).
+    */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet dir (Spark output) and runs the
+matching SQL from oracle_sql.json in DuckDB against the sfDir parquet
+tables, then compares: schema (column names sorted), row count, and values
+(rows sorted by all columns, exact + tolerant compare). Exit 1 on any
+mismatch so it can gate commits.
+"""
+import json, math, os, sys
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), ignore_index=True,
+                            key=lambda s: s.map(lambda v: str(v)))
+    return df.reset_index(drop=True)
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    return str(a) == str(b)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    failures = []
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        got = pd.read_parquet(os.path.join(out_dir, name))
+        if name not in oracle:
+            print(f"  {name:28s} rows={len(got):7d}  (no oracle — rows-only)")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"  {name:28s} ORACLE SQL ERROR: {e}")
+            continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            failures.append(name)
+            print(f"  {name:28s} SCHEMA MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
+            continue
+        if len(g) != len(e):
+            failures.append(name)
+            print(f"  {name:28s} ROWCOUNT MISMATCH spark={len(g)} duck={len(e)}")
+            continue
+        bad = None
+        for c in g.columns:
+            gv, ev = g[c].tolist(), e[c].tolist()
+            for i, (x, y) in enumerate(zip(gv, ev)):
+                if not values_equal(x, y):
+                    bad = (c, i, x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append(name)
+            print(f"  {name:28s} VALUE MISMATCH col={bad[0]} row={bad[1]} spark={bad[2]!r} duck={bad[3]!r}")
+        else:
+            print(f"  {name:28s} OK rows={len(g)}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries pass")
+    if failures:
+        print("FAILED:", ", ".join(failures))
+        sys.exit(1)
+
+if __name__ == "__main__":
+    main()
