@@ -33,9 +33,11 @@ object Graft {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // ns-precision parquet timestamps (events.ts) read as TIMESTAMP,
-      // truncated to Spark's us precision (SURVEY.md §7.3).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      // Parquet TIMESTAMP(NANOS) (events.ts) is otherwise an illegal type
+      // for Spark's reader; read it as long ns-since-epoch and let
+      // sources.Tables normalize to us TimestampType (SURVEY.md §7.3's
+      // ns→us truncation rule).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

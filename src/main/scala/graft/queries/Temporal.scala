@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.DetMath._
+import graft.operators.{Align, AsOfJoin}
+
+/** Events-table + temporal/positional operators: ns-timestamp handling,
+  * time-bucketed aggregation (the batch twin of the streaming path),
+  * JSON field extraction, as-of join, positional alignment.
+  */
+object Temporal {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.read(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Positional alignment (reference create_table.py: df1["ids"]+2*df2["age"])
+    "q28_align_positional" -> ((s, d) => {
+      val a = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val b = t(s, d, "orders").select(col("o_totalprice").as("p2"),
+        col("o_orderkey").as("k2"))
+      Align.alignByOrder(
+          a, Seq(col("o_orderkey")),
+          b, Seq(col("p2"), col("k2")))
+        .select(col("o_orderkey"),
+          rnd(col("o_totalprice") + lit(2) * col("p2"), 2).as("combo"))
+    }),
+
+    // Tumbling-hour aggregation over the ns-timestamp events stream table
+    // (batch twin of streaming.EventStreams.hourlyCounts)
+    "q29_events_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sumFixed(col("value"), 2).as("sum_val"))),
+
+    // Semi-structured extraction from the JSON props column
+    "q30_events_json" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+          .cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))),
+
+    // As-of join: each event picks up the user's latest order on-or-before
+    // the event time (right side deduped per (key,time) for determinism)
+    "q31_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val o = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      AsOfJoin.leftAsOf(
+          ev.select("event_id", "user_id", "ts"), "user_id", "ts",
+          o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q28_align_positional" ->
+      s"""WITH a AS (SELECT o_orderkey, o_totalprice,
+        |   ROW_NUMBER() OVER (ORDER BY o_orderkey) AS pos FROM orders),
+        | b AS (SELECT o_totalprice AS p2,
+        |   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS pos FROM orders)
+        |SELECT a.o_orderkey, ${rndSql("a.o_totalprice + 2 * b.p2", 2)} AS combo
+        |FROM a JOIN b USING (pos)""".stripMargin,
+    "q29_events_hourly" ->
+      s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
+        | COUNT(*) AS cnt, ${sumFixedSql("value", 2)} AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q30_events_json" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        | SUM(CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        | MAX(CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q31_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
+  )
+}

@@ -18,9 +18,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  /** Read one table of the driver corpus: `{dir}/{name}.parquet`. */
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one table of the driver corpus: `{dir}/{name}.parquet`.
+    *
+    * The `events` table carries ns-precision timestamps, which Spark's
+    * parquet reader only accepts as long (see Graft.session's
+    * `nanosAsLong`); normalize any ns-long time column back to Spark's
+    * us TimestampType here so downstream operators see real timestamps.
+    * ns→us is floor-truncation (reference stores ns, Arrow TimeUnit::NANO
+    * — /root/reference/src/partition.cpp:703-708; Spark is us-precision,
+    * SURVEY.md §1.2).
+    */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.floor(
+            org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    } else df
+  }
 
   /** Reference-parity reader: accepts a glob/regex-ish path. The reference
     * regex-matches files (`src/partition.cpp:51-63`); Spark takes globs
