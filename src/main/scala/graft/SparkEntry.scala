@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Temporal.queries
+      graft.queries.Temporal.queries ++
+      graft.queries.TextDedup.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.Temporal.oracles
+      graft.queries.Temporal.oracles ++
+      graft.queries.TextDedup.oracles
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextExpr._
+
+/** Deduplication operators for LLM data pipelines (SURVEY.md §2.11).
+  *
+  * Scale discipline (100 TB): every variant is shuffle-bounded —
+  *  - exact dedup: one hash-aggregate on a 128-bit fingerprint;
+  *  - MinHash-LSH: candidate generation via band-key equi-join (only
+  *    docs sharing a band collide; never all-pairs), then exact Jaccard
+  *    verification on the candidates only;
+  *  - SimHash: explode + one hash-aggregate per doc;
+  *  - n-gram Jaccard: all-pairs only *within caller-supplied blocking
+  *    keys* (language, length band, …) so the quadratic term is bounded
+  *    by block size.
+  * Nothing gathers to the driver. All hashing is md5-hex based and
+  * integer-decoded, so results are engine-portable (see TextExpr).
+  */
+object Dedup {
+
+  /** doc → normalized tokens + distinct 3-gram shingle set. */
+  def withShingles(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("toks", expr(toksSpark(textCol)))
+      .withColumn("sh", expr(shinglesSpark("toks")))
+      .withColumn("shset", array_distinct(col("sh")))
+
+  /** Exact-duplicate fingerprint: md5 of the sorted distinct token set
+    * (classic "key collision" fingerprinting). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("toks", expr(toksSpark(textCol)))
+      .select(col(idCol), expr(fingerprintSpark("toks")).as("fp"))
+
+  /** Exact-dup clusters: one row per fingerprint with the canonical
+    * (minimum) id and member count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprint(df, idCol, textCol)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical"))
+
+  /** MinHash signature: k lexicographic-min seeded md5s over shingles.
+    * Returns id, shset, s0..s{k-1}. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val base = withShingles(df, textCol)
+    val sigs = (0 until k).map(i => expr(minhashSpark("sh", i)).as(s"s$i"))
+    base.select(col(idCol) +: col("shset") +: sigs: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs, exact-Jaccard-verified.
+    *
+    * k signature components are grouped into `k/rows` bands; docs sharing
+    * any band key become candidates (equi-join on the band hash — this is
+    * the shuffle-bounded step); candidates are verified with exact
+    * Jaccard over distinct shingle sets and filtered by `threshold`.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, k).cache()
+    val nBands = k / rows
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
+      struct(lit(b).as("bi"), md5(concat(parts: _*)).as("bv"))
+    }
+    val bands = sig.select(col(idCol),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.bi").as("bi"), col("band.bv").as("bv"))
+      .filter(col("bv").isNotNull)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+      .distinct()
+    val sa = sig.select(col(idCol).as("ida"), col("shset").as("seta"))
+    val sb = sig.select(col(idCol).as("idb"), col("shset").as("setb"))
+    cand.join(sa, "ida").join(sb, "idb")
+      .withColumn("inter", size(array_intersect(col("seta"), col("setb"))))
+      .withColumn("uni",
+        size(col("seta")) + size(col("setb")) - col("inter"))
+      .withColumn("jac", col("inter") / col("uni"))
+      .filter(col("jac") >= threshold)
+      .select("ida", "idb", "jac")
+  }
+
+  /** 32-bit SimHash per doc (docs with zero tokens produce no row, like
+    * the oracle's unnest). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.withColumn("toks", expr(toksSpark(textCol)))
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val nib = (0 until 8).foldLeft(tok)((d, kk) =>
+      d.withColumn(s"n$kk", expr(nibbleSpark("h", kk))))
+    nib.groupBy(col(idCol))
+      .agg(expr(simhashFromSums(j => s"SUM(${bitSignSpark(j)})")).as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs within blocking keys. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val s = withShingles(df, textCol)
+      .select((idCol +: blockCols).map(col) :+ col("shset"): _*)
+    val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _)
+    s.as("x").join(s.as("y"),
+        blockCond && col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("inter",
+        size(array_intersect(col("x.shset"), col("y.shset"))))
+      .withColumn("uni",
+        size(col("x.shset")) + size(col("y.shset")) - col("inter"))
+      .withColumn("jac", col("inter") / col("uni"))
+      .filter(col("jac") >= threshold)
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"),
+        col("jac"))
+  }
+}

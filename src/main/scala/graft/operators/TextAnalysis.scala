@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextExpr._
+import graft.functions.DetMath._
+
+/** Text-analysis operators for LLM data pipelines (SURVEY.md §2.11):
+  * per-document statistics, quality scoring, language identification,
+  * token counting. All are pure column expressions — narrow, no shuffle,
+  * fully inside whole-stage codegen — so they stream over 100 TB at scan
+  * speed and compose with any downstream filter/agg.
+  */
+object TextAnalysis {
+
+  /** Append the normalized token array. */
+  def withTokens(df: DataFrame, textCol: String, out: String = "toks"): DataFrame =
+    df.withColumn(out, expr(toksSpark(textCol)))
+
+  /** Per-doc surface statistics: char length, token counts, type-token
+    * ratio, mean token length. Ratios are exact-integer divisions →
+    * deterministic doubles. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withTokens(df, textCol)
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("tok_chars", expr(tokCharsSpark("toks")))
+      .select(col(idCol),
+        length(col(textCol)).as("len"),
+        col("n_toks"), col("n_uniq"),
+        rnd(col("n_uniq") / greatest(col("n_toks"), lit(1)), 4).as("ttr"),
+        rnd(col("tok_chars") / greatest(col("n_toks"), lit(1)), 4).as("mean_tok_len"))
+
+  /** Heuristic quality score: stopword ratio, digit ratio, length band. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val en = langWords.toMap.apply("en")
+    withTokens(df, textCol)
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop", expr(hitCountSpark("toks", en)))
+      .withColumn("n_digit", size(expr("filter(toks, x -> x rlike '^[0-9]+$')")))
+      .select(col(idCol), col("n_toks"), col("n_stop"), col("n_digit"),
+        rnd(col("n_stop") / greatest(col("n_toks"), lit(1)), 4).as("stop_ratio"),
+        rnd(col("n_digit") / greatest(col("n_toks"), lit(1)), 4).as("digit_ratio"),
+        (col("n_toks") >= 20 && col("n_toks") <= 1000).cast("int").as("len_ok"))
+  }
+
+  /** Stopword-list language ID with deterministic tie-break (first
+    * language in TextExpr.langWords order wins). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withScores = langWords.foldLeft(withTokens(df, textCol)) {
+      case (d, (lang, words)) =>
+        d.withColumn(s"c_$lang", expr(hitCountSpark("toks", words)))
+    }
+    withScores.select(
+      (col(idCol) +: langWords.map { case (l, _) => col(s"c_$l") }) :+
+        expr(langPick).as("pred_lang"): _*)
+  }
+
+  /** Token-count estimators: whitespace tokens, BPE-ish regex tokens,
+    * chars/4 heuristic. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withTokens(df, textCol)
+      .select(col(idCol),
+        size(col("toks")).as("ws_toks"),
+        expr(bpeCountSpark(textCol)).as("bpe_toks"),
+        ceil(length(col(textCol)) / 4.0).cast("long").as("approx_toks"))
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.DetMath._
+import graft.functions.TextExpr._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Text-analysis + dedup operator inventory over the documents table
+  * (SURVEY.md §2.11 extension ops), each with a DuckDB oracle that runs
+  * the *same* md5/integer-based algorithm (see TextExpr).
+  */
+object TextDedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_text_stats" -> ((s, d) =>
+      TextAnalysis.stats(docs(s, d), "doc_id", "text")),
+
+    "q33_text_quality" -> ((s, d) =>
+      TextAnalysis.quality(docs(s, d), "doc_id", "text")),
+
+    "q34_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(docs(s, d), "doc_id", "text")),
+
+    "q35_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")),
+
+    "q36_fingerprint" -> ((s, d) =>
+      Dedup.fingerprint(docs(s, d), "doc_id", "text")),
+
+    "q37_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(docs(s, d), "doc_id", "text")),
+
+    "q38_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignature(docs(s, d), "doc_id", "text", k = 8)
+        .drop("shset")),
+
+    "q39_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+        k = 8, rows = 2, threshold = 0.5)),
+
+    "q40_simhash" -> ((s, d) =>
+      Dedup.simhash(docs(s, d), "doc_id", "text")),
+
+    "q41_ngram_jaccard" -> ((s, d) => {
+      val blocked = docs(s, d)
+        .withColumn("lb", floor(col("n_chars") / 100).cast("long"))
+      Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+        Seq("lang", "lb"), threshold = 0.3)
+    })
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same algorithms) ----
+
+  private val toksCte =
+    s"toks AS (SELECT doc_id, lang, n_chars, LENGTH(text) AS len, " +
+      s"${toksDuck("text")} AS t FROM documents)"
+
+  private def shCte(from: String = "toks") =
+    s"sh AS (SELECT doc_id, lang, n_chars, ${shinglesDuck("t")} AS sg, " +
+      s"list_distinct(${shinglesDuck("t")}) AS shset FROM $from)"
+
+  private def sigSelect(k: Int): String =
+    (0 until k).map(i => s"${minhashDuck("sg", i)} AS s$i").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q32_text_stats" ->
+      s"""WITH $toksCte,
+        | u AS (SELECT doc_id, len, len(t) AS n_toks,
+        |   len(list_distinct(t)) AS n_uniq, ${tokCharsDuck("t")} AS tok_chars
+        |  FROM toks)
+        |SELECT doc_id, len, n_toks, n_uniq,
+        | ${rndSql("n_uniq / GREATEST(n_toks, 1)", 4)} AS ttr,
+        | ${rndSql("tok_chars / GREATEST(n_toks, 1)", 4)} AS mean_tok_len
+        |FROM u""".stripMargin,
+
+    "q33_text_quality" ->
+      s"""WITH $toksCte,
+        | u AS (SELECT doc_id, len(t) AS n_toks,
+        |   ${hitCountDuck("t", langWords.toMap.apply("en"))} AS n_stop,
+        |   len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$$'))) AS n_digit
+        |  FROM toks)
+        |SELECT doc_id, n_toks, n_stop, n_digit,
+        | ${rndSql("n_stop / GREATEST(n_toks, 1)", 4)} AS stop_ratio,
+        | ${rndSql("n_digit / GREATEST(n_toks, 1)", 4)} AS digit_ratio,
+        | CAST(n_toks >= 20 AND n_toks <= 1000 AS INT) AS len_ok
+        |FROM u""".stripMargin,
+
+    "q34_lang_id" ->
+      s"""WITH $toksCte,
+        | u AS (SELECT doc_id,
+        |${langWords.map { case (l, ws) => s"   ${hitCountDuck("t", ws)} AS c_$l" }.mkString(",\n")}
+        |  FROM toks)
+        |SELECT doc_id, c_en, c_es, c_de, c_fr,
+        | $langPick AS pred_lang
+        |FROM u""".stripMargin,
+
+    "q35_token_count" ->
+      s"""WITH $toksCte
+        |SELECT doc_id, len(t) AS ws_toks,
+        | (SELECT ${bpeCountDuck("text")} FROM documents d2 WHERE d2.doc_id = toks.doc_id) AS bpe_toks,
+        | CAST(CEIL(len / 4.0) AS BIGINT) AS approx_toks
+        |FROM toks""".stripMargin,
+
+    "q36_fingerprint" ->
+      s"""WITH $toksCte
+        |SELECT doc_id, ${fingerprintDuck("t")} AS fp FROM toks""".stripMargin,
+
+    "q37_dedup_exact" ->
+      s"""WITH $toksCte,
+        | fps AS (SELECT doc_id, ${fingerprintDuck("t")} AS fp FROM toks)
+        |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+        |FROM fps GROUP BY fp""".stripMargin,
+
+    "q38_minhash_sig" ->
+      s"""WITH $toksCte, ${shCte()}
+        |SELECT doc_id, ${sigSelect(8)} FROM sh""".stripMargin,
+
+    "q39_minhash_pairs" ->
+      s"""WITH $toksCte, ${shCte()},
+        | sig AS (SELECT doc_id, shset, ${sigSelect(8)} FROM sh),
+        | bands AS (${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS bi, md5(s${2 * b} || s${2 * b + 1}) AS bv FROM sig")
+            .mkString("\n  UNION ALL ")}),
+        | cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |   FROM bands a JOIN bands b
+        |   ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        | j AS (SELECT c.ida, c.idb,
+        |   len(list_intersect(x.shset, y.shset)) AS inter,
+        |   len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset)) AS uni
+        |  FROM cand c
+        |  JOIN sig x ON x.doc_id = c.ida
+        |  JOIN sig y ON y.doc_id = c.idb)
+        |SELECT ida, idb, inter / uni AS jac FROM j
+        |WHERE inter / uni >= 0.5""".stripMargin,
+
+    "q40_simhash" ->
+      s"""WITH $toksCte,
+        | tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+        | h AS (SELECT doc_id, md5(tk) AS hh FROM tok),
+        | nib AS (SELECT doc_id, ${(0 until 8).map(kk =>
+            s"${nibbleDuck("hh", kk)} AS n$kk").mkString(", ")} FROM h)
+        |SELECT doc_id,
+        | ${simhashFromSumsDuck(j => s"SUM(${bitSignDuck(j)})")} AS simhash
+        |FROM nib GROUP BY doc_id""".stripMargin,
+
+    "q41_ngram_jaccard" ->
+      s"""WITH $toksCte, ${shCte()},
+        | s AS (SELECT doc_id, lang,
+        |   CAST(FLOOR(n_chars / 100) AS BIGINT) AS lb, shset FROM sh),
+        | j AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |   len(list_intersect(a.shset, b.shset)) AS inter,
+        |   len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)) AS uni
+        |  FROM s a JOIN s b
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+        |SELECT ida, idb, inter / uni AS jac FROM j
+        |WHERE inter / uni >= 0.3""".stripMargin
+  )
+}
