@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++
-      graft.queries.TextDedup.queries
+      graft.queries.TextDedup.queries ++
+      graft.queries.Vectors.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Temporal.oracles ++
-      graft.queries.TextDedup.oracles
+      graft.queries.TextDedup.oracles ++
+      graft.queries.Vectors.oracles
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextExpr.{nibbleSpark, nibbleDuck}
+
+/** Multimodal column plumbing (SURVEY.md §2.11).
+  *
+  * Media (image/audio/video) is carried as an opaque `binary` column plus
+  * typed metadata — the Spark-side schema, partitioning and batch shape
+  * are real; only the codec itself is stubbed (no image/audio libraries
+  * in this container), behind [[MediaDecoder]] with a deterministic fake.
+  *
+  * Two execution paths, by design:
+  *  - [[featureColumns]] — pure column expressions (codegen, zero JVM
+  *    object churn) for features derivable without a codec;
+  *  - [[decodePartitions]] — `Dataset.mapPartitions` with a pluggable
+  *    decoder, the pattern a real codec drops into: per-partition
+  *    amortized decoder init, streaming iterator, no driver involvement.
+  *    At 100 TB this is the shape that matters — swap StubDecoder for a
+  *    JNI/libvips binding and nothing else changes.
+  */
+object Multimodal {
+
+  /** One media row: id + raw bytes + claimed format. */
+  case class MediaRow(doc_id: Long, content: Array[Byte], fmt: String)
+
+  /** Decoded metadata (width/height/channels for images; a real audio
+    * decoder would populate its own analog). */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, sig: String,
+      width: Int, height: Int, channels: Int)
+
+  /** Codec seam. Implementations must be Serializable (shipped to
+    * executors) and cheap to reuse across a partition. */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): (Int, Int, Int) // width, height, channels
+  }
+
+  /** STUB codec: derives deterministic fake dimensions from the md5 of
+    * the payload — stands in for the real decode (???) so the pipeline
+    * shape is testable end-to-end and oracle-checkable. */
+  object StubDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = {
+      val h = md5Hex(bytes)
+      val w = 16 + Integer.parseInt(h.substring(0, 2), 16)
+      val ht = 16 + Integer.parseInt(h.substring(2, 4), 16)
+      val c = 1 + (Integer.parseInt(h.substring(4, 5), 16) % 3)
+      (w, ht, c)
+    }
+  }
+
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Wrap a text column as a binary media payload (the test corpus has
+    * no real media; UTF-8 bytes stand in for image bytes). */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      encode(col(textCol), "UTF-8").as("content"), lit("fake/raw").as("fmt"))
+
+  /** Real plumbing path: partition-wise decode via the codec seam. */
+  def decodePartitions(media: DataFrame, decoder: MediaDecoder)
+      : Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // decoder init would be amortized here in a real codec
+      rows.map { r =>
+        val (w, h, c) = decoder.decode(r.content)
+        MediaFeatures(r.doc_id, r.content.length, md5Hex(r.content), w, h, c)
+      }
+    }
+  }
+
+  /** Expression twin of StubDecoder (whole-stage codegen; oracle-gated).
+    * Must stay in lockstep with StubDecoder — MultimodalSpec asserts it. */
+  def featureColumns(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("sig", md5(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        octet_length(col(textCol)).as("n_bytes"),
+        col("sig"),
+        (lit(16) + expr(nibbleSpark("sig", 0)) * 16 +
+          expr(nibbleSpark("sig", 1))).as("width"),
+        (lit(16) + expr(nibbleSpark("sig", 2)) * 16 +
+          expr(nibbleSpark("sig", 3))).as("height"),
+        (lit(1) + expr(nibbleSpark("sig", 4)) % 3).as("channels"))
+
+  /** DuckDB twin of featureColumns for the oracle. */
+  def featureSqlDuck(table: String, idCol: String, textCol: String): String =
+    s"""WITH h AS (SELECT $idCol AS doc_id,
+      |  octet_length(encode($textCol)) AS n_bytes, md5($textCol) AS sig
+      | FROM $table)
+      |SELECT doc_id, n_bytes, sig,
+      | 16 + ${nibbleDuck("sig", 0)} * 16 + ${nibbleDuck("sig", 1)} AS width,
+      | 16 + ${nibbleDuck("sig", 2)} * 16 + ${nibbleDuck("sig", 3)} AS height,
+      | 1 + ${nibbleDuck("sig", 4)} % 3 AS channels
+      |FROM h""".stripMargin
+}

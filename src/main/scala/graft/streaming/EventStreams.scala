@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.functions.DetMath._
+
+/** Structured Streaming façade over the events stream table
+  * (SURVEY.md §2.8 — the reference has no streaming; this is the
+  * extension surface for the driver's `events` corpus).
+  *
+  * The same transforms run batch or streaming: `readStream` over a
+  * parquet directory, watermarked event-time windows, session windows,
+  * and `flatMapGroupsWithState` for custom per-key state. Batch twins of
+  * the aggregations are oracle-gated as q29 (hourly) — streaming output
+  * equality with the batch twin is asserted in StreamingSpec.
+  *
+  * Scale notes: windowed aggregation shuffles once on (window, type);
+  * the watermark bounds state; session windows use Spark's native
+  * session_window (state merges, no per-event driver work).
+  */
+object EventStreams {
+
+  /** events schema as stored (ts is ns-since-epoch int64 in parquet —
+    * see sources.Tables; streaming readers must declare it as long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Open a streaming source over a directory of events parquet, with ts
+    * normalized ns→us TimestampType exactly like the batch reader. */
+  def fromDirectory(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts",
+        timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+
+  /** Tumbling 1-hour counts per event type (streaming twin of
+    * q29_events_hourly). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumFixed(col("value"), 2).as("sum_val"))
+      .select(col("window.start").as("hr"), col("event_type"),
+        col("cnt"), col("sum_val"))
+
+  /** Per-user session windows with a 30-minute inactivity gap. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sumFixed(col("value"), 2).as("sum_val"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_val"))
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * event count + cumulative value, emitted on every update. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserUpdate(user_id: Long, n: Long, total: Double)
+
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          state.update(UserState(n, total))
+          Iterator(UserUpdate(uid, n, total))
+      }.toDF()
+  }
+}

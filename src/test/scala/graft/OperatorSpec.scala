@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Align, AsOfJoin, Dedup, Similarity, Multimodal invariants. */
+class OperatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("alignByOrder zips by position; unequal lengths truncate") {
+    val a = Seq(10, 20, 30).toDF("x")
+    val b = Seq(1, 2).toDF("y")
+    val z = Align.alignByOrder(a, Seq($"x"), b, Seq($"y"))
+      .orderBy("pos").select("x", "y").as[(Int, Int)].collect().toSeq
+    assert(z == Seq((10, 1), (20, 2)))
+  }
+
+  test("asof join picks the latest right row at-or-before left time") {
+    val ev = Seq((1L, 5L, ts(100)), (2L, 5L, ts(250)), (3L, 5L, ts(50)))
+      .toDF("event_id", "user_id", "t")
+    val orders = Seq((5L, ts(100), 11L), (5L, ts(200), 12L), (6L, ts(10), 13L))
+      .toDF("o_custkey", "o_date", "o_id")
+    val out = AsOfJoin.leftAsOf(ev, "user_id", "t",
+        orders, "o_custkey", "o_date", Seq("o_id"))
+      .select("event_id", "o_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L).contains(11L)) // equal timestamp matches
+    assert(out(2L).contains(12L)) // latest before
+    assert(out(3L).isEmpty)       // nothing before → null
+  }
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("minhash LSH finds exact duplicates with jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about spark query engines here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash of identical docs is identical; exact groups cluster them") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter($"n_docs" === 2).head()
+    assert(g.getAs[Long]("canonical") == 1L)
+  }
+
+  test("brute-force knn never returns the query itself and ranks by cosine") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val out = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 5).cache()
+    assert(out.filter($"qid" === $"vec_id").count() == 0)
+    assert(out.groupBy("qid").count().filter($"count" =!= 5).count() == 0)
+    // rank 1 has the max cos per query
+    val byRank = out.filter($"qid" === 0).orderBy("rank")
+      .select("cos").as[Double].collect()
+    assert(byRank.toSeq == byRank.sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("ivf candidates are a subset of brute-force corpus, recall sane") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val qids = e.select("vec_id").filter($"vec_id".between(100, 104))
+    val brute = Similarity.bruteForceTopK(e,
+      e.filter($"vec_id".between(100, 104)), "vec_id", "embedding", 5)
+    val ivf = Similarity.ivfTopK(e, qids,
+      e.select("vec_id").filter($"vec_id" < 8), "vec_id", "embedding", 5)
+    assert(ivf.groupBy("qid").count().count() == 5)
+    // nprobe=1 recall vs exact: expect nonzero overlap
+    val overlap = ivf.select("qid", "vec_id")
+      .intersect(brute.select("qid", "vec_id")).count()
+    assert(overlap > 0)
+  }
+
+  test("multimodal mapPartitions decode stays in lockstep with expr twin") {
+    val docs = sources.Tables.read(spark, sf, "documents").limit(50)
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val viaPartitions = Multimodal.decodePartitions(media, Multimodal.StubDecoder)
+      .toDF().orderBy("doc_id")
+    val viaExpr = Multimodal.featureColumns(docs, "doc_id", "text")
+      .orderBy("doc_id")
+    assert(viaPartitions.collect().toSeq ==
+      viaExpr.select("doc_id", "n_bytes", "sig", "width", "height", "channels")
+        .collect().toSeq)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Structured Streaming over the events table: the streaming pipeline
+  * must agree with its batch twin on the same data. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** FileStreamSource requires a directory; stage the single events
+    * parquet file into one (the production shape is a directory of files
+    * anyway). */
+  lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val stream = EventStreams.fromDirectory(spark, eventsDir)
+    runToMemory(EventStreams.hourlyCounts(stream), "hourly", "append")
+    val streamed = spark.table("hourly")
+      .select("hr", "event_type", "cnt", "sum_val")
+
+    val batch = sources.Tables.read(spark, sf, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.DetMath.sumFixed($"value", 2).as("sum_val"))
+
+    // Everything the stream emitted must exactly match a batch group...
+    assert(streamed.exceptAll(batch).count() == 0)
+    // ...and only the tail windows (not yet past the watermark when the
+    // input ended, at most one per event type) may be missing.
+    val missing = batch.exceptAll(streamed)
+    val nTypes = batch.select("event_type").distinct().count()
+    assert(missing.count() <= nTypes)
+    assert(streamed.count() >= batch.count() - nTypes)
+  }
+
+  test("session windows split on the inactivity gap") {
+    val stream = EventStreams.fromDirectory(spark, eventsDir)
+    runToMemory(EventStreams.sessions(stream), "sess", "append")
+    val sess = spark.table("sess")
+    assert(sess.count() > 0)
+    assert(sess.filter($"sess_end" < $"sess_start").count() == 0)
+    // no session may contain a gap: end-start <= n_events * gap bound
+    assert(sess.filter(
+      unix_timestamp($"sess_end") - unix_timestamp($"sess_start") >
+        $"n_events" * 1800).count() == 0)
+  }
+
+  test("flatMapGroupsWithState running totals end at the batch totals") {
+    val stream = EventStreams.fromDirectory(spark, eventsDir)
+    runToMemory(EventStreams.runningUserTotals(stream), "running", "append")
+    val finalCounts = spark.table("running")
+      .groupBy("user_id").agg(max("n").as("n"))
+    val batch = sources.Tables.read(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finalCounts.exceptAll(batch).count() == 0)
+    assert(batch.count() == finalCounts.count())
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Façade semantics vs the reference client API
+  * (charmpandas/dataframe.py): join types incl. side-swapped right_semi/
+  * right_anti, pandas/Acero `_l`/`_r` suffixing, `op(field)` agg naming,
+  * sort, concat, scalar reductions. */
+class TableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def left = Table(Seq((1, "a"), (2, "b"), (3, "c"))
+    .toDF("k", "lv"))
+  private def right = Table(Seq((2, "x"), (3, "y"), (4, "z"))
+    .toDF("k", "rv"))
+
+  test("all 8 reference join types produce the right row sets") {
+    assert(left.merge(right, on = Seq("k"), how = "inner").count() == 2)
+    assert(left.merge(right, on = Seq("k"), how = "left").count() == 3)
+    assert(left.merge(right, on = Seq("k"), how = "right").count() == 3)
+    assert(left.merge(right, on = Seq("k"), how = "full").count() == 4)
+    assert(left.merge(right, on = Seq("k"), how = "left_semi")
+      .df.columns.toSeq == Seq("k", "lv"))
+    assert(left.merge(right, on = Seq("k"), how = "left_semi").count() == 2)
+    assert(left.merge(right, on = Seq("k"), how = "left_anti").count() == 1)
+    // right_semi/right_anti: rows OF THE RIGHT table (side swap)
+    val rs = left.merge(right, on = Seq("k"), how = "right_semi")
+    assert(rs.df.columns.toSeq == Seq("k", "rv"))
+    assert(rs.df.select("k").as[Int].collect().sorted.toSeq == Seq(2, 3))
+    val ra = left.merge(right, on = Seq("k"), how = "right_anti")
+    assert(ra.df.select("k").as[Int].collect().toSeq == Seq(4))
+  }
+
+  test("colliding non-key columns get _l/_r suffixes like Acero") {
+    val a = Table(Seq((1, 10)).toDF("k", "v"))
+    val b = Table(Seq((1, 20)).toDF("k", "v"))
+    val m = a.merge(b, on = Seq("k"), how = "inner")
+    assert(m.df.columns.toSet == Set("k_l", "v_l", "k_r", "v_r"))
+    assert(m.df.select("v_l").as[Int].head() == 10)
+    assert(m.df.select("v_r").as[Int].head() == 20)
+  }
+
+  test("groupby agg names results op(field) like the reference client") {
+    val t = Table(Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "v"))
+    val out = t.groupby("g").agg("v" -> "sum", "v" -> "count")
+    assert(out.df.columns.toSeq == Seq("g", "sum(v)", "count(v)"))
+    val row = out.df.filter($"g" === "a").head()
+    assert(row.getDouble(1) == 3.0 && row.getLong(2) == 2L)
+  }
+
+  test("full reference agg vocabulary evaluates") {
+    val t = Table(Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 5.0))
+      .toDF("g", "v"))
+    val out = t.groupby("g").agg(
+      "v" -> "approximate_median", "v" -> "count_distinct",
+      "v" -> "distinct", "v" -> "first", "v" -> "last").df
+    assert(out.columns.contains("approximate_median(v)"))
+    val a = out.filter($"g" === "a").head()
+    assert(a.getDouble(out.columns.indexOf("approximate_median(v)")) == 2.0)
+    assert(a.getLong(out.columns.indexOf("count_distinct(v)")) == 2L)
+  }
+
+  test("sortValues matches reference asc/desc semantics") {
+    val t = Table(Seq(3, 1, 2).toDF("x"))
+    assert(t.sortValues(Seq("x")).df.as[Int].collect().toSeq == Seq(1, 2, 3))
+    assert(t.sortValues(Seq("x"), ascending = false)
+      .df.as[Int].collect().toSeq == Seq(3, 2, 1))
+  }
+
+  test("concat is n-ary union-all; reductions reduce") {
+    val t = Table(Seq(1, 2).toDF("x"))
+    assert(Table.concat(Seq(t, t, t)).count() == 6)
+    assert(t.sum("x") == 3.0)
+    assert(t.countCol("x") == 2L)
+    assert(t.min("x") == 1 && t.max("x") == 2)
+  }
+
+  test("cross-table expressions work through the facade (filter+set_column)") {
+    val t = Table(spark.read.parquet(s"$sf/lineitem.parquet"))
+    val f = t.filter(t("l_quantity") > 30)
+      .setColumn("rev", t("l_extendedprice") * (lit(1) - t("l_discount")))
+    assert(f.df.columns.contains("rev"))
+    assert(f.count() > 0)
+  }
+}
