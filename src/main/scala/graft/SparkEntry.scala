@@ -19,11 +19,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++
       graft.queries.TextDedup.queries ++
-      graft.queries.Vectors.queries
+      graft.queries.Vectors.queries ++
+      graft.queries.Analytics.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Temporal.oracles ++
       graft.queries.TextDedup.oracles ++
-      graft.queries.Vectors.oracles
+      graft.queries.Vectors.oracles ++
+      graft.queries.Analytics.oracles
 }

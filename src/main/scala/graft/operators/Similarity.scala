@@ -29,8 +29,13 @@ object Similarity {
   def quantized(embCol: String): Column =
     expr(s"transform($embCol, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
 
-  /** Integer dot product of two quantized vectors. */
-  def dotQ(a: String, b: String): Column =
+  /** Integer dot product of two quantized vectors — the codegen'd native
+    * expression (graft.functions.LongArrayDot); callers must have gone
+    * through [[prepare]]/[[bruteForceTopK]]/… which register it. The
+    * interpreted fallback spelling is kept for reference/testing. */
+  def dotQ(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
+
+  def dotQInterpreted(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
 
   /** Deterministic cosine from integer dot and squared norms. */
@@ -38,9 +43,11 @@ object Similarity {
     dot.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
 
   /** vec table → (idCol, payload..., q: quantized, n2: squared norm). */
-  def prepare(df: DataFrame, embCol: String): DataFrame =
+  def prepare(df: DataFrame, embCol: String): DataFrame = {
+    graft.functions.LongArrayDot.register(df.sparkSession)
     df.withColumn("q", quantized(embCol))
       .withColumn("n2", dotQ("q", "q"))
+  }
 
   /** Brute-force cosine top-k for each query vector. Output:
     * qid, vec_id, rank, cos — rank deterministic via (cos desc, id). */

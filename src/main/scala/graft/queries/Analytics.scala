@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.DetMath._
+
+/** TPC-H-shaped analytics over the full star schema — multi-way join
+  * chains, selective filters, and aggregation on top. These are the
+  * plans that exercise Catalyst's join ordering + broadcast selection
+  * across 3-5 tables, which the 2-table queries don't.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.read(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: full pricing summary
+    "q47_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumFixed(col("l_quantity"), 2).as("sum_qty"),
+          sumFixed(col("l_extendedprice"), 2).as("sum_base_price"),
+          (sum(fixed(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)) / 10000.0)
+            .as("sum_disc_price"),
+          (sum(fixed(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), 4)) / 10000.0).as("sum_charge"),
+          avgFixed(col("l_quantity"), 2, 4).as("avg_qty"),
+          avgFixed(col("l_extendedprice"), 2, 4).as("avg_price"),
+          avgFixed(col("l_discount"), 2, 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: 3-way join, revenue top-10
+    "q48_shipping_priority" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg((sum(fixed(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)) / 10000.0)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 5-way join through the region/nation dimensions
+    "q49_local_supplier_volume" -> ((s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val cu = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(cu, o("o_custkey") === cu("c_custkey"))
+        .join(n, cu("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(fixed(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)) / 10000.0)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q10 shape: returned-item customer ranking
+    "q50_returned_items" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, d, "orders")
+      val cu = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(cu, o("o_custkey") === cu("c_custkey"))
+        .join(n, cu("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg((sum(fixed(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)) / 10000.0)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // part/supplier join with LIKE filter (string predicate pushdown)
+    "q51_part_supplier" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_type").like("%ECO%"))
+      val su = t(s, d, "supplier")
+      val l = t(s, d, "lineitem")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("p_brand"), col("s_name"))
+        .agg(sumFixed(col("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    })
+  )
+
+  private val discPrice4 = fixedSql("l_extendedprice * (1 - l_discount)", 4)
+  private val charge4 =
+    fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
+
+  val oracles: Map[String, String] = Map(
+    "q47_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        | ${sumFixedSql("l_quantity", 2)} AS sum_qty,
+        | ${sumFixedSql("l_extendedprice", 2)} AS sum_base_price,
+        | SUM($discPrice4) / 10000.0 AS sum_disc_price,
+        | SUM($charge4) / 10000.0 AS sum_charge,
+        | ${avgFixedSql("l_quantity", 2, 4)} AS avg_qty,
+        | ${avgFixedSql("l_extendedprice", 2, 4)} AS avg_price,
+        | ${avgFixedSql("l_discount", 2, 4)} AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q48_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | SUM($discPrice4) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q49_local_supplier_volume" ->
+      s"""SELECT n_name,
+        | SUM($discPrice4) / 10000.0 AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q50_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+        | SUM($discPrice4) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q51_part_supplier" ->
+      s"""SELECT p_brand, s_name,
+        | ${sumFixedSql("l_quantity", 2)} AS sum_qty,
+        | COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_type LIKE '%ECO%'
+        |GROUP BY p_brand, s_name""".stripMargin
+  )
+}

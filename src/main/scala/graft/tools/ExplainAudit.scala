@@ -1,0 +1,25 @@
+package graft.tools
+
+import graft.{Graft, SparkEntry}
+
+/** Prints formatted physical plans for representative queries and greps
+  * the scan nodes for pushdown evidence — the "is this the plan you'd
+  * want at 100 TB" gate. Dev utility: tools/run.sh graft.tools.ExplainAudit [sfDir]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session(master = "local[8]", appName = "graft-explain",
+      shufflePartitions = 8)
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q02_filter", "q05_groupby_sum", "q07_join_inner",
+      "q16_sort_topk", "q27_demo_pipeline", "q43_knn_brute")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      val df = SparkEntry.queries(n)(spark, d)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

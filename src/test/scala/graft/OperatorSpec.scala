@@ -90,4 +90,13 @@ class OperatorSpec extends SparkTestBase {
       viaExpr.select("doc_id", "n_bytes", "sig", "width", "height", "channels")
         .collect().toSeq)
   }
+
+  test("codegen graft_dot equals the interpreted higher-order spelling") {
+    val e = Similarity.prepare(
+      sources.Tables.read(spark, sf, "embeddings"), "embedding")
+    val diff = e.withColumn("d1", Similarity.dotQ("q", "q"))
+      .withColumn("d2", Similarity.dotQInterpreted("q", "q"))
+      .filter($"d1" =!= $"d2")
+    assert(diff.count() == 0)
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Dedup, Skew}
+
+/** Property-based invariants (SURVEY.md §5 test plan #3): join
+  * multiplicity, sort permutation, partial≡total aggregation, salted-join
+  * equivalence, minhash bounds. Uses raw scalacheck generators with fixed
+  * seeds (the scalatest-scalacheck bridge isn't in the offline cache). */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong * 7919)))
+
+  private val rows: Gen[List[(Int, Int)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0, 8), Gen.choose(-50, 50)))
+
+  test("inner join multiplicity: |A join B| = sum_k cntA(k)*cntB(k)") {
+    for (Seq(as, bs) <- samples(Gen.zip(rows, rows).map(t => Seq(t._1, t._2)), 4)) {
+      val joined = as.toDF("k", "va").join(bs.toDF("k", "vb"), "k").count()
+      val expected = as.groupBy(_._1)
+        .map { case (k, g) => g.size.toLong * bs.count(_._1 == k) }.sum
+      assert(joined == expected)
+    }
+  }
+
+  test("sort is a permutation and ordered") {
+    for (xs <- samples(Gen.listOfN(50, Gen.choose(-1000, 1000)), 4)) {
+      val sorted = Table(xs.toDF("x")).sortValues(Seq("x"))
+        .df.as[Int].collect().toList
+      assert(sorted == xs.sorted)
+    }
+  }
+
+  test("two-level aggregation = single-pass regardless of partitioning") {
+    for ((xs, parts) <- samples(Gen.zip(rows, Gen.choose(1, 4)), 4)) {
+      val df = xs.toDF("k", "v").repartition(parts)
+      val got = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+        .as[(Int, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      val exp = xs.groupBy(_._1).map { case (k, vs) =>
+        k -> ((vs.map(_._2.toLong).sum, vs.size.toLong))
+      }
+      assert(got == exp)
+    }
+  }
+
+  test("salted join returns exactly the plain join rows") {
+    for ((as, bs, n) <- samples(Gen.zip(rows, rows, Gen.choose(2, 5)), 3)) {
+      val a = as.toDF("k", "va")
+      val b = bs.map(t => (t._1, t._2)).toDF("bk", "vb")
+      val plain = a.join(b, a("k") === b("bk")).select("k", "va", "vb")
+      val salted = Skew.saltedJoin(a, "k", Seq("k", "va"), b, "bk", n)
+        .select("k", "va", "vb")
+      assert(salted.exceptAll(plain).count() == 0)
+      assert(plain.exceptAll(salted).count() == 0)
+    }
+  }
+
+  test("minhash-verified pairs carry jaccard within [threshold, 1]") {
+    val words = Gen.oneOf("spark", "query", "table", "join", "scan",
+      "merge", "sort", "fast", "slow", "data")
+    val doc = Gen.listOfN(12, words).map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(12, doc), 2)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.4)
+        .as[(Long, Long, Double)].collect()
+      assert(pairs.forall { case (a, b, j) => a < b && j >= 0.4 && j <= 1.0 })
+    }
+  }
+}
