@@ -1,0 +1,131 @@
+package graft.functions
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass native implementations of the text/dedup hot loops.
+  *
+  * The declarative spellings in TextExpr remain the *specification* (and
+  * the DuckDB oracle); these expressions compute the identical results in
+  * a single JVM pass per row, cutting out interpreted HigherOrderFunction
+  * lambda dispatch and the per-element MessageDigest allocation of the
+  * built-in `md5` (one digest instance is reused per expression instance
+  * / thread). Parity with the spec spelling is enforced two ways: the
+  * oracle gate (q36-q39 hash-match DuckDB) and TextNativeSpec's
+  * side-by-side equality tests.
+  *
+  * Per-row cost dominates (hundreds of tokens × k seeds), so these are
+  * CodegenFallback — the win is the fused loop, not codegen.
+  */
+object TextNative {
+
+  private val splitter = Pattern.compile("[^a-z0-9]+")
+
+  /** lower → split on non-alphanumeric runs → drop empties.
+    * Exactly TextExpr.toksSpark/toksDuck. */
+  def tokenize(text: String): Array[String] =
+    splitter.split(text.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty)
+
+  /** Word 3-gram shingles, falling back to tokens when < 3 of them.
+    * Exactly TextExpr.shinglesSpark/shinglesDuck. */
+  def shingles(toks: Array[String]): Array[String] =
+    if (toks.length >= 3)
+      Array.tabulate(toks.length - 2)(i =>
+        toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+    else toks
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def md5Hex(md: MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_tokens",
+      exprs => TokensExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashSigExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+  }
+}
+
+/** graft_tokens(text) → array<string>: fused tokenization. */
+case class TokensExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_tokens expects a string")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextNative.tokenize(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(toks.map(UTF8String.fromString(_)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_minhash(text, k) → array<string>: the k lexicographic-min seeded
+  * md5 hex strings over 3-gram shingles, in one pass. Element i equals
+  * TextExpr.minhashSpark(sh, i); docs with no tokens yield k nulls (the
+  * declarative spelling's array_min over an empty array). */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_minhash expects a string")
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = TextNative.shingles(
+      TextNative.tokenize(input.asInstanceOf[UTF8String].toString))
+    val mins = new Array[UTF8String](k)
+    if (sh.nonEmpty) {
+      var seed = 0
+      while (seed < k) {
+        val prefix = seed + ":"
+        var best: String = null
+        var i = 0
+        while (i < sh.length) {
+          val h = TextNative.md5Hex(md, prefix + sh(i))
+          if (best == null || h.compareTo(best) < 0) best = h
+          i += 1
+        }
+        mins(seed) = UTF8String.fromString(best)
+        seed += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -20,17 +20,23 @@ import graft.functions.TextExpr._
   */
 object Dedup {
 
-  /** doc → normalized tokens + distinct 3-gram shingle set. */
-  def withShingles(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("toks", expr(toksSpark(textCol)))
+  /** doc → normalized tokens + distinct 3-gram shingle set. Tokenization
+    * uses the fused native expression (functions.TextNative), whose
+    * output is spec-identical to TextExpr.toksSpark. */
+  def withShingles(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.TextNative.register(df.sparkSession)
+    df.withColumn("toks", expr(s"graft_tokens($textCol)"))
       .withColumn("sh", expr(shinglesSpark("toks")))
       .withColumn("shset", array_distinct(col("sh")))
+  }
 
   /** Exact-duplicate fingerprint: md5 of the sorted distinct token set
     * (classic "key collision" fingerprinting). */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("toks", expr(toksSpark(textCol)))
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextNative.register(df.sparkSession)
+    df.withColumn("toks", expr(s"graft_tokens($textCol)"))
       .select(col(idCol), expr(fingerprintSpark("toks")).as("fp"))
+  }
 
   /** Exact-dup clusters: one row per fingerprint with the canonical
     * (minimum) id and member count. */
@@ -44,7 +50,9 @@ object Dedup {
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     val base = withShingles(df, textCol)
-    val sigs = (0 until k).map(i => expr(minhashSpark("sh", i)).as(s"s$i"))
+      .withColumn("_sig", expr(s"graft_minhash($textCol, $k)"))
+    val sigs = (0 until k).map(i =>
+      element_at(col("_sig"), i + 1).as(s"s$i"))
     base.select(col(idCol) +: col("shset") +: sigs: _*)
   }
 
@@ -57,10 +65,17 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, k).cache()
+    graft.functions.TextNative.register(df.sparkSession)
+    // Signatures only — the shingle sets are NOT materialized corpus-wide.
+    // cache() pins the one-pass signature (id + k hex strings, ~100 B/doc,
+    // MEMORY_AND_DISK so it spills rather than OOMs) so band construction
+    // can't re-evaluate the minhash per band reference.
+    val sig = df.select(col(idCol),
+      expr(s"graft_minhash($textCol, $k)").as("_sig")).cache()
     val nBands = k / rows
     val bandCols = (0 until nBands).map { b =>
-      val parts = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
+      val parts = (b * rows until (b + 1) * rows)
+        .map(i => element_at(col("_sig"), i + 1))
       struct(lit(b).as("bi"), md5(concat(parts: _*)).as("bv"))
     }
     val bands = sig.select(col(idCol),
@@ -72,8 +87,16 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
       .distinct()
-    val sa = sig.select(col(idCol).as("ida"), col("shset").as("seta"))
-    val sb = sig.select(col(idCol).as("idb"), col("shset").as("setb"))
+    // Exact-Jaccard verify: recompute shingle sets for candidate docs
+    // only. Near-dup candidates are a vanishing fraction of a 100 TB
+    // corpus — recomputing beats carrying a shingle array per doc
+    // through the shuffle.
+    val candIds = cand.select(col("ida").as(idCol))
+      .union(cand.select(col("idb").as(idCol))).distinct()
+    val sets = withShingles(df.join(candIds, idCol), textCol)
+      .select(col(idCol), col("shset"))
+    val sa = sets.select(col(idCol).as("ida"), col("shset").as("seta"))
+    val sb = sets.select(col(idCol).as("idb"), col("shset").as("setb"))
     cand.join(sa, "ida").join(sb, "idb")
       .withColumn("inter", size(array_intersect(col("seta"), col("setb"))))
       .withColumn("uni",
@@ -86,7 +109,8 @@ object Dedup {
   /** 32-bit SimHash per doc (docs with zero tokens produce no row, like
     * the oracle's unnest). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.withColumn("toks", expr(toksSpark(textCol)))
+    graft.functions.TextNative.register(df.sparkSession)
+    val tok = df.withColumn("toks", expr(s"graft_tokens($textCol)"))
       .select(col(idCol), explode(col("toks")).as("tok"))
       .withColumn("h", md5(col("tok")))
     val nib = (0 until 8).foldLeft(tok)((d, kk) =>

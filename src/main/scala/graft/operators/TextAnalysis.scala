@@ -13,9 +13,12 @@ import graft.functions.DetMath._
   */
 object TextAnalysis {
 
-  /** Append the normalized token array. */
-  def withTokens(df: DataFrame, textCol: String, out: String = "toks"): DataFrame =
-    df.withColumn(out, expr(toksSpark(textCol)))
+  /** Append the normalized token array (fused native tokenizer,
+    * spec-identical to TextExpr.toksSpark). */
+  def withTokens(df: DataFrame, textCol: String, out: String = "toks"): DataFrame = {
+    graft.functions.TextNative.register(df.sparkSession)
+    df.withColumn(out, expr(s"graft_tokens($textCol)"))
+  }
 
   /** Per-doc surface statistics: char length, token counts, type-token
     * ratio, mean token length. Ratios are exact-integer divisions →

@@ -99,4 +99,20 @@ class OperatorSpec extends SparkTestBase {
       .filter($"d1" =!= $"d2")
     assert(diff.count() == 0)
   }
+
+  test("native tokenizer and minhash equal their declarative spec spellings") {
+    graft.functions.TextNative.register(spark)
+    val docs = sources.Tables.read(spark, sf, "documents")
+    val cmp = docs.select(
+      expr("graft_tokens(text)").as("nat"),
+      expr(graft.functions.TextExpr.toksSpark("text")).as("dec"),
+      expr("graft_minhash(text, 4)").as("mh"))
+      .withColumn("sh", expr(graft.functions.TextExpr.shinglesSpark("dec")))
+    assert(cmp.filter($"nat" =!= $"dec").count() == 0)
+    val mhCmp = (0 until 4).map(i =>
+      element_at($"mh", i + 1) =!=
+        expr(graft.functions.TextExpr.minhashSpark("sh", i)))
+      .reduce(_ || _)
+    assert(cmp.filter(mhCmp).count() == 0)
+  }
 }
