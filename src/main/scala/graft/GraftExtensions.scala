@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{LongArrayDot, MinHashSigExpr, TokensExpr}
+
+/** SparkSessionExtensions installer for graft's native expressions, so a
+  * plain-SQL user gets them without touching the Scala API:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   .getOrCreate()
+  * spark.sql("SELECT graft_dot(a, b) FROM t")
+  * }}}
+  *
+  * The operator entry points (graft.operators.*) also self-register these
+  * per session, so the extension class is optional for Scala users.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - integer dot product of two bigint arrays"),
+      (exprs: Seq[Expression]) => LongArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_tokens"),
+      info("graft_tokens", "graft_tokens(text) - normalized token array"),
+      (exprs: Seq[Expression]) => TokensExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(text, k) - k seeded md5 minhash components"),
+      (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int])))
+  }
+}

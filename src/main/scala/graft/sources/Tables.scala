@@ -54,4 +54,27 @@ object Tables {
     */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Partitioned sink: directory-partition by low-cardinality columns so
+    * downstream filters on them become partition pruning (zero I/O for
+    * excluded values) — the 100 TB layout discipline the flat reference
+    * lacks entirely. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed sink (managed table): pre-hash rows into `n` buckets on the
+    * join/agg key. Two tables bucketed the same way join with NO shuffle
+    * on either side — at 100 TB this converts every fact-fact join on the
+    * bucket key from a full network exchange into a local zip. This is
+    * the durable version of the reference's one-shot hash redistribution
+    * (src/partition.cpp:1326-1409): pay the shuffle once at write time,
+    * reuse it for every query after. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -57,6 +57,13 @@ object EventStreams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("sum_val"))
 
+  /** Streaming exact dedup on event_id: watermark-bounded state drops
+    * replays/late duplicates inside the 1-hour horizon — the streaming
+    * face of the dedup operator family (operators.Dedup handles batch). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * event count + cumulative value, emitted on every update. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
