@@ -42,10 +42,39 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Like-for-like reproduction of the reference's only published number
+    // (BASELINE.md): inner join of two 2,000,000-row tables on TWO string
+    // key columns -> groupby(city).count -> collect, 10.718802 s on one
+    // 32-PE node (examples/Demo.ipynb). Same data shape as
+    // examples/datagen.py: first_name "A%i" / last_name "B%i" all
+    // distinct, ~101 cities, right side a permutation of the left keys.
+    val demoSecs = {
+      import org.apache.spark.sql.functions._
+      val n = 2000000L
+      val userIds = spark.range(n).select(
+        concat(lit("A"), col("id")).as("first_name"),
+        concat(lit("B"), col("id")).as("last_name"),
+        col("id").cast("int").as("user_id"),
+        concat(lit("C"), pmod(hash(col("id")), lit(101))).as("city"))
+      val perm = spark.range(n)
+        .select(pmod(col("id") * 2654435761L + 12345L, lit(n)).as("pid"))
+      val ages = perm.select(
+        concat(lit("A"), col("pid")).as("first_name"),
+        concat(lit("B"), col("pid")).as("last_name"),
+        (col("pid") % 100).as("age"))
+      val t0 = System.nanoTime()
+      val out = userIds.join(ages, Seq("first_name", "last_name"), "inner")
+        .groupBy("city").agg(count(col("user_id")).as("count(user_id)"))
+        .collect()
+      require(out.length > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val qs = (results :+ ("demo_2m_join_groupby" -> demoSecs))
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_demo_2m_sec":10.718802}""")
     spark.stop()
   }
 }

@@ -20,12 +20,14 @@ object SparkEntry {
       graft.queries.Temporal.queries ++
       graft.queries.TextDedup.queries ++
       graft.queries.Vectors.queries ++
-      graft.queries.Analytics.queries
+      graft.queries.Analytics.queries ++
+      graft.queries.Ranges.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Temporal.oracles ++
       graft.queries.TextDedup.oracles ++
       graft.queries.Vectors.oracles ++
-      graft.queries.Analytics.oracles
+      graft.queries.Analytics.oracles ++
+      graft.queries.Ranges.oracles
 }

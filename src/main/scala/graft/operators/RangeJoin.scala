@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval / range join — extension operator (reference has only the
+  * equi hash join, SURVEY.md §2.3).
+  *
+  * Matches left "point" rows (a timestamp) to right "interval" rows
+  * ([start, end)). Two strategies, chosen by whether an equi key exists:
+  *
+  *  - [[keyed]]: equi-join on the key + range post-filter. Catalyst plans
+  *    the shuffle/broadcast on the key; the range predicate filters
+  *    within key groups. Optimal whenever keys are selective — no custom
+  *    machinery needed or wanted.
+  *  - [[bucketed]]: NO key — the naive plan would be a nested-loop cross
+  *    join (quadratic, a non-starter at scale). Instead both sides are
+  *    bucketized on time: points map to one bucket, intervals explode to
+  *    the ceil(len/g)+1 buckets they overlap, and the join becomes a
+  *    plain equi-join on bucket id + exact containment filter. Work is
+  *    O(points + intervals·span/g + output) with an ordinary hash
+  *    shuffle — AQE-balanced, spillable, 100 TB-safe. Each (point,
+  *    interval) pair meets in exactly one bucket (the point's), so no
+  *    dedup pass is needed.
+  */
+object RangeJoin {
+
+  def keyed(left: DataFrame, lKey: String, lTime: String,
+      right: DataFrame, rKey: String, rStart: String, rEnd: String)
+      : DataFrame =
+    left.join(right,
+      left(lKey) === right(rKey) &&
+        left(lTime) >= right(rStart) && left(lTime) < right(rEnd))
+
+  def bucketed(left: DataFrame, lTime: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      granularitySecs: Long): DataFrame = {
+    val g = lit(granularitySecs)
+    def bucketOf(c: Column): Column =
+      floor(unix_timestamp(c) / g).cast("long")
+    val pts = left.withColumn("_b", bucketOf(left(lTime)))
+    val iv = right
+      .withColumn("_b", explode(sequence(
+        bucketOf(right(rStart)), bucketOf(right(rEnd)))))
+    pts.join(iv, Seq("_b"))
+      .filter(col(lTime) >= col(rStart) && col(lTime) < col(rEnd))
+      .drop("_b")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.RangeJoin
+
+/** Range/interval-join inventory + an approximate-distinct surface.
+  * q54 has no SQL oracle by design (HLL sketches differ per engine) —
+  * the driver records the weaker rows-only check; accuracy is asserted
+  * in OperatorSpec instead.
+  */
+object Ranges {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.read(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // keyed interval join: each event matched to the SAME user's signup
+    // windows (1 hour after a signup) — equi key + range filter
+    "q52_interval_keyed" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val w = t(s, d, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("w_user"), col("event_id").as("wid"),
+          col("ts").as("ws"), (col("ts") + expr("INTERVAL 1 HOUR")).as("we"))
+      RangeJoin.keyed(e, "user_id", "ts", w, "w_user", "ws", "we")
+        .select(col("wid"), col("event_id"))
+    }),
+
+    // unkeyed interval join via time bucketing: all events falling into
+    // any signup's 1-hour window
+    "q53_interval_bucketed" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val w = t(s, d, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("event_id").as("wid"), col("ts").as("ws"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("we"))
+      RangeJoin.bucketed(e, "ts", w, "ws", "we", granularitySecs = 3600L)
+        .select(col("wid"), col("event_id"))
+    }),
+
+    // HLL++ approximate distinct (reference's count_distinct is exact
+    // only; this is the at-scale variant). No oracle: sketches are
+    // engine-specific.
+    "q54_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          count(lit(1)).as("cnt")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q52_interval_keyed" ->
+      """WITH base AS (SELECT event_id, event_type, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | w AS (SELECT user_id AS w_user, event_id AS wid, ts AS ws,
+        |   ts + INTERVAL 1 HOUR AS we FROM base WHERE event_type = 'signup')
+        |SELECT w.wid, e.event_id
+        |FROM base e JOIN w
+        | ON e.user_id = w.w_user AND e.ts >= w.ws AND e.ts < w.we""".stripMargin,
+    "q53_interval_bucketed" ->
+      """WITH base AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | w AS (SELECT event_id AS wid, ts AS ws, ts + INTERVAL 1 HOUR AS we
+        |  FROM base WHERE event_type = 'signup')
+        |SELECT w.wid, e.event_id
+        |FROM w JOIN base e ON e.ts >= w.ws AND e.ts < w.we""".stripMargin
+  )
+}

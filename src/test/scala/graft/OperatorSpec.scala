@@ -115,4 +115,22 @@ class OperatorSpec extends SparkTestBase {
       .reduce(_ || _)
     assert(cmp.filter(mhCmp).count() == 0)
   }
+
+  test("bucketed range join equals the naive theta join; approx distinct close to exact") {
+    val e = sources.Tables.read(spark, sf, "events")
+    val w = e.filter($"event_type" === "signup")
+      .select($"event_id".as("wid"), $"ts".as("ws"),
+        ($"ts" + expr("INTERVAL 1 HOUR")).as("we"))
+    val bucketed = RangeJoin.bucketed(e, "ts", w, "ws", "we", 3600L)
+      .select("wid", "event_id")
+    val naive = e.join(w, e("ts") >= w("ws") && e("ts") < w("we"))
+      .select("wid", "event_id")
+    assert(bucketed.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(bucketed).count() == 0)
+
+    val li = sources.Tables.read(spark, sf, "lineitem")
+    val approx = li.agg(approx_count_distinct($"l_orderkey", 0.02)).head().getLong(0)
+    val exact = li.select("l_orderkey").distinct().count()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
 }
