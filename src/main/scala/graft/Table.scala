@@ -128,6 +128,17 @@ final case class Table(df: DataFrame) {
   def min(col: String): Any = scalar(F.min(df(col))).get(0)
   def max(col: String): Any = scalar(F.max(df(col))).get(0)
 
+  /** Cross-table positional alignment (the reference's
+    * `df1["ids"] + 2*df2["age"]`, examples/create_table.py:17-18): zip
+    * this table with `other` by row position under the given total
+    * orders, yielding one table carrying both column sets for ordinary
+    * Column arithmetic. See operators.Align for the scalable mechanics.
+    */
+  def alignWith(other: Table, mySort: Seq[String], otherSort: Seq[String])
+      : Table =
+    Table(graft.operators.Align.alignByOrder(
+      df, mySort.map(df(_)), other.df, otherSort.map(other.df(_))))
+
   def limit(n: Int): Table = Table(df.limit(n))
   def distinct(): Table = Table(df.distinct())
   def unionAll(other: Table): Table = Table(df.unionByName(other.df))
@@ -179,6 +190,10 @@ final case class GroupedTable(df: DataFrame, keys: Seq[String]) {
         case "distinct"           => F.sort_array(F.collect_set(c))
         case "first"              => F.first(c)
         case "last"               => F.last(c)
+        // Arrow's first_last returns a {first, last} struct
+        // (src/reduction.hpp:58-95)
+        case "first_last"         => F.struct(F.first(c).as("first"),
+                                              F.last(c).as("last"))
         case "mean" | "avg"       => F.avg(c)
         case "min"                => F.min(c)
         case "max"                => F.max(c)

@@ -55,6 +55,18 @@ object Tables {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** CSV/JSON sources+sinks — free Spark superset (the reference reads
+    * parquet only, SURVEY.md §2.1). Schema inference on read; header on
+    * CSV. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Partitioned sink: directory-partition by low-cardinality columns so
     * downstream filters on them become partition pruning (zero I/O for
     * excluded values) — the 100 TB layout discipline the flat reference

@@ -133,4 +133,23 @@ class OperatorSpec extends SparkTestBase {
     val exact = li.select("l_orderkey").distinct().count()
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
+
+  test("ZipRows plan node zips same-lineage frames with no shuffle and no extra job") {
+    val li = sources.Tables.read(spark, sf, "lineitem")
+    val a = li.select($"l_orderkey", $"l_linenumber")
+    val b = li.select(($"l_quantity" * 2).as("q2"), $"l_extendedprice")
+    val z = graft.plans.ZipRows.zip(a, b)
+    assert(z.columns.toSeq == Seq("l_orderkey", "l_linenumber", "q2", "l_extendedprice"))
+    val shuffles = z.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty)
+    assert(z.count() == li.count())
+    // row-level alignment: zipped q2 really is 2x the same row's quantity
+    val joined = graft.plans.ZipRows.zip(
+      li.select($"l_orderkey".as("k1"), $"l_quantity"),
+      li.select($"l_orderkey".as("k2"), ($"l_quantity" * 2).as("q2")))
+    assert(joined.filter($"k1" =!= $"k2" || $"q2" =!= $"l_quantity" * 2)
+      .count() == 0)
+  }
 }

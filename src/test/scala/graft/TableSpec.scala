@@ -82,4 +82,26 @@ class TableSpec extends SparkTestBase {
     assert(f.df.columns.contains("rev"))
     assert(f.count() > 0)
   }
+
+  test("first_last agg yields a {first,last} struct; alignWith zips tables") {
+    val t = Table(Seq(("a", 1.0), ("a", 9.0)).toDF("g", "v"))
+    val fl = t.groupby("g").agg("v" -> "first_last").df
+    assert(fl.columns.contains("first_last(v)"))
+    val row = fl.head().getStruct(1)
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 9.0)
+
+    val a = Table(Seq((1, 10.0), (2, 20.0)).toDF("ids", "x"))
+    val b = Table(Seq((5, 2.0), (6, 1.0)).toDF("k2", "age"))
+    // reference semantics: df1["ids"] + 2*df2["age"] by position
+    val z = a.alignWith(b, Seq("ids"), Seq("k2"))
+    val combo = z.setColumn("combo", z("ids") + lit(2) * z("age"))
+      .sortValues(Seq("pos")).df.select("combo")
+      .as[Double].collect().toSeq
+    assert(combo == Seq(1 + 2 * 2.0, 2 + 2 * 1.0))
+  }
+
+  test("readParquet accepts regex-ish .* paths like the reference") {
+    val t = Table.readParquet(spark, s"$sf/line.*\\.parquet".replace("\\", ""))
+    assert(t.count() > 0)
+  }
 }
