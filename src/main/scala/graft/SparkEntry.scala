@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.TextDedup.queries ++
       graft.queries.Vectors.queries ++
       graft.queries.Analytics.queries ++
-      graft.queries.Ranges.queries
+      graft.queries.Ranges.queries ++
+      graft.queries.Fingerprints.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.TextDedup.oracles ++
       graft.queries.Vectors.oracles ++
       graft.queries.Analytics.oracles ++
-      graft.queries.Ranges.oracles
+      graft.queries.Ranges.oracles ++
+      graft.queries.Fingerprints.oracles
 }

@@ -65,7 +65,43 @@ object TextNative {
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashSigExpr(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rollhash",
+      exprs => RollingHashExpr(exprs.head), "scala_udf")
   }
+}
+
+/** graft_rollhash(text) → bigint: polynomial rolling hash over code
+  * points, h ← (h·31 + cp) mod 1e9+7 — the classic Rabin-Karp document
+  * fingerprint. DuckDB oracle twin:
+  * `list_reduce(list_prepend(0, [ascii(c) FOR c IN split(text, '')]),
+  *  (acc, x) -> (acc * 31 + x) % 1000000007)`.
+  * (Code point == the oracle's ascii() for BMP text; the corpus is
+  * ASCII.) */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rollhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_rollhash expects a string")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val M = 1000000007L
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % M
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** graft_tokens(text) → array<string>: fused tokenization. */

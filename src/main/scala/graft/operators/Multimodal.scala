@@ -73,6 +73,66 @@ object Multimodal {
     }
   }
 
+  /** Decoded media resized to w×h×1 — STUB: a real codec would decode
+    * and rescale; here output pixels are the md5 digest of the payload
+    * cycled to length (deterministic, size-correct), so the partitioning,
+    * schema and batch shape of a resize stage are fully exercised. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      pixels: Array[Byte])
+
+  def resizeStub(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val digestPool = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        digestPool.reset()
+        val d = digestPool.digest(r.content)
+        val px = Array.tabulate[Byte](w * h)(i => d(i % d.length))
+        ResizedMedia(r.doc_id, w, h, px)
+      }
+    }
+  }
+
+  /** Frame sampling — STUB: a real video decoder would pick n key
+    * frames; here frame i is the i-th of n contiguous byte slices
+    * (boundaries floor(i·L/n)), which exercises the flatMap fan-out
+    * shape (one row in, n frame rows out) with exact arithmetic an
+    * oracle can replay. */
+  case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  def frameSampleStub(media: DataFrame, n: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val L = r.content.length
+      (0 until n).iterator.map { i =>
+        val s = (i.toLong * L / n).toInt
+        val e = ((i + 1).toLong * L / n).toInt
+        MediaFrame(r.doc_id, i, java.util.Arrays.copyOfRange(r.content, s, e))
+      }
+    }
+  }
+
+  /** Expression twin of frameSampleStub over a text payload (ASCII ⇒
+    * byte slices == char slices), oracle-gated; MultimodalSpec asserts
+    * lockstep with the Dataset path. */
+  def frameColumns(df: DataFrame, idCol: String, textCol: String, n: Int)
+      : DataFrame =
+    df.select(col(idCol).as("doc_id"), length(col(textCol)).as("_len"),
+        posexplode(sequence(lit(0), lit(n - 1))).as(Seq("_p", "frame_idx")))
+      .drop("_p")
+      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("_t")), "doc_id")
+      .select(col("doc_id"), col("frame_idx"),
+        // FLOOR before the int cast: a bare double→int cast truncates in
+        // Spark but rounds in DuckDB
+        expr(s"substring(_t, CAST(FLOOR(frame_idx * _len / $n) AS INT) + 1, " +
+          s"CAST(FLOOR((frame_idx + 1) * _len / $n) AS INT) - CAST(FLOOR(frame_idx * _len / $n) AS INT))")
+          .as("frame"))
+      .withColumn("frame_chars", length(col("frame")))
+      .withColumn("frame_md5", md5(col("frame")))
+      .drop("frame")
+
   /** Expression twin of StubDecoder (whole-stage codegen; oracle-gated).
     * Must stay in lockstep with StubDecoder — MultimodalSpec asserts it. */
   def featureColumns(df: DataFrame, idCol: String, textCol: String): DataFrame =

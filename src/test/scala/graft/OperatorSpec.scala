@@ -152,4 +152,21 @@ class OperatorSpec extends SparkTestBase {
     assert(joined.filter($"k1" =!= $"k2" || $"q2" =!= $"l_quantity" * 2)
       .count() == 0)
   }
+
+  test("multimodal resize and frame-sample stubs: shapes, determinism, twin parity") {
+    val docs = sources.Tables.read(spark, sf, "documents").limit(40)
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val resized = Multimodal.resizeStub(media, 8, 6).collect()
+    assert(resized.forall(r => r.pixels.length == 48))
+    val again = Multimodal.resizeStub(media, 8, 6).collect()
+    assert(resized.map(_.pixels.toSeq).toSeq == again.map(_.pixels.toSeq).toSeq)
+
+    val frames = Multimodal.frameSampleStub(media, 4).toDF()
+      .select($"doc_id", $"frame_idx",
+        length(decode($"frame", "UTF-8")).as("frame_chars"),
+        md5($"frame").as("frame_md5"))
+    val twin = Multimodal.frameColumns(docs, "doc_id", "text", 4)
+    assert(frames.exceptAll(twin).count() == 0)
+    assert(twin.exceptAll(frames).count() == 0)
+  }
 }
