@@ -11,14 +11,35 @@ object ExplainAudit {
     val spark = Graft.session(master = "local[8]", appName = "graft-explain",
       shufflePartitions = 8)
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
-      "q02_filter", "q05_groupby_sum", "q07_join_inner",
-      "q16_sort_topk", "q27_demo_pipeline", "q43_knn_brute")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      val df = SparkEntry.queries(n)(spark, d)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    if (args.length > 1 && args(1) == "--scan") {
+      // red-flag scan over the whole inventory: quadratic join strategies
+      // where a broadcast of a *large* side or a true cross product would
+      // hide; queries that intentionally broadcast a small side are
+      // allow-listed with the reason.
+      val intended = Map(
+        "q43_knn_brute" -> "BNLJ broadcasts the tiny query set (by design)",
+        "q45_ivf_ann" -> "BNLJ broadcasts tiny centroids/queries (by design)")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        try {
+          val plan = fn(spark, d).queryExecution.executedPlan.toString
+          val flags = Seq(
+            "CartesianProduct", "BroadcastNestedLoopJoin")
+            .filter(plan.contains)
+          if (flags.nonEmpty)
+            println(s"$n: ${flags.mkString(",")}" +
+              intended.get(n).map(r => s"  [OK: $r]").getOrElse("  [REVIEW]"))
+        } catch { case e: Throwable => println(s"$n: ERROR ${e.getMessage}") }
+      }
+    } else {
+      val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+        "q02_filter", "q05_groupby_sum", "q07_join_inner",
+        "q16_sort_topk", "q27_demo_pipeline", "q43_knn_brute")
+      names.foreach { n =>
+        println(s"\n========== $n ==========")
+        val df = SparkEntry.queries(n)(spark, d)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
     }
     spark.stop()
   }

@@ -86,4 +86,21 @@ class ScaleSpec extends SparkTestBase {
       .select("event_id").distinct().count()
     assert(spark.table("dedup").count() == n)
   }
+
+  test("csv/json/parquet sinks round-trip") {
+    val base = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val src = sources.Tables.read(spark, sf, "nation")
+    sources.Tables.writeParquet(src, s"$base/p")
+    sources.Tables.writeCsv(src, s"$base/c")
+    sources.Tables.writeJson(src, s"$base/j")
+    val p = spark.read.parquet(s"$base/p")
+    val c = sources.Tables.readCsv(spark, s"$base/c")
+    val j = sources.Tables.readJson(spark, s"$base/j")
+    assert(p.exceptAll(src).count() == 0 && src.exceptAll(p).count() == 0)
+    assert(c.count() == src.count() && j.count() == src.count())
+    // csv/json round-trip preserves values modulo column order
+    val cols = src.columns.sorted.toSeq
+    assert(c.selectExpr(cols: _*).exceptAll(src.selectExpr(cols: _*)).count() == 0)
+    assert(j.selectExpr(cols: _*).exceptAll(src.selectExpr(cols: _*)).count() == 0)
+  }
 }
