@@ -51,7 +51,9 @@ object Bench {
     // distinct, ~101 cities, right side a permutation of the left keys.
     val demoSecs = {
       import org.apache.spark.sql.functions._
-      val n = 2000000L
+      // SPARK_GRAFT_DEMO_N scales the pipeline for scale-up probes
+      // (e.g. 20000000 = 10x the reference's published config)
+      val n = sys.env.getOrElse("SPARK_GRAFT_DEMO_N", "2000000").toLong
       val userIds = spark.range(n).select(
         concat(lit("A"), col("id")).as("first_name"),
         concat(lit("B"), col("id")).as("last_name"),

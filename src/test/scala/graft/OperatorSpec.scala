@@ -169,4 +169,19 @@ class OperatorSpec extends SparkTestBase {
     assert(frames.exceptAll(twin).count() == 0)
     assert(twin.exceptAll(frames).count() == 0)
   }
+
+  test("typed Aggregators: Welford variance matches var_samp; TopK bounds state") {
+    import graft.functions.TypedAggregators
+    val li = sources.Tables.read(spark, sf, "lineitem")
+    val ds = li.select($"l_quantity").as[Double]
+    val welford = ds.select(TypedAggregators.WelfordVariance.toColumn).head()
+    val builtin = li.agg(var_samp($"l_quantity")).head().getDouble(0)
+    assert(math.abs(welford - builtin) / builtin < 1e-9)
+
+    val top3 = new TypedAggregators.TopK(3)
+    val prices = li.select($"l_extendedprice").as[Double]
+    val got = prices.select(top3.toColumn).head()
+    val expected = prices.orderBy($"l_extendedprice".desc).take(3).toSeq
+    assert(got == expected)
+  }
 }
