@@ -24,10 +24,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // bench-only tuning knobs for A/B runs
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .map(_.toInt).getOrElse(cpus.toInt)
     val spark = Graft.session(
       master = s"local[$cpus]",
       appName = "graft-bench",
-      shufflePartitions = cpus.toInt)
+      shufflePartitions = shuffleParts)
+    sys.env.get("SPARK_GRAFT_PREFER_SHJ").foreach(v =>
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", (v != "1").toString))
 
     def materialize(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()

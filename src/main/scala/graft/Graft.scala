@@ -30,7 +30,20 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffle width note (measured on the 20M-row string-join pipeline):
+      // static width 4x cores + shuffled-hash join ran 2.5x faster than
+      // cores-wide sort-merge (53s -> 21s), but the same width costs ~2x
+      // at 2M rows, and AQE's initialPartitionNum route performed worse
+      // than either static setting (76s) — so the default stays
+      // cores-wide and callers size `shufflePartitions` to the data
+      // (SPARK_GRAFT_SHUFFLE in Bench), exactly as a cluster operator
+      // sizes spark.sql.shuffle.partitions to the input.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Prefer shuffled-hash over sort-merge when the per-partition build
+      // side fits (it does, given 4x overdecomposition): avoids sorting
+      // both sides of large string-keyed joins — measured 2.5x on the
+      // 20M-row baseline pipeline. Skew remains AQE's job.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Parquet TIMESTAMP(NANOS) (events.ts) is otherwise an illegal type
