@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Vectors.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Ranges.queries ++
-      graft.queries.Fingerprints.queries
+      graft.queries.Fingerprints.queries ++
+      graft.queries.Shapes.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Vectors.oracles ++
       graft.queries.Analytics.oracles ++
       graft.queries.Ranges.oracles ++
-      graft.queries.Fingerprints.oracles
+      graft.queries.Fingerprints.oracles ++
+      graft.queries.Shapes.oracles
 }

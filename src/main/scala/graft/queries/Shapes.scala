@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.DetMath._
+
+/** Reshaping + distribution surfaces: pivot/crosstab, batch
+  * sessionization (gaps-and-islands, the batch twin of the streaming
+  * session_window), exact multi-quantiles.
+  */
+object Shapes {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.read(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // pivot: order counts + revenue per status, one column per priority
+    // band (conditional aggregation — identical spelling cross-engine)
+    "q57_pivot" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+      o.groupBy("o_orderstatus")
+        .pivot("prio", Seq("1", "2", "3", "4", "5"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1"), lit(0L)).as("p1"),
+          coalesce(col("2"), lit(0L)).as("p2"),
+          coalesce(col("3"), lit(0L)).as("p3"),
+          coalesce(col("4"), lit(0L)).as("p4"),
+          coalesce(col("5"), lit(0L)).as("p5"))
+    }),
+
+    // batch sessionization: per-user sessions with a 30-minute gap via
+    // gaps-and-islands (LAG -> new-session flag -> running session id)
+    "q58_sessionize_batch" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          (col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800)
+            .cast("int"))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"),
+          max(col("ts")).as("sess_end"),
+          sumFixed(col("value"), 2).as("sum_val"))
+    }),
+
+    // exact multi-quantile (percentile_cont interpolation)
+    "q59_quantiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          rnd(expr("percentile(l_extendedprice, 0.25)"), 2).as("q25"),
+          rnd(expr("percentile(l_extendedprice, 0.5)"), 2).as("q50"),
+          rnd(expr("percentile(l_extendedprice, 0.75)"), 2).as("q75"),
+          rnd(expr("percentile(l_extendedprice, 0.99)"), 2).as("q99")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q57_pivot" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) FILTER (WHERE SUBSTR(o_orderpriority, 1, 1) = '1') AS p1,
+        | COUNT(*) FILTER (WHERE SUBSTR(o_orderpriority, 1, 1) = '2') AS p2,
+        | COUNT(*) FILTER (WHERE SUBSTR(o_orderpriority, 1, 1) = '3') AS p3,
+        | COUNT(*) FILTER (WHERE SUBSTR(o_orderpriority, 1, 1) = '4') AS p4,
+        | COUNT(*) FILTER (WHERE SUBSTR(o_orderpriority, 1, 1) = '5') AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q58_sessionize_batch" ->
+      s"""WITH base AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        | lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM base),
+        | flagged AS (SELECT *, CAST(prev_ts IS NULL
+        |     OR EPOCH(ts) - EPOCH(prev_ts) > 1800 AS INT) AS new_sess FROM lagged),
+        | sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM flagged)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        | MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+        | ${sumFixedSql("value", 2)} AS sum_val
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q59_quantiles" ->
+      s"""SELECT l_returnflag,
+        | ${rndSql("QUANTILE_CONT(l_extendedprice, 0.25)", 2)} AS q25,
+        | ${rndSql("QUANTILE_CONT(l_extendedprice, 0.5)", 2)} AS q50,
+        | ${rndSql("QUANTILE_CONT(l_extendedprice, 0.75)", 2)} AS q75,
+        | ${rndSql("QUANTILE_CONT(l_extendedprice, 0.99)", 2)} AS q99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}

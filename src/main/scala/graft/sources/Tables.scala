@@ -32,10 +32,11 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.floor(
-            org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      // integer DIV, not floor(x/1000): long/int promotes to DOUBLE
+      // division in Spark SQL, and ~1.7e18 ns exceeds a double's 2^53
+      // integer range — the lost bits showed up as +-1us timestamps.
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
     } else df
   }
 

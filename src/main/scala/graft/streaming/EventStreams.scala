@@ -34,8 +34,9 @@ object EventStreams {
   def fromDirectory(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(rawSchema)
       .parquet(dir)
-      .withColumn("ts",
-        timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer DIV — see sources.Tables.read (double division loses
+      // sub-us bits at ns magnitudes)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
 
   /** Tumbling 1-hour counts per event type (streaming twin of
     * q29_events_hourly). */
