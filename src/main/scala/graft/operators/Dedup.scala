@@ -119,6 +119,42 @@ object Dedup {
       .agg(expr(simhashFromSums(j => s"SUM(${bitSignSpark(j)})")).as("simhash"))
   }
 
+  /** Connected components over near-dup pairs → cluster canonicals: the
+    * step that turns pairwise similarity into dedup decisions (keep the
+    * canonical, drop the rest).
+    *
+    * Min-label propagation: every member node starts labeled with itself;
+    * each iteration joins labels across edges (both directions) and takes
+    * the min; stops at fixpoint. Iterations = cluster diameter, which for
+    * near-dup clusters is tiny (they're near-cliques — LSH links most
+    * members directly), so this is a handful of hash joins, each an
+    * ordinary shuffle on ids. maxIter bounds pathological chains.
+    */
+  def dupClusters(pairs: DataFrame, a: String = "ida", b: String = "idb",
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("lbl", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.select(col("id"), col("lbl"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("canonical"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs within blocking keys. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {

@@ -46,6 +46,11 @@ object TextDedup {
     "q40_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
 
+    "q60_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+          k = 8, rows = 2, threshold = 0.5))),
+
     "q41_ngram_jaccard" -> ((s, d) => {
       val blocked = docs(s, d)
         .withColumn("lb", floor(col("n_chars") / 100).cast("long"))
@@ -137,6 +142,28 @@ object TextDedup {
         |  JOIN sig y ON y.doc_id = c.idb)
         |SELECT ida, idb, inter / uni AS jac FROM j
         |WHERE inter / uni >= 0.5""".stripMargin,
+
+    "q60_dup_clusters" ->
+      s"""WITH RECURSIVE $toksCte, ${shCte()},
+        | sig AS (SELECT doc_id, shset, ${sigSelect(8)} FROM sh),
+        | bands AS (${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS bi, md5(s${2 * b} || s${2 * b + 1}) AS bv FROM sig")
+            .mkString("\n  UNION ALL ")}),
+        | cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |   FROM bands a JOIN bands b
+        |   ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        | j AS (SELECT c.ida, c.idb,
+        |   len(list_intersect(x.shset, y.shset)) AS inter,
+        |   len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset)) AS uni
+        |  FROM cand c
+        |  JOIN sig x ON x.doc_id = c.ida
+        |  JOIN sig y ON y.doc_id = c.idb),
+        | pairs AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5),
+        | ed AS (SELECT ida AS src, idb AS dst FROM pairs
+        |        UNION SELECT idb, ida FROM pairs),
+        | cc AS (SELECT src AS n, src AS m FROM ed
+        |        UNION SELECT e.dst, c.m FROM cc c JOIN ed e ON e.src = c.n)
+        |SELECT n AS doc_id, MIN(m) AS canonical FROM cc GROUP BY n""".stripMargin,
 
     "q40_simhash" ->
       s"""WITH $toksCte,

@@ -184,4 +184,11 @@ class OperatorSpec extends SparkTestBase {
     val expected = prices.orderBy($"l_extendedprice".desc).take(3).toSeq
     assert(got == expected)
   }
+
+  test("dupClusters computes transitive components with min canonicals") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (5L, 6L, 0.7))
+      .toDF("ida", "idb", "jac")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
 }
