@@ -42,11 +42,14 @@ object Bench {
 
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try materialize(SparkEntry.queries(name)(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // -1 marks a failure so a fast crash can't masquerade as a fast run
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // Like-for-like reproduction of the reference's only published number
     // (BASELINE.md): inner join of two 2,000,000-row tables on TWO string

@@ -59,10 +59,9 @@ object TextExpr {
     (0 until 32).map { j =>
       s"(CASE WHEN ${sumExpr(j)} >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  /** Same rendering works in both dialects. */
   def simhashFromSumsDuck(sumExpr: Int => String): String =
-    (0 until 32).map { j =>
-      s"(CASE WHEN ${sumExpr(j)} >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    simhashFromSums(sumExpr)
 
   /** Exact-dup fingerprint: md5 of the sorted distinct token set. */
   def fingerprintSpark(t: String): String =

@@ -65,6 +65,9 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+    require(k % rows == 0,
+      s"band rows ($rows) must divide signature size ($k) — trailing " +
+        "components would be silently dropped")
     graft.functions.TextNative.register(df.sparkSession)
     // Signatures only — the shingle sets are NOT materialized corpus-wide.
     // cache() pins the one-pass signature (id + k hex strings, ~100 B/doc,
@@ -139,6 +142,7 @@ object Dedup {
       .distinct().withColumn("lbl", col("id"))
     var converged = false
     var i = 0
+    var prev: DataFrame = null
     while (!converged && i < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -149,9 +153,12 @@ object Dedup {
         .cache()
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).isEmpty
+      if (prev != null) prev.unpersist()
+      prev = labels
       labels = next
       i += 1
     }
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("canonical"))
   }
 

@@ -50,8 +50,12 @@ object Multimodal {
   }
 
   def md5Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
+    md5Hex(java.security.MessageDigest.getInstance("MD5"), bytes)
+
+  def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
 
   /** Wrap a text column as a binary media payload (the test corpus has
     * no real media; UTF-8 bytes stand in for image bytes). */
@@ -65,10 +69,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // decoder init would be amortized here in a real codec
+      // per-partition init, amortized across the partition's rows — the
+      // slot a real codec's context/handles drop into
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val (w, h, c) = decoder.decode(r.content)
-        MediaFeatures(r.doc_id, r.content.length, md5Hex(r.content), w, h, c)
+        MediaFeatures(r.doc_id, r.content.length, md5Hex(md, r.content), w, h, c)
       }
     }
   }
@@ -119,10 +125,10 @@ object Multimodal {
     * lockstep with the Dataset path. */
   def frameColumns(df: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame =
-    df.select(col(idCol).as("doc_id"), length(col(textCol)).as("_len"),
+    df.select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        length(col(textCol)).as("_len"),
         posexplode(sequence(lit(0), lit(n - 1))).as(Seq("_p", "frame_idx")))
       .drop("_p")
-      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("_t")), "doc_id")
       .select(col("doc_id"), col("frame_idx"),
         // FLOOR before the int cast: a bare double→int cast truncates in
         // Spark but rounds in DuckDB

@@ -42,8 +42,11 @@ object Shapes {
       t(s, d, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_sess",
+          // microsecond-exact gap: unix_timestamp truncates to seconds
+          // and would disagree with a fractional-second oracle on
+          // boundary gaps
           (col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800)
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L)
             .cast("int"))
         .withColumn("sess_id", sum(col("new_sess")).over(run))
         .groupBy(col("user_id"), col("sess_id"))
@@ -78,7 +81,7 @@ object Shapes {
       s"""WITH base AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         | lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM base),
         | flagged AS (SELECT *, CAST(prev_ts IS NULL
-        |     OR EPOCH(ts) - EPOCH(prev_ts) > 1800 AS INT) AS new_sess FROM lagged),
+        |     OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000 AS INT) AS new_sess FROM lagged),
         | sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM flagged)
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
