@@ -72,7 +72,10 @@ object Dedup {
     // Signatures only — the shingle sets are NOT materialized corpus-wide.
     // cache() pins the one-pass signature (id + k hex strings, ~100 B/doc,
     // MEMORY_AND_DISK so it spills rather than OOMs) so band construction
-    // can't re-evaluate the minhash per band reference.
+    // can't re-evaluate the minhash per band reference. The cache must
+    // outlive this call (the returned lazy plan references it); callers
+    // running many pipelines in one session reclaim it via
+    // spark.catalog.clearCache() or by unpersisting after materializing.
     val sig = df.select(col(idCol),
       expr(s"graft_minhash($textCol, $k)").as("_sig")).cache()
     val nBands = k / rows
