@@ -65,6 +65,40 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Stream-stream join: purchases attributed to the same user's signup
+    * within the following hour. Both sides are watermarked so Spark can
+    * discard join state beyond the interval bound — the streaming twin of
+    * the batch interval join (q52), with state kept finite by exactly the
+    * range condition. */
+  def purchasesAfterSignup(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("purchase_id"), col("p_user").as("user_id"),
+        col("value"))
+  }
+
+  /** Production sink pattern: foreachBatch gives each micro-batch a full
+    * batch DataFrame, here appended to partitioned parquet — the shape
+    * used for exactly-once-ish upserts into lakehouse tables. */
+  def sinkToParquet(df: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * event count + cumulative value, emitted on every update. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -70,4 +70,36 @@ class StreamingSpec extends SparkTestBase {
     assert(finalCounts.exceptAll(batch).count() == 0)
     assert(batch.count() == finalCounts.count())
   }
+
+  test("stream-stream interval join matches the batch twin on emitted rows") {
+    val stream = EventStreams.fromDirectory(spark, eventsDir)
+    runToMemory(EventStreams.purchasesAfterSignup(stream), "attrib", "append")
+    val streamed = spark.table("attrib")
+      .select("signup_id", "purchase_id")
+
+    val ev = sources.Tables.read(spark, sf, "events")
+    val sg = ev.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"event_id".as("signup_id"), $"ts".as("s_ts"))
+    val batch = ev.filter($"event_type" === "purchase")
+      .join(sg, $"user_id" === $"s_user" &&
+        $"ts" >= $"s_ts" && $"ts" < $"s_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"signup_id", $"event_id".as("purchase_id"))
+
+    // everything the stream emitted must be a real batch pair; tail-window
+    // pairs (inside the final watermark horizon) may be withheld
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("foreachBatch parquet sink lands every event exactly once") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink")
+    val stream = EventStreams.fromDirectory(spark, eventsDir)
+    val q = EventStreams.sinkToParquet(
+      stream, out.resolve("data").toString, out.resolve("cp").toString)
+    q.processAllAvailable(); q.stop()
+    val landed = spark.read.parquet(out.resolve("data").toString + "/batch=*")
+    val src = sources.Tables.read(spark, sf, "events")
+    assert(landed.count() == src.count())
+    assert(landed.select("event_id").exceptAll(src.select("event_id")).count() == 0)
+  }
 }
