@@ -120,6 +120,20 @@ final case class Table(df: DataFrame) {
   /** fetch_size (op=10). */
   def count(): Long = df.count()
 
+  /** barrier (op=11) — the reference blocks the client until all
+    * partitions reach the epoch (`src/partition.cpp:502-507`). Spark
+    * actions already synchronize, so this is a trivial sync action kept
+    * only for API parity. */
+  def barrier(): Unit = {
+    df.sparkSession.sparkContext.parallelize(Seq(0), 1).count(); ()
+  }
+
+  /** Alias for [[merge]] — the reference's Demo.ipynb calls `df.join`
+    * even though the client only defines `merge` (SURVEY.md §4.2 code
+    * health note); support both spellings. */
+  def join(other: Table, on: Seq[String], how: String = "inner"): Table =
+    merge(other, on = on, how = how)
+
   // --- scalar reductions (op=12): whole-column, tree-reduced in the
   //     reference (`src/reduction.hpp:102-131`); one-stage agg action here.
   private def scalar(c: Column): Row = df.agg(c).head()

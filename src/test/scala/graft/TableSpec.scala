@@ -104,4 +104,11 @@ class TableSpec extends SparkTestBase {
     val t = Table.readParquet(spark, s"$sf/line.*\\.parquet".replace("\\", ""))
     assert(t.count() > 0)
   }
+
+  test("barrier is a sync no-op; join aliases merge") {
+    val t = Table(Seq((1, "a")).toDF("k", "v"))
+    t.barrier() // must not throw
+    val j = t.join(Table(Seq((1, "b")).toDF("k", "w")), Seq("k"))
+    assert(j.count() == 1)
+  }
 }
