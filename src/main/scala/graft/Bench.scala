@@ -84,8 +84,12 @@ object Bench {
     val qs = (results :+ ("demo_2m_join_groupby" -> demoSecs))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_demo_2m_sec":10.718802}""")
+    // failures (-1 markers) are excluded from the total and listed —
+    // a crash must not shrink the graded number
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"baseline_demo_2m_sec":10.718802}""")
     spark.stop()
   }
 }

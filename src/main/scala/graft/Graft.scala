@@ -53,6 +53,16 @@ object Graft {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate silently ignores every config above if a session already
+    // exists; the ns-timestamp reader and the UTC-pinned oracle queries
+    // both depend on them, so surface the mismatch instead of diverging
+    // quietly.
+    if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC" ||
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      System.err.println("[graft] WARNING: existing SparkSession lacks " +
+        "graft's required configs (UTC session timeZone, parquet " +
+        "nanosAsLong) — events reads and datetime results may misbehave. " +
+        "Create the session via Graft.session first.")
     spark
   }
 }

@@ -15,7 +15,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q27_demo_pipeline")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++
       graft.queries.TextDedup.queries ++
@@ -25,7 +25,7 @@ object SparkEntry {
       graft.queries.Fingerprints.queries ++
       graft.queries.Shapes.queries
 
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Temporal.oracles ++
       graft.queries.TextDedup.oracles ++

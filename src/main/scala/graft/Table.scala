@@ -137,7 +137,12 @@ final case class Table(df: DataFrame) {
   // --- scalar reductions (op=12): whole-column, tree-reduced in the
   //     reference (`src/reduction.hpp:102-131`); one-stage agg action here.
   private def scalar(c: Column): Row = df.agg(c).head()
-  def sum(col: String): Double = scalar(F.sum(df(col)).cast("double")).getDouble(0)
+  /** Empty/all-null column sums to 0.0 (pandas semantics — SQL SUM would
+    * be NULL and getDouble would NPE). */
+  def sum(col: String): Double = {
+    val r = scalar(F.sum(df(col)).cast("double"))
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
   def countCol(col: String): Long = scalar(F.count(df(col))).getLong(0)
   def min(col: String): Any = scalar(F.min(df(col))).get(0)
   def max(col: String): Any = scalar(F.max(df(col))).get(0)

@@ -161,6 +161,14 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[dedup] dupClusters stopped at maxIter=$maxIter " +
+        "before convergence — canonicals may split one true component " +
+        "(raise maxIter for long chain-shaped clusters)")
+    if (prev != null) prev.unpersist()
+    // `labels` was materialized by the last convergence check, so edges
+    // can be released; the final labels cache backs the returned plan
+    // (same lifetime contract as minhashPairs' signature cache).
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("canonical"))
   }

@@ -49,8 +49,12 @@ object Multimodal {
     }
   }
 
-  def md5Hex(bytes: Array[Byte]): String =
-    md5Hex(java.security.MessageDigest.getInstance("MD5"), bytes)
+  // thread-local digest: reused across rows within a task, safe across
+  // concurrent tasks sharing this object
+  private val threadMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Hex(bytes: Array[Byte]): String = md5Hex(threadMd.get(), bytes)
 
   def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
     md.reset()
@@ -69,12 +73,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init, amortized across the partition's rows — the
-      // slot a real codec's context/handles drop into
-      val md = java.security.MessageDigest.getInstance("MD5")
+      // a real codec would init its context here, amortized per partition;
+      // md5Hex reuses a thread-local digest per row
       rows.map { r =>
         val (w, h, c) = decoder.decode(r.content)
-        MediaFeatures(r.doc_id, r.content.length, md5Hex(md, r.content), w, h, c)
+        MediaFeatures(r.doc_id, r.content.length, md5Hex(r.content), w, h, c)
       }
     }
   }

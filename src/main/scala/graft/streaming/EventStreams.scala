@@ -95,7 +95,9 @@ object EventStreams {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
+        // overwrite the batchId directory: a replayed micro-batch (restart
+        // after partial write) lands idempotently instead of duplicating
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
 

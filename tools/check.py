@@ -50,9 +50,16 @@ def main():
         oracle = json.load(f)
 
     failures = []
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    present = {d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d))}
+    # union with oracle keys: a query that crashed in Verify has no output
+    # dir and must FAIL the gate, not silently vanish from it
+    names = sorted(present | set(oracle))
     for name in names:
+        if name not in present:
+            failures.append(name)
+            print(f"  {name:28s} MISSING OUTPUT (query failed in Verify)")
+            continue
         got = pd.read_parquet(os.path.join(out_dir, name))
         if name not in oracle:
             print(f"  {name:28s} rows={len(got):7d}  (no oracle — rows-only)")
