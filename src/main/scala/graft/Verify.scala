@@ -21,7 +21,10 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // Plain multi-file write: no coalesce(1) funnel — at sf0.1+ a
+        // single-task write serializes the whole result through one core;
+        // pyarrow/duckdb read part-file directories natively.
+        try fn(spark, sfDir).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

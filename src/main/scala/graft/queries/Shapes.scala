@@ -82,8 +82,8 @@ object Shapes {
         | lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM base),
         | flagged AS (SELECT *, CAST(prev_ts IS NULL
         |     OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000 AS INT) AS new_sess FROM lagged),
-        | sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM flagged)
+        | sess AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM flagged)
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         | MIN(ts) AS sess_start, MAX(ts) AS sess_end,
         | ${sumFixedSql("value", 2)} AS sum_val

@@ -73,7 +73,7 @@ object Temporal {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q30_events_json" ->
       """SELECT event_type, COUNT(*) AS cnt,
-        | SUM(CAST(NULLIF(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(NULLIF(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
         | MAX(CAST(NULLIF(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q31_asof_join" ->

@@ -50,7 +50,8 @@ object Vectors {
       |  [CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS q
       | FROM embeddings),
       |n AS (SELECT vec_id, label, dim, q,
-      |  list_aggregate([q[i] * q[i] FOR i IN range(1, len(q)+1)], 'sum') AS n2
+      |  CAST(list_aggregate([q[i] * q[i] FOR i IN range(1, len(q)+1)], 'sum')
+      |       AS BIGINT) AS n2
       | FROM p)""".stripMargin
 
   private def dotDuck(a: String, b: String): String =

@@ -24,20 +24,40 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                             key=lambda s: s.map(lambda v: str(v)))
     return df.reset_index(drop=True)
 
+def pyval(v):
+    """numpy scalar/array -> plain python, so type() compares are canonical."""
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    return v
+
 def values_equal(a, b) -> bool:
+    """Dtype-strict exact compare, mirroring the driver's value hash:
+    an int64 99111 vs float64 99111.0 is a FAIL (that is exactly the
+    HUGEINT-oracle class that slipped past the old isclose compare)."""
+    a, b = pyval(a), pyval(b)
     if a is None and b is None:
         return True
     try:
         if pd.isna(a) and pd.isna(b):
             return True
+        if pd.isna(a) != pd.isna(b):
+            return False
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
-        except (TypeError, ValueError):
-            return False
-    return str(a) == str(b)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, float) != isinstance(b, float):
+        return False          # int-vs-float dtype divergence
+    if isinstance(a, float):
+        return a == b         # bit-exact; NaN pairs handled above
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            values_equal(x, y) for x, y in zip(a, b))
+    if type(a) is not type(b):
+        return False
+    return a == b
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -78,6 +98,15 @@ def main():
         if len(g) != len(e):
             failures.append(name)
             print(f"  {name:28s} ROWCOUNT MISMATCH spark={len(g)} duck={len(e)}")
+            continue
+        # dtype-kind gate: int vs float (etc.) fails even when every value
+        # compares equal — the driver's hash is representation-sensitive
+        kind_bad = [(c, g[c].dtype, e[c].dtype) for c in g.columns
+                    if g[c].dtype.kind != e[c].dtype.kind]
+        if kind_bad:
+            failures.append(name)
+            c, gk, ek = kind_bad[0]
+            print(f"  {name:28s} DTYPE MISMATCH col={c} spark={gk} duck={ek}")
             continue
         bad = None
         for c in g.columns:
