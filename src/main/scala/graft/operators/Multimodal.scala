@@ -67,6 +67,88 @@ object Multimodal {
     df.select(col(idCol).as("doc_id"),
       encode(col(textCol), "UTF-8").as("content"), lit("fake/raw").as("fmt"))
 
+  /** REAL codec: decodes PNG/JPEG/GIF/BMP via the JDK's `javax.imageio`
+    * (zero extra dependencies); falls back to [[StubDecoder]] for byte
+    * streams the JDK cannot decode, so the seam still total-functions
+    * over arbitrary payloads. */
+  object ImageIODecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) StubDecoder.decode(bytes)
+      else (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+    }
+  }
+
+  /** Synthesized image fixture: one real grayscale PNG per id, dimensions
+    * and pixels pure functions of the id so a SQL oracle can replay them:
+    * width = 8 + id % 24, height = 8 + (id/7) % 24,
+    * pixel(x,y) = (id*31 + x*7 + y) % 256. PNG is lossless, so a correct
+    * decode recovers these exactly. */
+  def synthesizePngs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      val baos = new java.io.ByteArrayOutputStream()
+      ids.map { id =>
+        val w = 8 + (id % 24).toInt
+        val h = 8 + ((id / 7) % 24).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((id * 31 + x * 7 + y) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        baos.reset()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        (id, baos.toByteArray, "image/png")
+      }
+    }.toDF("doc_id", "content", "fmt")
+  }
+
+  /** Decoded image metadata + exact pixel checksum (sum over all samples
+    * of all bands) — the quantity an arithmetic oracle can verify. */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      channels: Int, px_sum: Long)
+
+  /** Full image decode via [[ImageIODecoder]]'s codec: real pixels, real
+    * dimensions. mapPartitions so decoder state amortizes per partition;
+    * rows with undecodable payloads are dropped (a real pipeline's
+    * dead-letter path would collect them). */
+  def decodeImages(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        if (img == null) None
+        else {
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImageFeatures(r.doc_id, w, h, bands, sum))
+        }
+      }
+    }
+  }
+
   /** Real plumbing path: partition-wise decode via the codec seam. */
   def decodePartitions(media: DataFrame, decoder: MediaDecoder)
       : Dataset[MediaFeatures] = {

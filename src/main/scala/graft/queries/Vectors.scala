@@ -40,7 +40,17 @@ object Vectors {
 
     "q46_multimodal_features" -> ((s, d) =>
       Multimodal.featureColumns(
-        Tables.read(s, d, "documents"), "doc_id", "text"))
+        Tables.read(s, d, "documents"), "doc_id", "text")),
+
+    // REAL image decode: synthesize one grayscale PNG per doc (dims +
+    // pixels are pure functions of doc_id), then decode with
+    // javax.imageio and checksum the recovered pixels — the oracle
+    // replays the same arithmetic, so a hash match proves a true
+    // lossless decode round-trip, not a stub.
+    "q61_image_decode" -> ((s, d) =>
+      Multimodal.decodeImages(
+        Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
+        .toDF)
   )
 
   // ---- DuckDB oracle: same scaled-integer algorithm ----
@@ -103,6 +113,18 @@ object Vectors {
         |SELECT qid, vec_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q46_multimodal_features" ->
-      Multimodal.featureSqlDuck("documents", "doc_id", "text")
+      Multimodal.featureSqlDuck("documents", "doc_id", "text"),
+
+    "q61_image_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(8 + doc_id % 24 AS INT) AS width,
+        |   CAST(8 + (doc_id // 7) % 24 AS INT) AS height
+        | FROM documents)
+        |SELECT doc_id, width, height, CAST(1 AS INT) AS channels,
+        | CAST(list_aggregate(
+        |   [(doc_id*31 + (i % width)*7 + (i // width)) % 256
+        |    FOR i IN range(0, CAST(width AS BIGINT) * height)],
+        |   'sum') AS BIGINT) AS px_sum
+        |FROM d""".stripMargin
   )
 }

@@ -191,4 +191,33 @@ class OperatorSpec extends SparkTestBase {
     val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
+
+  test("ImageIO decode recovers synthesized PNG dims and exact pixels") {
+    val ids = spark.range(40).toDF("doc_id")
+    val decoded = Multimodal.decodeImages(Multimodal.synthesizePngs(ids, "doc_id"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(decoded.size == 40)
+    for (id <- 0L until 40L) {
+      val f = decoded(id)
+      val (w, h) = (8 + (id % 24).toInt, 8 + ((id / 7) % 24).toInt)
+      assert(f.width == w && f.height == h && f.channels == 1)
+      val expectSum = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y) % 256).sum
+      assert(f.px_sum == expectSum, s"pixel checksum for doc $id")
+    }
+  }
+
+  test("ImageIODecoder handles JPEG and falls back to stub on junk bytes") {
+    // JPEG via the same JDK encoder: dims must survive the round trip
+    val img = new java.awt.image.BufferedImage(
+      33, 17, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val (w, h, c) = Multimodal.ImageIODecoder.decode(baos.toByteArray)
+    assert(w == 33 && h == 17 && c == 3)
+    // junk payload: same answer as the declared stub
+    val junk = "not an image".getBytes("UTF-8")
+    assert(Multimodal.ImageIODecoder.decode(junk) ==
+      Multimodal.StubDecoder.decode(junk))
+  }
 }
