@@ -106,6 +106,118 @@ object Similarity {
       .select("qid", "vec_id", "rank", "cos")
   }
 
+  // ---- trained IVF: fixed-seed k-means + nprobe>1 ----
+
+  /** Assign each vector to its `nprobe` nearest centroids (cos desc,
+    * tie → min cent_id). `vecs`: (idCol, q, n2); `cent`: (cent_id, cq,
+    * cn2), tiny and broadcast. */
+  private def probe(vecs: DataFrame, cent: DataFrame, idCol: String,
+      nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(dotQ("q", "cq"), col("n2"), col("cn2")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .drop("cq", "cn2", "ccos", "crank")
+  }
+
+  /** Deterministic k-means over quantized vectors: init = the k
+    * lowest-id vectors; each iteration reassigns by max cosine and
+    * recomputes centroids as the element-wise integer mean (`SUM DIV
+    * COUNT` — exact BIGINT arithmetic, so the DuckDB oracle replays it
+    * bit-for-bit; cosine is scale-invariant so the integer truncation
+    * costs nothing material). Returns (cent_id, cq, cn2).
+    *
+    * Scale shape: one broadcast-join pass + one element-wise hash-agg
+    * per iteration — no driver-side loops over data, only over the
+    * (constant) iteration count. */
+  def kmeansCentroids(prep: DataFrame, idCol: String, k: Int, iters: Int)
+      : DataFrame = {
+    var cent = prep.orderBy(col(idCol)).limit(k)
+      .withColumn("cent_id", row_number().over(Window.orderBy(col(idCol))))
+      .select(col("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
+    for (_ <- 1 to iters) {
+      val assigned = probe(prep, cent, idCol, nprobe = 1)
+      cent = assigned
+        .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg(expr("SUM(v) DIV COUNT(*)").as("m"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("cq"))
+        .withColumn("cn2", dotQ("cq", "cq"))
+    }
+    cent
+  }
+
+  /** IVF top-k with TRAINED centroids (no caller-given structure) and
+    * nprobe cells searched per query: corpus vectors live in exactly one
+    * cell; a query probes its `nprobe` nearest cells, so candidate sets
+    * are disjoint unions of cell-local scans. */
+  def ivfTopKTrained(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+      embCol: String, k: Int, nCentroids: Int, iters: Int, nprobe: Int)
+      : DataFrame = {
+    val prep = prepare(corpus, embCol).select(col(idCol), col("q"), col("n2"))
+    val cent = kmeansCentroids(prep, idCol, nCentroids, iters)
+    val cells = probe(prep, cent, idCol, nprobe = 1)
+    val qs = probe(prep.join(queryIds, idCol), cent, idCol, nprobe)
+      .select(col(idCol).as("qid"), col("q").as("qq"),
+        col("n2").as("qn2"), col("cent_id").as("qcell"))
+    val cand = cells.select(col(idCol).as("vec_id"), col("q").as("cq"),
+      col("n2").as("cn2"), col("cent_id").as("vcell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(broadcast(qs), col("vcell") === col("qcell") &&
+        col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(dotQ("cq", "qq"), col("cn2"), col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "cos")
+  }
+
+  // ---- label-free near-dup pairs: random-hyperplane LSH ----
+
+  /** Integer hyperplane weight w(j,d) — an LCG over (j,d) mapped to
+    * [-9, 9]. Pure arithmetic, so both engines spell it identically. */
+  private def hyperplaneWeight(j: String, d: String): String =
+    s"(((CAST(1103515245 AS BIGINT) * ($j * 128 + $d) + 12345) % 19) - 9)"
+
+  /** Label-free embedding near-duplicate pairs: `nBits` sign bits from
+    * deterministic random hyperplanes, banded into `nBits/bandBits`
+    * OR-amplified buckets; candidates = pairs colliding in >=1 band;
+    * exact cosine verify on candidates only. The equi-join on
+    * (band, bucket) is the whole shuffle story — no all-pairs stage
+    * anywhere, which is what lets this run unblocked at 100 TB. */
+  def lshDupPairs(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
+    val nBands = nBits / bandBits
+    val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
+    val sig = p.withColumn("sig", expr(
+      s"""transform(sequence(0, ${nBits - 1}), j ->
+         | CASE WHEN aggregate(sequence(1, size(q)), CAST(0 AS BIGINT),
+         |   (acc, d) -> acc + element_at(q, d) * ${hyperplaneWeight("j", "d")})
+         |  >= 0 THEN 1 ELSE 0 END)""".stripMargin))
+    val banded = sig.select(col(idCol),
+      posexplode(expr(s"""transform(sequence(0, ${nBands - 1}), b ->
+        | aggregate(sequence(1, $bandBits), 0,
+        |   (acc, i) -> acc * 2 + element_at(sig, b * $bandBits + i)))"""
+        .stripMargin)).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+      .dropDuplicates("ida", "idb")
+    val a = p.select(col(idCol).as("ida"), col("q").as("qa"), col("n2").as("na"))
+    val b = p.select(col(idCol).as("idb"), col("q").as("qb"), col("n2").as("nb"))
+    cand.join(a, "ida").join(b, "idb")
+      .withColumn("cos", cosine(dotQ("qa", "qb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("ida", "idb", "cos")
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (e.g.
     * label or an LSH bucket): cosine >= threshold. */
   def cosineDupPairs(df: DataFrame, idCol: String, embCol: String,

@@ -202,6 +202,24 @@ object Relational {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0).as("run_qty"))
     }),
 
+    // High-cardinality window: partitioned by l_orderkey (~N/4 distinct
+    // keys, <=7 rows each), so the shuffle spreads evenly and per-group
+    // state is tiny at any scale — this is the window plan that survives
+    // 100x, complementing q22 whose 3-value partition key caps
+    // parallelism at 3 for the running aggregate.
+    "q64_window_highcard" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus;
+      // extendedprice+partkey make the sort total so LAG is deterministic
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_extendedprice"), col("l_partkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("bigint")).over(run).as("run_qty"),
+        row_number().over(w).as("line_rank"),
+        rnd(lag(col("l_extendedprice"), 1).over(w), 2).as("prev_price"))
+    }),
+
     // grouping-set superset
     "q23_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -350,6 +368,14 @@ object Relational {
         | RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk,
         | LAG(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS prev_qty,
         | SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS run_qty
+        |FROM lineitem""".stripMargin,
+    "q64_window_highcard" ->
+      s"""SELECT l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_extendedprice, l_partkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_qty,
+        | ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_partkey) AS line_rank,
+        | ${rndSql("LAG(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_partkey)", 2)} AS prev_price
         |FROM lineitem""".stripMargin,
     "q23_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

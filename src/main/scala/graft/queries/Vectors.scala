@@ -50,7 +50,22 @@ object Vectors {
     "q61_image_decode" -> ((s, d) =>
       Multimodal.decodeImages(
         Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
-        .toDF)
+        .toDF),
+
+    // IVF with TRAINED centroids (fixed-seed k-means, 2 iterations) and
+    // nprobe=2 — no caller-given structure, unlike q45.
+    "q62_ivf_trained" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopKTrained(e,
+        e.select("vec_id").filter(col("vec_id").between(100, 109)),
+        "vec_id", "embedding", k = 5, nCentroids = 8, iters = 2, nprobe = 2)
+    }),
+
+    // Label-free near-dup pairs: random-hyperplane LSH bucketing, no
+    // blocking column needed (q44 requires one).
+    "q63_lsh_dup_pairs" -> ((s, d) =>
+      Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
+        threshold = 0.35))
   )
 
   // ---- DuckDB oracle: same scaled-integer algorithm ----
@@ -69,6 +84,35 @@ object Vectors {
 
   private def cosDuck(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / SQRT(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+
+  // ---- k-means oracle building blocks (dim is 64 in every SF corpus;
+  // DuckDB's range() can't take a lateral column bound, so the oracle
+  // hardcodes it — the Spark side stays dim-agnostic) ----
+
+  /** Assign each vector of `vecs` to its `nprobe` nearest centroids. */
+  private def assignDuck(cent: String, out: String, nprobe: Int,
+      vecs: String = "n"): String =
+    s"""$out AS (SELECT vec_id, q, n2, cent_id FROM (
+      |  SELECT v.vec_id, v.q, v.n2, c.cent_id,
+      |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |      ${cosDuck(dotDuck("v.q", "c.cq"), "v.n2", "c.cn2")} DESC,
+      |      c.cent_id) AS r
+      |  FROM $vecs v CROSS JOIN $cent c) WHERE r <= $nprobe)""".stripMargin
+
+  /** Element-wise integer-mean centroid recompute (SUM // COUNT). */
+  private def recomputeDuck(assigned: String, out: String): String =
+    s"""${out}_m AS (SELECT cent_id, list(s ORDER BY pos) AS cq FROM (
+      |  SELECT cent_id, i AS pos, CAST(SUM(q[i]) // COUNT(*) AS BIGINT) AS s
+      |  FROM $assigned, range(1, 65) t(i) GROUP BY 1, 2) GROUP BY cent_id),
+      |$out AS (SELECT cent_id, cq,
+      |  CAST(list_aggregate([cq[i]*cq[i] FOR i IN range(1,65)], 'sum')
+      |       AS BIGINT) AS cn2
+      | FROM ${out}_m)""".stripMargin
+
+  /** LCG hyperplane weight — must stay in lockstep with
+    * Similarity.hyperplaneWeight. */
+  private def hpwDuck(j: String, d: String): String =
+    s"(((CAST(1103515245 AS BIGINT) * ($j * 128 + $d) + 12345) % 19) - 9)"
 
   val oracles: Map[String, String] = Map(
     "q42_embed_stats" ->
@@ -114,6 +158,50 @@ object Vectors {
 
     "q46_multimodal_features" ->
       Multimodal.featureSqlDuck("documents", "doc_id", "text"),
+
+    "q62_ivf_trained" ->
+      s"""WITH $prepCte,
+        | c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cent_id,
+        |   q AS cq, n2 AS cn2 FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)),
+        | ${assignDuck("c0", "a1", 1)},
+        | ${recomputeDuck("a1", "c1")},
+        | ${assignDuck("c1", "a2", 1)},
+        | ${recomputeDuck("a2", "c2")},
+        | ${assignDuck("c2", "cells", 1)},
+        | qids AS (SELECT vec_id, q AS qq, n2 AS qn2 FROM n
+        |   WHERE vec_id BETWEEN 100 AND 109),
+        | ${assignDuck("c2", "qcells", 2,
+             "(SELECT n.vec_id, n.q, n.n2 FROM qids JOIN n USING (vec_id))")},
+        | scored AS (SELECT qc.vec_id AS qid, c.vec_id,
+        |    ${cosDuck(dotDuck("c.q", "qs.qq"), "c.n2", "qs.qn2")} AS cos
+        |  FROM cells c JOIN qcells qc ON c.cent_id = qc.cent_id
+        |    AND c.vec_id <> qc.vec_id
+        |  JOIN qids qs ON qs.vec_id = qc.vec_id),
+        | ranked AS (SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q63_lsh_dup_pairs" ->
+      s"""WITH $prepCte,
+        | s AS (SELECT vec_id, q, n2,
+        |   [CASE WHEN CAST(list_aggregate(
+        |      [q[d] * ${hpwDuck("j", "d")} FOR d IN range(1, 65)],
+        |      'sum') AS BIGINT) >= 0 THEN 1 ELSE 0 END
+        |    FOR j IN range(0, 16)] AS sig
+        |  FROM n),
+        | b AS (SELECT vec_id, t.b AS band,
+        |    8*sig[4*t.b+1] + 4*sig[4*t.b+2] + 2*sig[4*t.b+3] + sig[4*t.b+4]
+        |      AS bucket
+        |  FROM s, range(0, 4) t(b)),
+        | cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id < y.vec_id),
+        | scored AS (SELECT cand.ida, cand.idb,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM cand JOIN n a ON a.vec_id = cand.ida
+        |   JOIN n c ON c.vec_id = cand.idb)
+        |SELECT ida, idb, cos FROM scored WHERE cos >= 0.35""".stripMargin,
 
     "q61_image_decode" ->
       """WITH d AS (SELECT doc_id,

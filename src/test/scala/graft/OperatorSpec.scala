@@ -192,6 +192,41 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("trained IVF: kmeans centroids are well-formed and search recalls") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val prep = Similarity.prepare(e, "embedding").select($"vec_id", $"q", $"n2")
+    val cent = Similarity.kmeansCentroids(prep, "vec_id", k = 8, iters = 2)
+      .collect()
+    assert(cent.length <= 8 && cent.nonEmpty)
+    assert(cent.forall(_.getAs[Seq[Long]]("cq").length == 64))
+    // distinct cent_ids, all positive norms
+    assert(cent.map(_.getAs[Int]("cent_id")).distinct.length == cent.length)
+    assert(cent.forall(_.getAs[Long]("cn2") > 0L))
+
+    val qids = e.select("vec_id").filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopKTrained(e, qids, "vec_id", "embedding",
+      k = 10, nCentroids = 8, iters = 2, nprobe = 2)
+    val brute = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 10)
+    assert(ivf.groupBy("qid").count().count() == 5)
+    val overlap = ivf.select("qid", "vec_id")
+      .intersect(brute.select("qid", "vec_id")).count()
+    assert(overlap > 0, "nprobe=2 IVF should recall some exact neighbors")
+  }
+
+  test("LSH dup pairs need no blocking column and only report true dups") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val lsh = Similarity.lshDupPairs(e, "vec_id", "embedding", 0.35)
+      .select("ida", "idb")
+    // ground truth: all-pairs with a constant blocking key
+    val truth = Similarity.cosineDupPairs(
+        e.withColumn("blk", lit(1)), "vec_id", "embedding", "blk", 0.35)
+      .select("ida", "idb")
+    assert(lsh.count() > 0)
+    assert(lsh.exceptAll(truth).count() == 0,
+      "every LSH-reported pair must be a genuine cosine>=t pair")
+  }
+
   test("ImageIO decode recovers synthesized PNG dims and exact pixels") {
     val ids = spark.range(40).toDF("doc_id")
     val decoded = Multimodal.decodeImages(Multimodal.synthesizePngs(ids, "doc_id"))
