@@ -56,6 +56,14 @@ object Shapes {
           sumFixed(col("value"), 2).as("sum_val"))
     }),
 
+    // STREAMING sessionization, oracle-gated: runs the session_window
+    // stream to completion (complete mode) and returns the final table.
+    // Session semantics: an event at exactly gap distance starts a NEW
+    // session ([start, end) half-open), hence >= in the oracle's flag —
+    // unlike q58's batch islands which use >.
+    "q65_sessions_stream" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionsBatchEquivalent(s, d)),
+
     // exact multi-quantile (percentile_cont interpolation)
     "q59_quantiles" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -87,6 +95,17 @@ object Shapes {
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         | MIN(ts) AS sess_start, MAX(ts) AS sess_end,
         | ${sumFixedSql("value", 2)} AS sum_val
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q65_sessions_stream" ->
+      s"""WITH base AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        | lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM base),
+        | flagged AS (SELECT *, CAST(prev_ts IS NULL
+        |     OR EPOCH_US(ts) - EPOCH_US(prev_ts) >= 1800000000 AS INT) AS new_sess FROM lagged),
+        | sess AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM flagged)
+        |SELECT MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+        | user_id, COUNT(*) AS n_events, ${sumFixedSql("value", 2)} AS sum_val
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
 
     "q59_quantiles" ->

@@ -58,6 +58,25 @@ object EventStreams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("sum_val"))
 
+  /** Drive the session-window STREAM to completion over a staged copy of
+    * `sfDir`'s events table and return the final result as a batch
+    * DataFrame — the oracle-gated face of [[sessions]] (q65): complete
+    * output mode so every session is emitted, then read back from the
+    * memory sink. Batch/stream parity is thereby driver-hash-checked,
+    * not just spec-asserted. */
+  def sessionsBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q65-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val name = "graft_q65_sessions"
+    val q = sessions(fromDirectory(spark, dir.toString))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+  }
+
   /** Streaming exact dedup on event_id: watermark-bounded state drops
     * replays/late duplicates inside the 1-hour horizon — the streaming
     * face of the dedup operator family (operators.Dedup handles batch). */
