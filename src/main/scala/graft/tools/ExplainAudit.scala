@@ -18,7 +18,8 @@ object ExplainAudit {
       // allow-listed with the reason.
       val intended = Map(
         "q43_knn_brute" -> "BNLJ broadcasts the tiny query set (by design)",
-        "q45_ivf_ann" -> "BNLJ broadcasts tiny centroids/queries (by design)")
+        "q45_ivf_ann" -> "BNLJ broadcasts tiny centroids/queries (by design)",
+        "q62_ivf_trained" -> "BNLJ broadcasts the k trained centroids (by design)")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
           val plan = fn(spark, d).queryExecution.executedPlan.toString
