@@ -18,10 +18,32 @@ object Graft {
   /** Default local core count; the driver overrides via SPARK_GRAFT_CPUS. */
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Elasticity preset — the Spark spelling of the reference's
+    * malleability/rescale surface (src/server.hpp:26-49 handles
+    * shrink/expand requests; charmpandas/interface.py:415-540 drives
+    * them). On Spark the cluster manager resizes instead of the
+    * runtime: dynamic allocation grows/shrinks the executor set with
+    * load, and decommissioning migrates shuffle/RDD blocks off
+    * executors being reclaimed, so a "rescale" is a config, not an API
+    * call. local[N] cannot demo this — pass the map to `session(extra =
+    * Graft.elasticity)` on a real cluster manager (YARN/K8s). */
+  val elasticity: Map[String, String] = Map(
+    "spark.dynamicAllocation.enabled" -> "true",
+    "spark.dynamicAllocation.minExecutors" -> "1",
+    "spark.dynamicAllocation.maxExecutors" -> "1000",
+    "spark.dynamicAllocation.executorAllocationRatio" -> "0.5",
+    // shuffle tracking instead of an external shuffle service: lets
+    // executors retire once their shuffle data is consumed or migrated
+    "spark.dynamicAllocation.shuffleTracking.enabled" -> "true",
+    "spark.decommission.enabled" -> "true",
+    "spark.storage.decommission.shuffleBlocks.enabled" -> "true",
+    "spark.storage.decommission.rddBlocks.enabled" -> "true")
+
   def session(
       master: String = s"local[$cpus]",
       appName: String = "graft",
-      shufflePartitions: Int = cpus.toInt
+      shufflePartitions: Int = cpus.toInt,
+      extra: Map[String, String] = Map.empty
   ): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -51,6 +73,7 @@ object Graft {
       // sources.Tables normalize to us TimestampType (SURVEY.md §7.3's
       // ns→us truncation rule).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(extra)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // getOrCreate silently ignores every config above if a session already

@@ -38,6 +38,27 @@ object EventStreams {
       // sub-us bits at ns magnitudes)
       .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
 
+  /** Unbounded synthetic source: Spark's `rate-micro-batch` generator
+    * shaped into the events schema (deterministic rows per batch, ids
+    * monotonic) — the seam a Kafka/kinesis reader drops into: every
+    * downstream transform ([[hourlyCounts]], [[sessions]], dedup, the
+    * stream-stream join) works unchanged because they only see the
+    * schema, not the source. */
+  def fromRate(spark: SparkSession, rowsPerBatch: Long = 1000L): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(997L)).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("signup"), lit("purchase")),
+          (pmod(col("value"), lit(4L)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value") * 31L, lit(10000L)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("value"), lit(100L)), lit("}"))
+          .as("props"))
+
   /** Tumbling 1-hour counts per event type (streaming twin of
     * q29_events_hourly). */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -91,6 +91,19 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("rate source feeds the same transforms: schema + flow") {
+    val src = EventStreams.fromRate(spark, rowsPerBatch = 500)
+    assert(src.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = EventStreams.dedupedEvents(src)
+      .writeStream.format("memory").queryName("rate_events")
+      .outputMode("append").start()
+    try q.awaitTermination(4000) finally q.stop()
+    val got = spark.table("rate_events")
+    assert(got.count() > 0, "rate source should have produced a batch")
+    assert(got.select("event_type").distinct().count() <= 4)
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
