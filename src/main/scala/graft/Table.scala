@@ -163,6 +163,50 @@ final case class Table(df: DataFrame) {
   def unionAll(other: Table): Table = Table(df.unionByName(other.df))
   def intersect(other: Table): Table = Table(df.intersect(other.df))
   def except(other: Table): Table = Table(df.except(other.df))
+
+  // --- pandas-convenience supersets (no reference counterpart; kept
+  //     thin so every call is still one Catalyst plan node) ---
+
+  /** pandas df.head(n) — alias of limit. */
+  def head(n: Int = 5): Table = limit(n)
+
+  /** pandas dropna: drop rows with any null in `subset` (all columns
+    * when empty). */
+  def dropna(subset: Seq[String] = Nil): Table =
+    Table(if (subset.isEmpty) df.na.drop() else df.na.drop(subset))
+
+  /** pandas fillna over `subset` (all columns when empty). */
+  def fillna(value: Any, subset: Seq[String] = Nil): Table = {
+    val cols = if (subset.isEmpty) df.columns.toSeq else subset
+    Table(value match {
+      case v: Long    => df.na.fill(v, cols)
+      case v: Int     => df.na.fill(v.toLong, cols)
+      case v: Double  => df.na.fill(v, cols)
+      case v: String  => df.na.fill(v, cols)
+      case v: Boolean => df.na.fill(v, cols)
+      case other => throw new IllegalArgumentException(
+        s"fillna: unsupported fill type ${other.getClass}")
+    })
+  }
+
+  /** pandas rename(columns={...}). */
+  def rename(mapping: (String, String)*): Table =
+    Table(df.withColumnsRenamed(mapping.toMap))
+
+  /** pandas astype — cast one column in place. NOTE double→integral
+    * truncates toward zero (Spark cast); an oracle must spell
+    * CAST(TRUNC(x)) in DuckDB, which rounds on a bare cast. */
+  def astype(colName: String, to: String): Table =
+    Table(df.withColumn(colName, df(colName).cast(to)))
+
+  /** pandas value_counts: (value, count) descending. */
+  def valueCounts(colName: String): Table =
+    Table(df.groupBy(colName).agg(F.count(F.lit(1)).as("count"))
+      .orderBy(F.col("count").desc, F.col(colName)))
+
+  /** pandas nunique. */
+  def nunique(colName: String): Long =
+    scalar(F.count_distinct(df(colName))).getLong(0)
 }
 
 object Table {

@@ -220,6 +220,22 @@ object Relational {
         rnd(lag(col("l_extendedprice"), 1).over(w), 2).as("prev_price"))
     }),
 
+    // pandas-facade chain: setColumn → fillna → astype → rename →
+    // value_counts ⋈ groupby-sum (merge suffixes the colliding key)
+    "q66_pandas_facade" -> ((s, d) => {
+      val base = T(t(s, d, "customer"))
+        .setColumn("bal",
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+        .fillna(0.0, Seq("bal"))
+        .astype("bal", "bigint")
+        .rename("c_mktsegment" -> "segment")
+      val vc = base.valueCounts("segment").rename("count" -> "n")
+      val sums = base.groupby("segment").agg("bal" -> "sum")
+        .rename("sum(bal)" -> "sum_bal")
+      vc.merge(sums, on = Seq("segment")).df
+        .select(col("segment_l").as("segment"), col("n"), col("sum_bal"))
+    }),
+
     // grouping-set superset
     "q23_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -377,6 +393,12 @@ object Relational {
         | ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_partkey) AS line_rank,
         | ${rndSql("LAG(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_partkey)", 2)} AS prev_price
         |FROM lineitem""".stripMargin,
+    "q66_pandas_facade" ->
+      """WITH base AS (SELECT c_mktsegment AS segment,
+        |  CAST(TRUNC(COALESCE(CASE WHEN c_acctbal < 0 THEN NULL
+        |    ELSE c_acctbal END, 0.0)) AS BIGINT) AS bal FROM customer)
+        |SELECT segment, COUNT(*) AS n, CAST(SUM(bal) AS BIGINT) AS sum_bal
+        |FROM base GROUP BY segment""".stripMargin,
     "q23_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         | ${sumFixedSql("l_quantity", 2)} AS sum_qty

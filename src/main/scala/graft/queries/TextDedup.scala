@@ -51,6 +51,25 @@ object TextDedup {
         Dedup.minhashPairs(docs(s, d), "doc_id", "text",
           k = 8, rows = 2, threshold = 0.5))),
 
+    // End-to-end training-data curation pipeline: quality thresholds +
+    // language filter + exact-dedup (keep only each fingerprint's
+    // canonical doc). This is the composition a pretraining data team
+    // runs; every stage is an operator already oracle-gated on its own
+    // (q33, q34, q37), so the oracle composes the same CTEs.
+    "q67_corpus_filter" -> ((s, d) => {
+      val keepQ = TextAnalysis.quality(docs(s, d), "doc_id", "text")
+        .filter(col("len_ok") === 1 && col("stop_ratio") >= 0.02 &&
+          col("digit_ratio") <= 0.2)
+      val en = TextAnalysis.langId(docs(s, d), "doc_id", "text")
+        .filter(col("pred_lang") === "en")
+        .select("doc_id", "pred_lang")
+      val canon = Dedup.exactGroups(docs(s, d), "doc_id", "text")
+        .select(col("canonical").as("doc_id"))
+      keepQ.join(en, "doc_id")
+        .join(canon, Seq("doc_id"), "left_semi")
+        .select("doc_id", "pred_lang", "n_toks", "stop_ratio")
+    }),
+
     "q41_ngram_jaccard" -> ((s, d) => {
       val blocked = docs(s, d)
         .withColumn("lb", floor(col("n_chars") / 100).cast("long"))
@@ -114,6 +133,29 @@ object TextDedup {
     "q36_fingerprint" ->
       s"""WITH $toksCte
         |SELECT doc_id, ${fingerprintDuck("t")} AS fp FROM toks""".stripMargin,
+
+    "q67_corpus_filter" ->
+      s"""WITH $toksCte,
+        | q AS (SELECT doc_id, len(t) AS n_toks,
+        |   ${hitCountDuck("t", langWords.toMap.apply("en"))} AS n_stop,
+        |   len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$$'))) AS n_digit
+        |  FROM toks),
+        | qual AS (SELECT doc_id, n_toks,
+        |   ${rndSql("n_stop / GREATEST(n_toks, 1)", 4)} AS stop_ratio,
+        |   ${rndSql("n_digit / GREATEST(n_toks, 1)", 4)} AS digit_ratio,
+        |   CAST(n_toks >= 20 AND n_toks <= 1000 AS INT) AS len_ok
+        |  FROM q),
+        | lang AS (SELECT doc_id, pred_lang FROM (SELECT doc_id,
+        |${langWords.map { case (l, ws) => s"   ${hitCountDuck("t", ws)} AS c_$l" }.mkString(",\n")},
+        |   $langPick AS pred_lang FROM toks)),
+        | fps AS (SELECT doc_id, ${fingerprintDuck("t")} AS fp FROM toks),
+        | canon AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp)
+        |SELECT q.doc_id, l.pred_lang, q.n_toks, q.stop_ratio
+        |FROM qual q
+        |JOIN lang l ON l.doc_id = q.doc_id AND l.pred_lang = 'en'
+        |JOIN canon c ON c.doc_id = q.doc_id
+        |WHERE q.len_ok = 1 AND q.stop_ratio >= 0.02
+        |  AND q.digit_ratio <= 0.2""".stripMargin,
 
     "q37_dedup_exact" ->
       s"""WITH $toksCte,

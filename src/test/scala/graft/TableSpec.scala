@@ -111,4 +111,23 @@ class TableSpec extends SparkTestBase {
     val j = t.join(Table(Seq((1, "b")).toDF("k", "w")), Seq("k"))
     assert(j.count() == 1)
   }
+
+  test("pandas conveniences: dropna/fillna/rename/astype/head/value_counts/nunique") {
+    val t = Table(Seq(
+      (1, Some(2.7), "x"), (2, None, "x"), (3, Some(-1.9), "y"))
+      .toDF("id", "v", "g"))
+    assert(t.dropna(Seq("v")).count() == 2)
+    assert(t.dropna().count() == 2)
+    val filled = t.fillna(0.0, Seq("v"))
+    assert(filled.df.filter($"v".isNull).count() == 0)
+    // astype double→long truncates toward zero (documented cast rule)
+    val cast = filled.astype("v", "bigint").df
+      .orderBy("id").select("v").as[Long].collect().toSeq
+    assert(cast == Seq(2L, 0L, -1L))
+    assert(t.rename("g" -> "grp").df.columns.contains("grp"))
+    assert(t.head(2).count() == 2)
+    val vc = t.valueCounts("g").df.as[(String, Long)].collect().toSeq
+    assert(vc == Seq(("x", 2L), ("y", 1L)))
+    assert(t.nunique("g") == 2L)
+  }
 }
