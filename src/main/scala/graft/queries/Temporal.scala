@@ -45,6 +45,11 @@ object Temporal {
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))),
 
+    // STREAMING tumbling-hour counts, oracle-gated: complete-mode run of
+    // the q29 twin — the stream must hash-match the same oracle SQL.
+    "q68_hourly_stream" -> ((s, d) =>
+      graft.streaming.EventStreams.hourlyBatchEquivalent(s, d)),
+
     // As-of join: each event picks up the user's latest order on-or-before
     // the event time (right side deduped per (key,time) for determinism)
     "q31_asof_join" -> ((s, d) => {
@@ -68,6 +73,10 @@ object Temporal {
         |SELECT a.o_orderkey, ${rndSql("a.o_totalprice + 2 * b.p2", 2)} AS combo
         |FROM a JOIN b USING (pos)""".stripMargin,
     "q29_events_hourly" ->
+      s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
+        | COUNT(*) AS cnt, ${sumFixedSql("value", 2)} AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q68_hourly_stream" ->
       s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
         | COUNT(*) AS cnt, ${sumFixedSql("value", 2)} AS sum_val
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -65,7 +65,24 @@ object Vectors {
     // blocking column needed (q44 requires one).
     "q63_lsh_dup_pairs" -> ((s, d) =>
       Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
-        threshold = 0.35))
+        threshold = 0.35)),
+
+    // Cross-modal join: text metadata (documents) x vectors (embeddings)
+    // on doc_id = vec_id, filtered by a doc-side predicate that prunes
+    // before the join, aggregated per (lang, label). The join key is
+    // unique per side -> plain equi-join; exact integer n2 keeps the
+    // aggregate oracle-stable.
+    "q69_doc_embed_join" -> ((s, d) => {
+      val docsQ = Tables.read(s, d, "documents")
+        .filter(col("n_chars").between(150, 450))
+        .select(col("doc_id"), col("lang"))
+      Similarity.prepare(emb(s, d), "embedding")
+        .select(col("vec_id").as("doc_id"), col("label"), col("n2"))
+        .join(docsQ, "doc_id")
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(n2) AS BIGINT)").as("sum_n2"))
+    })
   )
 
   // ---- DuckDB oracle: same scaled-integer algorithm ----
@@ -202,6 +219,14 @@ object Vectors {
         |  FROM cand JOIN n a ON a.vec_id = cand.ida
         |   JOIN n c ON c.vec_id = cand.idb)
         |SELECT ida, idb, cos FROM scored WHERE cos >= 0.35""".stripMargin,
+
+    "q69_doc_embed_join" ->
+      s"""WITH $prepCte
+        |SELECT d.lang, n.label, COUNT(*) AS n,
+        | CAST(SUM(n.n2) AS BIGINT) AS sum_n2
+        |FROM n JOIN documents d ON d.doc_id = n.vec_id
+        |WHERE d.n_chars BETWEEN 150 AND 450
+        |GROUP BY d.lang, n.label""".stripMargin,
 
     "q61_image_decode" ->
       """WITH d AS (SELECT doc_id,

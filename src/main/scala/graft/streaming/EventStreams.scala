@@ -85,13 +85,24 @@ object EventStreams {
     * output mode so every session is emitted, then read back from the
     * memory sink. Batch/stream parity is thereby driver-hash-checked,
     * not just spec-asserted. */
-  def sessionsBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q65-events")
+  def sessionsBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sfDir, "graft_q65_sessions", sessions(_))
+
+  /** Same gate for the tumbling-hour aggregation (q68): the streaming
+    * twin of q29 must hash-match q29's own oracle. */
+  def hourlyBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sfDir, "graft_q68_hourly", hourlyCounts(_))
+
+  /** Stage `sfDir`'s events table into a directory, run `transform` on
+    * it as a complete-mode stream to exhaustion, return the final
+    * memory-sink table. */
+  private def runToCompletion(spark: SparkSession, sfDir: String,
+      name: String, transform: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"$name-events")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    val name = "graft_q65_sessions"
-    val q = sessions(fromDirectory(spark, dir.toString))
+    val q = transform(fromDirectory(spark, dir.toString))
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete).start()
     try { q.processAllAvailable() } finally { q.stop() }
