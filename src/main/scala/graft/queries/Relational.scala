@@ -220,6 +220,18 @@ object Relational {
         rnd(lag(col("l_extendedprice"), 1).over(w), 2).as("prev_price"))
     }),
 
+    // Salted join, oracle-proved semantically transparent: one hot key
+    // spread over 8 salt buckets must produce byte-identical aggregates
+    // to the plain join the oracle runs.
+    "q70_salted_join" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+          t(s, d, "lineitem"), "l_orderkey",
+          Seq("l_partkey", "l_linenumber"),
+          t(s, d, "orders"), "o_orderkey", n = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sumFixed(col("l_extendedprice"), 2).as("sum_price"))),
+
     // pandas-facade chain: setColumn → fillna → astype → rename →
     // value_counts ⋈ groupby-sum (merge suffixes the colliding key)
     "q66_pandas_facade" -> ((s, d) => {
@@ -393,6 +405,11 @@ object Relational {
         | ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_partkey) AS line_rank,
         | ${rndSql("LAG(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_partkey)", 2)} AS prev_price
         |FROM lineitem""".stripMargin,
+    "q70_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+        | ${sumFixedSql("l_extendedprice", 2)} AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q66_pandas_facade" ->
       """WITH base AS (SELECT c_mktsegment AS segment,
         |  CAST(TRUNC(COALESCE(CASE WHEN c_acctbal < 0 THEN NULL

@@ -70,6 +70,17 @@ object TextDedup {
         .select("doc_id", "pred_lang", "n_toks", "stop_ratio")
     }),
 
+    // Corpus vocabulary heavy-hitters: explode tokens → hash-agg →
+    // top-k via TakeOrderedAndProject (partial agg + bounded heap per
+    // partition — no global sort at any scale). Tie-break on the token
+    // keeps the boundary deterministic.
+    "q71_vocab_topk" -> ((s, d) =>
+      TextAnalysis.withTokens(docs(s, d), "text")
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)),
+
     "q41_ngram_jaccard" -> ((s, d) => {
       val blocked = docs(s, d)
         .withColumn("lb", floor(col("n_chars") / 100).cast("long"))
@@ -133,6 +144,12 @@ object TextDedup {
     "q36_fingerprint" ->
       s"""WITH $toksCte
         |SELECT doc_id, ${fingerprintDuck("t")} AS fp FROM toks""".stripMargin,
+
+    "q71_vocab_topk" ->
+      s"""WITH $toksCte,
+        | flat AS (SELECT unnest(t) AS tok FROM toks)
+        |SELECT tok, COUNT(*) AS n FROM flat
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "q67_corpus_filter" ->
       s"""WITH $toksCte,
