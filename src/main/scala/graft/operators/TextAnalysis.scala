@@ -59,6 +59,33 @@ object TextAnalysis {
         expr(langPick).as("pred_lang"): _*)
   }
 
+  /** ONE-PASS curation enrichment: quality metrics + language scores +
+    * content fingerprint from a single tokenization of each row — the
+    * fusion a corpus-curation pipeline wants (calling quality/langId/
+    * fingerprint separately tokenizes the corpus once per operator;
+    * at 100 TB tokenization IS the dominant cost). Emits every column
+    * [[quality]] and [[langId]] emit, plus `fp`. */
+  def enrich(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val en = langWords.toMap.apply("en")
+    val withScores = langWords.foldLeft(withTokens(df, textCol)) {
+      case (d, (lang, words)) =>
+        d.withColumn(s"c_$lang", expr(hitCountSpark("toks", words)))
+    }
+    withScores
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop", expr(hitCountSpark("toks", en)))
+      .withColumn("n_digit", size(expr("filter(toks, x -> x rlike '^[0-9]+$')")))
+      .withColumn("stop_ratio",
+        rnd(col("n_stop") / greatest(col("n_toks"), lit(1)), 4))
+      .withColumn("digit_ratio",
+        rnd(col("n_digit") / greatest(col("n_toks"), lit(1)), 4))
+      .withColumn("len_ok",
+        (col("n_toks") >= 20 && col("n_toks") <= 1000).cast("int"))
+      .withColumn("pred_lang", expr(langPick))
+      .withColumn("fp", expr(fingerprintSpark("toks")))
+      .drop("toks")
+  }
+
   /** Token-count estimators: whitespace tokens, BPE-ish regex tokens,
     * chars/4 heuristic. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -399,7 +399,7 @@ object Relational {
         |FROM lineitem""".stripMargin,
     "q64_window_highcard" ->
       s"""SELECT l_orderkey, l_linenumber,
-        | CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
+        | CAST(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) OVER (PARTITION BY l_orderkey
         |   ORDER BY l_linenumber, l_extendedprice, l_partkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_qty,
         | ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_partkey) AS line_rank,

@@ -64,6 +64,14 @@ object Temporal {
     })
   )
 
+  /** One oracle, two gates: q29 (batch) and q68 (streaming twin) must
+    * stay in lockstep by construction — a fix to one cannot miss the
+    * other. */
+  private val hourlyOracle: String =
+    s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
+      | COUNT(*) AS cnt, ${sumFixedSql("value", 2)} AS sum_val
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q28_align_positional" ->
       s"""WITH a AS (SELECT o_orderkey, o_totalprice,
@@ -72,14 +80,8 @@ object Temporal {
         |   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS pos FROM orders)
         |SELECT a.o_orderkey, ${rndSql("a.o_totalprice + 2 * b.p2", 2)} AS combo
         |FROM a JOIN b USING (pos)""".stripMargin,
-    "q29_events_hourly" ->
-      s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
-        | COUNT(*) AS cnt, ${sumFixedSql("value", 2)} AS sum_val
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "q68_hourly_stream" ->
-      s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
-        | COUNT(*) AS cnt, ${sumFixedSql("value", 2)} AS sum_val
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q29_events_hourly" -> hourlyOracle,
+    "q68_hourly_stream" -> hourlyOracle,
     "q30_events_json" ->
       """SELECT event_type, COUNT(*) AS cnt,
         | CAST(SUM(CAST(NULLIF(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -53,20 +53,18 @@ object TextDedup {
 
     // End-to-end training-data curation pipeline: quality thresholds +
     // language filter + exact-dedup (keep only each fingerprint's
-    // canonical doc). This is the composition a pretraining data team
-    // runs; every stage is an operator already oracle-gated on its own
-    // (q33, q34, q37), so the oracle composes the same CTEs.
+    // canonical doc). ONE tokenization pass (TextAnalysis.enrich fuses
+    // quality + language + fingerprint per row) and one shuffle (the
+    // per-fingerprint window choosing the canonical doc) — at 100 TB
+    // tokenization dominates, so the three-operator spelling would cost
+    // 3 full-corpus scans for the same answer.
     "q67_corpus_filter" -> ((s, d) => {
-      val keepQ = TextAnalysis.quality(docs(s, d), "doc_id", "text")
-        .filter(col("len_ok") === 1 && col("stop_ratio") >= 0.02 &&
-          col("digit_ratio") <= 0.2)
-      val en = TextAnalysis.langId(docs(s, d), "doc_id", "text")
-        .filter(col("pred_lang") === "en")
-        .select("doc_id", "pred_lang")
-      val canon = Dedup.exactGroups(docs(s, d), "doc_id", "text")
-        .select(col("canonical").as("doc_id"))
-      keepQ.join(en, "doc_id")
-        .join(canon, Seq("doc_id"), "left_semi")
+      val e = TextAnalysis.enrich(docs(s, d), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      e.withColumn("keep_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep_id") &&
+          col("len_ok") === 1 && col("stop_ratio") >= 0.02 &&
+          col("digit_ratio") <= 0.2 && col("pred_lang") === "en")
         .select("doc_id", "pred_lang", "n_toks", "stop_ratio")
     }),
 

@@ -98,10 +98,17 @@ object EventStreams {
     * memory-sink table. */
   private def runToCompletion(spark: SparkSession, sfDir: String,
       name: String, transform: DataFrame => DataFrame): DataFrame = {
+    // NOTE: calling this EXECUTES the streaming job (it is an action, not
+    // a lazy plan) and the complete-mode memory sink materializes the
+    // final aggregate on the driver — correct for the oracle gate's
+    // bounded result (thousands of rows), not a pattern for unbounded
+    // production output. Staged copies are reclaimed at JVM exit.
     val dir = java.nio.file.Files.createTempDirectory(s"$name-events")
+    val staged = dir.resolve("events.parquet")
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), staged)
+    staged.toFile.deleteOnExit()
+    dir.toFile.deleteOnExit()
     val q = transform(fromDirectory(spark, dir.toString))
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete).start()
