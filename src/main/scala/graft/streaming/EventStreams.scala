@@ -107,8 +107,10 @@ object EventStreams {
     val staged = dir.resolve("events.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"), staged)
-    staged.toFile.deleteOnExit()
+    // deleteOnExit runs LIFO: register dir first so the file goes first
+    // and the then-empty dir can actually be removed
     dir.toFile.deleteOnExit()
+    staged.toFile.deleteOnExit()
     val q = transform(fromDirectory(spark, dir.toString))
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete).start()

@@ -103,4 +103,34 @@ class ScaleSpec extends SparkTestBase {
     assert(c.selectExpr(cols: _*).exceptAll(src.selectExpr(cols: _*)).count() == 0)
     assert(j.selectExpr(cols: _*).exceptAll(src.selectExpr(cols: _*)).count() == 0)
   }
+
+  test("corpus-filter pipeline plans exactly one documents scan") {
+    val plan = SparkEntry.queries("q67_corpus_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"one-pass curation must read the corpus once, found $scans scans")
+  }
+
+  test("high-cardinality window needs one exchange and no extra sort layers") {
+    // string count: the AQE wrapper hides children from SparkPlan.collect
+    val plan = SparkEntry.queries("q64_window_highcard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"window over one partitioning should shuffle once, found $exchanges in:\n$plan")
+  }
+
+  test("trained k-means centroids are run-to-run deterministic") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    def run() = {
+      val prep = operators.Similarity.prepare(e, "embedding")
+        .select($"vec_id", $"q", $"n2")
+      operators.Similarity.kmeansCentroids(prep, "vec_id", k = 8, iters = 2)
+        .orderBy("cent_id").collect()
+        .map(r => (r.getAs[Int]("cent_id"), r.getAs[Seq[Long]]("cq"), r.getAs[Long]("cn2")))
+        .toSeq
+    }
+    assert(run() == run())
+  }
 }
