@@ -125,6 +125,34 @@ object Dedup {
       .agg(expr(simhashFromSums(j => s"SUM(${bitSignSpark(j)})")).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`
+    * (must be < 4 for exactness): the 32-bit signature splits into 4
+    * byte chunks, and by pigeonhole any pair within Hamming 3 shares at
+    * least one exact chunk — so candidates come from a chunk equi-join
+    * (the shuffle-bounded step, same shape as MinHash banding) and only
+    * candidates pay the exact bit_count(xor) verification. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4 byte-chunks only guarantee recall for Hamming <= 3")
+    val sh = simhash(df, idCol, textCol)
+    val chunks = sh.select(col(idCol),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(simhash, c * 8) & 255)"))
+        .as(Seq("ci", "cv")))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+      .distinct()
+    val a = sh.select(col(idCol).as("ida"), col("simhash").as("sha"))
+    val b = sh.select(col(idCol).as("idb"), col("simhash").as("shb"))
+    cand.join(a, "ida").join(b, "idb")
+      .withColumn("hamming", expr("CAST(bit_count(sha ^ shb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+  }
+
   /** Connected components over near-dup pairs → cluster canonicals: the
     * step that turns pairwise similarity into dedup decisions (keep the
     * canonical, drop the rest).

@@ -51,6 +51,12 @@ object TextDedup {
         Dedup.minhashPairs(docs(s, d), "doc_id", "text",
           k = 8, rows = 2, threshold = 0.5))),
 
+    // SimHash Hamming-ball join: chunk-banded candidates + exact
+    // bit_count verify (the 32-bit complement to MinHash-LSH's
+    // set-similarity pairs).
+    "q72_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
+
     // End-to-end training-data curation pipeline: quality thresholds +
     // language filter + exact-dedup (keep only each fingerprint's
     // canonical doc). ONE tokenization pass (TextAnalysis.enrich fuses
@@ -231,6 +237,27 @@ object TextDedup {
         |SELECT doc_id,
         | ${simhashFromSumsDuck(j => s"SUM(${bitSignDuck(j)})")} AS simhash
         |FROM nib GROUP BY doc_id""".stripMargin,
+
+    "q72_simhash_pairs" ->
+      s"""WITH $toksCte,
+        | tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+        | h AS (SELECT doc_id, md5(tk) AS hh FROM tok),
+        | nib AS (SELECT doc_id, ${(0 until 8).map(kk =>
+            s"${nibbleDuck("hh", kk)} AS n$kk").mkString(", ")} FROM h),
+        | sh AS (SELECT doc_id,
+        |   ${simhashFromSumsDuck(j => s"SUM(${bitSignDuck(j)})")} AS simhash
+        |  FROM nib GROUP BY doc_id),
+        | chunks AS (SELECT doc_id, c.c AS ci,
+        |    (simhash >> (c.c * 8)) & 255 AS cv
+        |  FROM sh, range(0, 4) c(c)),
+        | cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+        |  FROM chunks x JOIN chunks y
+        |  ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+        |SELECT cand.ida, cand.idb,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM cand JOIN sh a ON a.doc_id = cand.ida
+        | JOIN sh b ON b.doc_id = cand.idb
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "q41_ngram_jaccard" ->
       s"""WITH $toksCte, ${shCte()},

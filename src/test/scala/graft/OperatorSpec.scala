@@ -227,6 +227,23 @@ class OperatorSpec extends SparkTestBase {
       "every LSH-reported pair must be a genuine cosine>=t pair")
   }
 
+  test("simhashPairs chunk banding is EXACT for Hamming <= 3 (pigeonhole)") {
+    val docs = sources.Tables.read(spark, sf, "documents").limit(150)
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("ida", "idb", "hamming")
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val brute = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+        col("hamming"))
+    assert(banded.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(banded).count() == 0,
+      "banding must not lose any pair within the Hamming bound")
+  }
+
   test("ImageIO decode recovers synthesized PNG dims and exact pixels") {
     val ids = spark.range(40).toDF("doc_id")
     val decoded = Multimodal.decodeImages(Multimodal.synthesizePngs(ids, "doc_id"))
