@@ -17,6 +17,24 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Rolling time-series frame (3-month moving average of monthly
+    // revenue per nation): the sliding ROWS frame q22/q64 don't cover.
+    // The moving mean divides an exact integer window SUM by the frame
+    // COUNT, so both engines do the identical two IEEE ops.
+    "q73_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(sum(fixed(col("o_totalprice"), 2)).as("rev_cents"))
+      val w = Window.partitionBy("n_name").orderBy("mon").rowsBetween(-2, 0)
+      monthly.select(col("n_name"), col("mon"),
+        (col("rev_cents") / 100.0).as("rev"),
+        (sum(col("rev_cents")).over(w).cast("double") /
+          (lit(100.0) * count(lit(1)).over(w))).as("rev_ma3"))
+    }),
+
     // TPC-H Q1 shape: full pricing summary
     "q47_pricing_summary" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -101,6 +119,20 @@ object Analytics {
     fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
 
   val oracles: Map[String, String] = Map(
+    "q73_moving_avg" ->
+      s"""WITH monthly AS (
+        | SELECT n_name, DATE_TRUNC('month', o_orderdate) AS mon,
+        |   CAST(SUM(${fixedSql("o_totalprice", 2)}) AS BIGINT) AS rev_cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1, 2)
+        |SELECT n_name, mon, rev_cents / 100.0 AS rev,
+        | CAST(SUM(rev_cents) OVER w AS DOUBLE) / (100.0 * COUNT(*) OVER w) AS rev_ma3
+        |FROM monthly
+        |WINDOW w AS (PARTITION BY n_name ORDER BY mon
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q47_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         | ${sumFixedSql("l_quantity", 2)} AS sum_qty,
