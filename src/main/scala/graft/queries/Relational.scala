@@ -254,6 +254,12 @@ object Relational {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sumFixed(col("l_quantity"), 2).as("sum_qty"))),
 
+    // full cube: all 2^2 grouping sets in one pass
+    "q74_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sumFixed(col("l_quantity"), 2).as("sum_qty"))),
+
     // scalar-function superset (reference has zero string functions)
     "q24_string_funcs" -> ((s, d) =>
       t(s, d, "customer").select(
@@ -420,6 +426,10 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         | ${sumFixedSql("l_quantity", 2)} AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q74_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        | ${sumFixedSql("l_quantity", 2)} AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q24_string_funcs" ->
       """SELECT c_custkey, UPPER(c_name) AS uname, LOWER(c_mktsegment) AS lseg,
         | SUBSTR(c_name, 1, 8) AS pre, LENGTH(c_name) AS nlen,
