@@ -53,12 +53,20 @@ object TextExpr {
   def bitSignDuck(j: Int): String =
     s"(((n${j / 4} >> ${j % 4}) & 1) * 2 - 1)"
 
-  /** 32-bit simhash from per-bit signed sums s_j (aggregate context):
-    * bit j set iff SUM(bitSign_j) >= 0. */
-  def simhashFromSums(sumExpr: Int => String): String =
-    (0 until 32).map { j =>
+  /** `bits`-wide simhash from per-bit signed sums s_j (aggregate
+    * context): bit j set iff SUM(bitSign_j) >= 0. bits <= 62 so the
+    * BIGINT stays positive (shift/xor/bit_count then agree across
+    * engines with no sign games). */
+  def simhashBits(bits: Int)(sumExpr: Int => String): String = {
+    require(bits <= 62, "bits > 62 would overflow positive BIGINT")
+    (0 until bits).map { j =>
       s"(CASE WHEN ${sumExpr(j)} >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
+
+  /** 32-bit simhash (the q40 shape). */
+  def simhashFromSums(sumExpr: Int => String): String =
+    simhashBits(32)(sumExpr)
   /** Same rendering works in both dialects. */
   def simhashFromSumsDuck(sumExpr: Int => String): String =
     simhashFromSums(sumExpr)

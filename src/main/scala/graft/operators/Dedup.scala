@@ -125,20 +125,40 @@ object Dedup {
       .agg(expr(simhashFromSums(j => s"SUM(${bitSignSpark(j)})")).as("simhash"))
   }
 
+  /** `bits`-wide simhash (Manku-style fingerprint; q40's 32-bit
+    * [[simhash]] stays as the reference-surface shape). Uses bits/4 md5
+    * nibbles per token. */
+  def simhashWide(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    graft.functions.TextNative.register(df.sparkSession)
+    val tok = df.withColumn("toks", expr(s"graft_tokens($textCol)"))
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val nib = (0 until bits / 4).foldLeft(tok)((d, kk) =>
+      d.withColumn(s"n$kk", expr(nibbleSpark("h", kk))))
+    nib.groupBy(col(idCol))
+      .agg(expr(simhashBits(bits)(j => s"SUM(${bitSignSpark(j)})"))
+        .as("simhash"))
+  }
+
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`
-    * (must be < 4 for exactness): the 32-bit signature splits into 4
-    * byte chunks, and by pigeonhole any pair within Hamming 3 shares at
-    * least one exact chunk — so candidates come from a chunk equi-join
-    * (the shuffle-bounded step, same shape as MinHash banding) and only
-    * candidates pay the exact bit_count(xor) verification. */
+    * (must be < 4 for exactness): a 60-bit fingerprint splits into 4
+    * 15-bit chunks, and by pigeonhole any pair within Hamming 3 shares
+    * at least one exact chunk — so candidates come from a chunk
+    * equi-join and only candidates pay the exact bit_count(xor)
+    * verification. Chunk width is the scale lever: 15-bit chunks give
+    * 4x32768 join buckets, so random collisions are ~N²/131072 rather
+    * than the near-all-pairs an 8-bit chunking would produce — and the
+    * signature is cached (16 B/doc) so its three plan references don't
+    * re-tokenize the corpus. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4,
-      "4 byte-chunks only guarantee recall for Hamming <= 3")
-    val sh = simhash(df, idCol, textCol)
+      "4 chunks only guarantee recall for Hamming <= 3")
+    val sh = simhashWide(df, idCol, textCol, bits = 60).cache()
     val chunks = sh.select(col(idCol),
       posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(simhash, c * 8) & 255)"))
+        "transform(sequence(0, 3), c -> shiftright(simhash, c * 15) & 32767)"))
         .as(Seq("ci", "cv")))
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&

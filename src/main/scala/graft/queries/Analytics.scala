@@ -17,10 +17,13 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Rolling time-series frame (3-month moving average of monthly
-    // revenue per nation): the sliding ROWS frame q22/q64 don't cover.
-    // The moving mean divides an exact integer window SUM by the frame
-    // COUNT, so both engines do the identical two IEEE ops.
+    // Rolling time-series frame (trailing mean over the last 3 OBSERVED
+    // months of revenue per nation): the sliding ROWS frame q22/q64
+    // don't cover. NOTE ROWS frames slide over existing rows — a month
+    // with no orders is skipped, not zero-filled; calendar-window
+    // semantics would need a RANGE frame or gap fill. The moving mean
+    // divides an exact integer window SUM by the frame COUNT, so both
+    // engines do the identical two IEEE ops.
     "q73_moving_avg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val monthly = t(s, d, "orders")

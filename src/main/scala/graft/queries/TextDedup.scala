@@ -242,13 +242,13 @@ object TextDedup {
       s"""WITH $toksCte,
         | tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
         | h AS (SELECT doc_id, md5(tk) AS hh FROM tok),
-        | nib AS (SELECT doc_id, ${(0 until 8).map(kk =>
+        | nib AS (SELECT doc_id, ${(0 until 15).map(kk =>
             s"${nibbleDuck("hh", kk)} AS n$kk").mkString(", ")} FROM h),
         | sh AS (SELECT doc_id,
-        |   ${simhashFromSumsDuck(j => s"SUM(${bitSignDuck(j)})")} AS simhash
+        |   ${simhashBits(60)(j => s"SUM(${bitSignDuck(j)})")} AS simhash
         |  FROM nib GROUP BY doc_id),
         | chunks AS (SELECT doc_id, c.c AS ci,
-        |    (simhash >> (c.c * 8)) & 255 AS cv
+        |    (simhash >> (c.c * 15)) & 32767 AS cv
         |  FROM sh, range(0, 4) c(c)),
         | cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
         |  FROM chunks x JOIN chunks y

@@ -231,7 +231,7 @@ class OperatorSpec extends SparkTestBase {
     val docs = sources.Tables.read(spark, sf, "documents").limit(150)
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("ida", "idb", "hamming")
-    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val sh = Dedup.simhashWide(docs, "doc_id", "text", bits = 60)
     val brute = sh.as("x").join(sh.as("y"),
         col("x.doc_id") < col("y.doc_id"))
       .withColumn("hamming",
