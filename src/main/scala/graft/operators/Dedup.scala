@@ -186,14 +186,23 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, a: String = "ida", b: String = "idb",
       maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct().cache()
+    // Eager localCheckpoint, twice over: (1) the pair pipeline (LSH
+    // join + verify) executes exactly once even though the union
+    // references it twice; (2) each iteration's lineage is CUT — an
+    // iterative plan that kept its history would double the logical
+    // tree every round (with a wide upstream expression tree that is an
+    // OOM in plan rendering alone, observed with the 16-hyperplane LSH
+    // lineage). This is the standard Spark shape for iterative label
+    // propagation; executor-loss recompute is traded away exactly as
+    // GraphX/MLlib do with checkpointing.
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col(a).as("src"), col(b).as("dst"))
+      .union(p.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("lbl", col("id"))
+      .distinct().withColumn("lbl", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
-    var prev: DataFrame = null
     while (!converged && i < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -201,11 +210,9 @@ object Dedup {
       val next = labels.select(col("id"), col("lbl"))
         .union(viaNeighbors)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .cache()
+        .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).isEmpty
-      if (prev != null) prev.unpersist()
-      prev = labels
       labels = next
       i += 1
     }
@@ -213,11 +220,6 @@ object Dedup {
       System.err.println(s"[dedup] dupClusters stopped at maxIter=$maxIter " +
         "before convergence — canonicals may split one true component " +
         "(raise maxIter for long chain-shaped clusters)")
-    if (prev != null) prev.unpersist()
-    // `labels` was materialized by the last convergence check, so edges
-    // can be released; the final labels cache backs the returned plan
-    // (same lifetime contract as minhashPairs' signature cache).
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("canonical"))
   }
 

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.functions.TextExpr.nibbleSpark
+
+/** Deterministic corpus splitting/sampling by content-stable hash —
+  * the train/test machinery a data pipeline needs to be reproducible
+  * across runs, engines, and cluster sizes. No `rand()`: a row's
+  * assignment is a pure function of its id, so retries, re-partitions
+  * and incremental reruns all agree (and a SQL oracle can replay it).
+  */
+object Sampling {
+
+  /** First md5 nibble (0..15) of the stringified id — the 1/16-granular
+    * hash bucket both split and sample key off. */
+  private def bucket(idCol: String): Column =
+    expr(nibbleSpark(s"md5(CAST($idCol AS STRING))", 0))
+
+  /** Assign "train"/"test" per row: nibbles 0..trainNibbles-1 → train
+    * (trainNibbles/16 of the corpus in expectation). */
+  def hashSplit(df: DataFrame, idCol: String, trainNibbles: Int = 13)
+      : DataFrame = {
+    require(trainNibbles > 0 && trainNibbles < 16,
+      "trainNibbles must be in 1..15")
+    df.withColumn("split",
+      when(bucket(idCol) < trainNibbles, "train").otherwise("test"))
+  }
+
+  /** Deterministic ~keepNibbles/16 sample: filter, fully pushdown-able
+    * (a narrow predicate, no shuffle, no state). */
+  def hashSample(df: DataFrame, idCol: String, keepNibbles: Int)
+      : DataFrame = {
+    require(keepNibbles > 0 && keepNibbles <= 16,
+      "keepNibbles must be in 1..16")
+    df.filter(bucket(idCol) < keepNibbles)
+  }
+}

@@ -67,6 +67,22 @@ object Vectors {
       Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
         threshold = 0.35)),
 
+    // Clusters over the label-free LSH pairs: min-label propagation vs
+    // the recursive-CTE oracle — pairwise similarity turned into dedup
+    // decisions for embeddings, like q60 does for text.
+    "q75_embed_dup_clusters" -> ((s, d) =>
+      graft.operators.Dedup.dupClusters(
+          Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
+            threshold = 0.35))
+        .select(col("doc_id").as("vec_id"), col("canonical"))),
+
+    // Reproducible train/test split: assignment is a pure function of
+    // the id hash — stable under retries, repartitioning, engines.
+    "q76_train_split" -> ((s, d) =>
+      graft.operators.Sampling.hashSplit(
+          Tables.read(s, d, "documents"), "doc_id", trainNibbles = 13)
+        .select("doc_id", "split")),
+
     // Cross-modal join: text metadata (documents) x vectors (embeddings)
     // on doc_id = vec_id, filtered by a doc-side predicate that prunes
     // before the join, aggregated per (lang, label). The join key is
@@ -130,6 +146,28 @@ object Vectors {
     * Similarity.hyperplaneWeight. */
   private def hpwDuck(j: String, d: String): String =
     s"(((CAST(1103515245 AS BIGINT) * ($j * 128 + $d) + 12345) % 19) - 9)"
+
+  /** Random-hyperplane LSH candidate + exact-cosine verify CTEs
+    * (expects the prep CTEs in scope; yields `scored(ida, idb, cos)`).
+    * Shared by q63 (pairs) and q75 (clusters). */
+  private val lshCtes: String =
+    s"""s AS (SELECT vec_id, q, n2,
+      |   [CASE WHEN CAST(list_aggregate(
+      |      [q[d] * ${hpwDuck("j", "d")} FOR d IN range(1, 65)],
+      |      'sum') AS BIGINT) >= 0 THEN 1 ELSE 0 END
+      |    FOR j IN range(0, 16)] AS sig
+      |  FROM n),
+      | b AS (SELECT vec_id, t.b AS band,
+      |    8*sig[4*t.b+1] + 4*sig[4*t.b+2] + 2*sig[4*t.b+3] + sig[4*t.b+4]
+      |      AS bucket
+      |  FROM s, range(0, 4) t(b)),
+      | cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+      |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+      |    AND x.vec_id < y.vec_id),
+      | scored AS (SELECT cand.ida, cand.idb,
+      |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+      |  FROM cand JOIN n a ON a.vec_id = cand.ida
+      |   JOIN n c ON c.vec_id = cand.idb)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q42_embed_stats" ->
@@ -201,24 +239,27 @@ object Vectors {
 
     "q63_lsh_dup_pairs" ->
       s"""WITH $prepCte,
-        | s AS (SELECT vec_id, q, n2,
-        |   [CASE WHEN CAST(list_aggregate(
-        |      [q[d] * ${hpwDuck("j", "d")} FOR d IN range(1, 65)],
-        |      'sum') AS BIGINT) >= 0 THEN 1 ELSE 0 END
-        |    FOR j IN range(0, 16)] AS sig
-        |  FROM n),
-        | b AS (SELECT vec_id, t.b AS band,
-        |    8*sig[4*t.b+1] + 4*sig[4*t.b+2] + 2*sig[4*t.b+3] + sig[4*t.b+4]
-        |      AS bucket
-        |  FROM s, range(0, 4) t(b)),
-        | cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
-        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
-        |    AND x.vec_id < y.vec_id),
-        | scored AS (SELECT cand.ida, cand.idb,
-        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
-        |  FROM cand JOIN n a ON a.vec_id = cand.ida
-        |   JOIN n c ON c.vec_id = cand.idb)
+        | $lshCtes
         |SELECT ida, idb, cos FROM scored WHERE cos >= 0.35""".stripMargin,
+
+    // One pair machinery, two gates (q63 pairs / q75 clusters) — shared
+    // CTEs so the spellings cannot drift apart.
+    "q75_embed_dup_clusters" ->
+      s"""WITH RECURSIVE $prepCte,
+        | $lshCtes,
+        | pairs AS (SELECT ida, idb FROM scored WHERE cos >= 0.35),
+        | ed AS (SELECT ida AS src, idb AS dst FROM pairs
+        |        UNION SELECT idb, ida FROM pairs),
+        | cc AS (SELECT src AS n, src AS m FROM ed
+        |        UNION SELECT e.dst, c.m FROM cc c JOIN ed e ON e.src = c.n)
+        |SELECT n AS vec_id, MIN(m) AS canonical FROM cc GROUP BY n""".stripMargin,
+
+    "q76_train_split" ->
+      """SELECT doc_id,
+        | CASE WHEN (strpos('0123456789abcdef',
+        |   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13
+        |  THEN 'train' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q69_doc_embed_join" ->
       s"""WITH $prepCte
