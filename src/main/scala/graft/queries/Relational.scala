@@ -254,6 +254,19 @@ object Relational {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sumFixed(col("l_quantity"), 2).as("sum_qty"))),
 
+    // distribution-rank window family: ntile / percent_rank / cume_dist
+    // / first_value — exact integer-ratio doubles, engine-identical
+    "q77_rank_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        first_value(col("c_custkey")).over(w).as("poorest"))
+    }),
+
     // full cube: all 2^2 grouping sets in one pass
     "q74_cube" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -426,6 +439,14 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         | ${sumFixedSql("l_quantity", 2)} AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q77_rank_stats" ->
+      """SELECT c_custkey, c_mktsegment,
+        | NTILE(4) OVER w AS quartile,
+        | PERCENT_RANK() OVER w AS pct_rank,
+        | CUME_DIST() OVER w AS cdist,
+        | FIRST_VALUE(c_custkey) OVER w AS poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin,
     "q74_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         | ${sumFixedSql("l_quantity", 2)} AS sum_qty
