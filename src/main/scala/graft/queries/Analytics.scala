@@ -38,6 +38,42 @@ object Analytics {
           (lit(100.0) * count(lit(1)).over(w))).as("rev_ma3"))
     }),
 
+    // Fuzzy string matching: blocked levenshtein pairs (classic entity
+    // resolution). Blocking on the name's noun turns all-pairs into a
+    // bounded per-block join; the edit-distance DP is integer-exact in
+    // both engines.
+    "q78_fuzzy_pairs" -> ((s, d) => {
+      val b = t(s, d, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        .withColumn("blk", expr("split_part(nm, ' ', 2)"))
+      b.as("x").join(b.as("y"),
+          col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+        .withColumn("lev", levenshtein(col("x.nm"), col("y.nm")))
+        .filter(col("lev") <= 2)
+        .select(col("x.id").as("ida"), col("y.id").as("idb"), col("lev"))
+    }),
+
+    // Grouped Pearson correlation from EXACT integer moments: quantity
+    // (small ints) x discount (scaled to 0..10), so every moment sum
+    // stays far under 2^63 at any SF and the final corr is the same
+    // three IEEE ops on identical integers in both engines.
+    "q79_corr_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          // Spark's cast truncates toward zero (its trunc() is the date
+          // fn); the oracle spells CAST(TRUNC(x)) since DuckDB rounds
+          col("l_quantity").cast("bigint").as("x"),
+          fixed(col("l_discount"), 2).as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x*x")).as("sx2"), sum(expr("y*y")).as("sy2"),
+          sum(expr("x*y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          expr("""CAST(n*sxy - sx*sy AS DOUBLE) /
+                 (SQRT(CAST(n*sx2 - sx*sx AS DOUBLE)) *
+                  SQRT(CAST(n*sy2 - sy*sy AS DOUBLE)))""").as("corr_qd"))),
+
     // TPC-H Q1 shape: full pricing summary
     "q47_pricing_summary" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -122,6 +158,28 @@ object Analytics {
     fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
 
   val oracles: Map[String, String] = Map(
+    "q78_fuzzy_pairs" ->
+      """WITH b AS (SELECT p_partkey AS id, p_name AS nm,
+        |  split_part(p_name, ' ', 2) AS blk FROM part)
+        |SELECT x.id AS ida, y.id AS idb, levenshtein(x.nm, y.nm) AS lev
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+        |WHERE levenshtein(x.nm, y.nm) <= 2""".stripMargin,
+
+    "q79_corr_stats" ->
+      s"""WITH m AS (SELECT l_returnflag,
+        |  CAST(TRUNC(l_quantity) AS BIGINT) AS x,
+        |  ${fixedSql("l_discount", 2)} AS y FROM lineitem),
+        | agg AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x*x) AS BIGINT) AS sx2, CAST(SUM(y*y) AS BIGINT) AS sy2,
+        |  CAST(SUM(x*y) AS BIGINT) AS sxy
+        | FROM m GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | CAST(n*sxy - sx*sy AS DOUBLE) /
+        |  (SQRT(CAST(n*sx2 - sx*sx AS DOUBLE)) *
+        |   SQRT(CAST(n*sy2 - sy*sy AS DOUBLE))) AS corr_qd
+        |FROM agg""".stripMargin,
+
     "q73_moving_avg" ->
       s"""WITH monthly AS (
         | SELECT n_name, DATE_TRUNC('month', o_orderdate) AS mon,
