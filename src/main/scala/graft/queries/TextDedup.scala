@@ -85,6 +85,29 @@ object TextDedup {
         .orderBy(col("n").desc, col("tok"))
         .limit(20)),
 
+    // TF-IDF feature extraction: top-3 characteristic terms per doc.
+    // idf is the exact rational (N+1)/(df+1) rather than its log — one
+    // IEEE division on exact integers, so the value is bit-stable
+    // cross-engine (ln() implementations are not guaranteed identical),
+    // and per-term the induced ranking matches log-idf's since log is
+    // monotone in the ratio. tf*(N+1) stays well under 2^53, so the
+    // double conversion is exact.
+    "q80_tfidf_terms" -> ((s, d) => {
+      val tk = TextAnalysis.withTokens(docs(s, d), "text")
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nn = docs(s, d).agg(countDistinct(col("doc_id")).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(dfq, "tok").crossJoin(broadcast(nn))
+        .withColumn("score",
+          (col("tf") * (col("nn") + 1)).cast("double") / (col("df") + 1))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "tok", "rank", "score")
+    }),
+
     "q41_ngram_jaccard" -> ((s, d) => {
       val blocked = docs(s, d)
         .withColumn("lb", floor(col("n_chars") / 100).cast("long"))
@@ -237,6 +260,20 @@ object TextDedup {
         |SELECT doc_id,
         | ${simhashFromSumsDuck(j => s"SUM(${bitSignDuck(j)})")} AS simhash
         |FROM nib GROUP BY doc_id""".stripMargin,
+
+    "q80_tfidf_terms" ->
+      s"""WITH $toksCte,
+        | flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM flat GROUP BY 1, 2),
+        | dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        | nn AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
+        | scored AS (SELECT tf.doc_id, tf.tok,
+        |   CAST(tf.tf * (nn.nn + 1) AS DOUBLE) / (dfq.df + 1) AS score
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN nn),
+        | ranked AS (SELECT doc_id, tok, score,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+        |  FROM scored)
+        |SELECT doc_id, tok, rank, score FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q72_simhash_pairs" ->
       s"""WITH $toksCte,
