@@ -184,38 +184,61 @@ object Dedup {
     * members directly), so this is a handful of hash joins, each an
     * ordinary shuffle on ids. maxIter bounds pathological chains.
     */
+  /** Eagerly materialize `df` and CUT its lineage. Reliable
+    * `checkpoint` when the session has a checkpoint dir (REQUIRED under
+    * dynamic allocation / decommissioning, e.g. `Graft.elasticity` — a
+    * retired executor takes localCheckpoint blocks with it and a
+    * truncated lineage has no recompute path); `localCheckpoint`
+    * otherwise (fixed-executor and local runs). */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Free a checkpointed frame's storage NOW (Dataset.unpersist is a
+    * no-op for checkpoint blocks — they live at the RDD layer, not in
+    * the CacheManager). Only for frames that are never read again:
+    * a released local checkpoint has no recompute path. */
+  private def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    case _ => df.unpersist()
+  }
+
   def dupClusters(pairs: DataFrame, a: String = "ida", b: String = "idb",
       maxIter: Int = 10): DataFrame = {
-    // Eager localCheckpoint, twice over: (1) the pair pipeline (LSH
-    // join + verify) executes exactly once even though the union
-    // references it twice; (2) each iteration's lineage is CUT — an
-    // iterative plan that kept its history would double the logical
-    // tree every round (with a wide upstream expression tree that is an
-    // OOM in plan rendering alone, observed with the 16-hyperplane LSH
-    // lineage). This is the standard Spark shape for iterative label
-    // propagation; executor-loss recompute is traded away exactly as
-    // GraphX/MLlib do with checkpointing.
-    val p = pairs.localCheckpoint(true)
-    val edges = p.select(col(a).as("src"), col(b).as("dst"))
+    // Eager lineage cuts, twice over: (1) the pair pipeline (LSH join +
+    // verify) executes exactly once even though the union references it
+    // twice; (2) each iteration's lineage is severed — an iterative
+    // plan that kept its history would double the logical tree every
+    // round (with a wide upstream expression tree that is an OOM in
+    // plan rendering alone, observed with the 16-hyperplane LSH
+    // lineage). Intermediates are unpersisted as soon as the next
+    // round's result is materialized, so at most ~3 corpus-scale
+    // materializations are live at once.
+    val p = cut(pairs)
+    val edges = cut(p.select(col(a).as("src"), col(b).as("dst"))
       .union(p.select(col(b).as("src"), col(a).as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("lbl", col("id")).localCheckpoint(true)
+      .distinct())
+    release(p)
+    var labels = cut(edges.select(col("src").as("id"))
+      .distinct().withColumn("lbl", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.select(col("id"), col("lbl"))
+      val next = cut(labels.select(col("id"), col("lbl"))
         .union(viaNeighbors)
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .groupBy("id").agg(min(col("lbl")).as("lbl")))
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).isEmpty
+      release(labels)
       labels = next
       i += 1
     }
+    release(edges)
     if (!converged)
       System.err.println(s"[dedup] dupClusters stopped at maxIter=$maxIter " +
         "before convergence — canonicals may split one true component " +

@@ -39,9 +39,12 @@ object Analytics {
     }),
 
     // Fuzzy string matching: blocked levenshtein pairs (classic entity
-    // resolution). Blocking on the name's noun turns all-pairs into a
-    // bounded per-block join; the edit-distance DP is integer-exact in
-    // both engines.
+    // resolution). The contract is q41's: matches are WITHIN the
+    // caller-chosen blocking key only, and block sizes bound the cost —
+    // a fixed-cardinality key like this noun (~90 values) is fine at
+    // demo scale but grows O(N²/90); at corpus scale compose keys
+    // (noun + length band, or an n-gram LSH bucket) so block size stays
+    // bounded. The edit-distance DP is integer-exact in both engines.
     "q78_fuzzy_pairs" -> ((s, d) => {
       val b = t(s, d, "part")
         .select(col("p_partkey").as("id"), col("p_name").as("nm"))
@@ -69,10 +72,15 @@ object Analytics {
           sum("x").as("sx"), sum("y").as("sy"),
           sum(expr("x*x")).as("sx2"), sum(expr("y*y")).as("sy2"),
           sum(expr("x*y")).as("sxy"))
+        // combine moments in DOUBLE: each sum converts exactly (all
+        // < 2^53 through SF in the thousands) and the products round
+        // identically in both engines; an int64 n*sxy would overflow
+        // once a group passes ~1.4e8 rows
         .select(col("l_returnflag"), col("n"),
-          expr("""CAST(n*sxy - sx*sy AS DOUBLE) /
-                 (SQRT(CAST(n*sx2 - sx*sx AS DOUBLE)) *
-                  SQRT(CAST(n*sy2 - sy*sy AS DOUBLE)))""").as("corr_qd"))),
+          expr("""(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                 (SQRT(CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                  SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))""")
+            .as("corr_qd"))),
 
     // TPC-H Q1 shape: full pricing summary
     "q47_pricing_summary" -> ((s, d) =>
@@ -175,9 +183,9 @@ object Analytics {
         |  CAST(SUM(x*y) AS BIGINT) AS sxy
         | FROM m GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        | CAST(n*sxy - sx*sy AS DOUBLE) /
-        |  (SQRT(CAST(n*sx2 - sx*sx AS DOUBLE)) *
-        |   SQRT(CAST(n*sy2 - sy*sy AS DOUBLE))) AS corr_qd
+        | (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |  (SQRT(CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |   SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_qd
         |FROM agg""".stripMargin,
 
     "q73_moving_avg" ->

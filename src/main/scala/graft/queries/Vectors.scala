@@ -83,6 +83,12 @@ object Vectors {
           Tables.read(s, d, "documents"), "doc_id", trainNibbles = 13)
         .select("doc_id", "split")),
 
+    // Deterministic ~25% sample — a pushdown-able narrow filter.
+    "q81_hash_sample" -> ((s, d) =>
+      graft.operators.Sampling.hashSample(
+          Tables.read(s, d, "documents"), "doc_id", keepNibbles = 4)
+        .select("doc_id", "n_chars")),
+
     // Cross-modal join: text metadata (documents) x vectors (embeddings)
     // on doc_id = vec_id, filtered by a doc-side predicate that prunes
     // before the join, aggregated per (lang, label). The join key is
@@ -260,6 +266,11 @@ object Vectors {
         |   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13
         |  THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "q81_hash_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE (strpos('0123456789abcdef',
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 4""".stripMargin,
 
     "q69_doc_embed_join" ->
       s"""WITH $prepCte

@@ -1,18 +1,26 @@
 package graft.tools
 
 /** Dev utility: run ONE inventory query end-to-end and time it.
-  * Usage: tools/run.sh graft.tools.QueryProbe <queryName> [sfDir] [cpus]
+  * Materializes through the noop sink (no driver-side gather — a
+  * collect() here would OOM on large results and time the gather, not
+  * the query). Usage: tools/run.sh graft.tools.QueryProbe <queryName> [sfDir] [cpus]
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: QueryProbe <queryName> [sfDir] [cpus]")
+      sys.exit(2)
+    }
     val name = args(0)
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = if (args.length > 2) args(2) else "4"
     val spark = graft.Graft.session(master = s"local[$cpus]",
       appName = "query-probe", shufflePartitions = cpus.toInt)
+    val df = graft.SparkEntry.queries(name)(spark, d)
     val t0 = System.nanoTime()
-    val out = graft.SparkEntry.queries(name)(spark, d).collect()
-    println(s"$name rows=${out.length} in ${(System.nanoTime() - t0) / 1e9}s")
+    df.write.mode("overwrite").format("noop").save()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"$name in $secs%.3f s (noop-materialized)")
     spark.stop()
   }
 }
