@@ -19,7 +19,8 @@ object ExplainAudit {
       val intended = Map(
         "q43_knn_brute" -> "BNLJ broadcasts the tiny query set (by design)",
         "q45_ivf_ann" -> "BNLJ broadcasts tiny centroids/queries (by design)",
-        "q62_ivf_trained" -> "BNLJ broadcasts the k trained centroids (by design)")
+        "q62_ivf_trained" -> "BNLJ broadcasts the k trained centroids (by design)",
+        "q80_tfidf_terms" -> "BNLJ broadcasts the 1-row corpus-size aggregate (by design)")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
           val plan = fn(spark, d).queryExecution.executedPlan.toString

@@ -72,4 +72,20 @@ class PropertySpec extends SparkTestBase {
       assert(pairs.forall { case (a, b, j) => a < b && j >= 0.4 && j <= 1.0 })
     }
   }
+
+  test("hash split/sample: deterministic, partition-invariant, ratio-sane") {
+    val ids = spark.range(0, 4000).toDF("id")
+    val s1 = operators.Sampling.hashSplit(ids, "id", 13)
+    val s2 = operators.Sampling.hashSplit(ids.repartition(7), "id", 13)
+    // identical assignment regardless of physical layout
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    val trainFrac = s1.filter($"split" === "train").count() / 4000.0
+    assert(math.abs(trainFrac - 13.0 / 16) < 0.05, s"train frac $trainFrac")
+    // sample == the ids the split would have placed in nibbles 0..3
+    val sampled = operators.Sampling.hashSample(ids, "id", 4)
+    val viaSplit = operators.Sampling.hashSplit(ids, "id", 4)
+      .filter($"split" === "train").select("id")
+    assert(sampled.exceptAll(viaSplit).count() == 0 &&
+      viaSplit.exceptAll(sampled).count() == 0)
+  }
 }
