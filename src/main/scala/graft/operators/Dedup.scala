@@ -206,7 +206,7 @@ object Dedup {
   }
 
   def dupClusters(pairs: DataFrame, a: String = "ida", b: String = "idb",
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 25): DataFrame = {
     // Eager lineage cuts, twice over: (1) the pair pipeline (LSH join +
     // verify) executes exactly once even though the union references it
     // twice; (2) each iteration's lineage is severed — an iterative
@@ -217,8 +217,14 @@ object Dedup {
     // round's result is materialized, so at most ~3 corpus-scale
     // materializations are live at once.
     val p = cut(pairs)
-    val edges = cut(p.select(col(a).as("src"), col(b).as("dst"))
+    // undirected edges + one self-loop per node, so the per-round
+    // neighbor-min is a single join+agg (no in-loop Union: a Union over
+    // a join-derived checkpoint trips Catalyst's union constraint
+    // rewrite on the checkpoint's stale origin constraints)
+    val undirected = p.select(col(a).as("src"), col(b).as("dst"))
       .union(p.select(col(b).as("src"), col(a).as("dst")))
+    val edges = cut(undirected
+      .union(undirected.select(col("src"), col("src").as("dst")))
       .distinct())
     release(p)
     var labels = cut(edges.select(col("src").as("id"))
@@ -226,12 +232,23 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbors = edges
+      // neighbor-min (self-loop carries each node's own label) —
+      // materialized before the self-join below so the agg evaluates
+      // once and the two join sides get distinct leaf relations
+      val combined = cut(edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lbl"))
-      val next = cut(labels.select(col("id"), col("lbl"))
-        .union(viaNeighbors)
-        .groupBy("id").agg(min(col("lbl")).as("lbl")))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+        .withColumnRenamed("dst", "id"))
+      // pointer-doubling shortcut: also adopt the label OF my label
+      // (lbl is always a member id, so the inner self-join keeps every
+      // row). Neighbor-min alone walks one hop per round — convergence
+      // in O(diameter) rounds, which a chain-shaped cluster turns into
+      // a wrong answer at maxIter (observed at sf0.1); with the jump
+      // it is O(log diameter).
+      val next = cut(combined.as("l")
+        .join(combined.as("m"), col("l.lbl") === col("m.id"))
+        .select(col("l.id").as("id"), least(col("l.lbl"), col("m.lbl")).as("lbl")))
+      release(combined)
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).isEmpty
       release(labels)
