@@ -232,13 +232,17 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // neighbor-min (self-loop carries each node's own label) —
-      // materialized before the self-join below so the agg evaluates
-      // once and the two join sides get distinct leaf relations
-      val combined = cut(edges
+      // neighbor-min (self-loop carries each node's own label) — cached,
+      // NOT checkpointed: its lineage is one join+agg over already-cut
+      // frames (no lineage growth), and a plain persist is reclaimable
+      // right below, whereas a reliable checkpoint would leak a
+      // snapshot per iteration to the checkpoint dir
+      val combined = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
-        .withColumnRenamed("dst", "id"))
+        .withColumnRenamed("dst", "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      combined.count() // fill the cache so the self-join reads it twice
       // pointer-doubling shortcut: also adopt the label OF my label
       // (lbl is always a member id, so the inner self-join keeps every
       // row). Neighbor-min alone walks one hop per round — convergence
@@ -248,7 +252,7 @@ object Dedup {
       val next = cut(combined.as("l")
         .join(combined.as("m"), col("l.lbl") === col("m.id"))
         .select(col("l.id").as("id"), least(col("l.lbl"), col("m.lbl")).as("lbl")))
-      release(combined)
+      combined.unpersist(blocking = false)
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).isEmpty
       release(labels)

@@ -192,6 +192,17 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("dupClusters converges on a chain deeper than the iteration budget") {
+    // 60-hop path: single-hop propagation needs 60 rounds > maxIter=25,
+    // so only the pointer-doubling shortcut reaches the fixpoint — this
+    // is the sf0.1 wrong-answer regression pinned as a unit test
+    val chain = (0L until 60L).map(i => (i, i + 1, 0.9))
+      .toDF("ida", "idb", "jac")
+    val got = Dedup.dupClusters(chain).as[(Long, Long)].collect()
+    assert(got.length == 61)
+    assert(got.forall(_._2 == 0L), "every chain node must reach canonical 0")
+  }
+
   test("trained IVF: kmeans centroids are well-formed and search recalls") {
     val e = sources.Tables.read(spark, sf, "embeddings")
     val prep = Similarity.prepare(e, "embedding").select($"vec_id", $"q", $"n2")
