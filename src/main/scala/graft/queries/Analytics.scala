@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.DetMath._
@@ -81,6 +81,32 @@ object Analytics {
                  (SQRT(CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
                   SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))""")
             .as("corr_qd"))),
+
+    // pandas describe() shape, deterministically: count/mean/std/min/max
+    // per column from exact integer moments combined in DOUBLE (sample
+    // std, ddof=1) — summary statistics without float-order drift.
+    "q82_describe" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def statsOf(colName: String, scaled: Column, scale: Double) =
+        li.agg(
+          lit(colName).as("column"),
+          count(scaled).as("n"),
+          sum(scaled).as("s"),
+          sum(scaled * scaled).as("s2"),
+          min(scaled).as("min_s"),
+          max(scaled).as("max_s"))
+        .select(col("column"), col("n"),
+          (col("s").cast("double") / (lit(scale) * col("n").cast("double")))
+            .as("mean"),
+          (sqrt((col("n").cast("double") * col("s2").cast("double") -
+            col("s").cast("double") * col("s").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))) / scale)
+            .as("std"),
+          (col("min_s").cast("double") / scale).as("min_v"),
+          (col("max_s").cast("double") / scale).as("max_v"))
+      statsOf("l_quantity", col("l_quantity").cast("bigint"), 1.0)
+        .union(statsOf("l_discount", fixed(col("l_discount"), 2), 100.0))
+    }),
 
     // TPC-H Q1 shape: full pricing summary
     "q47_pricing_summary" -> ((s, d) =>
@@ -166,6 +192,21 @@ object Analytics {
     fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
 
   val oracles: Map[String, String] = Map(
+    "q82_describe" -> {
+      def duckStats(colName: String, scaledExpr: String, scale: String) =
+        s"""SELECT '$colName' AS column, COUNT(x) AS n,
+          | CAST(SUM(x) AS DOUBLE) / ($scale * CAST(COUNT(x) AS DOUBLE)) AS mean,
+          | SQRT((CAST(COUNT(x) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE) -
+          |   CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) /
+          |   (CAST(COUNT(x) AS DOUBLE) * CAST(COUNT(x) - 1 AS DOUBLE))) / $scale AS std,
+          | CAST(MIN(x) AS DOUBLE) / $scale AS min_v,
+          | CAST(MAX(x) AS DOUBLE) / $scale AS max_v
+          |FROM (SELECT $scaledExpr AS x FROM lineitem)""".stripMargin
+      duckStats("l_quantity", "CAST(TRUNC(l_quantity) AS BIGINT)", "1.0") +
+        "\nUNION ALL\n" +
+        duckStats("l_discount", fixedSql("l_discount", 2), "100.0")
+    },
+
     "q78_fuzzy_pairs" ->
       """WITH b AS (SELECT p_partkey AS id, p_name AS nm,
         |  split_part(p_name, ' ', 2) AS blk FROM part)
