@@ -37,7 +37,12 @@ object Graft {
     "spark.dynamicAllocation.shuffleTracking.enabled" -> "true",
     "spark.decommission.enabled" -> "true",
     "spark.storage.decommission.shuffleBlocks.enabled" -> "true",
-    "spark.storage.decommission.rddBlocks.enabled" -> "true")
+    "spark.storage.decommission.rddBlocks.enabled" -> "true",
+    // iterative operators (Dedup.dupClusters, kmeansCentroids) write
+    // reliable checkpoints when a checkpoint dir is set — this is the
+    // preset that sets one up, so it also turns on GC-driven checkpoint
+    // file cleanup or a long-lived session leaks ~maxIter snapshots/call
+    "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
 
   def session(
       master: String = s"local[$cpus]",

@@ -201,7 +201,17 @@ object Dedup {
     * a released local checkpoint has no recompute path. */
   private def release(df: DataFrame): Unit = df.queryExecution.logical match {
     case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      // reliable checkpoints also leave FILES in the checkpoint dir,
+      // and the context GC cleaner only reaps them when
+      // spark.cleaner.referenceTracking.cleanCheckpoints is on (off by
+      // default) — delete them eagerly, we know the frame is dead
+      val ckpt = lr.rdd.getCheckpointFile
       lr.rdd.unpersist(blocking = false)
+      ckpt.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     case _ => df.unpersist()
   }
 

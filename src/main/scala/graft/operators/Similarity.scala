@@ -193,6 +193,14 @@ object Similarity {
       threshold: Double, nBits: Int = 16, bandBits: Int = 4): DataFrame = {
     require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
     val nBands = nBits / bandBits
+    // hyperplaneWeight's (j,d) stride is 128: a dim above that would
+    // silently reuse weights across hyperplanes, correlating LSH bits
+    // and degrading recall with no error. One-row probe, fail loudly.
+    df.select(size(col(embCol))).take(1).foreach { r =>
+      require(r.getInt(0) <= 128, s"lshDupPairs: embedding dim " +
+        s"${r.getInt(0)} exceeds the hyperplane-weight stride (128); " +
+        "widen hyperplaneWeight's stride before using larger embeddings")
+    }
     val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
     val sig = p.withColumn("sig", expr(
       s"""transform(sequence(0, ${nBits - 1}), j ->

@@ -155,7 +155,12 @@ object Vectors {
 
   /** Random-hyperplane LSH candidate + exact-cosine verify CTEs
     * (expects the prep CTEs in scope; yields `scored(ida, idb, cos)`).
-    * Shared by q63 (pairs) and q75 (clusters). */
+    * Shared by q63 (pairs) and q75 (clusters).
+    *
+    * NOTE: this oracle hardcodes the corpus configuration — dim=64
+    * (`range(1, 65)`), nBits=16, bandBits=4 — while the Scala operator
+    * is parameterized; only that configuration is oracle-gated.
+    * Non-default args are covered by OperatorSpec only. */
   private val lshCtes: String =
     s"""s AS (SELECT vec_id, q, n2,
       |   [CASE WHEN CAST(list_aggregate(

@@ -103,14 +103,29 @@ object EventStreams {
     // final aggregate on the driver — correct for the oracle gate's
     // bounded result (thousands of rows), not a pattern for unbounded
     // production output. Staged copies are reclaimed at JVM exit.
-    val dir = java.nio.file.Files.createTempDirectory(s"$name-events")
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(s"$name-events")
     val staged = dir.resolve("events.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"), staged)
-    // deleteOnExit runs LIFO: register dir first so the file goes first
-    // and the then-empty dir can actually be removed
+    val src = Paths.get(s"$sfDir/events.parquet")
+    // deleteOnExit runs LIFO: registrations go parents-first (dir, then
+    // each tree entry in walk order) so children are deleted first and
+    // the then-empty dirs can actually be removed
     dir.toFile.deleteOnExit()
-    staged.toFile.deleteOnExit()
+    if (Files.isDirectory(src)) {
+      // Spark-written parquet is a DIRECTORY of part files; a bare
+      // Files.copy of it yields an empty dir and a zero-row stream —
+      // stage the whole tree instead
+      val walk = Files.walk(src)
+      try walk.forEach { pth =>
+        val dst = staged.resolve(src.relativize(pth).toString)
+        if (Files.isDirectory(pth)) Files.createDirectories(dst)
+        else Files.copy(pth, dst)
+        dst.toFile.deleteOnExit()
+      } finally walk.close()
+    } else {
+      Files.copy(src, staged)
+      staged.toFile.deleteOnExit()
+    }
     val q = transform(fromDirectory(spark, dir.toString))
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete).start()

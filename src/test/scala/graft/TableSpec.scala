@@ -124,6 +124,12 @@ class TableSpec extends SparkTestBase {
     val cast = filled.astype("v", "bigint").df
       .orderBy("id").select("v").as[Long].collect().toSeq
     assert(cast == Seq(2L, 0L, -1L))
+    // pandas parity: an INTEGER fill also covers floating-point columns
+    // (Spark's bare na.fill(Long) would silently skip the double column)
+    val intFilled = t.fillna(0, Seq("v"))
+    assert(intFilled.df.filter($"v".isNull).count() == 0)
+    assert(intFilled.df.orderBy("id").select("v").as[Double].collect()
+      .toSeq == Seq(2.7, 0.0, -1.9))
     assert(t.rename("g" -> "grp").df.columns.contains("grp"))
     assert(t.head(2).count() == 2)
     val vc = t.valueCounts("g").df.as[(String, Long)].collect().toSeq
