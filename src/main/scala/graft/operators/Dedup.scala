@@ -190,7 +190,7 @@ object Dedup {
     * retired executor takes localCheckpoint blocks with it and a
     * truncated lineage has no recompute path); `localCheckpoint`
     * otherwise (fixed-executor and local runs). */
-  private def cut(df: DataFrame): DataFrame =
+  private[operators] def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
@@ -199,7 +199,7 @@ object Dedup {
     * no-op for checkpoint blocks — they live at the RDD layer, not in
     * the CacheManager). Only for frames that are never read again:
     * a released local checkpoint has no recompute path. */
-  private def release(df: DataFrame): Unit = df.queryExecution.logical match {
+  private[operators] def release(df: DataFrame): Unit = df.queryExecution.logical match {
     case lr: org.apache.spark.sql.execution.LogicalRDD =>
       // reliable checkpoints also leave FILES in the checkpoint dir,
       // and the context GC cleaner only reaps them when

@@ -137,16 +137,26 @@ object Similarity {
     var cent = prep.orderBy(col(idCol)).limit(k)
       .withColumn("cent_id", row_number().over(Window.orderBy(col(idCol))))
       .select(col("cent_id"), col("q").as("cq"), col("n2").as("cn2"))
+    // Each iteration's centroid table is CUT (eagerly materialized,
+    // lineage severed) — without it every loop wraps the previous plan
+    // in another broadcast-join + two-level agg and analysis time/plan
+    // size balloon with iters. The table is k rows, so the cut is
+    // near-free; the prior iteration's cut is released once its
+    // successor is materialized.
+    var prevCut: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val assigned = probe(prep, cent, idCol, nprobe = 1)
-      cent = assigned
+      val next = Dedup.cut(assigned
         .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy("cent_id", "pos")
         .agg(expr("SUM(v) DIV COUNT(*)").as("m"))
         .groupBy("cent_id")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
           .as("cq"))
-        .withColumn("cn2", dotQ("cq", "cq"))
+        .withColumn("cn2", dotQ("cq", "cq")))
+      prevCut.foreach(Dedup.release)
+      prevCut = Some(next)
+      cent = next
     }
     cent
   }

@@ -133,4 +133,19 @@ class ScaleSpec extends SparkTestBase {
     }
     assert(run() == run())
   }
+
+  test("k-means plan size stays constant across iterations (lineage cut)") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val prep = operators.Similarity.prepare(e, "embedding")
+      .select($"vec_id", $"q", $"n2")
+    // Without the per-iteration cut, each loop nests the previous plan
+    // inside another join+agg and the logical tree grows without bound;
+    // with it, iters=8 both completes promptly and ends at a constant
+    // single-node plan (the checkpoint scan).
+    val cent = operators.Similarity.kmeansCentroids(prep, "vec_id", k = 4, iters = 8)
+    assert(cent.queryExecution.logical.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD],
+      s"expected a lineage-cut scan, got:\n${cent.queryExecution.logical}")
+    assert(cent.count() == 4)
+  }
 }
