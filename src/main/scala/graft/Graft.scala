@@ -44,6 +44,19 @@ object Graft {
     // file cleanup or a long-lived session leaks ~maxIter snapshots/call
     "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
 
+  /** At-scale streaming state preset. The default HDFS-backed state
+    * store keeps every key's state in executor HEAP — at 100 TB-scale
+    * session/dedup state (hundreds of millions of live keys) that is an
+    * OOM. RocksDB spills state to local disk with bounded memory, and
+    * changelog checkpointing uploads per-batch deltas instead of full
+    * snapshots. Pass to `session(extra = Graft.streamingState)` (merge
+    * with [[elasticity]] on a real cluster). */
+  val streamingState: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   def session(
       master: String = s"local[$cpus]",
       appName: String = "graft",
