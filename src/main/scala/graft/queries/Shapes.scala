@@ -64,7 +64,12 @@ object Shapes {
     "q65_sessions_stream" -> ((s, d) =>
       graft.streaming.EventStreams.sessionsBatchEquivalent(s, d)),
 
-    // exact multi-quantile (percentile_cont interpolation)
+    // exact multi-quantile (percentile_cont interpolation).
+    // SCALE BOUND: `percentile` buffers every value of the group in the
+    // aggregation buffer — fine while the largest group fits in executor
+    // memory, an OOM wall beyond that. q83 is the bounded-memory
+    // at-scale variant (the reference itself ships a t-digest
+    // approximate_median, src/reduction.hpp:58-95, for the same reason).
     "q59_quantiles" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -72,7 +77,25 @@ object Shapes {
           rnd(expr("percentile(l_extendedprice, 0.25)"), 2).as("q25"),
           rnd(expr("percentile(l_extendedprice, 0.5)"), 2).as("q50"),
           rnd(expr("percentile(l_extendedprice, 0.75)"), 2).as("q75"),
-          rnd(expr("percentile(l_extendedprice, 0.99)"), 2).as("q99")))
+          rnd(expr("percentile(l_extendedprice, 0.99)"), 2).as("q99"))),
+
+    // APPROXIMATE multi-quantile: Greenwald-Khanna sketch with bounded
+    // per-group memory (~O(1/accuracy·log n) vs q59's O(group size)) —
+    // the quantile you actually run at 100 TB. No oracle: sketch
+    // internals are engine-specific (DuckDB's approx_quantile is a
+    // different t-digest); the driver records the rows-only check and
+    // OperatorSpec pins accuracy against q59's exact answer.
+    "q83_approx_quantiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 10000)")
+            .as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"),
+          element_at(col("qs"), 4).as("q99")))
   )
 
   val oracles: Map[String, String] = Map(

@@ -134,6 +134,20 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("approx quantiles track the exact percentiles within sketch tolerance") {
+    // q83 (bounded-memory sketch) vs q59 (exact, buffers the group):
+    // every approximate quantile must land within 1% relative error of
+    // the exact answer at this accuracy setting.
+    val approx = SparkEntry.queries("q83_approx_quantiles")(spark, sf)
+    val exact = SparkEntry.queries("q59_quantiles")(spark, sf)
+    val joined = approx.as("a").join(exact.as("e"), "l_returnflag")
+    for (q <- Seq("q25", "q50", "q75", "q99")) {
+      val bad = joined.filter(
+        abs(col(s"a.$q") - col(s"e.$q")) / col(s"e.$q") > 0.01)
+      assert(bad.count() == 0, s"approx $q drifted >1% from exact")
+    }
+  }
+
   test("ZipRows plan node zips same-lineage frames with no shuffle and no extra job") {
     val li = sources.Tables.read(spark, sf, "lineitem")
     val a = li.select($"l_orderkey", $"l_linenumber")
