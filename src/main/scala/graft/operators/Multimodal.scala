@@ -164,24 +164,67 @@ object Multimodal {
     }
   }
 
-  /** Decoded media resized to w×h×1 — STUB: a real codec would decode
-    * and rescale; here output pixels are the md5 digest of the payload
-    * cycled to length (deterministic, size-correct), so the partitioning,
-    * schema and batch shape of a resize stage are fully exercised. */
+  /** Media resized to w×h×1. */
   case class ResizedMedia(doc_id: Long, width: Int, height: Int,
       pixels: Array[Byte])
 
+  /** REAL image resize: decode with `javax.imageio`, then resample band
+    * 0 by nearest-neighbor with explicit floor index arithmetic —
+    * srcX = X·w_in DIV w_out, srcY = Y·h_in DIV h_out — real decoded
+    * pixels through a rescale whose index math a SQL oracle replays
+    * exactly (q84). `AffineTransformOp` would rescale too, but its
+    * inverse-transform rounding is not spelled-out arithmetic, so the
+    * explicit resample is the oracle-checkable spelling. Payloads the
+    * JDK cannot decode fall back to [[resizeStub]]'s deterministic
+    * fake, keeping the seam total over arbitrary bytes. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        if (img == null) stubResize(digest, r, w, h)
+        else {
+          val raster = img.getRaster
+          val (wi, hi) = (img.getWidth, img.getHeight)
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            val sy = (y.toLong * hi / h).toInt
+            var x = 0
+            while (x < w) {
+              px(y * w + x) =
+                raster.getSample((x.toLong * wi / w).toInt, sy, 0).toByte
+              x += 1
+            }
+            y += 1
+          }
+          ResizedMedia(r.doc_id, w, h, px)
+        }
+      }
+    }
+  }
+
+  private def stubResize(digest: java.security.MessageDigest, r: MediaRow,
+      w: Int, h: Int): ResizedMedia = {
+    digest.reset()
+    val d = digest.digest(r.content)
+    ResizedMedia(r.doc_id, w, h, Array.tabulate[Byte](w * h)(i => d(i % d.length)))
+  }
+
+  /** NON-IMAGE fallback resize — output pixels are the md5 digest of
+    * the payload cycled to length (deterministic, size-correct), so a
+    * resize stage over payloads with no decodable image (audio/video
+    * byte streams in this container) still exercises the partitioning,
+    * schema and batch shape. Images take [[resizeImages]]'s real path. */
   def resizeStub(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       val digestPool = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
-        digestPool.reset()
-        val d = digestPool.digest(r.content)
-        val px = Array.tabulate[Byte](w * h)(i => d(i % d.length))
-        ResizedMedia(r.doc_id, w, h, px)
-      }
+      rows.map { r => stubResize(digestPool, r, w, h) }
     }
   }
 

@@ -52,6 +52,21 @@ object Vectors {
         Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
         .toDF),
 
+    // REAL image resize: synthesize PNGs (as q61), decode, and resample
+    // 16x16 by nearest-neighbor with floor index arithmetic; checksum
+    // the OUTPUT pixels. The oracle replays srcX = X*w_in DIV 16 /
+    // srcY = Y*h_in DIV 16 over the synthesized pixel function, so a
+    // hash match proves real decoded pixels went through the rescale.
+    "q84_image_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resizeImages(
+        Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"),
+        16, 16)
+        .map(r => (r.doc_id, r.width, r.height,
+          r.pixels.foldLeft(0L)((a, b) => a + (b & 0xFF))))
+        .toDF("doc_id", "width", "height", "px_sum")
+    }),
+
     // IVF with TRAINED centroids (fixed-seed k-means, 2 iterations) and
     // nprobe=2 — no caller-given structure, unlike q45.
     "q62_ivf_trained" -> ((s, d) => {
@@ -295,6 +310,20 @@ object Vectors {
         |   [(doc_id*31 + (i % width)*7 + (i // width)) % 256
         |    FOR i IN range(0, CAST(width AS BIGINT) * height)],
         |   'sum') AS BIGINT) AS px_sum
+        |FROM d""".stripMargin,
+
+    // Replays q84's nearest-neighbor rescale: output pixel (X,Y) reads
+    // synthesized input pixel (X*w_in//16, Y*h_in//16), whose value is
+    // the q61 pixel function (id*31 + x*7 + y) % 256.
+    "q84_image_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(8 + doc_id % 24 AS INT) AS wi,
+        |   CAST(8 + (doc_id // 7) % 24 AS INT) AS hi
+        | FROM documents)
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        | CAST(list_aggregate(
+        |   [(doc_id*31 + (((i % 16) * wi) // 16)*7 + (((i // 16) * hi) // 16)) % 256
+        |    FOR i IN range(0, 256)], 'sum') AS BIGINT) AS px_sum
         |FROM d""".stripMargin
   )
 }

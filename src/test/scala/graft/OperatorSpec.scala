@@ -167,6 +167,31 @@ class OperatorSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("real image resize: decoded pixels through floor nearest-neighbor") {
+    val docs = sources.Tables.read(spark, sf, "documents").limit(40)
+    val pngs = Multimodal.synthesizePngs(docs, "doc_id")
+    val out = Multimodal.resizeImages(pngs, 16, 16).collect()
+    assert(out.length == 40 && out.forall(_.pixels.length == 256))
+    // every output pixel equals the synthesized input pixel at the
+    // floor-arithmetic source index — real decode + real resample
+    out.foreach { r =>
+      val wi = 8 + (r.doc_id % 24).toInt
+      val hi = 8 + ((r.doc_id / 7) % 24).toInt
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val expected = ((r.doc_id * 31 + (x * wi / 16) * 7 + (y * hi / 16)) % 256).toInt
+        assert((r.pixels(y * 16 + x) & 0xFF) == expected,
+          s"doc ${r.doc_id} pixel ($x,$y)")
+      }
+    }
+    // non-image payloads fall back to the deterministic stub
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val fb = Multimodal.resizeImages(media, 8, 6).collect()
+      .sortBy(_.doc_id).map(_.pixels.toSeq).toSeq
+    val stub = Multimodal.resizeStub(media, 8, 6).collect()
+      .sortBy(_.doc_id).map(_.pixels.toSeq).toSeq
+    assert(fb == stub)
+  }
+
   test("multimodal resize and frame-sample stubs: shapes, determinism, twin parity") {
     val docs = sources.Tables.read(spark, sf, "documents").limit(40)
     val media = Multimodal.asMedia(docs, "doc_id", "text")
