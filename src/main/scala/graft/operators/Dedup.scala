@@ -78,25 +78,47 @@ object Dedup {
     // spark.catalog.clearCache() or by unpersisting after materializing.
     val sig = df.select(col(idCol),
       expr(s"graft_minhash($textCol, $k)").as("_sig")).cache()
+    val bands = bandsOf(sig, idCol, k, rows)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+      .distinct()
+    verifyJaccard(cand, df, idCol, textCol, threshold)
+  }
+
+  /** Band rows (id, bi, bv) from a signature frame (id, _sig). */
+  private def bandsOf(sig: DataFrame, idCol: String, k: Int, rows: Int)
+      : DataFrame = {
     val nBands = k / rows
     val bandCols = (0 until nBands).map { b =>
       val parts = (b * rows until (b + 1) * rows)
         .map(i => element_at(col("_sig"), i + 1))
       struct(lit(b).as("bi"), md5(concat(parts: _*)).as("bv"))
     }
-    val bands = sig.select(col(idCol),
-        explode(array(bandCols: _*)).as("band"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.bi").as("bi"), col("band.bv").as("bv"))
       .filter(col("bv").isNotNull)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
-      .distinct()
-    // Exact-Jaccard verify: recompute shingle sets for candidate docs
-    // only. Near-dup candidates are a vanishing fraction of a 100 TB
-    // corpus — recomputing beats carrying a shingle array per doc
-    // through the shuffle.
+  }
+
+  /** MinHash band table (id, bi, bv) for a corpus — the LSH key table
+    * [[writeBandIndex]] persists and [[incrementalPairs]] probes. */
+  def bandTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rows: Int = 2): DataFrame = {
+    require(k % rows == 0,
+      s"band rows ($rows) must divide signature size ($k)")
+    graft.functions.TextNative.register(df.sparkSession)
+    bandsOf(df.select(col(idCol),
+      expr(s"graft_minhash($textCol, $k)").as("_sig")), idCol, k, rows)
+  }
+
+  /** Exact-Jaccard verify: recompute shingle sets for candidate docs
+    * only (from `df`, which must cover every id in `cand`). Near-dup
+    * candidates are a vanishing fraction of a 100 TB corpus —
+    * recomputing beats carrying a shingle array per doc through the
+    * shuffle. */
+  private def verifyJaccard(cand: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
     val candIds = cand.select(col("ida").as(idCol))
       .union(cand.select(col("idb").as(idCol))).distinct()
     val sets = withShingles(df.join(candIds, idCol), textCol)
@@ -110,6 +132,48 @@ object Dedup {
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= threshold)
       .select("ida", "idb", "jac")
+  }
+
+  /** Persist a corpus's minhash band table BUCKETED on the band key —
+    * the "index build" half of incremental dedup. Pay the corpus
+    * shuffle once at write time; every later batch probes it with zero
+    * corpus-side exchange ([[incrementalPairs]]). */
+  def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
+      table: String, k: Int = 8, rows: Int = 2, nBuckets: Int = 32): Unit =
+    graft.sources.Tables.writeBucketed(
+      bandTable(df, idCol, textCol, k, rows), table, Seq("bi", "bv"), nBuckets)
+
+  /** Incremental near-dup dedup: pairs touching a NEW batch, against a
+    * [[writeBandIndex]]-persisted corpus — the daily-ingest shape a
+    * production pipeline runs (the one-shot [[minhashPairs]] recomputes
+    * the whole corpus every time).
+    *
+    * Candidates = batch bands equi-joined against the persisted band
+    * table (bucketed on the join key, so the CORPUS side needs no
+    * exchange: Catalyst broadcasts a small batch, or aligns the batch
+    * shuffle to the corpus buckets — either way only the batch moves)
+    * plus the batch's within-batch band self-join. Exact-Jaccard
+    * verification on candidates only, reading texts from
+    * `verifySource` (must cover corpus + batch ids). Result = exactly
+    * [[minhashPairs]] over (corpus ∪ batch) restricted to pairs with
+    * at least one batch member. */
+  def incrementalPairs(batch: DataFrame, bandIndexTable: String,
+      verifySource: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val corpusBands = spark.table(bandIndexTable)
+    // batch bands: computed once, tiny relative to the corpus
+    val batchBands = bandTable(batch, idCol, textCol, k, rows).cache()
+    val vsCorpus = batchBands.as("x").join(corpusBands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("ida"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("idb"))
+    val vsBatch = batchBands.as("x").join(batchBands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+    val cand = vsCorpus.union(vsBatch).distinct()
+    verifyJaccard(cand, verifySource, idCol, textCol, threshold)
   }
 
   /** 32-bit SimHash per doc (docs with zero tokens produce no row, like

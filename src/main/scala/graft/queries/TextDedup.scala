@@ -113,6 +113,24 @@ object TextDedup {
         .withColumn("lb", floor(col("n_chars") / 100).cast("long"))
       Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
         Seq("lang", "lb"), threshold = 0.3)
+    }),
+
+    // INCREMENTAL dedup: persist the corpus band index bucketed on the
+    // band key, then dedup a "new batch" (doc_id % 5 == 0, a
+    // deterministic 20% split) by probing only ITS bands against the
+    // persisted table — zero corpus-side exchange (ScaleSpec proves it
+    // on the plan). The oracle runs the one-shot q39 pipeline over the
+    // whole corpus restricted to pairs touching the batch, so a hash
+    // match proves the incremental path finds exactly the pairs a full
+    // recompute would.
+    "q85_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val batch = all.filter(col("doc_id") % 5 === 0)
+      Dedup.writeBandIndex(corpus, "doc_id", "text",
+        "graft_band_index", k = 8, rows = 2, nBuckets = 8)
+      Dedup.incrementalPairs(batch, "graft_band_index", all,
+        "doc_id", "text", k = 8, rows = 2, threshold = 0.5)
     })
   )
 
@@ -128,6 +146,26 @@ object TextDedup {
 
   private def sigSelect(k: Int): String =
     (0 until k).map(i => s"${minhashDuck("sg", i)} AS s$i").mkString(", ")
+
+  /** One-shot MinHash-LSH pair pipeline (q39), with an optional extra
+    * predicate on the final pair set (q85's batch restriction). */
+  private def minhashPairsSql(extraWhere: String): String =
+    s"""WITH $toksCte, ${shCte()},
+      | sig AS (SELECT doc_id, shset, ${sigSelect(8)} FROM sh),
+      | bands AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS bi, md5(s${2 * b} || s${2 * b + 1}) AS bv FROM sig")
+          .mkString("\n  UNION ALL ")}),
+      | cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      |   FROM bands a JOIN bands b
+      |   ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      | j AS (SELECT c.ida, c.idb,
+      |   len(list_intersect(x.shset, y.shset)) AS inter,
+      |   len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset)) AS uni
+      |  FROM cand c
+      |  JOIN sig x ON x.doc_id = c.ida
+      |  JOIN sig y ON y.doc_id = c.idb)
+      |SELECT ida, idb, inter / uni AS jac FROM j
+      |WHERE inter / uni >= 0.5$extraWhere""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q32_text_stats" ->
@@ -211,23 +249,12 @@ object TextDedup {
       s"""WITH $toksCte, ${shCte()}
         |SELECT doc_id, ${sigSelect(8)} FROM sh""".stripMargin,
 
-    "q39_minhash_pairs" ->
-      s"""WITH $toksCte, ${shCte()},
-        | sig AS (SELECT doc_id, shset, ${sigSelect(8)} FROM sh),
-        | bands AS (${(0 until 4).map(b =>
-            s"SELECT doc_id, $b AS bi, md5(s${2 * b} || s${2 * b + 1}) AS bv FROM sig")
-            .mkString("\n  UNION ALL ")}),
-        | cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-        |   FROM bands a JOIN bands b
-        |   ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
-        | j AS (SELECT c.ida, c.idb,
-        |   len(list_intersect(x.shset, y.shset)) AS inter,
-        |   len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset)) AS uni
-        |  FROM cand c
-        |  JOIN sig x ON x.doc_id = c.ida
-        |  JOIN sig y ON y.doc_id = c.idb)
-        |SELECT ida, idb, inter / uni AS jac FROM j
-        |WHERE inter / uni >= 0.5""".stripMargin,
+    "q39_minhash_pairs" -> minhashPairsSql(""),
+
+    // Full-recompute pairs restricted to those touching the 20% batch:
+    // the incremental path must find exactly these.
+    "q85_incremental_dedup" ->
+      minhashPairsSql(" AND (ida % 5 = 0 OR idb % 5 = 0)"),
 
     "q60_dup_clusters" ->
       s"""WITH RECURSIVE $toksCte, ${shCte()},

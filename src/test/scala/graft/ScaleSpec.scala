@@ -134,6 +134,50 @@ class ScaleSpec extends SparkTestBase {
     assert(run() == run())
   }
 
+  test("incremental dedup probes the band index with zero corpus-side exchange") {
+    val all = sources.Tables.read(spark, sf, "documents")
+    val corpus = all.filter($"doc_id" % 5 =!= 0)
+    val batch = all.filter($"doc_id" % 5 === 0)
+    spark.sql("DROP TABLE IF EXISTS band_idx_spec")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "band_idx_spec")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    operators.Dedup.writeBandIndex(corpus, "doc_id", "text",
+      "band_idx_spec", nBuckets = 8)
+    // Force the bucket-aligned (non-broadcast) regime — the one that
+    // matters when the batch outgrows the broadcast threshold: the only
+    // shuffle may be the BATCH side aligning to the corpus buckets.
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpusBands = spark.table("band_idx_spec")
+      val batchBands = operators.Dedup.bandTable(batch, "doc_id", "text")
+      val cand = batchBands.as("x").join(corpusBands.as("y"),
+        $"x.bi" === $"y.bi" && $"x.bv" === $"y.bv")
+      // string count: the AQE wrapper hides children from SparkPlan.collect
+      val plan = cand.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected only the batch-side exchange, found $exchanges in:\n$plan")
+      // the one exchange hashes the BATCH bands, not the corpus scan:
+      // the corpus side reads its buckets in place
+      assert(plan.contains("Bucketed: true"),
+        s"corpus scan should use buckets:\n$plan")
+      // end-to-end: incremental result == full recompute restricted to
+      // pairs touching the batch
+      val inc = operators.Dedup.incrementalPairs(batch, "band_idx_spec",
+        all, "doc_id", "text")
+      val full = operators.Dedup.minhashPairs(all, "doc_id", "text")
+        .filter($"ida" % 5 === 0 || $"idb" % 5 === 0)
+      assert(inc.exceptAll(full).count() == 0)
+      assert(full.exceptAll(inc).count() == 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+  }
+
   test("k-means plan size stays constant across iterations (lineage cut)") {
     val e = sources.Tables.read(spark, sf, "embeddings")
     val prep = operators.Similarity.prepare(e, "embedding")
