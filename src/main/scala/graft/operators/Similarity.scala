@@ -171,7 +171,17 @@ object Similarity {
     val prep = prepare(corpus, embCol).select(col(idCol), col("q"), col("n2"))
     val cent = kmeansCentroids(prep, idCol, nCentroids, iters)
     val cells = probe(prep, cent, idCol, nprobe = 1)
-    val qs = probe(prep.join(queryIds, idCol), cent, idCol, nprobe)
+    searchCells(cells, cent, queryIds, idCol, k, nprobe)
+  }
+
+  /** Cell-local search shared by the trained and persisted-index paths:
+    * probe queries to `nprobe` cells, scan only those cells, rank per
+    * query. `cells`: (idCol, q, n2, cent_id); queries are corpus
+    * members selected by `queryIds`. */
+  private def searchCells(cells: DataFrame, cent: DataFrame,
+      queryIds: DataFrame, idCol: String, k: Int, nprobe: Int): DataFrame = {
+    val qs = probe(cells.select(col(idCol), col("q"), col("n2"))
+        .join(queryIds, idCol), cent, idCol, nprobe)
       .select(col(idCol).as("qid"), col("q").as("qq"),
         col("n2").as("qn2"), col("cent_id").as("qcell"))
     val cand = cells.select(col(idCol).as("vec_id"), col("q").as("cq"),
@@ -184,6 +194,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "vec_id", "rank", "cos")
+  }
+
+  /** Persist a trained IVF index — "build once, query many". Centroids
+    * land as a plain (tiny) table, cell assignments bucketed by cell
+    * id, so every later query scans the layout in place. At 100 TB the
+    * k-means build is the expensive half; this pays it exactly once
+    * (the one-shot [[ivfTopKTrained]] retrains per call). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, embCol: String,
+      prefix: String, nCentroids: Int, iters: Int, nBuckets: Int = 32)
+      : Unit = {
+    val prep = prepare(corpus, embCol).select(col(idCol), col("q"), col("n2"))
+    val cent = kmeansCentroids(prep, idCol, nCentroids, iters)
+    graft.sources.Tables.writeTable(cent, s"${prefix}_centroids")
+    graft.sources.Tables.writeBucketed(
+      probe(prep, cent, idCol, nprobe = 1),
+      s"${prefix}_cells", Seq("cent_id"), nBuckets)
+  }
+
+  /** Query a [[writeIvfIndex]]-persisted index. Identical results to
+    * [[ivfTopKTrained]] with the build-time parameters (k-means is
+    * deterministic, so the persisted cells ARE the retrained cells) but
+    * the plan only scans: constructing it launches no training jobs —
+    * ScaleSpec asserts zero jobs at plan-build time. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, queryIds: DataFrame, idCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    graft.functions.LongArrayDot.register(spark)
+    searchCells(spark.table(s"${prefix}_cells"),
+      spark.table(s"${prefix}_centroids"), queryIds, idCol, k, nprobe)
   }
 
   // ---- label-free near-dup pairs: random-hyperplane LSH ----

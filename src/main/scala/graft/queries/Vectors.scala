@@ -76,6 +76,21 @@ object Vectors {
         "vec_id", "embedding", k = 5, nCentroids = 8, iters = 2, nprobe = 2)
     }),
 
+    // Build-once/query-many ANN: persist the trained IVF index
+    // (centroids + cell assignments bucketed by cell), then answer the
+    // SAME query as q62 from the persisted layout — no k-means on the
+    // query path (ScaleSpec asserts zero jobs at plan-build time).
+    // Deterministic k-means means the result must be bit-identical to
+    // q62's, so this shares q62's oracle.
+    "q86_ivf_persisted" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        "graft_ivf", nCentroids = 8, iters = 2, nBuckets = 8)
+      Similarity.ivfTopKFromIndex(s, "graft_ivf",
+        e.select("vec_id").filter(col("vec_id").between(100, 109)),
+        "vec_id", k = 5, nprobe = 2)
+    }),
+
     // Label-free near-dup pairs: random-hyperplane LSH bucketing, no
     // blocking column needed (q44 requires one).
     "q63_lsh_dup_pairs" -> ((s, d) =>
@@ -195,6 +210,31 @@ object Vectors {
       |  FROM cand JOIN n a ON a.vec_id = cand.ida
       |   JOIN n c ON c.vec_id = cand.idb)""".stripMargin
 
+  /** Replays both k-means iterations + cell-local search in SQL —
+    * shared by q62 (train-at-query) and q86 (persisted index). */
+  private lazy val ivfTrainedSql: String =
+    s"""WITH $prepCte,
+      | c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cent_id,
+      |   q AS cq, n2 AS cn2 FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)),
+      | ${assignDuck("c0", "a1", 1)},
+      | ${recomputeDuck("a1", "c1")},
+      | ${assignDuck("c1", "a2", 1)},
+      | ${recomputeDuck("a2", "c2")},
+      | ${assignDuck("c2", "cells", 1)},
+      | qids AS (SELECT vec_id, q AS qq, n2 AS qn2 FROM n
+      |   WHERE vec_id BETWEEN 100 AND 109),
+      | ${assignDuck("c2", "qcells", 2,
+           "(SELECT n.vec_id, n.q, n.n2 FROM qids JOIN n USING (vec_id))")},
+      | scored AS (SELECT qc.vec_id AS qid, c.vec_id,
+      |    ${cosDuck(dotDuck("c.q", "qs.qq"), "c.n2", "qs.qn2")} AS cos
+      |  FROM cells c JOIN qcells qc ON c.cent_id = qc.cent_id
+      |    AND c.vec_id <> qc.vec_id
+      |  JOIN qids qs ON qs.vec_id = qc.vec_id),
+      | ranked AS (SELECT qid, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT qid, vec_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q42_embed_stats" ->
       s"""WITH $prepCte
@@ -240,28 +280,11 @@ object Vectors {
     "q46_multimodal_features" ->
       Multimodal.featureSqlDuck("documents", "doc_id", "text"),
 
-    "q62_ivf_trained" ->
-      s"""WITH $prepCte,
-        | c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cent_id,
-        |   q AS cq, n2 AS cn2 FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)),
-        | ${assignDuck("c0", "a1", 1)},
-        | ${recomputeDuck("a1", "c1")},
-        | ${assignDuck("c1", "a2", 1)},
-        | ${recomputeDuck("a2", "c2")},
-        | ${assignDuck("c2", "cells", 1)},
-        | qids AS (SELECT vec_id, q AS qq, n2 AS qn2 FROM n
-        |   WHERE vec_id BETWEEN 100 AND 109),
-        | ${assignDuck("c2", "qcells", 2,
-             "(SELECT n.vec_id, n.q, n.n2 FROM qids JOIN n USING (vec_id))")},
-        | scored AS (SELECT qc.vec_id AS qid, c.vec_id,
-        |    ${cosDuck(dotDuck("c.q", "qs.qq"), "c.n2", "qs.qn2")} AS cos
-        |  FROM cells c JOIN qcells qc ON c.cent_id = qc.cent_id
-        |    AND c.vec_id <> qc.vec_id
-        |  JOIN qids qs ON qs.vec_id = qc.vec_id),
-        | ranked AS (SELECT qid, vec_id, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT qid, vec_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "q62_ivf_trained" -> ivfTrainedSql,
+
+    // The persisted-index path must reproduce the freshly-trained
+    // answer exactly (deterministic k-means) — same oracle as q62.
+    "q86_ivf_persisted" -> ivfTrainedSql,
 
     "q63_lsh_dup_pairs" ->
       s"""WITH $prepCte,

@@ -84,10 +84,30 @@ object Tables {
     * (src/partition.cpp:1326-1409): pay the shuffle once at write time,
     * reuse it for every query after. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    resetTable(df.sparkSession, table)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Plain managed-table sink (tiny dimension/centroid tables). */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    resetTable(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Drop `table` AND its warehouse location. saveAsTable(overwrite)
+    * refuses to create a table whose location survives from a previous
+    * JVM (dropped catalogs don't delete files on session teardown), so
+    * index-building operators must clear both before rewriting. */
+  private def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 }

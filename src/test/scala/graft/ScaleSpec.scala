@@ -178,6 +178,47 @@ class ScaleSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
   }
 
+  test("persisted IVF index: query path launches no training jobs") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    spark.sql("DROP TABLE IF EXISTS ivf_spec_centroids")
+    spark.sql("DROP TABLE IF EXISTS ivf_spec_cells")
+    for (t <- Seq("ivf_spec_centroids", "ivf_spec_cells")) {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    // build once (this DOES run k-means jobs)...
+    operators.Similarity.writeIvfIndex(e, "vec_id", "embedding",
+      "ivf_spec", nCentroids = 8, iters = 2, nBuckets = 8)
+    // ...query many: plan construction must launch ZERO jobs (the
+    // trained path eagerly materializes k-means iterations here)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val qids = e.select($"vec_id").filter($"vec_id".between(100, 109))
+    val fromIndex =
+      try {
+        val df = operators.Similarity.ivfTopKFromIndex(
+          spark, "ivf_spec", qids, "vec_id", k = 5, nprobe = 2)
+        Thread.sleep(500) // listener bus is async
+        assert(jobs == 0, s"query-path plan construction ran $jobs jobs")
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // the persisted layout answers exactly like a fresh train
+    val trained = operators.Similarity.ivfTopKTrained(e, qids,
+      "vec_id", "embedding", k = 5, nCentroids = 8, iters = 2, nprobe = 2)
+    assert(fromIndex.exceptAll(trained).count() == 0)
+    assert(trained.exceptAll(fromIndex).count() == 0)
+    assert(fromIndex.count() > 0)
+  }
+
   test("k-means plan size stays constant across iterations (lineage cut)") {
     val e = sources.Tables.read(spark, sf, "embeddings")
     val prep = operators.Similarity.prepare(e, "embedding")
