@@ -237,6 +237,26 @@ object Dedup {
       .select("ida", "idb", "hamming")
   }
 
+  /** The admission decision an ingest pipeline actually outputs: keep
+    * each batch doc unless it near-dups the corpus (the corpus member
+    * is already admitted, so it always wins) or a smaller-id batch
+    * member (the batch's own canonical). `pairs` is
+    * [[incrementalPairs]] output (ida < idb, every pair touches the
+    * batch): a batch doc is rejected when it appears as `idb` (the
+    * other side is smaller — corpus or batch, either way it wins), or
+    * as `ida` of a pair whose `idb` is outside the batch (a larger-id
+    * corpus doc). Two anti-join-shaped set ops — no new shuffle
+    * machinery at any scale. */
+  def admitBatch(batch: DataFrame, pairs: DataFrame, idCol: String)
+      : DataFrame = {
+    val rejectedAsB = pairs.select(col("idb").as(idCol))
+    val rejectedAsA = pairs
+      .join(batch.select(col(idCol).as("idb")), Seq("idb"), "left_anti")
+      .select(col("ida").as(idCol))
+    batch.join(rejectedAsB.union(rejectedAsA).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Connected components over near-dup pairs → cluster canonicals: the
     * step that turns pairwise similarity into dedup decisions (keep the
     * canonical, drop the rest).

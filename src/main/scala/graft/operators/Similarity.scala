@@ -240,39 +240,90 @@ object Similarity {
     * anywhere, which is what lets this run unblocked at 100 TB. */
   def lshDupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, nBits: Int = 16, bandBits: Int = 4): DataFrame = {
-    require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
-    val nBands = nBits / bandBits
-    // hyperplaneWeight's (j,d) stride is 128: a dim above that would
-    // silently reuse weights across hyperplanes, correlating LSH bits
-    // and degrading recall with no error. One-row probe, fail loudly.
-    df.select(size(col(embCol))).take(1).foreach { r =>
-      require(r.getInt(0) <= 128, s"lshDupPairs: embedding dim " +
-        s"${r.getInt(0)} exceeds the hyperplane-weight stride (128); " +
-        "widen hyperplaneWeight's stride before using larger embeddings")
-    }
-    val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
-    val sig = p.withColumn("sig", expr(
-      s"""transform(sequence(0, ${nBits - 1}), j ->
-         | CASE WHEN aggregate(sequence(1, size(q)), CAST(0 AS BIGINT),
-         |   (acc, d) -> acc + element_at(q, d) * ${hyperplaneWeight("j", "d")})
-         |  >= 0 THEN 1 ELSE 0 END)""".stripMargin))
-    val banded = sig.select(col(idCol),
-      posexplode(expr(s"""transform(sequence(0, ${nBands - 1}), b ->
-        | aggregate(sequence(1, $bandBits), 0,
-        |   (acc, i) -> acc * 2 + element_at(sig, b * $bandBits + i)))"""
-        .stripMargin)).as(Seq("band", "bucket")))
+    val banded = lshBands(df, idCol, embCol, nBits, bandBits)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
       .dropDuplicates("ida", "idb")
+    verifyCosine(cand, df, idCol, embCol, threshold)
+  }
+
+  /** Sign-bit band/bucket rows (id, band, bucket) — the LSH key table
+    * [[writeLshIndex]] persists and [[incrementalLshPairs]] probes. */
+  def lshBands(df: DataFrame, idCol: String, embCol: String,
+      nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
+    val nBands = nBits / bandBits
+    // hyperplaneWeight's (j,d) stride is 128: a dim above that would
+    // silently reuse weights across hyperplanes, correlating LSH bits
+    // and degrading recall with no error. One-row probe, fail loudly.
+    df.select(size(col(embCol))).take(1).foreach { r =>
+      require(r.getInt(0) <= 128, s"lshBands: embedding dim " +
+        s"${r.getInt(0)} exceeds the hyperplane-weight stride (128); " +
+        "widen hyperplaneWeight's stride before using larger embeddings")
+    }
+    val sig = prepare(df, embCol).select(col(idCol), col("q"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${nBits - 1}), j ->
+           | CASE WHEN aggregate(sequence(1, size(q)), CAST(0 AS BIGINT),
+           |   (acc, d) -> acc + element_at(q, d) * ${hyperplaneWeight("j", "d")})
+           |  >= 0 THEN 1 ELSE 0 END)""".stripMargin))
+    sig.select(col(idCol),
+      posexplode(expr(s"""transform(sequence(0, ${nBands - 1}), b ->
+        | aggregate(sequence(1, $bandBits), 0,
+        |   (acc, i) -> acc * 2 + element_at(sig, b * $bandBits + i)))"""
+        .stripMargin)).as(Seq("band", "bucket")))
+  }
+
+  /** Exact-cosine verify on candidate pairs, embeddings re-read from
+    * `df` (must cover every id in `cand`). */
+  private def verifyCosine(cand: DataFrame, df: DataFrame, idCol: String,
+      embCol: String, threshold: Double): DataFrame = {
+    val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
     val a = p.select(col(idCol).as("ida"), col("q").as("qa"), col("n2").as("na"))
     val b = p.select(col(idCol).as("idb"), col("q").as("qb"), col("n2").as("nb"))
     cand.join(a, "ida").join(b, "idb")
       .withColumn("cos", cosine(dotQ("qa", "qb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("ida", "idb", "cos")
+  }
+
+  /** Persist a corpus's LSH band table BUCKETED on the band key — the
+    * embedding-side analog of Dedup.writeBandIndex: pay the corpus
+    * shuffle once, probe it per batch with zero corpus-side exchange. */
+  def writeLshIndex(df: DataFrame, idCol: String, embCol: String,
+      table: String, nBits: Int = 16, bandBits: Int = 4,
+      nBuckets: Int = 32): Unit =
+    graft.sources.Tables.writeBucketed(
+      lshBands(df, idCol, embCol, nBits, bandBits), table,
+      Seq("band", "bucket"), nBuckets)
+
+  /** Incremental embedding near-dup pairs touching a NEW batch, against
+    * a [[writeLshIndex]]-persisted corpus: batch bands equi-join the
+    * bucketed table (only the batch moves) plus the within-batch
+    * self-join; exact-cosine verify on candidates only. Result =
+    * exactly [[lshDupPairs]] over (corpus ∪ batch) restricted to pairs
+    * with at least one batch member. */
+  def incrementalLshPairs(batch: DataFrame, lshIndexTable: String,
+      verifySource: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val corpusBands = spark.table(lshIndexTable)
+    val batchBands = lshBands(batch, idCol, embCol, nBits, bandBits).cache()
+    val vsCorpus = batchBands.as("x").join(corpusBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("ida"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("idb"))
+    val vsBatch = batchBands.as("x").join(batchBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+    val cand = vsCorpus.union(vsBatch).dropDuplicates("ida", "idb")
+    verifyCosine(cand, verifySource, idCol, embCol, threshold)
   }
 
   /** Embedding near-duplicate pairs within a blocking column (e.g.

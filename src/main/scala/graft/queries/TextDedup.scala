@@ -131,6 +131,21 @@ object TextDedup {
         "graft_band_index", k = 8, rows = 2, nBuckets = 8)
       Dedup.incrementalPairs(batch, "graft_band_index", all,
         "doc_id", "text", k = 8, rows = 2, threshold = 0.5)
+    }),
+
+    // The ingest DECISION on top of q85's pairs: admit each batch doc
+    // unless it near-dups the corpus (corpus always wins) or a
+    // smaller-id batch member. This is the row set a daily pipeline
+    // appends to the corpus.
+    "q88_batch_admission" -> ((s, d) => {
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val batch = all.filter(col("doc_id") % 5 === 0)
+      Dedup.writeBandIndex(corpus, "doc_id", "text",
+        "graft_band_index_q88", k = 8, rows = 2, nBuckets = 8)
+      val pairs = Dedup.incrementalPairs(batch, "graft_band_index_q88",
+        all, "doc_id", "text", k = 8, rows = 2, threshold = 0.5)
+      Dedup.admitBatch(batch, pairs, "doc_id").select("doc_id")
     })
   )
 
@@ -147,10 +162,10 @@ object TextDedup {
   private def sigSelect(k: Int): String =
     (0 until k).map(i => s"${minhashDuck("sg", i)} AS s$i").mkString(", ")
 
-  /** One-shot MinHash-LSH pair pipeline (q39), with an optional extra
-    * predicate on the final pair set (q85's batch restriction). */
-  private def minhashPairsSql(extraWhere: String): String =
-    s"""WITH $toksCte, ${shCte()},
+  /** One-shot MinHash-LSH pair pipeline CTEs (ends at `j`), shared by
+    * q39/q85/q88 so the spellings cannot drift. */
+  private lazy val minhashPairCtes: String =
+    s"""$toksCte, ${shCte()},
       | sig AS (SELECT doc_id, shset, ${sigSelect(8)} FROM sh),
       | bands AS (${(0 until 4).map(b =>
           s"SELECT doc_id, $b AS bi, md5(s${2 * b} || s${2 * b + 1}) AS bv FROM sig")
@@ -163,7 +178,12 @@ object TextDedup {
       |   len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset)) AS uni
       |  FROM cand c
       |  JOIN sig x ON x.doc_id = c.ida
-      |  JOIN sig y ON y.doc_id = c.idb)
+      |  JOIN sig y ON y.doc_id = c.idb)""".stripMargin
+
+  /** Final pair select with an optional extra predicate (q85's batch
+    * restriction). */
+  private def minhashPairsSql(extraWhere: String): String =
+    s"""WITH $minhashPairCtes
       |SELECT ida, idb, inter / uni AS jac FROM j
       |WHERE inter / uni >= 0.5$extraWhere""".stripMargin
 
@@ -255,6 +275,18 @@ object TextDedup {
     // the incremental path must find exactly these.
     "q85_incremental_dedup" ->
       minhashPairsSql(" AND (ida % 5 = 0 OR idb % 5 = 0)"),
+
+    // Admission = batch minus rejects: a batch doc loses to any pair
+    // partner that is corpus (always) or a smaller batch id.
+    "q88_batch_admission" ->
+      s"""WITH $minhashPairCtes,
+        | rp AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5
+        |   AND (ida % 5 = 0 OR idb % 5 = 0)),
+        | rej AS (SELECT idb AS doc_id FROM rp
+        |         UNION SELECT ida FROM rp WHERE idb % 5 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 5 = 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM rej)""".stripMargin,
 
     "q60_dup_clusters" ->
       s"""WITH RECURSIVE $toksCte, ${shCte()},

@@ -97,6 +97,22 @@ object Vectors {
       Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
         threshold = 0.35)),
 
+    // INCREMENTAL embedding dedup (the q85 shape for the embedding
+    // modality): persist the corpus LSH band table bucketed on the band
+    // key, then find near-dup pairs touching a new 20% batch
+    // (vec_id % 5 == 0) by probing only the batch's bands. Oracle =
+    // the one-shot q63 pipeline restricted to batch-touching pairs, so
+    // hash-green proves incremental == full recompute.
+    "q87_incr_embed_dedup" -> ((s, d) => {
+      val all = emb(s, d)
+      val corpus = all.filter(col("vec_id") % 5 =!= 0)
+      val batch = all.filter(col("vec_id") % 5 === 0)
+      Similarity.writeLshIndex(corpus, "vec_id", "embedding",
+        "graft_lsh_index", nBuckets = 8)
+      Similarity.incrementalLshPairs(batch, "graft_lsh_index", all,
+        "vec_id", "embedding", threshold = 0.35)
+    }),
+
     // Clusters over the label-free LSH pairs: min-label propagation vs
     // the recursive-CTE oracle — pairwise similarity turned into dedup
     // decisions for embeddings, like q60 does for text.
@@ -290,6 +306,14 @@ object Vectors {
       s"""WITH $prepCte,
         | $lshCtes
         |SELECT ida, idb, cos FROM scored WHERE cos >= 0.35""".stripMargin,
+
+    // Full-recompute LSH pairs restricted to those touching the 20%
+    // batch: the incremental path must find exactly these.
+    "q87_incr_embed_dedup" ->
+      s"""WITH $prepCte,
+        | $lshCtes
+        |SELECT ida, idb, cos FROM scored WHERE cos >= 0.35
+        |  AND (ida % 5 = 0 OR idb % 5 = 0)""".stripMargin,
 
     // One pair machinery, two gates (q63 pairs / q75 clusters) — shared
     // CTEs so the spellings cannot drift apart.

@@ -20,6 +20,7 @@ object ExplainAudit {
         "q43_knn_brute" -> "BNLJ broadcasts the tiny query set (by design)",
         "q45_ivf_ann" -> "BNLJ broadcasts tiny centroids/queries (by design)",
         "q62_ivf_trained" -> "BNLJ broadcasts the k trained centroids (by design)",
+        "q86_ivf_persisted" -> "BNLJ broadcasts the k persisted centroids (by design)",
         "q80_tfidf_terms" -> "BNLJ broadcasts the 1-row corpus-size aggregate (by design)")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
