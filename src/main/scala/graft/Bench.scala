@@ -108,13 +108,13 @@ object Bench {
     // number is the BEST of 3: the gate measures the engine, not the
     // neighbors — a loaded sandbox can only inflate a run, never
     // deflate it, so min is the least-contended observation.
+    // per-REP guarding: a crash in rep N must not discard the N-1
+    // successful observations the demo_runs artifact exists to preserve
     def timedRuns(label: String, reps: Int)(f: => Double): Seq[Double] = {
-      val runs = try (1 to reps).map(_ => f) catch { case e: Throwable =>
-        System.err.println(s"[bench] $label failed: ${e.getMessage}")
-        Seq(-1.0)
-      }
-      if (runs.forall(_ >= 0) && runs.max / runs.min > 2.0)
-        System.err.println(f"[bench] WARNING: $label spread ${runs.max / runs.min}%.1fx " +
+      val runs = (1 to reps).map(_ => guarded(label)(f))
+      val ok = runs.filter(_ >= 0)
+      if (ok.size >= 2 && ok.max / ok.min > 2.0)
+        System.err.println(f"[bench] WARNING: $label spread ${ok.max / ok.min}%.1fx " +
           s"(runs: ${runs.mkString(", ")}) — machine contention likely")
       runs
     }

@@ -39,10 +39,19 @@ object Graft {
     "spark.storage.decommission.shuffleBlocks.enabled" -> "true",
     "spark.storage.decommission.rddBlocks.enabled" -> "true",
     // iterative operators (Dedup.dupClusters, kmeansCentroids) write
-    // reliable checkpoints when a checkpoint dir is set — this is the
-    // preset that sets one up, so it also turns on GC-driven checkpoint
-    // file cleanup or a long-lived session leaks ~maxIter snapshots/call
+    // reliable checkpoints when a checkpoint dir is set (see
+    // [[elasticityWith]], which sets one) — GC-driven checkpoint file
+    // cleanup keeps a long-lived session from leaking ~maxIter
+    // snapshots per call
     "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
+
+  /** [[elasticity]] plus a RELIABLE checkpoint dir (HDFS/S3 path on a
+    * real cluster). Without it, iterative operators fall back to
+    * localCheckpoint, whose blocks die with a decommissioned executor —
+    * the exact failure mode elasticity invites — so pass this variant
+    * whenever dynamic allocation is on. */
+  def elasticityWith(checkpointDir: String): Map[String, String] =
+    elasticity + ("spark.checkpoint.dir" -> checkpointDir)
 
   /** At-scale streaming state preset. The default HDFS-backed state
     * store keeps every key's state in executor HEAP — at 100 TB-scale

@@ -176,23 +176,14 @@ final case class Table(df: DataFrame) {
     Table(if (subset.isEmpty) df.na.drop() else df.na.drop(subset))
 
   /** pandas fillna over `subset` (all columns when empty). An integer
-    * fill covers floating-point columns too (pandas fillna(0) fills any
-    * numeric column; Spark's na.fill(Long) alone touches only integral
-    * ones — a silent no-op on doubles otherwise). */
+    * fill covers floating-point columns too — Spark's na.fill(Long)
+    * targets all NumericType columns (verified against Spark 4.1.2;
+    * TableSpec pins the double-column case). */
   def fillna(value: Any, subset: Seq[String] = Nil): Table = {
     val cols = if (subset.isEmpty) df.columns.toSeq else subset
-    def fillIntegral(v: Long) = {
-      val (fp, rest) = cols.partition(c => df.schema(c).dataType match {
-        case org.apache.spark.sql.types.DoubleType |
-             org.apache.spark.sql.types.FloatType => true
-        case _ => false
-      })
-      val filled = df.na.fill(v, rest)
-      if (fp.isEmpty) filled else filled.na.fill(v.toDouble, fp)
-    }
     Table(value match {
-      case v: Long    => fillIntegral(v)
-      case v: Int     => fillIntegral(v.toLong)
+      case v: Long    => df.na.fill(v, cols)
+      case v: Int     => df.na.fill(v.toLong, cols)
       case v: Double  => df.na.fill(v, cols)
       case v: String  => df.na.fill(v, cols)
       case v: Boolean => df.na.fill(v, cols)

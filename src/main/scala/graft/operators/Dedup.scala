@@ -137,7 +137,9 @@ object Dedup {
   /** Persist a corpus's minhash band table BUCKETED on the band key —
     * the "index build" half of incremental dedup. Pay the corpus
     * shuffle once at write time; every later batch probes it with zero
-    * corpus-side exchange ([[incrementalPairs]]). */
+    * corpus-side exchange ([[incrementalPairs]]). Probe with the SAME
+    * (k, rows) used here — band keys from mismatched parameters join
+    * silently but match nothing meaningful. */
   def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
       table: String, k: Int = 8, rows: Int = 2, nBuckets: Int = 32): Unit =
     graft.sources.Tables.writeBucketed(
@@ -164,8 +166,12 @@ object Dedup {
     val corpusBands = spark.table(bandIndexTable)
     // batch bands: computed once, tiny relative to the corpus
     val batchBands = bandTable(batch, idCol, textCol, k, rows).cache()
+    // x.id =!= y.id: a replayed batch whose ids were already indexed
+    // must not emit self-pairs (jac=1 rows that would make admitBatch
+    // silently drop the whole replay)
     val vsCorpus = batchBands.as("x").join(corpusBands.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv"))
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
       .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("ida"),
         greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("idb"))
     val vsBatch = batchBands.as("x").join(batchBands.as("y"),

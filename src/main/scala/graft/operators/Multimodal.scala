@@ -67,14 +67,22 @@ object Multimodal {
     df.select(col(idCol).as("doc_id"),
       encode(col(textCol), "UTF-8").as("content"), lit("fake/raw").as("fmt"))
 
+  /** ImageIO.read that is total over arbitrary bytes: returns null for
+    * streams no reader claims (ImageIO's own contract) AND for corrupt
+    * payloads a reader claims but fails on (where ImageIO.read throws —
+    * e.g. a truncated file with a valid PNG magic header, a normal
+    * occurrence in a real ingest corpus). */
+  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException | _: RuntimeException => null }
+
   /** REAL codec: decodes PNG/JPEG/GIF/BMP via the JDK's `javax.imageio`
     * (zero extra dependencies); falls back to [[StubDecoder]] for byte
-    * streams the JDK cannot decode, so the seam still total-functions
-    * over arbitrary payloads. */
+    * streams the JDK cannot decode — unclaimed OR corrupt — so the seam
+    * still total-functions over arbitrary payloads. */
   object ImageIODecoder extends MediaDecoder {
     def decode(bytes: Array[Byte]): (Int, Int, Int) = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      val img = readImageOrNull(bytes)
       if (img == null) StubDecoder.decode(bytes)
       else (img.getWidth, img.getHeight, img.getRaster.getNumBands)
     }
@@ -126,8 +134,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+        val img = readImageOrNull(r.content)
         if (img == null) None
         else {
           val raster = img.getRaster
@@ -183,8 +190,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+        val img = readImageOrNull(r.content)
         if (img == null) stubResize(digest, r, w, h)
         else {
           val raster = img.getRaster

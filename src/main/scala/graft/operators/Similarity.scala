@@ -258,13 +258,14 @@ object Similarity {
     val nBands = nBits / bandBits
     // hyperplaneWeight's (j,d) stride is 128: a dim above that would
     // silently reuse weights across hyperplanes, correlating LSH bits
-    // and degrading recall with no error. One-row probe, fail loudly.
-    df.select(size(col(embCol))).take(1).foreach { r =>
-      require(r.getInt(0) <= 128, s"lshBands: embedding dim " +
-        s"${r.getInt(0)} exceeds the hyperplane-weight stride (128); " +
-        "widen hyperplaneWeight's stride before using larger embeddings")
-    }
-    val sig = prepare(df, embCol).select(col(idCol), col("q"))
+    // and degrading recall with no error. The guard runs per ROW inside
+    // the plan (no extra job at plan-build time, and mixed-dim frames
+    // can't slip one oversized row past a sampled check).
+    val sig = prepare(df, embCol).select(col(idCol),
+        expr("""CASE WHEN size(q) > 128 THEN
+          | CAST(raise_error(concat('lshBands: embedding dim ', size(q),
+          |   ' exceeds the hyperplane-weight stride (128)')) AS ARRAY<BIGINT>)
+          | ELSE q END""".stripMargin).as("q"))
       .withColumn("sig", expr(
         s"""transform(sequence(0, ${nBits - 1}), j ->
            | CASE WHEN aggregate(sequence(1, size(q)), CAST(0 AS BIGINT),
@@ -292,7 +293,9 @@ object Similarity {
 
   /** Persist a corpus's LSH band table BUCKETED on the band key — the
     * embedding-side analog of Dedup.writeBandIndex: pay the corpus
-    * shuffle once, probe it per batch with zero corpus-side exchange. */
+    * shuffle once, probe it per batch with zero corpus-side exchange.
+    * Probe with the SAME (nBits, bandBits) used here — mismatched
+    * parameters produce band keys that join but mean nothing. */
   def writeLshIndex(df: DataFrame, idCol: String, embCol: String,
       table: String, nBits: Int = 16, bandBits: Int = 4,
       nBuckets: Int = 32): Unit =
@@ -312,9 +315,12 @@ object Similarity {
     val spark = batch.sparkSession
     val corpusBands = spark.table(lshIndexTable)
     val batchBands = lshBands(batch, idCol, embCol, nBits, bandBits).cache()
+    // x.id =!= y.id: a replayed batch already present in the index must
+    // not emit cos=1 self-pairs
     val vsCorpus = batchBands.as("x").join(corpusBands.as("y"),
         col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket"))
+          col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
       .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("ida"),
         greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("idb"))
     val vsBatch = batchBands.as("x").join(batchBands.as("y"),

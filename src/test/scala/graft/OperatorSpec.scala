@@ -190,6 +190,15 @@ class OperatorSpec extends SparkTestBase {
     val stub = Multimodal.resizeStub(media, 8, 6).collect()
       .sortBy(_.doc_id).map(_.pixels.toSeq).toSeq
     assert(fb == stub)
+    // corrupt payload — valid PNG magic, truncated body, where
+    // ImageIO.read THROWS rather than returning null — must take the
+    // stub fallback, not crash the task
+    val png = Multimodal.synthesizePngs(docs.limit(1), "doc_id")
+      .collect().head.getAs[Array[Byte]]("content")
+    val corrupt = Seq((99L, png.take(20), "image/png"))
+      .toDF("doc_id", "content", "fmt")
+    val cOut = Multimodal.resizeImages(corrupt, 4, 4).collect()
+    assert(cOut.length == 1 && cOut.head.pixels.length == 16)
   }
 
   test("multimodal resize and frame-sample stubs: shapes, determinism, twin parity") {

@@ -175,6 +175,17 @@ class ScaleSpec extends SparkTestBase {
         .filter($"ida" % 5 === 0 || $"idb" % 5 === 0)
       assert(inc.exceptAll(full).count() == 0)
       assert(full.exceptAll(inc).count() == 0)
+      // replay safety: probing a batch whose ids are ALREADY in the
+      // index must not emit jac=1 self-pairs (which would make
+      // admitBatch silently drop the whole replayed batch)
+      operators.Dedup.writeBandIndex(all, "doc_id", "text",
+        "band_idx_replay", nBuckets = 8)
+      val replay = operators.Dedup.incrementalPairs(batch,
+        "band_idx_replay", all, "doc_id", "text")
+      assert(replay.filter($"ida" === $"idb").count() == 0)
+      val admitted = operators.Dedup.admitBatch(batch, replay, "doc_id")
+      assert(admitted.count() > 0,
+        "a replayed batch must not be wholly rejected by self-pairs")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
   }
 

@@ -125,7 +125,8 @@ class TableSpec extends SparkTestBase {
       .orderBy("id").select("v").as[Long].collect().toSeq
     assert(cast == Seq(2L, 0L, -1L))
     // pandas parity: an INTEGER fill also covers floating-point columns
-    // (Spark's bare na.fill(Long) would silently skip the double column)
+    // (pins Spark's na.fill(Long)-targets-all-NumericType behavior,
+    // which Table.fillna relies on)
     val intFilled = t.fillna(0, Seq("v"))
     assert(intFilled.df.filter($"v".isNull).count() == 0)
     assert(intFilled.df.orderBy("id").select("v").as[Double].collect()
