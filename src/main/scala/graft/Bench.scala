@@ -14,13 +14,15 @@ object Bench {
 
   /** Headline set: one per operator family — scan+agg, join+agg (the
     * reference Demo pipeline shape), sort/top-k, window, dedup (minhash
-    * LSH), similarity (brute knn), text stats, time bucketing, as-of. */
+    * LSH one-shot + incremental), similarity (brute knn), text stats,
+    * time bucketing, as-of. q85 times the full incremental cycle
+    * (index build + batch probe + verify). */
   val headline: Seq[String] = Seq(
     "q05_groupby_sum", "q07_join_inner", "q16_sort_topk", "q22_window",
     "q27_demo_pipeline", "q29_events_hourly", "q31_asof_join",
     "q32_text_stats", "q39_minhash_pairs", "q43_knn_brute",
     "q47_pricing_summary", "q49_local_supplier_volume",
-    "q64_window_highcard", "q67_corpus_filter")
+    "q64_window_highcard", "q67_corpus_filter", "q85_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -138,6 +138,69 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("continuous ingest admission equals sequential batch-mode admission") {
+    import graft.operators.Dedup
+    val all = sources.Tables.read(spark, sf, "documents")
+    val b1 = all.filter($"doc_id" < 250)
+    val b2 = all.filter($"doc_id" >= 250)
+
+    // two staged parquet FILES, mtimes forcing b1 before b2
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val dst = streamDir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stageFile(b1, "0001", t0)
+    stageFile(b2, "0002", t0 + 30000)
+
+    // empty initial corpus: index over zero docs, empty corpus store
+    spark.sql("DROP TABLE IF EXISTS ingest_band_idx")
+    Dedup.writeBandIndex(all.filter(lit(false)), "doc_id", "text",
+      "ingest_band_idx", nBuckets = 8)
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft-ingest-corpus").toString + "/docs"
+    val cpPath = java.nio.file.Files
+      .createTempDirectory("graft-ingest-cp").toString
+
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .select($"doc_id", $"text")
+    val q = streaming.IngestStream.start(stream, "ingest_band_idx",
+      corpusPath, cpPath, "doc_id", "text", nBuckets = 8)
+    try q.awaitTermination() finally q.stop() // AvailableNow self-ends
+
+    // sequential batch-mode reference with the ONE-SHOT operator:
+    // admit b1 against nothing, then b2 against admitted(b1)
+    def rejects(pairs: org.apache.spark.sql.DataFrame,
+        batchIds: org.apache.spark.sql.DataFrame) = {
+      val asB = pairs.select($"idb".as("doc_id"))
+      val asA = pairs.join(batchIds.select($"doc_id".as("idb")),
+        Seq("idb"), "left_anti").select($"ida".as("doc_id"))
+      asB.union(asA).distinct()
+    }
+    val adm1 = b1.select($"doc_id", $"text").join(
+      rejects(Dedup.minhashPairs(b1, "doc_id", "text"), b1),
+      Seq("doc_id"), "left_anti")
+    val all2 = adm1.unionByName(b2.select($"doc_id", $"text"))
+    val pairs2 = Dedup.minhashPairs(all2, "doc_id", "text")
+      .filter($"ida" >= 250 || $"idb" >= 250)
+    val adm2 = b2.select($"doc_id", $"text")
+      .join(rejects(pairs2, b2), Seq("doc_id"), "left_anti")
+    val expected = adm1.unionByName(adm2).select("doc_id")
+
+    val streamed = spark.read.parquet(corpusPath).select("doc_id")
+    assert(streamed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
