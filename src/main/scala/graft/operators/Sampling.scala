@@ -35,4 +35,21 @@ object Sampling {
       "keepNibbles must be in 1..16")
     df.filter(bucket(idCol) < keepNibbles)
   }
+
+  /** Deterministic STRATIFIED sample: a per-stratum keep rate (in
+    * sixteenths), defaulting to `defaultNibbles` for unlisted strata —
+    * the rebalancing move (downsample the dominant language, keep the
+    * rare ones) every corpus-curation pipeline makes. Still a single
+    * narrow filter: the stratum column routes the row to its
+    * threshold, the id hash decides — no shuffle, no state, no
+    * sampleBy seed drift across engines. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+      nibblesByStratum: Map[String, Int], defaultNibbles: Int): DataFrame = {
+    require((nibblesByStratum.values ++ Seq(defaultNibbles))
+      .forall(n => n >= 0 && n <= 16), "keep nibbles must be in 0..16")
+    val threshold = nibblesByStratum.foldLeft(lit(defaultNibbles)) {
+      case (acc, (s, n)) => when(col(stratumCol) === s, n).otherwise(acc)
+    }
+    df.filter(bucket(idCol) < threshold)
+  }
 }

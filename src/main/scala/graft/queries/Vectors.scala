@@ -135,6 +135,15 @@ object Vectors {
           Tables.read(s, d, "documents"), "doc_id", keepNibbles = 4)
         .select("doc_id", "n_chars")),
 
+    // Deterministic STRATIFIED sample: downsample the dominant language
+    // to 4/16, keep every other stratum whole — the corpus-rebalancing
+    // move, still one narrow pushdown-able filter.
+    "q89_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedHashSample(
+          Tables.read(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 4), defaultNibbles = 16)
+        .select("doc_id", "lang")),
+
     // Cross-modal join: text metadata (documents) x vectors (embeddings)
     // on doc_id = vec_id, filtered by a doc-side predicate that prunes
     // before the join, aggregated per (lang, label). The join key is
@@ -338,6 +347,12 @@ object Vectors {
       """SELECT doc_id, n_chars FROM documents
         |WHERE (strpos('0123456789abcdef',
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 4""".stripMargin,
+
+    "q89_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (strpos('0123456789abcdef',
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+        | < CASE WHEN lang = 'en' THEN 4 ELSE 16 END""".stripMargin,
 
     "q69_doc_embed_join" ->
       s"""WITH $prepCte
