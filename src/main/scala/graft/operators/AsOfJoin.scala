@@ -32,12 +32,31 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
+  /** `direction`: "backward" (latest right with rightTime <= leftTime,
+    * the default) or "forward" (earliest right with rightTime >=
+    * leftTime) — pandas merge_asof's direction parameter. The forward
+    * pass is the same one-shuffle carry pattern traversed in reverse
+    * time order (right still before left at equal timestamps, so an
+    * exactly-equal right row matches either way).
+    *
+    * `toleranceMicros`: maximum |leftTime - matched rightTime|; a
+    * nearest match farther away yields null payloads instead (pandas
+    * tolerance semantics — correct to apply post-match, since in either
+    * direction the nearest candidate is the only one that could be in
+    * tolerance). Time columns must be timestamps when a tolerance is
+    * given. */
   def leftAsOf(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String], direction: String = "backward",
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
 
-    val payload = struct(payloadCols.map(right(_)): _*)
+    // the carried struct also records the matched right TIME so a
+    // tolerance can invalidate far-away matches after the carry
+    val payload = struct(
+      payloadCols.map(right(_)) :+ right(rightTime).as("_rt"): _*)
     val r = right.select(
       right(rightKey).as("_k"), right(rightTime).as("_t"),
       payload.as("_p"), lit(0).as("_side"))
@@ -53,14 +72,27 @@ object AsOfJoin {
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select(l.columns.map(col): _*)
 
+    val timeOrd =
+      if (direction == "backward") col("_t").asc else col("_t").desc
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(timeOrd, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(rAligned)
+    val matched = l.unionByName(rAligned)
       .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(left.columns.map(col) ++
-        payloadCols.map(c => col(s"_match.$c").as(c)): _*)
+    val valid = toleranceMicros match {
+      case None => col("_match").isNotNull
+      case Some(tol) =>
+        // cast: tolerates TIMESTAMP_NTZ time columns (unix_micros only
+        // accepts TIMESTAMP; the session is pinned UTC so the cast is
+        // value-stable)
+        val (lt, rt) = (unix_micros(col("_t").cast("timestamp")),
+          unix_micros(col("_match._rt").cast("timestamp")))
+        val gap = if (direction == "backward") lt - rt else rt - lt
+        col("_match").isNotNull && gap <= tol
+    }
+    matched.select(left.columns.map(col) ++
+      payloadCols.map(c => when(valid, col(s"_match.$c")).as(c)): _*)
   }
 }

@@ -61,6 +61,25 @@ object Temporal {
           ev.select("event_id", "user_id", "ts"), "user_id", "ts",
           o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    }),
+
+    // FORWARD as-of with tolerance (pandas merge_asof direction +
+    // tolerance parity): each event attaches the user's NEXT order, but
+    // only if it lands within 7 days — a nearest match farther out
+    // yields nulls. The oracle uses DuckDB's native ASOF <= join with
+    // the tolerance applied post-match (equivalent: the nearest
+    // candidate is the only one that could be in tolerance).
+    "q90_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val o = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      AsOfJoin.leftAsOf(
+          ev.select("event_id", "user_id", "ts"), "user_id", "ts",
+          o, "o_custkey", "o_orderdate", Seq("o_orderkey", "o_orderdate"),
+          direction = "forward",
+          toleranceMicros = Some(7L * 24 * 3600 * 1000000L))
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
     })
   )
 
@@ -92,6 +111,17 @@ object Temporal {
         |  FROM orders GROUP BY o_custkey, o_orderdate)
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
         |FROM events e ASOF LEFT JOIN o
-        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q90_asof_forward" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id,
+        | CASE WHEN o.o_orderdate <= CAST(e.ts AS TIMESTAMP) + INTERVAL 7 DAY
+        |   THEN o.o_orderkey END AS o_orderkey,
+        | CASE WHEN o.o_orderdate <= CAST(e.ts AS TIMESTAMP) + INTERVAL 7 DAY
+        |   THEN o.o_orderdate END AS o_orderdate
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin
   )
 }
