@@ -38,6 +38,27 @@ object Analytics {
           (lit(100.0) * count(lit(1)).over(w))).as("rev_ma3"))
     }),
 
+    // CALENDAR-window twin of q73: RANGE frame over a month index, so
+    // the trailing mean covers the last 3 calendar months — a month
+    // with no orders shrinks the window's row count instead of being
+    // skipped (q73's ROWS frame slides over observed rows). This is
+    // the RANGE-frame spelling q73's comment points to.
+    "q91_moving_avg_cal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(sum(fixed(col("o_totalprice"), 2)).as("rev_cents"))
+      val w = Window.partitionBy("n_name")
+        .orderBy((year(col("mon")) * 12 + month(col("mon")) - 1).cast("long"))
+        .rangeBetween(-2, 0)
+      monthly.select(col("n_name"), col("mon"),
+        (col("rev_cents") / 100.0).as("rev"),
+        (sum(col("rev_cents")).over(w).cast("double") /
+          (lit(100.0) * count(lit(1)).over(w))).as("rev_ma3_cal"))
+    }),
+
     // Fuzzy string matching: blocked levenshtein pairs (classic entity
     // resolution). The blocking key is COMPOSED — noun x 8-char length
     // band — so block cardinality grows with N instead of being pinned
@@ -197,6 +218,17 @@ object Analytics {
     })
   )
 
+  /** Monthly revenue per nation — shared by q73 (ROWS frame) and q91
+    * (RANGE frame) so the two framings stay comparable. */
+  private val monthlyCte: String =
+    s"""monthly AS (
+      | SELECT n_name, DATE_TRUNC('month', o_orderdate) AS mon,
+      |   CAST(SUM(${fixedSql("o_totalprice", 2)}) AS BIGINT) AS rev_cents
+      | FROM orders
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | GROUP BY 1, 2)""".stripMargin
+
   private val discPrice4 = fixedSql("l_extendedprice * (1 - l_discount)", 4)
   private val charge4 =
     fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
@@ -243,18 +275,22 @@ object Analytics {
         |FROM agg""".stripMargin,
 
     "q73_moving_avg" ->
-      s"""WITH monthly AS (
-        | SELECT n_name, DATE_TRUNC('month', o_orderdate) AS mon,
-        |   CAST(SUM(${fixedSql("o_totalprice", 2)}) AS BIGINT) AS rev_cents
-        | FROM orders
-        | JOIN customer ON o_custkey = c_custkey
-        | JOIN nation ON c_nationkey = n_nationkey
-        | GROUP BY 1, 2)
+      s"""WITH $monthlyCte
         |SELECT n_name, mon, rev_cents / 100.0 AS rev,
         | CAST(SUM(rev_cents) OVER w AS DOUBLE) / (100.0 * COUNT(*) OVER w) AS rev_ma3
         |FROM monthly
         |WINDOW w AS (PARTITION BY n_name ORDER BY mon
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q91_moving_avg_cal" ->
+      s"""WITH $monthlyCte,
+        | m2 AS (SELECT *, CAST(EXTRACT(YEAR FROM mon) * 12 +
+        |     EXTRACT(MONTH FROM mon) - 1 AS BIGINT) AS mon_idx FROM monthly)
+        |SELECT n_name, mon, rev_cents / 100.0 AS rev,
+        | CAST(SUM(rev_cents) OVER w AS DOUBLE) / (100.0 * COUNT(*) OVER w) AS rev_ma3_cal
+        |FROM m2
+        |WINDOW w AS (PARTITION BY n_name ORDER BY mon_idx
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q47_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
