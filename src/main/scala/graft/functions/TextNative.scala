@@ -145,21 +145,63 @@ case class MinHashSigExpr(child: Expression, k: Int)
       TextNative.tokenize(input.asInstanceOf[UTF8String].toString))
     val mins = new Array[UTF8String](k)
     if (sh.nonEmpty) {
+      // Hot-loop spelling of md5(seed || ':' || shingle): the shingle
+      // bytes are encoded ONCE (not once per seed), the digest takes
+      // the prefix and shingle as two update() calls (md5(a||b) is
+      // update(a);update(b) by definition, so output is bit-identical
+      // to the spec spelling), and candidates compare as RAW digest
+      // bytes — hex is per-nibble order-preserving, so unsigned byte
+      // order == hex string order — with only the k winners converted
+      // to hex. Cuts 8·S string concats/encodings/hex renders per doc
+      // to S encodings + k renders.
+      val shBytes = new Array[Array[Byte]](sh.length)
+      var j = 0
+      while (j < sh.length) {
+        shBytes(j) = sh(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        j += 1
+      }
       var seed = 0
       while (seed < k) {
-        val prefix = seed + ":"
-        var best: String = null
+        val prefixBytes =
+          (seed + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var best: Array[Byte] = null
         var i = 0
         while (i < sh.length) {
-          val h = TextNative.md5Hex(md, prefix + sh(i))
-          if (best == null || h.compareTo(best) < 0) best = h
+          md.reset()
+          md.update(prefixBytes)
+          md.update(shBytes(i))
+          val d = md.digest()
+          if (best == null || unsignedLt(d, best)) best = d
           i += 1
         }
-        mins(seed) = UTF8String.fromString(best)
+        mins(seed) = UTF8String.fromString(toHex(best))
         seed += 1
       }
     }
     new GenericArrayData(mins)
+  }
+
+  private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def toHex(d: Array[Byte]): String = {
+    val hexDigits = "0123456789abcdef"
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
