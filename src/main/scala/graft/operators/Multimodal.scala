@@ -156,6 +156,69 @@ object Multimodal {
     }
   }
 
+  /** Synthesized audio fixture: one real 8-bit PCM mono WAV per id,
+    * length and samples pure functions of the id so a SQL oracle can
+    * replay them: n_samples = 256 + id % 256, sample(i) =
+    * (id*17 + i*5) % 256 (8-bit PCM stores exactly these unsigned
+    * bytes). WAV is lossless, so a correct decode recovers them
+    * exactly — the audio twin of [[synthesizePngs]]. */
+  def synthesizeWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      ids.map { id =>
+        val n = 256 + (id % 256).toInt
+        val samples = Array.tabulate[Byte](n)(i =>
+          ((id * 17 + i.toLong * 5) % 256).toByte)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(samples), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        (id, baos.toByteArray, "audio/wav")
+      }
+    }.toDF("doc_id", "content", "fmt")
+  }
+
+  /** Decoded audio metadata + exact sample checksum — the quantity an
+    * arithmetic oracle can verify (the audio analog of
+    * [[ImageFeatures]]). */
+  case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Int,
+      bits: Int, channels: Int, sample_sum: Long)
+
+  /** REAL audio decode via `javax.sound.sampled` (zero extra
+    * dependencies): parse the WAV container, stream the PCM frames,
+    * checksum the unsigned 8-bit samples. mapPartitions so stream
+    * plumbing amortizes; undecodable payloads are dropped (the
+    * dead-letter path of a real pipeline). */
+  def decodeAudio(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => null
+          }
+        if (in == null) None
+        else try {
+          val fmt = in.getFormat
+          val frames = in.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i < frames.length) { sum += frames(i) & 0xff; i += 1 }
+          Some(AudioFeatures(r.doc_id, in.getFrameLength,
+            fmt.getSampleRate.toInt, fmt.getSampleSizeInBits,
+            fmt.getChannels, sum))
+        } finally in.close()
+      }
+    }
+  }
+
   /** Real plumbing path: partition-wise decode via the codec seam. */
   def decodePartitions(media: DataFrame, decoder: MediaDecoder)
       : Dataset[MediaFeatures] = {

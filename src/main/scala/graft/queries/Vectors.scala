@@ -52,6 +52,16 @@ object Vectors {
         Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
         .toDF),
 
+    // REAL audio decode: synthesize one 8-bit PCM WAV per doc (length +
+    // samples pure functions of doc_id), decode with javax.sound.sampled
+    // and checksum the recovered samples — the audio twin of q61's
+    // lossless-decode proof. A hash match proves real container parsing
+    // + PCM recovery, not a stub.
+    "q92_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudio(
+        Multimodal.synthesizeWavs(Tables.read(s, d, "documents"), "doc_id"))
+        .toDF),
+
     // REAL image resize: synthesize PNGs (as q61), decode, and resample
     // 16x16 by nearest-neighbor with floor index arithmetic; checksum
     // the OUTPUT pixels. The oracle replays srcX = X*w_in DIV 16 /
@@ -372,6 +382,18 @@ object Vectors {
         |   [(doc_id*31 + (i % width)*7 + (i // width)) % 256
         |    FOR i IN range(0, CAST(width AS BIGINT) * height)],
         |   'sum') AS BIGINT) AS px_sum
+        |FROM d""".stripMargin,
+
+    // Replays the synthesized PCM: sample(i) = (id*17 + 5i) % 256 over
+    // 256 + id%256 samples, 8 kHz / 8-bit / mono.
+    "q92_audio_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(256 + doc_id % 256 AS BIGINT) AS n_samples FROM documents)
+        |SELECT doc_id, n_samples, CAST(8000 AS INT) AS sample_rate,
+        | CAST(8 AS INT) AS bits, CAST(1 AS INT) AS channels,
+        | CAST(list_aggregate(
+        |   [(doc_id*17 + i*5) % 256 FOR i IN range(0, n_samples)],
+        |   'sum') AS BIGINT) AS sample_sum
         |FROM d""".stripMargin,
 
     // Replays q84's nearest-neighbor rescale: output pixel (X,Y) reads

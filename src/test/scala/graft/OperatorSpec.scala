@@ -303,6 +303,25 @@ class OperatorSpec extends SparkTestBase {
       "banding must not lose any pair within the Hamming bound")
   }
 
+  test("audio decode recovers synthesized WAV samples; non-audio is dropped") {
+    val ids = spark.range(30).toDF("doc_id")
+    val decoded = Multimodal.decodeAudio(Multimodal.synthesizeWavs(ids, "doc_id"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(decoded.size == 30)
+    for (id <- 0L until 30L) {
+      val f = decoded(id)
+      val n = 256 + (id % 256).toInt
+      assert(f.n_samples == n && f.sample_rate == 8000 &&
+        f.bits == 8 && f.channels == 1)
+      val expectSum = (0 until n).map(i => (id * 17 + i * 5) % 256).sum
+      assert(f.sample_sum == expectSum, s"sample checksum for doc $id")
+    }
+    // non-audio bytes take the dead-letter path (dropped), not a crash
+    val junk = Multimodal.asMedia(
+      sources.Tables.read(spark, sf, "documents").limit(5), "doc_id", "text")
+    assert(Multimodal.decodeAudio(junk).count() == 0)
+  }
+
   test("ImageIO decode recovers synthesized PNG dims and exact pixels") {
     val ids = spark.range(40).toDF("doc_id")
     val decoded = Multimodal.decodeImages(Multimodal.synthesizePngs(ids, "doc_id"))
