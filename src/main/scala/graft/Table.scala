@@ -196,6 +196,14 @@ final case class Table(df: DataFrame) {
   def rename(mapping: (String, String)*): Table =
     Table(df.withColumnsRenamed(mapping.toMap))
 
+  /** pandas df.explode(column): one row per array element, other
+    * columns repeated; empty/null arrays keep their row with a null
+    * element (pandas semantics — Spark's bare explode() would drop
+    * them). */
+  def explodeCol(column: String): Table =
+    Table(df.withColumn(column,
+      org.apache.spark.sql.functions.explode_outer(df(column))))
+
   /** pandas astype — cast one column in place. NOTE double→integral
     * truncates toward zero (Spark cast); an oracle must spell
     * CAST(TRUNC(x)) in DuckDB, which rounds on a bare cast. */

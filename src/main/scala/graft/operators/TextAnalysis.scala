@@ -47,6 +47,30 @@ object TextAnalysis {
         (col("n_toks") >= 20 && col("n_toks") <= 1000).cast("int").as("len_ok"))
   }
 
+  /** Gopher-style repetition scoring: the fraction of the document's
+    * word bigrams taken by its single most frequent bigram (boilerplate
+    * and template spam repeat themselves; clean prose doesn't). One
+    * explode + one two-level hash-agg — the shuffle key is (doc, gram)
+    * then doc, so parallelism grows with the corpus. The ratio is one
+    * exact-integer division → deterministic double both engines. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withTokens(df, textCol)
+      .select(col(idCol), posexplode_outer(expr(
+        "CASE WHEN size(toks) >= 2 THEN " +
+        " transform(sequence(0, size(toks) - 2)," +
+        "  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))" +
+        "ELSE array() END")).as(Seq("_p", "gram")))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        // gram null (empty/1-token doc) → count that row as 0 grams
+        sum(when(col("gram").isNotNull, col("c")).otherwise(0L)).as("n_grams"),
+        max(when(col("gram").isNotNull, col("c")).otherwise(0L)).as("max_gram"))
+      .select(col(idCol), col("n_grams"), col("max_gram"),
+        rnd(col("max_gram") / greatest(col("n_grams"), lit(1)), 4)
+          .as("rep_ratio"))
+
   /** Stopword-list language ID with deterministic tie-break (first
     * language in TextExpr.langWords order wins). */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {

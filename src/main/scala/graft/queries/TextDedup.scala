@@ -46,6 +46,11 @@ object TextDedup {
     "q40_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
 
+    // Gopher-style repetition score: top-bigram share of each doc's
+    // word bigrams — the boilerplate/template-spam filter.
+    "q93_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(docs(s, d), "doc_id", "text")),
+
     "q60_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(
         Dedup.minhashPairs(docs(s, d), "doc_id", "text",
@@ -229,6 +234,21 @@ object TextDedup {
     "q36_fingerprint" ->
       s"""WITH $toksCte
         |SELECT doc_id, ${fingerprintDuck("t")} AS fp FROM toks""".stripMargin,
+
+    "q93_repetition" ->
+      s"""WITH $toksCte,
+        | g AS (SELECT doc_id, CASE WHEN len(t) >= 2
+        |    THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+        |    ELSE [] END AS grams FROM toks),
+        | f AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        | cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        | agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |    CAST(MAX(c) AS BIGINT) AS max_gram FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(a.n_grams, 0) AS n_grams,
+        | COALESCE(a.max_gram, 0) AS max_gram,
+        | ${rndSql("COALESCE(a.max_gram, 0) / GREATEST(COALESCE(a.n_grams, 0), 1)", 4)} AS rep_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q71_vocab_topk" ->
       s"""WITH $toksCte,

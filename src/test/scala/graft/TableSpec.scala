@@ -132,6 +132,11 @@ class TableSpec extends SparkTestBase {
     assert(intFilled.df.orderBy("id").select("v").as[Double].collect()
       .toSeq == Seq(2.7, 0.0, -1.9))
     assert(t.rename("g" -> "grp").df.columns.contains("grp"))
+    // explode keeps empty-array rows with a null element (pandas parity)
+    val ex = Table(Seq((1, Seq("a", "b")), (2, Seq.empty[String]))
+      .toDF("id", "xs")).explodeCol("xs")
+    assert(ex.df.count() == 3 &&
+      ex.df.filter($"id" === 2 && $"xs".isNull).count() == 1)
     assert(t.head(2).count() == 2)
     val vc = t.valueCounts("g").df.as[(String, Long)].collect().toSeq
     assert(vc == Seq(("x", 2L), ("y", 1L)))
