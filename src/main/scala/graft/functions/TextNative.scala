@@ -45,9 +45,10 @@ object TextNative {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  def md5Hex(md: MessageDigest, s: String): String = {
-    md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** 16-byte digest → 32-char lowercase hex. The single renderer every
+    * md5 spelling in this file goes through — two copies would let the
+    * signatures drift. */
+  def toHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -56,6 +57,11 @@ object TextNative {
       i += 1
     }
     new String(out)
+  }
+
+  def md5Hex(md: MessageDigest, s: String): String = {
+    md.reset()
+    toHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -174,7 +180,7 @@ case class MinHashSigExpr(child: Expression, k: Int)
           if (best == null || unsignedLt(d, best)) best = d
           i += 1
         }
-        mins(seed) = UTF8String.fromString(toHex(best))
+        mins(seed) = UTF8String.fromString(TextNative.toHex(best))
         seed += 1
       }
     }
@@ -190,18 +196,6 @@ case class MinHashSigExpr(child: Expression, k: Int)
       i += 1
     }
     false
-  }
-
-  private def toHex(d: Array[Byte]): String = {
-    val hexDigits = "0123456789abcdef"
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexDigits(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

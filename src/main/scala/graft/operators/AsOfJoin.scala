@@ -67,9 +67,13 @@ object AsOfJoin {
       left(leftTime).as("_t") :+ lit(null).cast(payloadType).as("_p") :+
       lit(1).as("_side"): _*)
 
-    // align schemas: right side gets nulls for the left's columns
+    // align schemas: right side gets nulls for the left's columns.
+    // Null-TIME right rows are dropped — they sort to a frame edge and
+    // would otherwise be carried as matches, where pandas/SQL semantics
+    // give them to no one.
     val rAligned = left.columns.foldLeft(r)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .filter(col("_t").isNotNull)
       .select(l.columns.map(col): _*)
 
     val timeOrd =
@@ -81,8 +85,12 @@ object AsOfJoin {
     val matched = l.unionByName(rAligned)
       .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+    // a null-TIME left row matches nothing (it sorts to a frame edge —
+    // under desc ordering its frame would span every right row);
+    // pandas merge_asof yields no match for NaT
+    val timeKnown = col("_t").isNotNull
     val valid = toleranceMicros match {
-      case None => col("_match").isNotNull
+      case None => timeKnown && col("_match").isNotNull
       case Some(tol) =>
         // cast: tolerates TIMESTAMP_NTZ time columns (unix_micros only
         // accepts TIMESTAMP; the session is pinned UTC so the cast is
@@ -90,7 +98,7 @@ object AsOfJoin {
         val (lt, rt) = (unix_micros(col("_t").cast("timestamp")),
           unix_micros(col("_match._rt").cast("timestamp")))
         val gap = if (direction == "backward") lt - rt else rt - lt
-        col("_match").isNotNull && gap <= tol
+        timeKnown && col("_match").isNotNull && gap <= tol
     }
     matched.select(left.columns.map(col) ++
       payloadCols.map(c => when(valid, col(s"_match.$c")).as(c)): _*)

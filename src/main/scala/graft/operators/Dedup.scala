@@ -159,13 +159,22 @@ object Dedup {
     * `verifySource` (must cover corpus + batch ids). Result = exactly
     * [[minhashPairs]] over (corpus ∪ batch) restricted to pairs with
     * at least one batch member. */
+  /** `reuseBands`: pass a caller-materialized [[bandTable]] of the
+    * batch to control its storage lifecycle (unpersist after the
+    * result is consumed) and share it with other per-batch work — the
+    * default computes and cache()s one internally, which outlives the
+    * call like [[minhashPairs]]'s signature cache (documented
+    * caller-reclaim contract); a long-lived loop calling this per
+    * batch MUST pass its own. */
   def incrementalPairs(batch: DataFrame, bandIndexTable: String,
       verifySource: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+      k: Int = 8, rows: Int = 2, threshold: Double = 0.5,
+      reuseBands: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     val corpusBands = spark.table(bandIndexTable)
     // batch bands: computed once, tiny relative to the corpus
-    val batchBands = bandTable(batch, idCol, textCol, k, rows).cache()
+    val batchBands = reuseBands.getOrElse(
+      bandTable(batch, idCol, textCol, k, rows).cache())
     // x.id =!= y.id: a replayed batch whose ids were already indexed
     // must not emit self-pairs (jac=1 rows that would make admitBatch
     // silently drop the whole replay)

@@ -197,24 +197,27 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val in =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        // one try around header parse AND frame read: a corrupt body
+        // behind a valid RIFF header throws from readAllBytes, and
+        // malformed headers can throw unchecked — both are dead-letter
+        // drops, not task failures (same contract as readImageOrNull)
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.content))
-          catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException |
-                 _: java.io.IOException => null
-          }
-        if (in == null) None
-        else try {
-          val fmt = in.getFormat
-          val frames = in.readAllBytes()
-          var sum = 0L
-          var i = 0
-          while (i < frames.length) { sum += frames(i) & 0xff; i += 1 }
-          Some(AudioFeatures(r.doc_id, in.getFrameLength,
-            fmt.getSampleRate.toInt, fmt.getSampleSizeInBits,
-            fmt.getChannels, sum))
-        } finally in.close()
+          try {
+            val fmt = in.getFormat
+            val frames = in.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i < frames.length) { sum += frames(i) & 0xff; i += 1 }
+            Some(AudioFeatures(r.doc_id, in.getFrameLength,
+              fmt.getSampleRate.toInt, fmt.getSampleSizeInBits,
+              fmt.getChannels, sum))
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException | _: RuntimeException => None
+        }
       }
     }
   }

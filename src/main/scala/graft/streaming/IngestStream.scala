@@ -15,10 +15,20 @@ import graft.operators.Dedup
   * the band index — so later batches dedup against everything admitted
   * before them, exactly like a daily batch pipeline but per
   * micro-batch. foreachBatch is the right seam: the admission decision
-  * is a batch computation (joins + anti-joins), and Spark hands each
-  * micro-batch to it exactly-once per epoch.
+  * is a batch computation (joins + anti-joins).
   *
-  * Scale shape per micro-batch: the batch's bands equi-join the
+  * Delivery: foreachBatch is AT-LEAST-ONCE (a crash between sink
+  * commit and offset commit replays the batch), so the sinks are laid
+  * out for replay: admitted docs land under a per-batch partition
+  * written with overwrite — a replay rewrites the same partition
+  * instead of duplicating rows — and the band-index append tolerates
+  * replay duplicates because candidate generation dedups pairs
+  * (duplicate bands cost re-probe work, never correctness; fold them
+  * out by rebuilding the index with Dedup.writeBandIndex over the
+  * corpus store during maintenance).
+  *
+  * Scale shape per micro-batch: the batch's bands are computed ONCE
+  * (shared between the probe and the index append), equi-join the
   * bucketed index (only the batch moves — zero corpus-side exchange),
   * verification reads texts only for candidate ids, and the index
   * append is a batch-sized bucketed write. Corpus size affects only
@@ -39,35 +49,45 @@ object IngestStream {
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.select(col(idCol), col(textCol)).cache()
+        // bands computed ONCE per batch, caller-managed storage: the
+        // probe and the index append both read them, and the persist
+        // is released before the next batch (no per-batch cache leak)
+        val bands = Dedup.bandTable(b, idCol, textCol, k, rows).persist()
         try {
           val corpus = corpusDocs(spark, corpusPath, idCol, textCol)
           val pairs = Dedup.incrementalPairs(b, bandTable,
-            corpus.unionByName(b), idCol, textCol, k, rows, threshold)
+            corpus.unionByName(b), idCol, textCol, k, rows, threshold,
+            reuseBands = Some(bands))
           val admitted = Dedup.admitBatch(b, pairs, idCol).cache()
-          admitted.write.mode("append").parquet(corpusPath)
-          // grow the index with the admitted docs' bands so the NEXT
-          // micro-batch dedups against them; nBuckets MUST match the
-          // writeBandIndex build so appended files keep the
+          // per-batch partition + overwrite = replay-idempotent store
+          admitted.write.mode("overwrite")
+            .parquet(s"$corpusPath/batch=$batchId")
+          // grow the index with the ADMITTED docs' bands (semi-join on
+          // the already-computed batch bands — no second minhash pass)
+          // so the NEXT micro-batch dedups against them; nBuckets MUST
+          // match the writeBandIndex build so appended files keep the
           // bucket-pruned probe path
-          Dedup.bandTable(admitted, idCol, textCol, k, rows)
+          bands.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
             .write.mode("append")
             .bucketBy(nBuckets, "bi", "bv").sortBy("bi", "bv")
             .format("parquet").saveAsTable(bandTable)
           admitted.unpersist()
           ()
-        } finally b.unpersist()
+        } finally { bands.unpersist(); b.unpersist() }
       }
       .start()
 
-  /** Admitted-corpus reader: empty-but-typed before the first batch. */
+  /** Admitted-corpus reader over the per-batch partition layout
+    * (`batch=<id>/` subdirs); empty-but-typed before the first batch. */
   private def corpusDocs(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, textCol: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
       spark.read.parquet(path).select(col(idCol), col(textCol))
     else
       spark.emptyDataFrame
