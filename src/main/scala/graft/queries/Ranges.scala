@@ -48,7 +48,27 @@ object Ranges {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          count(lit(1)).as("cnt")))
+          count(lit(1)).as("cnt"))),
+
+    // INCREMENTAL distinct counting: per-batch HLL sketches PERSISTED
+    // (the analytics twin of q85's persisted band index — each ingest
+    // batch adds one sketch row instead of forcing a full recount),
+    // then merged with hll_union_agg at query time. Sketch union is
+    // exact over the sketch lattice, so the merged estimate equals a
+    // one-shot sketch over the union — OperatorSpec asserts that
+    // equality; no DuckDB oracle (sketch binaries are engine-specific,
+    // q54's contract).
+    "q94_incr_distinct" -> ((s, d) => {
+      val perBatch = t(s, d, "events")
+        .withColumn("b", pmod(col("event_id"), lit(4)))
+        .groupBy("b", "event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      graft.sources.Tables.writeTable(perBatch, "graft_hll_batches")
+      s.table("graft_hll_batches")
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_users"))
+    })
   )
 
   val oracles: Map[String, String] = Map(

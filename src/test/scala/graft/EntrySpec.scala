@@ -12,7 +12,8 @@ class EntrySpec extends SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("q54_approx_distinct", "q83_approx_quantiles"),
+    assert(rowsOnly == Set("q54_approx_distinct", "q83_approx_quantiles",
+      "q94_incr_distinct"),
       s"unexpected oracle-less queries: $rowsOnly")
   }
   test("every query runs on sf0.001") {

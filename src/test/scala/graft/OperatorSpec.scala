@@ -134,6 +134,25 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("merged per-batch HLL sketches equal the one-shot sketch estimate") {
+    // sketch union is exact over the sketch lattice: union of
+    // per-batch sketches IS the sketch of the union, so the persisted
+    // incremental path must reproduce the one-shot estimate exactly
+    val merged = SparkEntry.queries("q94_incr_distinct")(spark, sf)
+    val oneShot = sources.Tables.read(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id"))
+        .as("approx_users"))
+    assert(merged.exceptAll(oneShot).count() == 0)
+    assert(oneShot.exceptAll(merged).count() == 0)
+    // and the estimate is actually close to the exact distinct count
+    val exact = sources.Tables.read(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct($"user_id").as("n"))
+    val joined = merged.join(exact, "event_type")
+    assert(joined.filter(
+      abs($"approx_users" - $"n") / $"n" > 0.05).count() == 0)
+  }
+
   test("approx quantiles track the exact percentiles within sketch tolerance") {
     // q83 (bounded-memory sketch) vs q59 (exact, buffers the group):
     // every approximate quantile must land within 1% relative error of
