@@ -46,4 +46,29 @@ object RangeJoin {
       .filter(col(lTime) >= col(rStart) && col(lTime) < col(rEnd))
       .drop("_b")
   }
+
+  /** Interval-OVERLAP join: BOTH sides are [start, end) intervals and a
+    * pair matches when they intersect (a.start < b.end AND b.start <
+    * a.end). Same bucketization as [[bucketed]], but an overlapping
+    * pair shares EVERY bucket in its intersection, so the match is kept
+    * only in the canonical bucket max(bucket(aStart), bucket(bStart)) —
+    * exactly one per pair, no dedup shuffle. Column names must be
+    * disjoint across the two inputs (rename before calling). Work is
+    * O(Σ span/g + output) with one ordinary hash shuffle. */
+  def overlapBucketed(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      granularitySecs: Long): DataFrame = {
+    val g = lit(granularitySecs)
+    def bucketOf(c: Column): Column =
+      floor(unix_timestamp(c) / g).cast("long")
+    val av = a.withColumn("_b", explode(sequence(
+      bucketOf(a(aStart)), bucketOf(a(aEnd)))))
+    val bv = b.withColumn("_b", explode(sequence(
+      bucketOf(b(bStart)), bucketOf(b(bEnd)))))
+    av.join(bv, Seq("_b"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("_b") ===
+        greatest(bucketOf(col(aStart)), bucketOf(col(bStart))))
+      .drop("_b")
+  }
 }

@@ -41,6 +41,24 @@ object Ranges {
         .select(col("wid"), col("event_id"))
     }),
 
+    // Interval-OVERLAP join (both sides intervals): pairs of signup
+    // windows that intersect — scheduling/attribution conflicts, the
+    // third member of the range-join family (q52 keyed point-in-
+    // interval, q53 unkeyed point-in-interval). Canonical-bucket
+    // assignment keeps exactly one match per pair with no dedup pass;
+    // the oracle is the direct theta join.
+    "q95_interval_overlap" -> ((s, d) => {
+      val w = t(s, d, "events")
+        .filter(col("event_type") === "signup")
+      val a = w.select(col("event_id").as("ida"), col("ts").as("as_"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("ae"))
+      val b = w.select(col("event_id").as("idb"), col("ts").as("bs"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("be"))
+      RangeJoin.overlapBucketed(a, "as_", "ae", b, "bs", "be", 3600L)
+        .filter(col("ida") < col("idb"))
+        .select("ida", "idb")
+    }),
+
     // HLL++ approximate distinct (reference's count_distinct is exact
     // only; this is the at-scale variant). No oracle: sketches are
     // engine-specific.
@@ -72,6 +90,14 @@ object Ranges {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_interval_overlap" ->
+      """WITH base AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | w AS (SELECT event_id AS wid, ts AS ws,
+        |   ts + INTERVAL 1 HOUR AS we FROM base WHERE event_type = 'signup')
+        |SELECT x.wid AS ida, y.wid AS idb
+        |FROM w x JOIN w y
+        | ON x.wid < y.wid AND x.ws < y.we AND y.ws < x.we""".stripMargin,
+
     "q52_interval_keyed" ->
       """WITH base AS (SELECT event_id, event_type, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         | w AS (SELECT user_id AS w_user, event_id AS wid, ts AS ws,

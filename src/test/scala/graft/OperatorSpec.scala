@@ -134,6 +134,23 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("bucketed interval-overlap join equals the naive theta join, once per pair") {
+    val w = sources.Tables.read(spark, sf, "events")
+      .filter($"event_type" === "signup").limit(300)
+    val a = w.select($"event_id".as("ida"), $"ts".as("as_"),
+      ($"ts" + expr("INTERVAL 1 HOUR")).as("ae"))
+    val b = w.select($"event_id".as("idb"), $"ts".as("bs"),
+      ($"ts" + expr("INTERVAL 1 HOUR")).as("be"))
+    val bucketed = RangeJoin.overlapBucketed(a, "as_", "ae", b, "bs", "be", 3600L)
+      .select("ida", "idb")
+    val naive = a.join(b, $"as_" < $"be" && $"bs" < $"ae")
+      .select("ida", "idb")
+    // exact same multiset: equality AND no duplicate pair from the
+    // multi-bucket meetings (canonical-bucket assignment)
+    assert(bucketed.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(bucketed).count() == 0)
+  }
+
   test("merged per-batch HLL sketches equal the one-shot sketch estimate") {
     // sketch union is exact over the sketch lattice: union of
     // per-batch sketches IS the sketch of the union, so the persisted
