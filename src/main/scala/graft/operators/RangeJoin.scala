@@ -32,12 +32,15 @@ object RangeJoin {
       left(lKey) === right(rKey) &&
         left(lTime) >= right(rStart) && left(lTime) < right(rEnd))
 
+  /** Time bucket id — the ONE bucketization both strategies share
+    * (divergence here would silently split the join semantics). */
+  private def bucketOf(c: Column, granularitySecs: Long): Column =
+    floor(unix_timestamp(c) / lit(granularitySecs)).cast("long")
+
   def bucketed(left: DataFrame, lTime: String,
       right: DataFrame, rStart: String, rEnd: String,
       granularitySecs: Long): DataFrame = {
-    val g = lit(granularitySecs)
-    def bucketOf(c: Column): Column =
-      floor(unix_timestamp(c) / g).cast("long")
+    def bucketOf(c: Column): Column = RangeJoin.bucketOf(c, granularitySecs)
     val pts = left.withColumn("_b", bucketOf(left(lTime)))
     val iv = right
       .withColumn("_b", explode(sequence(
@@ -58,9 +61,7 @@ object RangeJoin {
   def overlapBucketed(a: DataFrame, aStart: String, aEnd: String,
       b: DataFrame, bStart: String, bEnd: String,
       granularitySecs: Long): DataFrame = {
-    val g = lit(granularitySecs)
-    def bucketOf(c: Column): Column =
-      floor(unix_timestamp(c) / g).cast("long")
+    def bucketOf(c: Column): Column = RangeJoin.bucketOf(c, granularitySecs)
     val av = a.withColumn("_b", explode(sequence(
       bucketOf(a(aStart)), bucketOf(a(aEnd)))))
     val bv = b.withColumn("_b", explode(sequence(

@@ -69,19 +69,28 @@ object Ranges {
           count(lit(1)).as("cnt"))),
 
     // INCREMENTAL distinct counting: per-batch HLL sketches PERSISTED
-    // (the analytics twin of q85's persisted band index — each ingest
-    // batch adds one sketch row instead of forcing a full recount),
-    // then merged with hll_union_agg at query time. Sketch union is
+    // (the analytics twin of q85's persisted band index), exercised as
+    // it would run in production — a sketch table built from history
+    // (batches 0-2), then ONE new batch APPENDING only its own sketch
+    // rows (scanning just that batch, no recount of history), then
+    // hll_union_agg merging everything at query time. Sketch union is
     // exact over the sketch lattice, so the merged estimate equals a
     // one-shot sketch over the union — OperatorSpec asserts that
     // equality; no DuckDB oracle (sketch binaries are engine-specific,
     // q54's contract).
     "q94_incr_distinct" -> ((s, d) => {
-      val perBatch = t(s, d, "events")
+      val ev = t(s, d, "events")
         .withColumn("b", pmod(col("event_id"), lit(4)))
+      def sketchOf(batches: org.apache.spark.sql.DataFrame) = batches
         .groupBy("b", "event_type")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      graft.sources.Tables.writeTable(perBatch, "graft_hll_batches")
+      graft.sources.Tables.writeTable(
+        sketchOf(ev.filter(col("b") < 3)), "graft_hll_batches")
+      // the incremental step: the new batch's sketches append — only
+      // this batch is scanned, history stays untouched
+      sketchOf(ev.filter(col("b") === 3))
+        .write.mode("append").format("parquet")
+        .saveAsTable("graft_hll_batches")
       s.table("graft_hll_batches")
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
