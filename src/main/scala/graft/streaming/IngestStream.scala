@@ -50,35 +50,59 @@ object IngestStream {
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.select(col(idCol), col(textCol)).cache()
-        // bands computed ONCE per batch, caller-managed storage: the
-        // probe and the index append both read them, and the persist
-        // is released before the next batch (no per-batch cache leak)
-        val bands = Dedup.bandTable(b, idCol, textCol, k, rows).persist()
-        try {
-          val corpus = corpusDocs(spark, corpusPath, idCol, textCol)
-          val pairs = Dedup.incrementalPairs(b, bandTable,
-            corpus.unionByName(b), idCol, textCol, k, rows, threshold,
-            reuseBands = Some(bands))
-          val admitted = Dedup.admitBatch(b, pairs, idCol).cache()
-          // per-batch partition + overwrite = replay-idempotent store
-          admitted.write.mode("overwrite")
-            .parquet(s"$corpusPath/batch=$batchId")
-          // grow the index with the ADMITTED docs' bands (semi-join on
-          // the already-computed batch bands — no second minhash pass)
-          // so the NEXT micro-batch dedups against them; nBuckets MUST
-          // match the writeBandIndex build so appended files keep the
-          // bucket-pruned probe path
-          bands.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
-            .write.mode("append")
-            .bucketBy(nBuckets, "bi", "bv").sortBy("bi", "bv")
-            .format("parquet").saveAsTable(bandTable)
-          admitted.unpersist()
-          ()
-        } finally { bands.unpersist(); b.unpersist() }
+        processBatch(batch, batchId, bandTable, corpusPath, idCol,
+          textCol, k, rows, threshold, nBuckets)
       }
       .start()
+
+  /** One micro-batch of admission — package-visible so the replay
+    * contract (processing the same batchId twice leaves the corpus
+    * store unchanged) is pinned by a spec, not just claimed. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      bandTable: String, corpusPath: String, idCol: String,
+      textCol: String, k: Int, rows: Int, threshold: Double,
+      nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol), col(textCol)).cache()
+    // bands computed ONCE per batch, caller-managed storage: the
+    // probe and the index append both read them, and the persist
+    // is released before the next batch (no per-batch cache leak)
+    val bands = Dedup.bandTable(b, idCol, textCol, k, rows).persist()
+    try {
+      val corpus = corpusDocs(spark, corpusPath, idCol, textCol)
+      val pairs = Dedup.incrementalPairs(b, bandTable,
+        corpus.unionByName(b), idCol, textCol, k, rows, threshold,
+        reuseBands = Some(bands))
+      val admitted = Dedup.admitBatch(b, pairs, idCol).cache()
+      // per-batch partition + overwrite = replay-idempotent store
+      admitted.write.mode("overwrite")
+        .parquet(s"$corpusPath/batch=$batchId")
+      // grow the index with the ADMITTED docs' bands (semi-join on
+      // the already-computed batch bands — no second minhash pass)
+      // so the NEXT micro-batch dedups against them; nBuckets MUST
+      // match the writeBandIndex build so appended files keep the
+      // bucket-pruned probe path
+      bands.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+        .write.mode("append")
+        .bucketBy(nBuckets, "bi", "bv").sortBy("bi", "bv")
+        .format("parquet").saveAsTable(bandTable)
+      admitted.unpersist()
+      ()
+    } finally { bands.unpersist(); b.unpersist() }
+  }
+
+  /** Maintenance compaction: rebuild the band index in one shot from
+    * the corpus store, folding out replay-duplicate bands and the many
+    * small per-batch appended files. Run it offline at whatever cadence
+    * the duplicate/appended-file overhead warrants — probes stay
+    * correct without it (candidate generation dedups pairs). */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, bandTable: String, idCol: String,
+      textCol: String, k: Int = 8, rows: Int = 2,
+      nBuckets: Int = 32): Unit =
+    Dedup.writeBandIndex(
+      corpusDocs(spark, corpusPath, idCol, textCol),
+      idCol, textCol, bandTable, k, rows, nBuckets)
 
   /** Admitted-corpus reader over the per-batch partition layout
     * (`batch=<id>/` subdirs); empty-but-typed before the first batch. */

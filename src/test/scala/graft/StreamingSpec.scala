@@ -201,6 +201,47 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("ingest batch replay is idempotent; compaction folds duplicate bands") {
+    import graft.operators.Dedup
+    val all = sources.Tables.read(spark, sf, "documents")
+    val b1 = all.filter($"doc_id" < 250).select($"doc_id", $"text")
+    val b2 = all.filter($"doc_id" >= 250).select($"doc_id", $"text")
+    spark.sql("DROP TABLE IF EXISTS ingest_replay_idx")
+    Dedup.writeBandIndex(all.filter(lit(false)), "doc_id", "text",
+      "ingest_replay_idx", nBuckets = 8)
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft-replay-corpus").toString + "/docs"
+
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      streaming.IngestStream.processBatch(df, id, "ingest_replay_idx",
+        corpusPath, "doc_id", "text", 8, 2, 0.5, 8)
+
+    run(b1, 0L)
+    val c1 = spark.read.parquet(corpusPath).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    run(b1, 0L) // at-least-once replay of the SAME batch id
+    val c2 = spark.read.parquet(corpusPath).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(c1 == c2, "replay must rewrite, not duplicate, the corpus store")
+
+    // a later batch still admits against the (band-duplicated) index,
+    // and the store never accumulates duplicate doc ids
+    run(b2, 1L)
+    val fin = spark.read.parquet(corpusPath).select("doc_id")
+    assert(fin.count() == fin.distinct().count())
+    assert(fin.count() > c1.size)
+
+    // compaction rebuilds the index to exactly the corpus docs' bands
+    streaming.IngestStream.compactBandIndex(spark, corpusPath,
+      "ingest_replay_idx", "doc_id", "text", nBuckets = 8)
+    val compacted = spark.table("ingest_replay_idx")
+    val expected = Dedup.bandTable(
+      spark.read.parquet(corpusPath).select($"doc_id", $"text"),
+      "doc_id", "text")
+    assert(compacted.count() == expected.count())
+    assert(compacted.exceptAll(expected).count() == 0)
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
