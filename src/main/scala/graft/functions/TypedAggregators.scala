@@ -55,4 +55,20 @@ object TypedAggregators {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /** Exact-integer [[TopK]]: the oracle-gated variant (q96) — Long
+    * values cross engines bit-exactly where Double top-k would hinge
+    * on float totals. */
+  class TopKLong(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    override def zero: List[Long] = Nil
+    override def reduce(buf: List[Long], x: Long): List[Long] =
+      (x :: buf).sorted(Ordering[Long].reverse).take(k)
+    override def merge(a: List[Long], b: List[Long]): List[Long] =
+      (a ++ b).sorted(Ordering[Long].reverse).take(k)
+    override def finish(r: List[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

@@ -87,6 +87,27 @@ object Analytics {
         .select(col("x.id").as("ida"), col("y.id").as("idb"), col("lev"))
     }),
 
+    // Typed Aggregator surface, ORACLE-GATED (the custom-UDAF family
+    // was spec-only before): TopKLong keeps only the k largest values
+    // per group in its buffer (bounded state, the aggregation-side
+    // TakeOrderedAndProject), running partial→final like any built-in
+    // agg through the typed groupByKey API. Exact cent values so both
+    // engines rank identical integers.
+    "q96_typed_topk" -> ((s, d) => {
+      import s.implicits._
+      val cents = t(s, d, "lineitem")
+        .select(col("l_returnflag"), fixed(col("l_extendedprice"), 2).as("cents"))
+        .as[(String, Long)]
+      val top3 = new graft.functions.TypedAggregators.TopKLong(3)
+      cents.groupByKey(_._1).mapValues(_._2)
+        .agg(top3.toColumn.name("tops"))
+        .toDF("l_returnflag", "tops")
+        .select(col("l_returnflag"),
+          element_at(col("tops"), 1).as("top1"),
+          element_at(col("tops"), 2).as("top2"),
+          element_at(col("tops"), 3).as("top3"))
+    }),
+
     // Grouped Pearson correlation from EXACT integer moments: quantity
     // (small ints) x discount (scaled to 0..10), so every moment sum
     // stays far under 2^63 at any SF and the final corr is the same
@@ -258,6 +279,15 @@ object Analytics {
         |SELECT x.id AS ida, y.id AS idb, levenshtein(x.nm, y.nm) AS lev
         |FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
         |WHERE levenshtein(x.nm, y.nm) <= 2""".stripMargin,
+
+    "q96_typed_topk" ->
+      s"""WITH c AS (SELECT l_returnflag,
+        |   ${fixedSql("l_extendedprice", 2)} AS cents FROM lineitem),
+        | l AS (SELECT l_returnflag,
+        |   list(cents ORDER BY cents DESC) AS xs FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(xs[1] AS BIGINT) AS top1,
+        | CAST(xs[2] AS BIGINT) AS top2, CAST(xs[3] AS BIGINT) AS top3
+        |FROM l""".stripMargin,
 
     "q79_corr_stats" ->
       s"""WITH m AS (SELECT l_returnflag,
