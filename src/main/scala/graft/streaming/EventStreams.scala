@@ -69,6 +69,21 @@ object EventStreams {
       .select(col("window.start").as("hr"), col("event_type"),
         col("cnt"), col("sum_val"))
 
+  /** Tumbling 1-hour APPROXIMATE distinct users per event type — the
+    * streaming face of the sketch-based distinct family (q54/q94).
+    * approx_count_distinct keeps one bounded HLL sketch per (window,
+    * type) key instead of a distinct-user set, so state is O(windows ×
+    * types), not O(users) — the only shape that survives unbounded
+    * streams. Sketch merge is commutative, so the streamed estimate
+    * equals the batch twin's exactly (StreamingSpec asserts it). */
+  def hourlyUniques(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("window.start").as("hr"), col("event_type"),
+        col("approx_users"))
+
   /** Per-user session windows with a 30-minute inactivity gap. */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

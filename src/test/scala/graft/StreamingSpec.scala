@@ -48,6 +48,20 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() >= batch.count() - nTypes)
   }
 
+  test("streaming hourly approx-distinct users equals the batch sketch") {
+    val stream = EventStreams.fromDirectory(spark, eventsDir)
+    runToMemory(EventStreams.hourlyUniques(stream), "uniq", "append")
+    val streamed = spark.table("uniq").select("hr", "event_type", "approx_users")
+    val batch = sources.Tables.read(spark, sf, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+    // sketch merge is commutative: every emitted window must carry the
+    // batch twin's exact estimate; only tail windows may be withheld
+    assert(streamed.exceptAll(batch).count() == 0)
+    val nTypes = batch.select("event_type").distinct().count()
+    assert(streamed.count() >= batch.count() - nTypes)
+  }
+
   test("session windows split on the inactivity gap") {
     val stream = EventStreams.fromDirectory(spark, eventsDir)
     runToMemory(EventStreams.sessions(stream), "sess", "append")
