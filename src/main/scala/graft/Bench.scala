@@ -148,7 +148,7 @@ object Bench {
           // plan is already the right one here
           spark.conf.set("spark.sql.shuffle.partitions", width)
           spark.conf.set("spark.sql.adaptive.enabled", "false")
-          try timedRuns("demo_20m", 2) {
+          try timedRuns("demo_20m", 3) {
             timedDemo(s"$demoDir/users_20m", s"$demoDir/ages_20m")
           } finally {
             spark.conf.set("spark.sql.adaptive.enabled", savedAqe)

@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.Ranges.queries ++
       graft.queries.Fingerprints.queries ++
-      graft.queries.Shapes.queries
+      graft.queries.Shapes.queries ++
+      graft.queries.Pipelines.queries
 
   lazy val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.Analytics.oracles ++
       graft.queries.Ranges.oracles ++
       graft.queries.Fingerprints.oracles ++
-      graft.queries.Shapes.oracles
+      graft.queries.Shapes.oracles ++
+      graft.queries.Pipelines.oracles
 }

@@ -47,6 +47,22 @@ object TextExpr {
   def nibbleDuck(h: String, k: Int): String =
     s"(strpos('0123456789abcdef', substr($h, ${k + 1}, 1)) - 1)"
 
+  /** First `n` hex chars of md5 hex `h` as a non-negative BIGINT.
+    * Spark spells it with conv(); DuckDB (which has no string→int base
+    * conversion) as the equivalent nibble polynomial — both decode the
+    * identical big-endian value, so `% m` derived hash positions agree
+    * bit-for-bit across engines (the Bloom / count-min primitives).
+    * n <= 15 keeps the value inside a positive BIGINT. */
+  def hexIntSpark(h: String, n: Int): String =
+    s"CAST(conv(substr($h, 1, $n), 16, 10) AS BIGINT)"
+  def hexIntDuck(h: String, n: Int): String = {
+    require(n <= 15, "n > 15 would overflow positive BIGINT")
+    (0 until n).map { k =>
+      val scale = math.pow(16, n - 1 - k).toLong
+      s"(${nibbleDuck(h, k)} * CAST($scale AS BIGINT))"
+    }.mkString("(", " + ", ")")
+  }
+
   /** ±1 contribution of bit j (from precomputed nibble columns n0..n7). */
   def bitSignSpark(j: Int): String =
     s"((shiftright(n${j / 4}, ${j % 4}) & 1) * 2 - 1)"

@@ -25,6 +25,32 @@ object Skew {
   def salt(n: Int, cols: Column*): Column =
     pmod(hash(cols: _*), lit(n))
 
+  /** Two-stage (salted) aggregation for a skewed group key: stage 1
+    * groups by (key, salt) so one hot key's partial aggregation spreads
+    * over `n` tasks; stage 2 re-aggregates the ≤ n×|keys| partials with
+    * SUM. Every aggregate passed in must therefore be sum-mergeable
+    * (sums of exact integers, counts) — exactly the shapes DetMath
+    * produces — which also makes the result byte-identical to the
+    * unsalted groupBy (q104 is oracle-gated on that equality).
+    *
+    * Spark's hash aggregate already does map-side partials, which
+    * handles most skew; this explicit form is for the residual case
+    * where a single key's FINAL partial exceeds one reducer (e.g.
+    * collect_list-style state or extreme row counts per key). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltCols: Seq[String],
+      n: Int, aggs: Seq[(String, Column)]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      salt(n, saltCols.map(df(_)): _*))
+    val partial = salted
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (nm, c) => c.as(nm) }: _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map { case (nm, _) => sum(col(nm)).as(nm) }: _*)
+  }
+
   /** Inner/left salted equi-join of a skewed large side with a smaller
     * right side, spreading each key over `n` tasks. */
   def saltedJoin(large: DataFrame, largeKey: String, saltCols: Seq[String],

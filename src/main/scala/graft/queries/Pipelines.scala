@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.DetMath
+import graft.functions.TextExpr._
+import graft.operators.{Sketches, Skew}
+
+/** Round-4 pipeline operators: reshaping (unpivot), bounded-state
+  * membership/frequency sketches (Bloom, count-min), RAG-shape text
+  * chunking + token-budget packing, PII scrubbing, the typed mapGroups
+  * surface, two-stage salted aggregation, and the oracle-gated
+  * stream-stream join run.
+  *
+  * Every probabilistic structure here is DETERMINISTIC (md5-derived hash
+  * positions, no library seeds), so the DuckDB oracle replays the exact
+  * structure — approximation does not mean unverifiable.
+  */
+object Pipelines {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.read(s, dir, n)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  // Bloom geometry: k hash functions over an m-position space. m = 2^18
+  // keeps the whole bit set ≤ 256k rows (≈2 MB broadcast) while holding
+  // the false-positive rate ≈ (1-e^{-kn/m})^k ≈ 1e-8 at n=400 corpus
+  // docs — and still < 2% at n=10M with the same geometry scaled 100×.
+  private val BloomK = 3
+  private val BloomM = 1 << 18
+  // Count-min geometry: d independent rows × w cells; error ≤ N/w per
+  // estimate with probability 1 - (1/2)^d.
+  private val CmsD = 4
+  private val CmsW = 1024
+  // Chunking: C-token chunks every S tokens (overlap C-S), the RAG
+  // retrieval shape; packing: B-token bins in doc_id order per source.
+  private val ChunkC = 40
+  private val ChunkS = 32
+  private val PackB = 500
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q97: unpivot / melt (wide -> long reshaping) ----
+    // Spark's native unpivot; no shuffle at all — a projection-only
+    // reshape that stays inside whole-stage codegen.
+    "q97_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")),
+
+    // ---- q98: Bloom-filter batch admission ----
+    // "Have I seen this document?" with corpus-size-independent state:
+    // the corpus' exact-dup fingerprints are folded into a ≤ m-row bit
+    // set; the batch probes it. true_dup (exact semi-join) rides along
+    // so the oracle verifies BOTH the filter bits and the no-false-
+    // negative guarantee (maybe_dup ⊇ true_dup; OperatorSpec asserts).
+    "q98_bloom_admission" -> ((s, d) => {
+      val all = docs(s, d).withColumn("fp",
+        expr(fingerprintSpark(toksSpark("text"))))
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val batch = all.filter(col("doc_id") % 5 === 0)
+      val bits = Sketches.bloomBuild(corpus, "fp", BloomK, BloomM)
+      val probed = Sketches.bloomProbe(batch, "doc_id", "fp", bits,
+        BloomK, BloomM)
+      val truth = batch
+        .join(corpus.select("fp").distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("true_dup"))
+      probed.join(truth, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("maybe_present").as("maybe_dup"),
+          coalesce(col("true_dup"), lit(false)).as("true_dup"))
+    }),
+
+    // ---- q99: count-min-sketch heavy hitters ----
+    // Token frequencies from a d×w-bounded sketch (state independent of
+    // vocabulary size), estimates = min over the d counters, top-20 by
+    // estimate. The exact count rides along: the oracle then verifies
+    // the sketch bits AND exposes the one-sided error (est >= exact).
+    "q99_cms_heavy" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(expr(toksSpark("text"))).as("tok"))
+      val sketch = Sketches.cmsBuild(toks, "tok", CmsD, CmsW)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      Sketches.cmsEstimate(exact.select("tok"), "tok", sketch, CmsD, CmsW)
+        .join(exact, "tok")
+        .orderBy(col("est").desc, col("tok"))
+        .limit(20)
+    }),
+
+    // ---- q100: overlapping token-window chunking (RAG shape) ----
+    // Each doc explodes into ceil-spaced C-token windows every S tokens;
+    // pure per-row explode — embarrassingly parallel, no shuffle.
+    "q100_doc_chunks" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), expr(toksSpark("text")).as("t"))
+        .withColumn("n", size(col("t")))
+        .withColumn("extra", expr(
+          s"CASE WHEN n <= $ChunkC THEN 0 " +
+            s"ELSE CAST((n - $ChunkC + ${ChunkS - 1}) DIV $ChunkS AS INT) END"))
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(0, extra)")).as("chunk_idx"))
+        .withColumn("chunk",
+          expr(s"slice(t, chunk_idx * $ChunkS + 1, $ChunkC)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_toks"),
+          expr("md5(array_join(chunk, ' '))").as("chunk_md5"))),
+
+    // ---- q101: token-budget sequence packing ----
+    // Deterministic next-fit packing of the per-source doc stream into
+    // B-token bins: running token total in doc_id order, bin =
+    // (cum - n) DIV B. Packing is inherently sequential PER STREAM; the
+    // per-source partition is the parallelism unit (at 100 TB each
+    // ingest stream packs independently — there is no global order to
+    // preserve across sources).
+    "q101_pack_budget" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        expr(s"size(${toksSpark("text")})").as("n"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("cum", sum("n").over(w))
+        .withColumn("bin", expr(s"(cum - n) DIV $PackB"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tok_sum"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
+    // ---- q102: PII scrub (regex redaction) ----
+    // Deterministic synthetic PII is appended (the corpus itself is
+    // clean), then emails and 4+-digit runs are redacted in two passes
+    // (emails first, so their digits don't half-match as numbers).
+    // Patterns are chosen to mean the same thing in Java regex (Spark)
+    // and RE2 (DuckDB). Pure per-row projection — scan-speed.
+    "q102_pii_scrub" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val nums = "[0-9]{4,}"
+      docs(s, d)
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ref "),
+          (col("doc_id") * 7919).cast("string")))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("raw"), lit(email), lit(0))))
+        .withColumn("s1", regexp_replace(col("raw"), email, "<EMAIL>"))
+        .withColumn("n_nums",
+          size(regexp_extract_all(col("s1"), lit(nums), lit(0))))
+        .withColumn("scrubbed", regexp_replace(col("s1"), nums, "<NUM>"))
+        .select(col("doc_id"), col("n_emails"), col("n_nums"),
+          length(col("scrubbed")).as("scrub_len"),
+          expr("md5(scrubbed)").as("scrub_md5"))
+    }),
+
+    // ---- q103: typed mapGroups per-group profile ----
+    // The KeyValueGroupedDataset.mapGroups surface (SURVEY.md §2.9
+    // superset): arbitrary JVM logic per group, the iterator STREAMED
+    // (no per-group buffering), aggregation state O(1) per group. Sums
+    // use the DetMath exact-cents contract so the result is
+    // byte-identical to the SQL oracle.
+    "q103_grouped_map" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_orderkey"))
+        .as[(String, Double, Double, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (flag, rows) =>
+          var n = 0L; var qtyCents = 0L; var priceCents = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          rows.foreach { case (_, q, p, o) =>
+            n += 1
+            qtyCents += math.floor(q * 100 + 0.5).toLong
+            priceCents += math.floor(p * 100 + 0.5).toLong
+            if (o < mn) mn = o
+            if (o > mx) mx = o
+          }
+          (flag, n, qtyCents / 100.0, priceCents / 100.0, mn, mx)
+        }
+        .toDF("l_returnflag", "n_rows", "sum_qty", "sum_price",
+          "okey_min", "okey_max")
+    }),
+
+    // ---- q104: two-stage salted aggregation ----
+    // The aggregation twin of q70's salted join: (key, salt) partials
+    // spread a hot key over 32 tasks, SUM-merge restores the exact
+    // unsalted result (integer cents — order-free). Oracle is the PLAIN
+    // group-by: the gate proves salting is invisible in the answer.
+    "q104_salted_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Skew.saltedAgg(li, Seq("l_returnflag", "l_linestatus"),
+          Seq("l_orderkey"), n = 32,
+          Seq("n_rows" -> count(lit(1)),
+            "qty_cents" -> sum(DetMath.fixed(col("l_quantity"), 2)),
+            "price_cents" -> sum(DetMath.fixed(col("l_extendedprice"), 2))))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          (col("qty_cents") / 100.0).as("sum_qty"),
+          (col("price_cents") / 100.0).as("sum_price"))
+    }),
+
+    // ---- q105: stream-stream join, run to completion ----
+    // purchasesAfterSignup as an actual streaming run (q65/q68 pattern):
+    // both sides watermarked, state bounded by the 1-hour interval; the
+    // driver hash-checks the emitted matches against the batch interval
+    // join. NOTE: executing this entry RUNS the stream (an action).
+    "q105_stream_join" -> ((s, d) =>
+      graft.streaming.EventStreams.joinBatchEquivalent(s, d))
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same algorithms) ----
+
+  /** Bloom/CMS position of expression `v` in [0, m) for a seed given as
+    * a SQL expression: DuckDB twin of Sketches.position
+    * (nibble-polynomial hex decode, see TextExpr.hexIntDuck). */
+  private def posDuckDyn(v: String, seedExpr: String, m: Int): String =
+    s"(${hexIntDuck(s"md5($seedExpr || ':' || $v)", 7)} % $m)"
+
+  private def posDuck(v: String, seed: Int, m: Int): String =
+    posDuckDyn(v, s"'$seed'", m)
+
+  private def posListDuck(v: String, k: Int, m: Int): String =
+    (0 until k).map(posDuck(v, _, m)).mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q97_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+
+    "q98_bloom_admission" ->
+      s"""WITH fps AS (SELECT doc_id,
+        |   ${fingerprintDuck(toksDuck("text"))} AS fp FROM documents),
+        | corpus AS (SELECT * FROM fps WHERE doc_id % 5 <> 0),
+        | batch AS (SELECT * FROM fps WHERE doc_id % 5 = 0),
+        | bits AS (SELECT DISTINCT pos FROM
+        |   (SELECT unnest(${posListDuck("fp", BloomK, BloomM)}) AS pos
+        |    FROM corpus)),
+        | probe AS (SELECT doc_id,
+        |   unnest(${posListDuck("fp", BloomK, BloomM)}) AS pos FROM batch),
+        | hits AS (SELECT p.doc_id, count(*) AS h
+        |   FROM probe p JOIN bits b ON p.pos = b.pos GROUP BY 1),
+        | truth AS (SELECT DISTINCT b.doc_id
+        |   FROM batch b JOIN corpus c ON b.fp = c.fp)
+        |SELECT b.doc_id,
+        | coalesce(h.h, 0) = $BloomK AS maybe_dup,
+        | (t.doc_id IS NOT NULL) AS true_dup
+        |FROM batch b
+        |LEFT JOIN hits h ON b.doc_id = h.doc_id
+        |LEFT JOIN truth t ON b.doc_id = t.doc_id""".stripMargin,
+
+    "q99_cms_heavy" ->
+      s"""WITH toks AS (SELECT unnest(${toksDuck("text")}) AS tok
+        |   FROM documents),
+        | cells AS (SELECT tok, g.r,
+        |   ${posDuckDyn("tok", "CAST(g.r AS VARCHAR)", CmsW)} AS cell
+        |   FROM toks CROSS JOIN generate_series(0, ${CmsD - 1}) AS g(r)),
+        | sketch AS (SELECT r, cell, count(*) AS cnt
+        |   FROM cells GROUP BY 1, 2),
+        | exact AS (SELECT tok, count(*) AS exact FROM toks GROUP BY 1),
+        | cand AS (SELECT e.tok, g.r,
+        |   ${posDuckDyn("e.tok", "CAST(g.r AS VARCHAR)", CmsW)} AS cell
+        |   FROM exact e CROSS JOIN generate_series(0, ${CmsD - 1}) AS g(r)),
+        | est AS (SELECT c.tok, min(coalesce(s.cnt, 0)) AS est
+        |   FROM cand c LEFT JOIN sketch s ON c.r = s.r AND c.cell = s.cell
+        |   GROUP BY 1)
+        |SELECT e.tok, est.est, e.exact
+        |FROM est JOIN exact e ON est.tok = e.tok
+        |ORDER BY est.est DESC, e.tok
+        |LIMIT 20""".stripMargin,
+
+    "q100_doc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksDuck("text")} AS t
+        |   FROM documents),
+        | b AS (SELECT doc_id, t, len(t) AS n,
+        |   CASE WHEN len(t) <= $ChunkC THEN 0
+        |     ELSE (len(t) - $ChunkC + ${ChunkS - 1}) // $ChunkS END AS extra
+        |   FROM toks),
+        | c AS (SELECT doc_id, t, n,
+        |   unnest(range(0, extra + 1)) AS chunk_idx FROM b),
+        | ch AS (SELECT doc_id, chunk_idx,
+        |   t[chunk_idx * $ChunkS + 1 :
+        |     least(n, chunk_idx * $ChunkS + $ChunkC)] AS chunk FROM c)
+        |SELECT doc_id, chunk_idx, len(chunk) AS n_toks,
+        | md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch""".stripMargin,
+
+    "q101_pack_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |   len(${toksDuck("text")}) AS n FROM documents),
+        | c AS (SELECT doc_id, source, n,
+        |   SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |   FROM t)
+        |SELECT source, CAST((cum - n) // $PackB AS BIGINT) AS bin,
+        | count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tok_sum,
+        | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q102_pii_scrub" ->
+      """WITH r AS (SELECT doc_id,
+        |   text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |     || '@mail.example.com ref ' || CAST(doc_id * 7919 AS VARCHAR)
+        |   AS raw FROM documents),
+        | s AS (SELECT doc_id,
+        |   len(regexp_extract_all(raw,
+        |     '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |   regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |     '<EMAIL>', 'g') AS s1 FROM r)
+        |SELECT doc_id, n_emails,
+        | len(regexp_extract_all(s1, '[0-9]{4,}')) AS n_nums,
+        | length(regexp_replace(s1, '[0-9]{4,}', '<NUM>', 'g')) AS scrub_len,
+        | md5(regexp_replace(s1, '[0-9]{4,}', '<NUM>', 'g')) AS scrub_md5
+        |FROM s""".stripMargin,
+
+    "q103_grouped_map" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+        | SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price,
+        | MIN(l_orderkey) AS okey_min, MAX(l_orderkey) AS okey_max
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q104_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+        | SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q105_stream_join" ->
+      """WITH base AS (SELECT event_id, event_type, user_id, value,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | s AS (SELECT event_id AS signup_id, user_id, ts
+        |   FROM base WHERE event_type = 'signup'),
+        | p AS (SELECT event_id AS purchase_id, user_id, ts, value
+        |   FROM base WHERE event_type = 'purchase')
+        |SELECT s.signup_id, p.purchase_id, p.user_id AS user_id, p.value
+        |FROM p JOIN s
+        | ON p.user_id = s.user_id AND p.ts >= s.ts
+        |  AND p.ts < s.ts + INTERVAL 1 HOUR""".stripMargin
+  )
+}

@@ -108,11 +108,24 @@ object EventStreams {
   def hourlyBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame =
     runToCompletion(spark, sfDir, "graft_q68_hourly", hourlyCounts(_))
 
+  /** Oracle-gated face of the STREAM-STREAM join (q105): run
+    * [[purchasesAfterSignup]] to exhaustion over a staged copy of the
+    * events table and return all emitted matches. Inner stream-stream
+    * joins emit eagerly in the micro-batch where both sides have
+    * arrived (the watermark only bounds retained state), so Append mode
+    * yields every match of the finite input — which must hash-match the
+    * batch interval-join twin the oracle runs. */
+  def joinBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sfDir, "graft_q105_join",
+      purchasesAfterSignup(_), OutputMode.Append)
+
   /** Stage `sfDir`'s events table into a directory, run `transform` on
-    * it as a complete-mode stream to exhaustion, return the final
-    * memory-sink table. */
+    * it as a stream to exhaustion, return the final memory-sink table.
+    * Complete mode for aggregations (every group re-emitted at the end);
+    * Append for stream-stream joins (matches emit exactly once). */
   private def runToCompletion(spark: SparkSession, sfDir: String,
-      name: String, transform: DataFrame => DataFrame): DataFrame = {
+      name: String, transform: DataFrame => DataFrame,
+      mode: OutputMode = OutputMode.Complete): DataFrame = {
     // NOTE: calling this EXECUTES the streaming job (it is an action, not
     // a lazy plan) and the complete-mode memory sink materializes the
     // final aggregate on the driver — correct for the oracle gate's
@@ -143,7 +156,7 @@ object EventStreams {
     }
     val q = transform(fromDirectory(spark, dir.toString))
       .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
+      .outputMode(mode).start()
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(name)
   }

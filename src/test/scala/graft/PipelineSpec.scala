@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sketches, Skew}
+import graft.functions.DetMath
+
+/** Round-4 pipeline operators: Bloom admission, count-min sketch,
+  * chunking/packing, PII scrub, typed mapGroups, salted aggregation,
+  * unpivot, stream-stream join parity. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("bloom filter: no false negatives, bit set bounded at m") {
+    val out = q("q98_bloom_admission")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    // every true duplicate must be flagged (Bloom guarantees it)
+    assert(out.forall { case (_, maybe, truth) => !truth || maybe })
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val bits = Sketches.bloomBuild(docs, "fp", k = 3, m = 1 << 10)
+    assert(bits.count() <= (1 << 10))
+  }
+
+  test("count-min sketch: one-sided error (est >= exact), d*w bounded") {
+    val out = q("q99_cms_heavy").as[(String, Long, Long)].collect()
+    assert(out.length > 0)
+    assert(out.forall { case (_, est, exact) => est >= exact })
+
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sketch = Sketches.cmsBuild(toks, "tok", d = 4, w = 64)
+    assert(sketch.count() <= 4 * 64)
+    // total mass per hash row equals the total token count
+    val n = toks.count()
+    val rowMass = sketch.groupBy("r").agg(sum("cnt").as("mass"))
+      .select("mass").as[Long].collect()
+    assert(rowMass.length == 4 && rowMass.forall(_ == n))
+  }
+
+  test("doc chunks: windows cover every token, stride/size respected") {
+    val C = 40; val S = 32
+    val chunks = q("q100_doc_chunks")
+      .groupBy("doc_id")
+      .agg(max("chunk_idx").as("last"), count(lit(1)).as("k"),
+        max("n_toks").as("max_toks"),
+        max(col("chunk_idx") * S + col("n_toks")).as("max_end"))
+    val nToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        expr(graft.functions.TextExpr.toksSpark("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"))
+    val joined = chunks.join(nToks, "doc_id")
+      .select("doc_id", "last", "k", "max_toks", "max_end", "n")
+      .as[(Long, Int, Long, Int, Int, Int)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, last, k, maxToks, maxEnd, n) =>
+      assert(k == last + 1, s"doc $id: contiguous chunk indexes")
+      assert(maxToks <= C, s"doc $id: chunk size bound")
+      // chunk ends never pass the doc and the final chunk reaches
+      // exactly the last token — together: full coverage, no overrun
+      assert(maxEnd == n, s"doc $id: coverage (maxEnd=$maxEnd n=$n)")
+    }
+  }
+
+  test("pack budget: bins contiguous per source, overflow bounded by one doc") {
+    val B = 500
+    val out = q("q101_pack_budget")
+      .select("source", "bin", "n_docs", "tok_sum")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      val bins = rows.map(_._2).sorted.toSeq
+      assert(bins == (0L until bins.length), s"$src bins contiguous from 0")
+    }
+    // a bin exceeds B only via its final (boundary-crossing) doc
+    val maxDocToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(expr(s"size(${graft.functions.TextExpr.toksSpark("text")})"))
+      .as[Int].collect().max
+    assert(out.forall(_._4 <= B + maxDocToks))
+  }
+
+  test("pii scrub removes all emails and long digit runs") {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    val out = q("q102_pii_scrub")
+      .select("doc_id", "n_emails", "n_nums")
+      .as[(Long, Int, Int)].collect()
+    assert(out.nonEmpty)
+    // every row gained exactly one synthetic email
+    assert(out.forall(_._2 == 1))
+    // and scrubbing is idempotent: rebuild one row and check by hand
+    val one = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 5L).select("text").as[String].head()
+    val raw = s"$one contact user5@mail.example.com ref ${5 * 7919}"
+    val scrubbed = raw
+      .replaceAll("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
+      .replaceAll("[0-9]{4,}", "<NUM>")
+    assert(!scrubbed.contains("@") && email.findFirstIn(scrubbed).isEmpty)
+  }
+
+  test("typed mapGroups profile matches the declarative aggregation") {
+    val got = q("q103_grouped_map")
+      .select("l_returnflag", "n_rows", "sum_qty", "sum_price")
+      .as[(String, Long, Double, Double)].collect().toSet
+    val want = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(DetMath.fixed(col("l_quantity"), 2)) / 100.0).as("sum_qty"),
+        (sum(DetMath.fixed(col("l_extendedprice"), 2)) / 100.0).as("sum_price"))
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got == want) // byte-identical doubles, not approx
+  }
+
+  test("salted aggregation is byte-identical to the plain groupBy") {
+    val got = q("q104_salted_agg").collect().toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val want = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(DetMath.fixed(col("l_quantity"), 2)) / 100.0).as("sum_qty"),
+        (sum(DetMath.fixed(col("l_extendedprice"), 2)) / 100.0).as("sum_price"))
+      .collect().toSet
+    assert(got == want)
+  }
+
+  test("saltedAgg spreads a hot key over (key, salt) partials") {
+    val df = Seq.fill(100)(("hot", 1L)).toDF("k", "v")
+    val out = Skew.saltedAgg(df, Seq("k"), Seq("v"), n = 8,
+      Seq("n" -> count(lit(1)), "s" -> sum(col("v"))))
+    val row = out.as[(String, Long, Long)].collect()
+    assert(row.toSeq == Seq(("hot", 100L, 100L)))
+  }
+
+  test("unpivot emits one row per (row, measure) with no shuffle") {
+    val out = q("q97_unpivot")
+    val nLi = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(out.count() == 4 * nLi)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "unpivot must be a projection-only reshape")
+  }
+
+  test("stream-stream join run matches the batch interval join") {
+    val got = q("q105_stream_join")
+      .select("signup_id", "purchase_id").as[(Long, Long)].collect().toSet
+    val ev = graft.sources.Tables.read(spark, sf, "events")
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+        col("ts").as("sts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+    val want = p.join(s, col("pu") === col("su") &&
+        col("pts") >= col("sts") &&
+        col("pts") < col("sts") + expr("INTERVAL 1 HOUR"))
+      .select("signup_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+}
