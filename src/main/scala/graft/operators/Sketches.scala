@@ -30,8 +30,8 @@ object Sketches {
     * digits of md5("seed:" ++ v) (28 bits, exactly what the oracle's
     * nibble polynomial decodes — see TextExpr.hexIntDuck) mod m. */
   def position(v: Column, seed: Int, m: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), v).cast("binary")), 1, 7),
-      16, 10).cast("long") % m
+    conv(substring(md5(concat(lit(s"$seed:"), v.cast("string"))
+      .cast("binary")), 1, 7), 16, 10).cast("long") % m
 
   private def positions(v: Column, k: Int, m: Int): Column =
     array((0 until k).map(position(v, _, m)): _*)
@@ -42,7 +42,8 @@ object Sketches {
     df.select(explode(positions(col(fpCol), k, m)).as("pos")).distinct()
 
   /** Probe: `maybe_present` iff all `k` positions of a row's `fpCol` are
-    * set. One equi-join against the bounded bit set + one count — no
+    * set (`idCol` must be unique per row — the hit count is grouped on
+    * it). One equi-join against the bounded bit set + one count — no
     * false negatives by construction; false-positive rate is bounded by
     * the standard (1 - e^{-kn/m})^k. */
   def bloomProbe(batch: DataFrame, idCol: String, fpCol: String,
@@ -54,6 +55,32 @@ object Sketches {
     batch.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol),
         (coalesce(col("hits"), lit(0L)) === k).as("maybe_present"))
+  }
+
+  /** Runtime-filter join pruning: drop probe rows whose key cannot be in
+    * the build side before the join pays for them. Expressed as `k`
+    * successive LEFT SEMI joins of the probe's hash positions against
+    * the bounded bit set — each is a broadcast (bits ≤ m rows), so the
+    * probe is filtered map-side with ZERO extra shuffles and no driver
+    * collect. No false negatives: every true match survives; false
+    * positives are killed by the real join that follows (q106 is
+    * oracle-gated on exact equality with the unpruned join). This is
+    * the declarative spelling of Spark's own AQE bloom runtime filter,
+    * usable where that doesn't fire (e.g. non-equi follow-up joins or
+    * pre-aggregation pruning). */
+  def bloomPrune(probe: DataFrame, keyCol: Column, bits: DataFrame,
+      k: Int, m: Int): DataFrame = {
+    // The bit set feeds k joins; without a cache the build subtree
+    // (scan + distinct) re-executes per join (ReuseExchange does not
+    // fire across the per-join column renames). It is ≤ m rows by
+    // construction, so cache it — same deliberate trade as the minhash
+    // signature cache (Dedup.minhashPairs); Spark evicts LRU if memory
+    // is ever tight.
+    val cached = bits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (0 until k).foldLeft(probe) { (df, i) =>
+      df.join(cached.withColumnRenamed("pos", s"_bp$i"),
+        position(keyCol, i, m) === col(s"_bp$i"), "left_semi")
+    }
   }
 
   /** Build a count-min sketch over `tokCol` occurrences: `d` hash rows ×

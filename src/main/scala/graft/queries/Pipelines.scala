@@ -40,6 +40,35 @@ object Pipelines {
   private val ChunkC = 40
   private val ChunkS = 32
   private val PackB = 500
+  // Vocab coverage: top-N tokens by corpus frequency (the synthetic
+  // corpus has ~31 distinct tokens, so N=20 leaves a real OOV tail).
+  private val VocabN = 20
+
+  // q107 measures as exact integers: quantity/price truncated to whole
+  // units (Spark CAST truncates toward zero; the oracle spells
+  // CAST(TRUNC(x)) since DuckDB's CAST rounds — q79's convention),
+  // discount/tax as cents. Scales keep n*sum(x*y) << 2^63 via the
+  // DOUBLE combine below even at sf100.
+  private def corrMeasures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "qty" -> col("l_quantity").cast("long"),
+    "price" -> col("l_extendedprice").cast("long"),
+    "disc" -> DetMath.fixed(col("l_discount"), 2),
+    "tax" -> DetMath.fixed(col("l_tax"), 2))
+
+  private val corrPairs: Seq[(String, String)] = {
+    val ns = Seq("qty", "price", "disc", "tax")
+    for { i <- ns.indices; j <- (i + 1) until ns.size }
+      yield (ns(i), ns(j))
+  }
+
+  /** Pearson r from integer moments, combined in DOUBLE (each moment
+    * converts exactly below 2^53; an int64 n*sxy would overflow first).
+    * Identical spelling runs in Spark SQL and DuckDB. */
+  private def corrFromMoments(sa: String, qa: String, sb: String,
+      qb: String, pab: String): String =
+    s"""(CAST(n AS DOUBLE)*CAST($pab AS DOUBLE) - CAST($sa AS DOUBLE)*CAST($sb AS DOUBLE)) /
+       | (SQRT(CAST(n AS DOUBLE)*CAST($qa AS DOUBLE) - CAST($sa AS DOUBLE)*CAST($sa AS DOUBLE)) *
+       |  SQRT(CAST(n AS DOUBLE)*CAST($qb AS DOUBLE) - CAST($sb AS DOUBLE)*CAST($sb AS DOUBLE)))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -199,6 +228,77 @@ object Pipelines {
           (col("price_cents") / 100.0).as("sum_price"))
     }),
 
+    // ---- q106: Bloom-pruned join (runtime filter) ----
+    // A selective build side (urgent orders) is folded into the bounded
+    // bit set; the big probe side (lineitem) is pruned by k broadcast
+    // semi-joins BEFORE the real join shuffles it. The oracle is the
+    // PLAIN join: pruning must be invisible in the answer (no false
+    // negatives; false positives die in the real join).
+    "q106_bloom_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bits = Sketches.bloomBuild(urgent, "o_orderkey", BloomK, BloomM)
+      val pruned = Sketches.bloomPrune(li, col("l_orderkey"), bits,
+        BloomK, BloomM)
+      pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (sum(DetMath.fixed(col("l_quantity"), 2)) / 100.0).as("sum_qty"))
+    }),
+
+    // ---- q107: one-pass pairwise correlation matrix ----
+    // All 6 Pearson correlations between 4 lineitem measures from ONE
+    // aggregation of exact integer moments (14 sums), then the pair
+    // rows are exploded from the 3 aggregated rows — one data scan and
+    // one shuffle for the whole matrix (q79 generalized). Integer
+    // scales chosen so every moment stays << 2^63 through sf100.
+    "q107_corr_matrix" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(Seq(col("l_returnflag")) ++ corrMeasures.map {
+          case (nm, c) => c.as(s"v_$nm") } : _*)
+      val names = corrMeasures.map(_._1)
+      val moments =
+        names.map(n => sum(col(s"v_$n")).as(s"s_$n")) ++
+        names.map(n => sum(col(s"v_$n") * col(s"v_$n")).as(s"q_$n")) ++
+        corrPairs.map { case (a, b) =>
+          sum(col(s"v_$a") * col(s"v_$b")).as(s"p_${a}_$b") }
+      val agg = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), moments: _*)
+      val pairStructs = corrPairs.map { case (a, b) =>
+        struct(lit(s"${a}_$b").as("pair"),
+          expr(corrFromMoments(s"s_$a", s"q_$a", s"s_$b", s"q_$b",
+            s"p_${a}_$b")).as("corr"))
+      }
+      agg.select(col("l_returnflag"), col("n"),
+          explode(array(pairStructs: _*)).as("pc"))
+        .select(col("l_returnflag"), col("n"),
+          col("pc.pair").as("pair"), col("pc.corr").as("corr"))
+    }),
+
+    // ---- q108: vocabulary coverage / OOV-rate scoring ----
+    // Corpus top-N vocab (count desc, token asc — deterministic), then
+    // each doc's out-of-vocabulary token fraction via a broadcast-sized
+    // vocab left join. The standard "does this doc fit my tokenizer"
+    // quality signal; vocab stays tiny relative to the corpus at any
+    // scale, so the token-level join is map-side.
+    "q108_vocab_oov" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(expr(toksSpark("text"))).as("tok"))
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= VocabN)
+        .select(col("tok"), lit(true).as("in_vocab"))
+      toks.join(vocab, Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_cnt"))
+        .withColumn("oov_ratio",
+          col("oov_cnt").cast("double") / col("n_toks"))
+    }),
+
     // ---- q105: stream-stream join, run to completion ----
     // purchasesAfterSignup as an actual streaming run (q65/q68 pattern):
     // both sides watermarked, state bounded by the 1-hour interval; the
@@ -326,6 +426,52 @@ object Pipelines {
         | SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
         | SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q106_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty
+        |FROM lineitem l JOIN orders o
+        | ON l.l_orderkey = o.o_orderkey AND o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    "q107_corr_matrix" -> {
+      val moments =
+        corrMeasures.map(_._1).map(n =>
+          s"CAST(SUM(v_$n) AS BIGINT) AS s_$n, " +
+            s"CAST(SUM(v_$n*v_$n) AS BIGINT) AS q_$n") ++
+        corrPairs.map { case (a, b) =>
+          s"CAST(SUM(v_$a*v_$b) AS BIGINT) AS p_${a}_$b" }
+      val pairSelects = corrPairs.map { case (a, b) =>
+        s"""SELECT l_returnflag, n, '${a}_$b' AS pair,
+           |${corrFromMoments(s"s_$a", s"q_$a", s"s_$b", s"q_$b",
+              s"p_${a}_$b")} AS corr FROM agg""".stripMargin
+      }
+      s"""WITH m AS (SELECT l_returnflag,
+        |  CAST(TRUNC(l_quantity) AS BIGINT) AS v_qty,
+        |  CAST(TRUNC(l_extendedprice) AS BIGINT) AS v_price,
+        |  ${graft.functions.DetMath.fixedSql("l_discount", 2)} AS v_disc,
+        |  ${graft.functions.DetMath.fixedSql("l_tax", 2)} AS v_tax
+        | FROM lineitem),
+        | agg AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  ${moments.mkString(",\n  ")}
+        | FROM m GROUP BY l_returnflag)
+        |${pairSelects.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "q108_vocab_oov" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${toksDuck("text")}) AS tok
+        |   FROM documents),
+        | vc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        | vocab AS (SELECT tok FROM
+        |   (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+        |    FROM vc) WHERE rn <= $VocabN)
+        |SELECT t.doc_id, count(*) AS n_toks,
+        | CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS oov_cnt,
+        | CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*) AS oov_ratio
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY 1""".stripMargin,
 
     "q105_stream_join" ->
       """WITH base AS (SELECT event_id, event_type, user_id, value,

@@ -142,6 +142,54 @@ class PipelineSpec extends SparkTestBase {
       "unpivot must be a projection-only reshape")
   }
 
+  test("bloom-pruned join: pruning drops probe rows, result unchanged") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val urgent = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bits = Sketches.bloomBuild(urgent, "o_orderkey", k = 3, m = 1 << 18)
+    val pruned = Sketches.bloomPrune(li, col("l_orderkey"), bits,
+      k = 3, m = 1 << 18)
+    // the filter actually prunes (urgent is a selective build side) ...
+    assert(pruned.count() < li.count())
+    // ... but the joined result is exactly the plain join's
+    val got = pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").count().as[(String, Long)].collect().toSet
+    val want = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").count().as[(String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("corr matrix: 6 pairs per group, each in [-1, 1], matches corr()") {
+    val out = q("q107_corr_matrix")
+      .select("l_returnflag", "pair", "corr")
+      .as[(String, String, Double)].collect()
+    val flags = out.map(_._1).distinct
+    assert(out.length == 6 * flags.length)
+    assert(out.forall { case (_, _, c) => c >= -1.0 && c <= 1.0 })
+    // spot-check one cell against Spark's own corr() (float-order
+    // tolerant — ours is the deterministic integer-moment variant)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("x", col("l_quantity").cast("long").cast("double"))
+      .withColumn("y", DetMath.fixed(col("l_discount"), 2).cast("double"))
+    val ref = li.groupBy("l_returnflag").agg(corr("x", "y").as("c"))
+      .as[(String, Double)].collect().toMap
+    out.filter(_._2 == "qty_disc").foreach { case (f, _, c) =>
+      assert(math.abs(c - ref(f)) < 1e-9, s"flag $f")
+    }
+  }
+
+  test("vocab oov: ratio in [0,1] and consistent with the anti join") {
+    val out = q("q108_vocab_oov")
+      .select("doc_id", "n_toks", "oov_cnt", "oov_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, oov, r) =>
+      assert(oov <= n && r >= 0.0 && r <= 1.0, s"doc $id")
+      assert(r == oov.toDouble / n, s"doc $id exact rational")
+    }
+  }
+
   test("stream-stream join run matches the batch interval join") {
     val got = q("q105_stream_join")
       .select("signup_id", "purchase_id").as[(Long, Long)].collect().toSet
