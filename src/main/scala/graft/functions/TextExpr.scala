@@ -47,14 +47,13 @@ object TextExpr {
   def nibbleDuck(h: String, k: Int): String =
     s"(strpos('0123456789abcdef', substr($h, ${k + 1}, 1)) - 1)"
 
-  /** First `n` hex chars of md5 hex `h` as a non-negative BIGINT.
-    * Spark spells it with conv(); DuckDB (which has no string→int base
-    * conversion) as the equivalent nibble polynomial — both decode the
-    * identical big-endian value, so `% m` derived hash positions agree
+  /** First `n` hex chars of md5 hex `h` as a non-negative BIGINT, as a
+    * nibble polynomial (DuckDB has no string→int base conversion). This
+    * is the oracle twin of operators.Sketches.position, which spells
+    * the same big-endian decode with Spark's conv() — both produce the
+    * identical value, so `% m` derived hash positions agree
     * bit-for-bit across engines (the Bloom / count-min primitives).
     * n <= 15 keeps the value inside a positive BIGINT. */
-  def hexIntSpark(h: String, n: Int): String =
-    s"CAST(conv(substr($h, 1, $n), 16, 10) AS BIGINT)"
   def hexIntDuck(h: String, n: Int): String = {
     require(n <= 15, "n > 15 would overflow positive BIGINT")
     (0 until n).map { k =>

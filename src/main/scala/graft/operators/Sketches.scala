@@ -69,14 +69,20 @@ object Sketches {
     * usable where that doesn't fire (e.g. non-equi follow-up joins or
     * pre-aggregation pruning). */
   def bloomPrune(probe: DataFrame, keyCol: Column, bits: DataFrame,
-      k: Int, m: Int): DataFrame = {
+      k: Int, m: Int, cacheBits: Boolean = true): DataFrame = {
     // The bit set feeds k joins; without a cache the build subtree
     // (scan + distinct) re-executes per join (ReuseExchange does not
     // fire across the per-join column renames). It is ≤ m rows by
-    // construction, so cache it — same deliberate trade as the minhash
-    // signature cache (Dedup.minhashPairs); Spark evicts LRU if memory
-    // is ever tight.
-    val cached = bits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // construction, so cache it by default — same deliberate trade as
+    // the minhash signature cache (Dedup.minhashPairs): the entry must
+    // outlive this call because the result is lazy, and Spark evicts
+    // LRU if memory is ever tight. A caller looping over batches should
+    // pass cacheBits=false and persist/unpersist the bits itself around
+    // the loop (the Dedup.incrementalPairs reuseBands convention).
+    val cached =
+      if (cacheBits)
+        bits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bits
     (0 until k).foldLeft(probe) { (df, i) =>
       df.join(cached.withColumnRenamed("pos", s"_bp$i"),
         position(keyCol, i, m) === col(s"_bp$i"), "left_semi")

@@ -128,10 +128,14 @@ object Analytics {
         // < 2^53 through SF in the thousands) and the products round
         // identically in both engines; an int64 n*sxy would overflow
         // once a group passes ~1.4e8 rows
+        // degenerate-group guard (n=1 / constant measure): NULL in both
+        // engines instead of Spark ANSI DIVIDE_BY_ZERO vs DuckDB NULL
         .select(col("l_returnflag"), col("n"),
-          expr("""(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+          expr("""CASE WHEN (CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <= 0
+                    OR (CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) <= 0 THEN NULL
+                 ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
                  (SQRT(CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
-                  SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))""")
+                  SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END""")
             .as("corr_qd"))),
 
     // pandas describe() shape, deterministically: count/mean/std/min/max
@@ -299,9 +303,11 @@ object Analytics {
         |  CAST(SUM(x*y) AS BIGINT) AS sxy
         | FROM m GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        | (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        | CASE WHEN (CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <= 0
+        |   OR (CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) <= 0 THEN NULL
+        | ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
         |  (SQRT(CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
-        |   SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_qd
+        |   SQRT(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END AS corr_qd
         |FROM agg""".stripMargin,
 
     "q73_moving_avg" ->

@@ -63,12 +63,22 @@ object Pipelines {
 
   /** Pearson r from integer moments, combined in DOUBLE (each moment
     * converts exactly below 2^53; an int64 n*sxy would overflow first).
-    * Identical spelling runs in Spark SQL and DuckDB. */
+    * Identical spelling runs in Spark SQL and DuckDB.
+    *
+    * A degenerate group (n=1 or a constant measure) zeroes a variance
+    * term; unguarded, Spark (ANSI) throws DIVIDE_BY_ZERO while DuckDB
+    * yields NULL — and a rounding-induced slightly-negative
+    * discriminant makes DuckDB's SQRT abort where Spark returns NaN.
+    * The CASE pins both engines to the same answer: NULL when either
+    * variance is <= 0 (correlation is undefined there). */
   private def corrFromMoments(sa: String, qa: String, sb: String,
-      qb: String, pab: String): String =
-    s"""(CAST(n AS DOUBLE)*CAST($pab AS DOUBLE) - CAST($sa AS DOUBLE)*CAST($sb AS DOUBLE)) /
-       | (SQRT(CAST(n AS DOUBLE)*CAST($qa AS DOUBLE) - CAST($sa AS DOUBLE)*CAST($sa AS DOUBLE)) *
-       |  SQRT(CAST(n AS DOUBLE)*CAST($qb AS DOUBLE) - CAST($sb AS DOUBLE)*CAST($sb AS DOUBLE)))""".stripMargin
+      qb: String, pab: String): String = {
+    def vari(s: String, q: String) =
+      s"(CAST(n AS DOUBLE)*CAST($q AS DOUBLE) - CAST($s AS DOUBLE)*CAST($s AS DOUBLE))"
+    s"""CASE WHEN ${vari(sa, qa)} <= 0 OR ${vari(sb, qb)} <= 0 THEN NULL
+       | ELSE (CAST(n AS DOUBLE)*CAST($pab AS DOUBLE) - CAST($sa AS DOUBLE)*CAST($sb AS DOUBLE)) /
+       |  (SQRT(${vari(sa, qa)}) * SQRT(${vari(sb, qb)})) END""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -286,10 +296,13 @@ object Pipelines {
     "q108_vocab_oov" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(expr(toksSpark("text"))).as("tok"))
-      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      // top-N via orderBy+limit => TakeOrderedAndProject (parallel
+      // partial top-N per partition), NOT a row_number window, which
+      // would funnel the whole vocabulary through one partition; the
+      // (cnt desc, tok asc) total order makes the cut deterministic
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= VocabN)
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(VocabN)
         .select(col("tok"), lit(true).as("in_vocab"))
       toks.join(vocab, Seq("tok"), "left")
         .groupBy("doc_id")
