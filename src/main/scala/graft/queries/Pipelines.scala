@@ -55,6 +55,20 @@ object Pipelines {
     "disc" -> DetMath.fixed(col("l_discount"), 2),
     "tax" -> DetMath.fixed(col("l_tax"), 2))
 
+  private val NbBins = 10
+
+  /** z-score from WHOLE-DOLLAR integer moments (digits=0: cents-squared
+    * sums would pass 2^63 at sf0.1 already; dollar squares stay exact
+    * through sf100), identical IEEE op order in both engines: mean and
+    * sample variance (ddof=1) combined in DOUBLE, NULL for degenerate
+    * groups. References agg aliases n/sx/sx2. */
+  private def zscoreExpr(c: String): String =
+    s"""CASE WHEN (CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <= 0 THEN NULL
+       | ELSE (CAST(CAST(FLOOR($c * 1 + 0.5) AS BIGINT) AS DOUBLE)
+       |   - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+       |  SQRT((CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) /
+       |   (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) END""".stripMargin
+
   private val corrPairs: Seq[(String, String)] = {
     val ns = Seq("qty", "price", "disc", "tax")
     for { i <- ns.indices; j <- (i + 1) until ns.size }
@@ -312,6 +326,69 @@ object Pipelines {
           col("oov_cnt").cast("double") / col("n_toks"))
     }),
 
+    // ---- q109: equal-width feature binning histogram ----
+    // Per-group [min, max] range split into NbBins equal buckets, per-
+    // bucket counts: the feature-bucketing step of a training pipeline.
+    // Two passes (tiny min/max agg broadcast back, then a scan-speed
+    // per-row bucket expression + histogram agg); the bucket arithmetic
+    // is the same IEEE ops in both engines, with x == max clamped into
+    // the top bucket and constant groups pinned to bucket 1.
+    "q109_feature_bins" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val rng = li.groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      li.join(broadcast(rng), "l_returnflag")
+        .withColumn("bucket", expr(
+          s"""CASE WHEN hi = lo THEN CAST(1 AS BIGINT)
+             | ELSE least(CAST($NbBins AS BIGINT),
+             |   CAST(FLOOR((l_extendedprice - lo) / (hi - lo) * $NbBins)
+             |     AS BIGINT) + 1) END""".stripMargin))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- q110: per-group z-score normalization ----
+    // Standardized features from exact integer whole-dollar moments
+    // (sample std, ddof=1) combined in DOUBLE — every row normalized
+    // against its group in one extra broadcast join, no window.
+    // Degenerate groups (n=1 / constant) yield NULL like q107.
+    "q110_zscore" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val m = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(DetMath.fixed(col("l_extendedprice"), 0)).as("sx"),
+          sum(DetMath.fixed(col("l_extendedprice"), 0) *
+            DetMath.fixed(col("l_extendedprice"), 0)).as("sx2"))
+      li.join(broadcast(m), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          expr(zscoreExpr("l_extendedprice")).as("z"))
+    }),
+
+    // ---- q111: event funnel (signup -> click -> purchase) ----
+    // Strictly-ordered conversion: first signup, first click AFTER it,
+    // first purchase after that — per-stage user counts. Each stage is
+    // one equi-join on user_id plus a min-aggregation: the standard
+    // funnel shape, all shuffles keyed on the same column so they
+    // co-locate.
+    "q111_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def firstAfter(tpe: String, prev: DataFrame, prevTs: String,
+          outTs: String): DataFrame =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevTs))
+          .groupBy("user_id").agg(min(col("ts")).as(outTs))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("ts0"))
+      val cl = firstAfter("click", su, "ts0", "ts1")
+      val pu = firstAfter("purchase", cl, "ts1", "ts2")
+      su.agg(lit("signup").as("stage"), count(lit(1)).as("users"))
+        .unionAll(cl.agg(lit("click_after_signup").as("stage"),
+          count(lit(1)).as("users")))
+        .unionAll(pu.agg(lit("purchase_after_click").as("stage"),
+          count(lit(1)).as("users")))
+    }),
+
     // ---- q105: stream-stream join, run to completion ----
     // purchasesAfterSignup as an actual streaming run (q65/q68 pattern):
     // both sides watermarked, state bounded by the 1-hour interval; the
@@ -485,6 +562,43 @@ object Pipelines {
         |   / count(*) AS oov_ratio
         |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
         |GROUP BY 1""".stripMargin,
+
+    "q109_feature_bins" ->
+      s"""WITH rng AS (SELECT l_returnflag, MIN(l_extendedprice) AS lo,
+        |   MAX(l_extendedprice) AS hi FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        | CASE WHEN hi = lo THEN CAST(1 AS BIGINT)
+        |  ELSE least(CAST($NbBins AS BIGINT),
+        |    CAST(FLOOR((l_extendedprice - lo) / (hi - lo) * $NbBins)
+        |      AS BIGINT) + 1) END AS bucket,
+        | count(*) AS cnt
+        |FROM lineitem l JOIN rng ON l.l_returnflag = rng.l_returnflag
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q110_zscore" ->
+      s"""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 1 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 1 + 0.5) AS BIGINT)
+        |    * CAST(FLOOR(l_extendedprice * 1 + 0.5) AS BIGINT)) AS BIGINT) AS sx2
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        | ${zscoreExpr("l_extendedprice")} AS z
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag""".stripMargin,
+
+    "q111_funnel" ->
+      """WITH base AS (SELECT user_id, event_type,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | su AS (SELECT user_id, MIN(ts) AS ts0 FROM base
+        |   WHERE event_type = 'signup' GROUP BY 1),
+        | cl AS (SELECT e.user_id, MIN(e.ts) AS ts1 FROM base e
+        |   JOIN su ON e.user_id = su.user_id AND e.ts > su.ts0
+        |   WHERE e.event_type = 'click' GROUP BY 1),
+        | pu AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM base e
+        |   JOIN cl ON e.user_id = cl.user_id AND e.ts > cl.ts1
+        |   WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 'signup' AS stage, count(*) AS users FROM su
+        |UNION ALL SELECT 'click_after_signup', count(*) FROM cl
+        |UNION ALL SELECT 'purchase_after_click', count(*) FROM pu""".stripMargin,
 
     "q105_stream_join" ->
       """WITH base AS (SELECT event_id, event_type, user_id, value,

@@ -190,6 +190,37 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("feature bins: all rows binned into [1, 10], totals preserved") {
+    val out = q("q109_feature_bins")
+      .select("bucket", "cnt").as[(Long, Long)].collect()
+    assert(out.forall { case (b, _) => b >= 1 && b <= 10 })
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(out.map(_._2).sum == total)
+  }
+
+  test("z-score: per-group mean ~0, sample std ~1, totals preserved") {
+    val out = q("q110_zscore")
+      .select("l_returnflag", "z").as[(String, Double)].collect()
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(out.length == total)
+    out.groupBy(_._1).foreach { case (flag, rows) =>
+      val zs = rows.map(_._2)
+      val mean = zs.sum / zs.length
+      val varS = zs.map(z => (z - mean) * (z - mean)).sum / (zs.length - 1)
+      assert(math.abs(mean) < 1e-9, s"$flag mean $mean")
+      // dollar quantization perturbs std from exactly 1 only slightly
+      assert(math.abs(math.sqrt(varS) - 1.0) < 1e-6, s"$flag std")
+    }
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val out = q("q111_funnel")
+      .select("stage", "users").as[(String, Long)].collect().toMap
+    assert(out("signup") >= out("click_after_signup"))
+    assert(out("click_after_signup") >= out("purchase_after_click"))
+    assert(out("signup") > 0)
+  }
+
   test("stream-stream join run matches the batch interval join") {
     val got = q("q105_stream_join")
       .select("signup_id", "purchase_id").as[(Long, Long)].collect().toSet
