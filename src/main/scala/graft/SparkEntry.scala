@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Ranges.queries ++
       graft.queries.Fingerprints.queries ++
       graft.queries.Shapes.queries ++
-      graft.queries.Pipelines.queries
+      graft.queries.Pipelines.queries ++
+      graft.queries.Ingest.queries
 
   lazy val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Ranges.oracles ++
       graft.queries.Fingerprints.oracles ++
       graft.queries.Shapes.oracles ++
-      graft.queries.Pipelines.oracles
+      graft.queries.Pipelines.oracles ++
+      graft.queries.Ingest.oracles
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Merge
+
+/** Ingest-surface inventory: CDC merge onto a snapshot and
+  * CSV / JSON-lines sink+source round-trips (the reference reads
+  * parquet only — SURVEY.md §2.1; these are the extension formats a
+  * pipeline meets at its edges).
+  */
+object Ingest {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.read(s, dir, n)
+
+  /** Deterministic change batch over orders: keys ≡ 1 (mod 7) are
+    * upserts with a rewritten priority, keys ≡ 2 (mod 7) are deletes.
+    * (No ≡ 0 inserts: the snapshot is the full table, so every change
+    * key exists — updates and deletes are the interesting paths.) */
+  private def changesOf(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 7 === 1)
+      .withColumn("o_orderpriority", lit("9-CHANGED"))
+      .withColumn("op", lit("upsert"))
+      .unionAll(orders.filter(col("o_orderkey") % 7 === 2)
+        .withColumn("op", lit("delete")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q112: CDC merge (SCD-1 upsert/delete batch) ----
+    // Anti-join + union: updated keys carry the new priority, deleted
+    // keys vanish, untouched rows pass through byte-identical.
+    "q112_cdc_merge" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      Merge.applyChanges(orders, changesOf(orders), "o_orderkey")
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+    }),
+
+    // ---- q113: CSV sink + source round-trip ----
+    // Write orders columns to CSV, read them back with an explicit
+    // schema, aggregate — gated against the same aggregate straight
+    // from parquet, so the gate proves LOSSLESS round-trip through the
+    // text format (quoting, header, type re-parse). Strings and
+    // integers only: CSV float formatting is not a contract worth
+    // relying on at any scale.
+    "q113_csv_roundtrip" -> ((s, d) => {
+      val dir = sys.props("java.io.tmpdir") + "/graft_q113_csv"
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderpriority STRING, o_custkey BIGINT")
+        .csv(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+          countDistinct("o_custkey").as("custs"))
+    }),
+
+    // ---- q114: JSON-lines sink + source round-trip ----
+    // Same contract through newline-delimited JSON (the interchange
+    // format of most crawl/annotation pipelines).
+    "q114_json_roundtrip" -> ((s, d) => {
+      val dir = sys.props("java.io.tmpdir") + "/graft_q114_json"
+      t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .write.mode("overwrite").json(dir)
+      s.read
+        .schema("c_custkey BIGINT, c_name STRING, c_nationkey BIGINT")
+        .json(dir)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"),
+          max("c_name").as("max_name"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q112_cdc_merge" ->
+      """WITH changed AS (SELECT o_orderkey FROM orders
+        |   WHERE o_orderkey % 7 IN (1, 2))
+        |SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
+        | WHERE o_orderkey % 7 NOT IN (1, 2)
+        |UNION ALL
+        |SELECT o_orderkey, '9-CHANGED' AS o_orderpriority, o_custkey
+        | FROM orders WHERE o_orderkey % 7 = 1""".stripMargin,
+
+    "q113_csv_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        | count(DISTINCT o_custkey) AS custs
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q114_json_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS n,
+        | CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        | MAX(c_name) AS max_name
+        |FROM customer GROUP BY 1""".stripMargin
+  )
+}

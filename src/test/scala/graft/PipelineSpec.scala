@@ -221,6 +221,46 @@ class PipelineSpec extends SparkTestBase {
     assert(out("signup") > 0)
   }
 
+  test("cdc merge: deletes gone, upserts applied, rest untouched") {
+    val out = q("q112_cdc_merge")
+      .select("o_orderkey", "o_orderpriority")
+      .as[(Long, String)].collect()
+    val byKey = out.toMap
+    assert(out.length == byKey.size, "keys unique after merge")
+    assert(!byKey.keys.exists(_ % 7 == 2), "deleted keys removed")
+    assert(byKey.filter(_._1 % 7 == 1).values.forall(_ == "9-CHANGED"))
+    val orig = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+      .as[(Long, String)].collect().toMap
+    assert(byKey.filter(_._1 % 7 > 2) == orig.filter(_._1 % 7 > 2),
+      "untouched rows pass through unchanged")
+    assert(byKey.size ==
+      orig.size - orig.keys.count(_ % 7 == 2))
+  }
+
+  test("csv and json round-trips are lossless row-for-row") {
+    // run the queries (they write + re-read), then compare the staged
+    // files' contents against the original rows directly
+    q("q113_csv_roundtrip").collect()
+    q("q114_json_roundtrip").collect()
+    val csvBack = spark.read.option("header", "true")
+      .schema("o_orderkey BIGINT, o_orderpriority STRING, o_custkey BIGINT")
+      .csv(sys.props("java.io.tmpdir") + "/graft_q113_csv")
+      .as[(Long, String, Long)].collect().toSet
+    val csvOrig = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+      .as[(Long, String, Long)].collect().toSet
+    assert(csvBack == csvOrig)
+    val jsonBack = spark.read
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey BIGINT")
+      .json(sys.props("java.io.tmpdir") + "/graft_q114_json")
+      .as[(Long, String, Long)].collect().toSet
+    val jsonOrig = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .as[(Long, String, Long)].collect().toSet
+    assert(jsonBack == jsonOrig)
+  }
+
   test("stream-stream join run matches the batch interval join") {
     val got = q("q105_stream_join")
       .select("signup_id", "purchase_id").as[(Long, Long)].collect().toSet
