@@ -89,6 +89,20 @@ object Sketches {
     }
   }
 
+  /** [[bloomPrune]] whose cache the CALLER releases: returns the pruned
+    * frame plus an unpersist handle to call after the result is
+    * materialized. Use this from loops / long-lived sessions where the
+    * default cacheBits=true entry (deliberately left for the session,
+    * see bloomPrune) would accumulate — the same persist/release
+    * convention as Dedup.incrementalPairs' reuseBands. */
+  def bloomPruneReleasable(probe: DataFrame, keyCol: Column,
+      bits: DataFrame, k: Int, m: Int): (DataFrame, () => Unit) = {
+    val cached =
+      bits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = bloomPrune(probe, keyCol, cached, k, m, cacheBits = false)
+    (pruned, () => { cached.unpersist(); () })
+  }
+
   /** Build a count-min sketch over `tokCol` occurrences: `d` hash rows ×
     * `w` cells, counters as rows (r, cell, cnt) — at most d×w rows. */
   def cmsBuild(tokens: DataFrame, tokCol: String, d: Int, w: Int): DataFrame =

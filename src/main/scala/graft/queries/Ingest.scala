@@ -15,6 +15,14 @@ object Ingest {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.read(s, dir, n)
 
+  /** Round-trip staging dir, unique per Spark application: two
+    * concurrent Verify/test JVMs on one machine must not overwrite each
+    * other's staging mid-read. PipelineSpec derives the same path from
+    * its own session. */
+  def stagingDir(s: SparkSession, name: String): String =
+    sys.props("java.io.tmpdir") +
+      s"/graft_${name}_${s.sparkContext.applicationId}"
+
   /** Deterministic change batch over orders: keys ≡ 1 (mod 7) are
     * upserts with a rewritten priority, keys ≡ 2 (mod 7) are deletes.
     * (No ≡ 0 inserts: the snapshot is the full table, so every change
@@ -45,7 +53,7 @@ object Ingest {
     // integers only: CSV float formatting is not a contract worth
     // relying on at any scale.
     "q113_csv_roundtrip" -> ((s, d) => {
-      val dir = sys.props("java.io.tmpdir") + "/graft_q113_csv"
+      val dir = stagingDir(s, "q113_csv")
       t(s, d, "orders")
         .select("o_orderkey", "o_orderpriority", "o_custkey")
         .write.mode("overwrite").option("header", "true").csv(dir)
@@ -61,7 +69,7 @@ object Ingest {
     // Same contract through newline-delimited JSON (the interchange
     // format of most crawl/annotation pipelines).
     "q114_json_roundtrip" -> ((s, d) => {
-      val dir = sys.props("java.io.tmpdir") + "/graft_q114_json"
+      val dir = stagingDir(s, "q114_json")
       t(s, d, "customer")
         .select("c_custkey", "c_name", "c_nationkey")
         .write.mode("overwrite").json(dir)
@@ -76,9 +84,7 @@ object Ingest {
 
   val oracles: Map[String, String] = Map(
     "q112_cdc_merge" ->
-      """WITH changed AS (SELECT o_orderkey FROM orders
-        |   WHERE o_orderkey % 7 IN (1, 2))
-        |SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
+      """SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
         | WHERE o_orderkey % 7 NOT IN (1, 2)
         |UNION ALL
         |SELECT o_orderkey, '9-CHANGED' AS o_orderpriority, o_custkey

@@ -114,7 +114,15 @@ object EventStreams {
     * joins emit eagerly in the micro-batch where both sides have
     * arrived (the watermark only bounds retained state), so Append mode
     * yields every match of the finite input — which must hash-match the
-    * batch interval-join twin the oracle runs. */
+    * batch interval-join twin the oracle runs.
+    *
+    * That completeness claim leans on the file source ingesting ALL
+    * staged files in ONE micro-batch (no maxFilesPerTrigger set): with
+    * the input split across batches, watermark state eviction on
+    * out-of-event-time-order arrival could silently drop valid matches.
+    * [[runToCompletion]] asserts the single data batch at runtime so a
+    * future source/trigger change fails loudly instead of weakening the
+    * gate. */
   def joinBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame =
     runToCompletion(spark, sfDir, "graft_q105_join",
       purchasesAfterSignup(_), OutputMode.Append)
@@ -157,7 +165,18 @@ object EventStreams {
     val q = transform(fromDirectory(spark, dir.toString))
       .writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    try {
+      q.processAllAvailable()
+      if (mode == OutputMode.Append) {
+        // Append-mode gates (stream-stream joins) are only complete if
+        // all input arrived in one micro-batch — see joinBatchEquivalent
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 1,
+          s"append-mode gate expects exactly one data micro-batch, saw " +
+            s"$dataBatches — a source/trigger change broke the " +
+            "single-batch completeness assumption")
+      }
+    } finally { q.stop() }
     spark.table(name)
   }
 

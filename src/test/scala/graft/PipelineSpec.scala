@@ -238,6 +238,44 @@ class PipelineSpec extends SparkTestBase {
       orig.size - orig.keys.count(_ % 7 == 2))
   }
 
+  test("cdc merge: unknown ops ignored, duplicate upserts latest-wins") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (1L, "typo'd op must NOT delete key 1", "upsrt", 10L),
+      (2L, "old", "upsert", 1L),
+      (2L, "new", "upsert", 2L), // higher seq wins
+      (3L, "gone", "delete", 5L))
+      .toDF("k", "v", "op", "seq")
+    val merged = graft.operators.Merge
+      .applyChanges(base, changes, "k", seqCol = Some("seq"))
+      .as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "a", 2L -> "new"))
+
+    // without seqCol: deterministic winner = greatest payload
+    val merged2 = graft.operators.Merge
+      .applyChanges(base, changes.drop("seq"), "k")
+      .as[(Long, String)].collect().toMap
+    assert(merged2 == Map(1L -> "a", 2L -> "old"))
+  }
+
+  test("bloomPruneReleasable: same result, cache released by handle") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val urgent = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bits = Sketches.bloomBuild(urgent, "o_orderkey", k = 3, m = 1 << 18)
+    val (pruned, release) = Sketches.bloomPruneReleasable(
+      li, col("l_orderkey"), bits, k = 3, m = 1 << 18)
+    val plain = Sketches.bloomPrune(li, col("l_orderkey"), bits,
+      k = 3, m = 1 << 18, cacheBits = false)
+    assert(pruned.count() == plain.count())
+    val before = spark.sparkContext.getPersistentRDDs.size
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size < before,
+      "release handle must drop the cached bit set")
+  }
+
   test("csv and json round-trips are lossless row-for-row") {
     // run the queries (they write + re-read), then compare the staged
     // files' contents against the original rows directly
@@ -245,7 +283,7 @@ class PipelineSpec extends SparkTestBase {
     q("q114_json_roundtrip").collect()
     val csvBack = spark.read.option("header", "true")
       .schema("o_orderkey BIGINT, o_orderpriority STRING, o_custkey BIGINT")
-      .csv(sys.props("java.io.tmpdir") + "/graft_q113_csv")
+      .csv(graft.queries.Ingest.stagingDir(spark, "q113_csv"))
       .as[(Long, String, Long)].collect().toSet
     val csvOrig = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_orderpriority", "o_custkey")
@@ -253,7 +291,7 @@ class PipelineSpec extends SparkTestBase {
     assert(csvBack == csvOrig)
     val jsonBack = spark.read
       .schema("c_custkey BIGINT, c_name STRING, c_nationkey BIGINT")
-      .json(sys.props("java.io.tmpdir") + "/graft_q114_json")
+      .json(graft.queries.Ingest.stagingDir(spark, "q114_json"))
       .as[(Long, String, Long)].collect().toSet
     val jsonOrig = spark.read.parquet(s"$sf/customer.parquet")
       .select("c_custkey", "c_name", "c_nationkey")
