@@ -21,29 +21,37 @@ object Merge {
   /** Apply `changes` to `base`. `changes` must carry `opCol` with values
     * "upsert" or "delete"; upsert rows replace (or insert) their key,
     * delete rows remove it. Both frames must share the `key` column;
-    * upsert rows must have base's schema plus `opCol`.
+    * change rows must have base's schema plus `opCol` (and `seqCol`).
     *
     * Robustness contract: rows whose op is neither "upsert" nor
     * "delete" are IGNORED entirely (they neither delete their key nor
-    * insert anything — an op typo must not silently drop data), and
-    * duplicate upserts for one key collapse to a single winner:
-    * highest `seqCol` if given (latest-wins), else the lexicographically
-    * greatest payload (deterministic regardless of partitioning). */
+    * insert anything — an op typo must not silently drop data). A key
+    * with several valid rows in one batch collapses to ONE winner
+    * across BOTH ops: with `seqCol`, the highest sequence wins, so an
+    * upsert(seq=1) + delete(seq=5) pair really deletes the key instead
+    * of resurrecting it via the upsert (CDC feeds commonly carry
+    * upsert-then-delete for one key in a batch); sequence ties fall
+    * back to the payload-struct descending so the winner never depends
+    * on partitioning. Without `seqCol` there is no "latest": upserts
+    * outrank deletes by contract (replace-wins), and duplicate upserts
+    * collapse to the lexicographically greatest payload. */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
       opCol: String = "op", seqCol: Option[String] = None): DataFrame = {
     val valid = changes.filter(col(opCol).isin("upsert", "delete"))
-    val keys = valid.select(key).distinct()
-    val survivors = base.join(keys, Seq(key), "left_anti")
+    val payload = struct(base.columns.filter(_ != key).map(col): _*)
     val ordering = seqCol match {
-      case Some(c) => col(c).desc
-      case None => struct(base.columns.filter(_ != key).map(col): _*).desc
+      case Some(c) => Seq(col(c).desc, payload.desc)
+      case None =>
+        Seq(when(col(opCol) === "upsert", 0).otherwise(1).asc, payload.desc)
     }
     // window over the CHANGE BATCH only (small by assumption), never
     // over the snapshot — the merge still shuffles base only on `key`
-    val w = Window.partitionBy(col(key)).orderBy(ordering)
-    val upserts = valid.filter(col(opCol) === "upsert")
+    val w = Window.partitionBy(col(key)).orderBy(ordering: _*)
+    val winners = valid
       .withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") === 1)
+    val survivors = base.join(winners.select(key), Seq(key), "left_anti")
+    val upserts = winners.filter(col(opCol) === "upsert")
       .select(base.columns.map(col): _*)
     survivors.unionAll(upserts)
   }

@@ -18,10 +18,35 @@ object Ingest {
   /** Round-trip staging dir, unique per Spark application: two
     * concurrent Verify/test JVMs on one machine must not overwrite each
     * other's staging mid-read. PipelineSpec derives the same path from
-    * its own session. */
-  def stagingDir(s: SparkSession, name: String): String =
-    sys.props("java.io.tmpdir") +
+    * its own session. Every returned dir is registered for recursive
+    * deletion at JVM exit (deleteOnExit can't cover the part files
+    * Spark creates *after* registration), so repeated Verify/bench runs
+    * don't accumulate unbounded tmp data. */
+  def stagingDir(s: SparkSession, name: String): String = {
+    val dir = sys.props("java.io.tmpdir") +
       s"/graft_${name}_${s.sparkContext.applicationId}"
+    registerCleanup(dir)
+    dir
+  }
+
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedDirs.forEach(d => deleteTree(new java.io.File(d)))))
+
+  private def registerCleanup(dir: String): Unit = {
+    cleanupHook
+    stagedDirs.add(dir)
+    ()
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete()
+    ()
+  }
 
   /** Deterministic change batch over orders: keys ≡ 1 (mod 7) are
     * upserts with a rewritten priority, keys ≡ 2 (mod 7) are deletes.
@@ -42,6 +67,28 @@ object Ingest {
     "q112_cdc_merge" -> ((s, d) => {
       val orders = t(s, d, "orders")
       Merge.applyChanges(orders, changesOf(orders), "o_orderkey")
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+    }),
+
+    // ---- q115: CDC merge with a sequence column ----
+    // One batch carries, for the same key, ops at different sequence
+    // numbers; the NEWEST op wins across upsert/delete in both
+    // directions: %7==1 gets upsert(seq1) then delete(seq2) → really
+    // deleted (no resurrect via the stale upsert); %7==2 gets
+    // delete(seq2) then upsert(seq3) → present with the late value.
+    "q115_cdc_merge_seq" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val k = col("o_orderkey") % 7
+      val up1 = orders.filter(k === 1)
+        .withColumn("o_orderpriority", lit("9-FIRST"))
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+      val del2 = orders.filter(k.isin(1, 2))
+        .withColumn("op", lit("delete")).withColumn("seq", lit(2L))
+      val up3 = orders.filter(k.isin(2, 3))
+        .withColumn("o_orderpriority", lit("9-LATEST"))
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(3L))
+      Merge.applyChanges(orders, up1.unionByName(del2).unionByName(up3),
+          "o_orderkey", seqCol = Some("seq"))
         .select("o_orderkey", "o_orderpriority", "o_custkey")
     }),
 
@@ -89,6 +136,13 @@ object Ingest {
         |UNION ALL
         |SELECT o_orderkey, '9-CHANGED' AS o_orderpriority, o_custkey
         | FROM orders WHERE o_orderkey % 7 = 1""".stripMargin,
+
+    "q115_cdc_merge_seq" ->
+      """SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
+        | WHERE o_orderkey % 7 NOT IN (1, 2, 3)
+        |UNION ALL
+        |SELECT o_orderkey, '9-LATEST' AS o_orderpriority, o_custkey
+        | FROM orders WHERE o_orderkey % 7 IN (2, 3)""".stripMargin,
 
     "q113_csv_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

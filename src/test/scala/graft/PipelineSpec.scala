@@ -259,6 +259,26 @@ class PipelineSpec extends SparkTestBase {
     assert(merged2 == Map(1L -> "a", 2L -> "old"))
   }
 
+  test("cdc merge seqCol: newest op wins across upsert/delete, ties deterministic") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "stale", "upsert", 1L),
+      (1L, "x", "delete", 5L), // newer delete beats the upsert: no resurrect
+      (2L, "late", "upsert", 5L),
+      (2L, "x", "delete", 1L), // older delete loses to the newer upsert
+      (3L, "tieA", "upsert", 7L),
+      (3L, "tieB", "upsert", 7L)) // seq tie → greatest payload wins
+      .toDF("k", "v", "op", "seq")
+    // repartition shuffles the batch arbitrarily; the winner must not move
+    for (parts <- Seq(1, 7)) {
+      val merged = graft.operators.Merge
+        .applyChanges(base, changes.repartition(parts), "k",
+          seqCol = Some("seq"))
+        .as[(Long, String)].collect().toMap
+      assert(merged == Map(2L -> "late", 3L -> "tieB"))
+    }
+  }
+
   test("bloomPruneReleasable: same result, cache released by handle") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val urgent = spark.read.parquet(s"$sf/orders.parquet")
