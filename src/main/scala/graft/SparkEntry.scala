@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Fingerprints.queries ++
       graft.queries.Shapes.queries ++
       graft.queries.Pipelines.queries ++
-      graft.queries.Ingest.queries
+      graft.queries.Ingest.queries ++
+      graft.queries.Curation.queries
 
   lazy val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Fingerprints.oracles ++
       graft.queries.Shapes.oracles ++
       graft.queries.Pipelines.oracles ++
-      graft.queries.Ingest.oracles
+      graft.queries.Ingest.oracles ++
+      graft.queries.Curation.oracles
 }

@@ -40,6 +40,17 @@ object TextExpr {
   def minhashDuck(sh: String, seed: Int): String =
     s"list_aggregate(list_transform($sh, x -> md5('$seed:' || x)), 'min')"
 
+  /** Word n-gram strings (space-joined runs of n consecutive tokens);
+    * docs shorter than n tokens yield NO grams (unlike shingles, which
+    * fall back to the tokens — a decontamination/boilerplate gram must
+    * be a full-width phrase or nothing). */
+  def ngramsSpark(t: String, n: Int): String =
+    s"CASE WHEN size($t) >= $n THEN transform(sequence(1, size($t)-${n - 1}), " +
+      s"i -> concat_ws(' ', slice($t, i, $n))) ELSE slice($t, 1, 0) END"
+  def ngramsDuck(t: String, n: Int): String =
+    s"CASE WHEN len($t) >= $n THEN [array_to_string(($t)[i:i+${n - 1}], ' ') " +
+      s"FOR i IN range(1, len($t)-${n - 2})] ELSE ($t)[1:0] END"
+
   /** Nibble k (0-based, most-significant hex char first) of md5 hex `h`
     * as an int 0..15. */
   def nibbleSpark(h: String, k: Int): String =

@@ -36,6 +36,21 @@ object Sampling {
     df.filter(bucket(idCol) < keepNibbles)
   }
 
+  /** Deterministic shard id in 0..nShards-1 from the id's first md5
+    * byte — the export partitioner for training-data writes: shard is a
+    * pure function of the id, so re-runs, engines, and cluster sizes
+    * all produce the identical layout, and
+    * `df.write.partitionBy("shard")` yields one directory per shard
+    * with no shuffle beyond the write itself. nShards ≤ 256 keeps the
+    * single hash byte unbiased (256 % nShards == 0 for powers of two;
+    * for other counts the residue bias is ≤ 1/256 per shard). */
+  def assignShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0 && nShards <= 256, "nShards must be in 1..256")
+    val h = s"md5(CAST($idCol AS STRING))"
+    df.withColumn("shard", expr(
+      s"(${nibbleSpark(h, 0)} * 16 + ${nibbleSpark(h, 1)}) % $nShards"))
+  }
+
   /** Deterministic STRATIFIED sample: a per-stratum keep rate (in
     * sixteenths), defaulting to `defaultNibbles` for unlisted strata —
     * the rebalancing move (downsample the dominant language, keep the

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextExpr._
+import graft.operators.Sampling
+
+/** Round-6 corpus-curation operators: benchmark decontamination,
+  * boilerplate-phrase scoring, an inverted index, latest-record-per-key
+  * argmax without a window sort, deterministic shard assignment for
+  * training-data export, and within-document token co-occurrence.
+  *
+  * These are the remaining day-to-day moves of an LLM training-data
+  * pipeline the inventory didn't yet cover; the reference has no text
+  * surface at all (tables only, SURVEY.md §1.1), so all six are
+  * extensions. Every count/hash here is integer or md5-derived, so the
+  * DuckDB oracle replays each one exactly.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.read(s, dir, n)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  // Decontamination gram width: measured on the driver corpus, 3-grams
+  // flag 89% of training docs (the vocabulary is tiny, so trigram
+  // collisions are chance, not contamination) while 4-grams flag ~9% —
+  // the realistic "this doc quotes the benchmark" signal. Real
+  // pipelines use 8-13-gram overlap on natural text; the width is a
+  // parameter, the plan shape is what scales.
+  private val DecontN = 4
+  // Boilerplate: a 3-gram appearing in >= BoilDf distinct docs is
+  // corpus-boilerplate (the C4 move, phrase-level since this corpus has
+  // no newlines to split into lines).
+  private val BoilN = 3
+  private val BoilDf = 5
+  private val Shards = 8
+
+  /** Distinct (doc_id, gram) pairs of word n-grams. Distinct FIRST so
+    * every downstream count is "docs containing", never "occurrences" —
+    * and the explode stays a narrow op (the distinct is the only
+    * shuffle, on the gram). */
+  private def gramPairs(d: DataFrame, n: Int): DataFrame =
+    d.select(col("doc_id"),
+        explode(expr(ngramsSpark(toksSpark("text"), n))).as("g"))
+      .distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q116: benchmark decontamination ----
+    // Docs with doc_id % 19 == 0 stand in for a held-out benchmark; a
+    // training doc sharing ANY full 4-gram with the benchmark set is
+    // contaminated. 100 TB shape: the benchmark gram set is tiny and
+    // BROADCAST — the corpus side is scanned once, exploded, and
+    // filtered map-side; only the (small) hit set shuffles on doc_id,
+    // and the final flag join broadcasts the hits back onto the
+    // training docs. Output keeps every training doc with its hit
+    // count, so both the keep and drop sides of the gate are proven.
+    "q116_decontaminate" -> ((s, d) => {
+      val pairs = gramPairs(docs(s, d), DecontN)
+      val benchGrams = pairs.filter(col("doc_id") % 19 === 0)
+        .select("g").distinct()
+      val hits = pairs.filter(col("doc_id") % 19 =!= 0)
+        .join(broadcast(benchGrams), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs(s, d).filter(col("doc_id") % 19 =!= 0)
+        .join(broadcast(hits), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_hits").isNull.as("keep"))
+    }),
+
+    // ---- q117: boilerplate-phrase score ----
+    // Corpus-frequent 3-grams (document frequency >= BoilDf) are
+    // boilerplate; each doc reports how many of its distinct grams are
+    // boilerplate — the per-doc quality signal a curation pipeline
+    // thresholds on. Two shuffles on the gram (distinct + df agg) and
+    // one on doc_id; the df table is reused for both sides via the
+    // self-contained pairs frame, never recomputed per doc.
+    "q117_boilerplate_grams" -> ((s, d) => {
+      val pairs = gramPairs(docs(s, d), BoilN)
+      val boiler = pairs.groupBy("g")
+        .agg(count(lit(1)).as("df")).filter(col("df") >= BoilDf)
+        .select("g")
+      val perDoc = pairs.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+      val boilerPerDoc = pairs.join(boiler, Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      perDoc.join(boilerPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+    }),
+
+    // ---- q118: inverted index (term -> postings) ----
+    // The retrieval-side artifact of a text corpus: per term, its
+    // document frequency and the sorted posting list. One distinct +
+    // one hash agg; collect_set is bounded by per-term df — at 100 TB a
+    // production index delta-encodes and shards hot terms' postings,
+    // but the build plan (distinct pairs -> agg by term) is this one.
+    "q118_inverted_index" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(expr(toksSpark("text"))).as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_set(col("doc_id"))).as("postings"))),
+
+    // ---- q119: latest record per key, windowless ----
+    // "Current snapshot from an append log": per customer, the most
+    // recent order (ties on the date broken by the higher key). ONE
+    // aggregate of max(struct(date, key, payload)) — struct buffers
+    // plan as SortAggregate, but the partial_max still combines
+    // map-side, so the shuffle carries at most one row per (partition,
+    // key) instead of every row the way the row_number() window
+    // spelling does. The window twin is what q77 already grades; this
+    // is the at-scale shape.
+    "q119_latest_order" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))).as("w"))
+        .select(col("o_custkey"),
+          col("w.o_orderdate").as("last_date"),
+          col("w.o_orderkey").as("last_key"),
+          col("w.o_totalprice").as("last_price"))),
+
+    // ---- q120: deterministic shard assignment for export ----
+    // Training-data export: every doc gets a shard = f(md5(doc_id)),
+    // stable across runs/engines/cluster sizes; the gate checks the
+    // per-shard composition (count, id range, char volume) so a
+    // re-shard anywhere would hash-mismatch. The write itself is
+    // `partitionBy("shard")` (PipelineSpec drives it); no shuffle is
+    // needed to assign — it's a narrow column expression.
+    "q120_shard_assign" -> ((s, d) =>
+      Sampling.assignShard(docs(s, d), "doc_id", Shards)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum("n_chars").as("char_sum"))),
+
+    // ---- q121: within-document token co-occurrence ----
+    // Pair counts (a, b sorted, a < b) over each doc's distinct token
+    // set — the phrase/topic-mining primitive. The pairs are generated
+    // INSIDE the row (sorted-distinct tokens, then index-slice pairs),
+    // so there is no self-join: one narrow explode then one hash agg.
+    // Pair fan-out is quadratic in per-doc DISTINCT tokens, which a
+    // vocabulary bounds — the per-doc cost is local and independent of
+    // corpus size.
+    "q121_cooccurrence" -> ((s, d) =>
+      docs(s, d)
+        .select(expr(s"array_sort(array_distinct(${toksSpark("text")}))")
+          .as("ts"))
+        .select(posexplode(col("ts")).as(Seq("i", "a")), col("ts"))
+        .select(col("a"),
+          explode(expr("slice(ts, i + 2, size(ts))")).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_docs")))
+  )
+
+  private def gramsDuck(n: Int): String =
+    s"""SELECT doc_id, unnest(${ngramsDuck(s"(${toksDuck("text")})", n)}) AS g
+       | FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q116_decontaminate" ->
+      s"""WITH pairs AS (SELECT DISTINCT * FROM (${gramsDuck(DecontN)})),
+        | bench AS (SELECT DISTINCT g FROM pairs WHERE doc_id % 19 = 0),
+        | hits AS (SELECT doc_id, count(*) AS n_hits FROM pairs
+        |   JOIN bench USING (g) WHERE doc_id % 19 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  COALESCE(h.n_hits, 0) AS n_hits, h.doc_id IS NULL AS keep
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 19 <> 0""".stripMargin,
+
+    "q117_boilerplate_grams" ->
+      s"""WITH pairs AS (SELECT DISTINCT * FROM (${gramsDuck(BoilN)})),
+        | boiler AS (SELECT g FROM pairs GROUP BY g
+        |   HAVING count(*) >= $BoilDf),
+        | per_doc AS (SELECT doc_id, count(*) AS n_grams FROM pairs
+        |   GROUP BY 1),
+        | bd AS (SELECT doc_id, count(*) AS n_boiler FROM pairs
+        |   JOIN boiler USING (g) GROUP BY 1)
+        |SELECT p.doc_id, p.n_grams, COALESCE(bd.n_boiler, 0) AS n_boiler
+        |FROM per_doc p LEFT JOIN bd USING (doc_id)""".stripMargin,
+
+    "q118_inverted_index" ->
+      s"""WITH p AS (SELECT DISTINCT doc_id,
+        |   unnest(${toksDuck("text")}) AS term FROM documents)
+        |SELECT term, count(*) AS df,
+        | list(doc_id ORDER BY doc_id) AS postings
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q119_latest_order" ->
+      """SELECT o_custkey, o_orderdate AS last_date,
+        | o_orderkey AS last_key, o_totalprice AS last_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "q120_shard_assign" -> {
+      val h = "md5(CAST(doc_id AS VARCHAR))"
+      s"""WITH a AS (SELECT *,
+        |   (${nibbleDuck(h, 0)} * 16 + ${nibbleDuck(h, 1)}) % $Shards
+        |     AS shard FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        | CAST(SUM(n_chars) AS BIGINT) AS char_sum
+        |FROM a GROUP BY 1""".stripMargin
+    },
+
+    "q121_cooccurrence" ->
+      s"""WITH t AS (SELECT
+        |   list_sort(list_distinct(${toksDuck("text")})) AS ts
+        |   FROM documents),
+        | p AS (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM t),
+        | pr AS (SELECT ts[i] AS a, unnest(ts[i+1:len(ts)]) AS b FROM p)
+        |SELECT a, b, count(*) AS n_docs FROM pr GROUP BY 1, 2""".stripMargin
+  )
+}

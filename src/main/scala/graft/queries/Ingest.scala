@@ -42,6 +42,14 @@ object Ingest {
     ()
   }
 
+  /** Immediate recursive delete, for callers (tests) that shouldn't
+    * wait for the exit hook. */
+  def cleanupNow(dir: String): Unit = {
+    deleteTree(new java.io.File(dir))
+    stagedDirs.remove(dir)
+    ()
+  }
+
   private def deleteTree(f: java.io.File): Unit = {
     Option(f.listFiles).getOrElse(Array.empty).foreach(deleteTree)
     f.delete()

@@ -279,6 +279,81 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("decontamination: keep == zero hits, flagged docs really share a gram") {
+    val out = q("q116_decontaminate")
+      .select("doc_id", "n_hits", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.forall { case (_, hits, keep) => keep == (hits == 0) })
+    assert(out.exists(_._2 > 0) && out.exists(_._3),
+      "corpus should contain both contaminated and clean training docs")
+    // recompute ground truth with a plain gram join for flagged docs
+    val grams = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(expr(
+        graft.functions.TextExpr.ngramsSpark(
+          graft.functions.TextExpr.toksSpark("text"), 4))).as("g"))
+    val truth = grams.filter(col("doc_id") % 19 =!= 0).as("tr")
+      .join(grams.filter(col("doc_id") % 19 === 0).as("be"), Seq("g"))
+      .select(col("tr.doc_id")).distinct()
+      .as[Long].collect().toSet
+    assert(out.filter(_._2 > 0).map(_._1).toSet == truth)
+  }
+
+  test("inverted index: postings sorted, df == postings length") {
+    val out = q("q118_inverted_index")
+      .as[(String, Long, Seq[Long])].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, df, p) =>
+      df == p.length && p == p.sorted && p.distinct.length == p.length })
+  }
+
+  test("latest-per-key argmax agrees with the window spelling") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate").as("last_date"),
+        col("o_orderkey").as("last_key"),
+        col("o_totalprice").as("last_price"))
+    val viaAgg = q("q119_latest_order")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("shard assignment: stable, in range, and partitionBy lays out shard dirs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sharded = graft.operators.Sampling.assignShard(docs, "doc_id", 8)
+    val shards = sharded.select("shard").distinct().as[Int].collect().toSet
+    assert(shards.subsetOf((0 until 8).toSet) && shards.size > 1)
+    // pure function of the id: re-deriving moves nothing
+    assert(graft.operators.Sampling.assignShard(docs, "doc_id", 8)
+      .exceptAll(sharded).isEmpty)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    sharded.select("doc_id", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val dirs = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs == shards.map(s => s"shard=$s"))
+    graft.queries.Ingest.cleanupNow(dir)
+  }
+
+  test("co-occurrence counts match the self-join spelling") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(col("doc_id"), explode(expr(
+        graft.functions.TextExpr.toksSpark("text"))).as("tok"))
+      .distinct()
+    val selfJoin = toks.as("x").join(toks.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("x.tok") < col("y.tok"))
+      .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rowLocal = q("q121_cooccurrence")
+    assert(rowLocal.exceptAll(selfJoin).isEmpty &&
+      selfJoin.exceptAll(rowLocal).isEmpty)
+  }
+
   test("bloomPruneReleasable: same result, cache released by handle") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val urgent = spark.read.parquet(s"$sf/orders.parquet")

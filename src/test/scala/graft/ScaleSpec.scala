@@ -121,6 +121,34 @@ class ScaleSpec extends SparkTestBase {
       s"window over one partitioning should shuffle once, found $exchanges in:\n$plan")
   }
 
+  test("decontamination broadcasts the benchmark grams, never shuffles the corpus side") {
+    val plan = SparkEntry.queries("q116_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"bench-gram filter and hit flag-back must both broadcast:\n$plan")
+  }
+
+  test("latest-per-key argmax is one hash aggregate, no window sort") {
+    val plan = SparkEntry.queries("q119_latest_order")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "argmax spelling must not fall back to a window")
+    // struct max buffers are sort-based, but the scale property is the
+    // map-side combine: partial_max BEFORE the exchange means the
+    // shuffle carries one row per (partition, key), not every row
+    assert(plan.contains("partial_max"),
+      s"expected map-side partial aggregation in:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"one shuffle on the group key expected:\n$plan")
+  }
+
+  test("co-occurrence pairs are generated in-row: no join anywhere in the plan") {
+    val plan = SparkEntry.queries("q121_cooccurrence")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"pair generation must be row-local, not a self-join:\n$plan")
+  }
+
   test("trained k-means centroids are run-to-run deterministic") {
     val e = sources.Tables.read(spark, sf, "embeddings")
     def run() = {
