@@ -37,6 +37,8 @@ object Curation {
   private val BoilN = 3
   private val BoilDf = 5
   private val Shards = 8
+  // Per-stratum hard cap for the quota sample.
+  private val QuotaK = 40
 
   /** Distinct (doc_id, gram) pairs of word n-grams. Distinct FIRST so
     * every downstream count is "docs containing", never "occurrences" —
@@ -141,6 +143,55 @@ object Curation {
           min("doc_id").as("min_id"), max("doc_id").as("max_id"),
           sum("n_chars").as("char_sum"))),
 
+    // ---- q124: deterministic per-stratum quota sample ----
+    // "At most K docs per language", chosen by md5 order of the id —
+    // the hard-cap companion to the rate-based stratified sample (q89):
+    // a dominant stratum is capped at exactly K, not thinned by a
+    // ratio. The md5 sort key makes the selection a pure function of
+    // the ids present, so engines and re-runs agree. One shuffle on the
+    // stratum; at extreme per-stratum cardinality, pre-thin with
+    // Sampling.hashSample to ~10K candidates first, then take the exact
+    // quota — the composition stays deterministic.
+    "q124_group_quota" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+      docs(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= QuotaK)
+        .select("doc_id", "lang", "source", "rk")
+    }),
+
+    // ---- q125: rank-based winsorization (clip at p05/p95) ----
+    // Feature preprocessing: clamp each value to its group's 5th/95th
+    // percentile VALUES, with the percentile rank computed in pure
+    // integer arithmetic (ceil(n*p) = (n*p+99) DIV 100) so both engines
+    // pick the identical order statistic — no interpolation, no float
+    // rank drift. The clipped output is always one of the group's own
+    // values, so doubles pass through untouched. Exact order statistics
+    // sort each group once (the q59 caveat applies at extreme group
+    // sizes; q83's approx_percentile is the documented at-scale
+    // pre-pass for bounds).
+    "q125_winsorize" -> ((s, d) => {
+      val base = t(s, d, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice").as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("x"))
+      val ranked = base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      val bounds = ranked.groupBy("g").agg(
+        min(when(col("rn") === expr("(n * 5 + 99) DIV 100"), col("x")))
+          .as("lo"),
+        min(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("x")))
+          .as("hi"))
+      base.join(broadcast(bounds), Seq("g"))
+        .select(col("g"), col("l_orderkey"), col("l_linenumber"),
+          least(greatest(col("x"), col("lo")), col("hi")).as("x_clip"))
+    }),
+
     // ---- q121: within-document token co-occurrence ----
     // Pair counts (a, b sorted, a < b) over each doc's distinct token
     // set — the phrase/topic-mining primitive. The pairs are generated
@@ -211,6 +262,28 @@ object Curation {
         | CAST(SUM(n_chars) AS BIGINT) AS char_sum
         |FROM a GROUP BY 1""".stripMargin
     },
+
+    "q124_group_quota" ->
+      s"""SELECT doc_id, lang, source, rk FROM (
+        | SELECT doc_id, lang, source, row_number() OVER (
+        |   PARTITION BY lang
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= $QuotaK""".stripMargin,
+
+    "q125_winsorize" ->
+      """WITH base AS (SELECT l_returnflag AS g, l_orderkey,
+        |   l_linenumber, l_extendedprice AS x FROM lineitem),
+        | ranked AS (SELECT *,
+        |   row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |   count(*) OVER (PARTITION BY g) AS n FROM base),
+        | bounds AS (SELECT g,
+        |   MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN x END) AS lo,
+        |   MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN x END) AS hi
+        |  FROM ranked GROUP BY g)
+        |SELECT b.g, b.l_orderkey, b.l_linenumber,
+        | LEAST(GREATEST(b.x, bo.lo), bo.hi) AS x_clip
+        |FROM base b JOIN bounds bo ON b.g = bo.g""".stripMargin,
 
     "q121_cooccurrence" ->
       s"""WITH t AS (SELECT

@@ -120,6 +120,22 @@ object Ingest {
           countDistinct("o_custkey").as("custs"))
     }),
 
+    // ---- q122: ORC sink + source round-trip ----
+    // Same lossless-round-trip contract through ORC, Spark's other
+    // first-class columnar format (a lakehouse migration path meets it
+    // constantly). Columnar→columnar, so unlike CSV the types survive
+    // natively — the gate proves the reader/writer pair, not a re-parse.
+    "q122_orc_roundtrip" -> ((s, d) => {
+      val dir = stagingDir(s, "q122_orc")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_sum"),
+          countDistinct("l_partkey").as("parts"))
+    }),
+
     // ---- q114: JSON-lines sink + source round-trip ----
     // Same contract through newline-delimited JSON (the interchange
     // format of most crawl/annotation pipelines).
@@ -157,6 +173,12 @@ object Ingest {
         | CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         | count(DISTINCT o_custkey) AS custs
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q122_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        | count(DISTINCT l_partkey) AS parts
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q114_json_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n,

@@ -36,6 +36,33 @@ object Temporal {
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sumFixed(col("value"), 2).as("sum_val"))),
 
+    // ---- q123: resample to an hourly grid + forward-fill ----
+    // The pandas `resample('1h').last().ffill()` move, per user: the
+    // last observed value in each hour (deterministic last = max ts,
+    // tie-broken by event_id), re-indexed onto the user's full hourly
+    // span, gaps carried forward. Plan: one hash agg to hourly points,
+    // one tiny agg for spans, sequence()+explode generates the grid
+    // INSIDE the row (no driver loop, no cross join), and the fill is
+    // one window over the user's own partition — the state never
+    // crosses users, so the shuffle key is the natural one. The grid
+    // size is span-bounded per user, independent of corpus row count.
+    "q123_resample_ffill" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("w"))
+        .select(col("user_id"), col("hr"), col("w.value").as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Long.MinValue, 0)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+    }),
+
     // Semi-structured extraction from the JSON props column
     "q30_events_json" -> ((s, d) =>
       t(s, d, "events")
@@ -101,6 +128,22 @@ object Temporal {
         |FROM a JOIN b USING (pos)""".stripMargin,
     "q29_events_hourly" -> hourlyOracle,
     "q68_hourly_stream" -> hourlyOracle,
+    "q123_resample_ffill" ->
+      """WITH pts AS (SELECT user_id,
+        |   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, value AS v
+        |  FROM (SELECT *, row_number() OVER (
+        |     PARTITION BY user_id, DATE_TRUNC('hour', ts)
+        |     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1),
+        | grid AS (SELECT user_id,
+        |   unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+        |  FROM pts GROUP BY user_id)
+        |SELECT g.user_id, g.hr,
+        | last_value(p.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |   ORDER BY g.hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS v_filled
+        |FROM grid g LEFT JOIN pts p
+        |  ON g.user_id = p.user_id AND g.hr = p.hr""".stripMargin,
     "q30_events_json" ->
       """SELECT event_type, COUNT(*) AS cnt,
         | CAST(SUM(CAST(NULLIF(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -15,6 +15,35 @@ class OperatorSpec extends SparkTestBase {
     assert(z == Seq((10, 1), (20, 2)))
   }
 
+  test("resample+ffill: complete hourly grid, no holes, gaps carry the last value") {
+    val out = SparkEntry.queries("q123_resample_ffill")(spark, sf)
+      .select("user_id", "hr", "v_filled")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_._1)
+    byUser.foreach { case (_, rows) =>
+      val hrs = rows.map(_._2.getTime).sorted
+      // contiguous hourly grid from first to last observation
+      assert(hrs.zip(hrs.tail).forall { case (a, b) => b - a == 3600000L })
+    }
+    // an hour with no raw event must carry the previous filled value
+    val observed = graft.sources.Tables.read(spark, sf, "events")
+      .select(col("user_id"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+      .as[(Long, java.sql.Timestamp)].collect()
+      .map { case (u, h) => (u, h.getTime) }.toSet
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      sorted.zip(sorted.tail).foreach { case ((_, _, prev), (_, h, v)) =>
+        if (!observed.contains((u, h.getTime))) assert(v == prev,
+          s"gap hour $h for user $u must carry the previous value")
+      }
+      assert(observed.contains((u, sorted.head._2.getTime)),
+        "grid must start at the first OBSERVED hour (no leading nulls)")
+    }
+  }
+
   test("asof join picks the latest right row at-or-before left time") {
     val ev = Seq((1L, 5L, ts(100)), (2L, 5L, ts(250)), (3L, 5L, ts(50)))
       .toDF("event_id", "user_id", "t")

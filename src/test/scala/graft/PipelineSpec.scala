@@ -339,6 +339,40 @@ class PipelineSpec extends SparkTestBase {
     graft.queries.Ingest.cleanupNow(dir)
   }
 
+  test("group quota sample: exactly min(K, stratum size) rows per stratum, stable") {
+    val out = q("q124_group_quota")
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sizes = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val taken = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(taken == sizes.map { case (l, n) => l -> math.min(40L, n) })
+    // pure function of the ids: a second run picks the same docs
+    assert(q("q124_group_quota").select("lang", "doc_id")
+      .as[(String, Long)].collect().toSet == out.toSet)
+  }
+
+  test("winsorize: bounds are group order statistics, clip fraction ~5% per tail") {
+    val out = q("q125_winsorize")
+      .select("g", "x_clip").as[(String, Double)].collect()
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").as("x"))
+      .as[(String, Double)].collect()
+    raw.groupBy(_._1).foreach { case (g, rows) =>
+      val xs = rows.map(_._2).sorted
+      val n = xs.length
+      val lo = xs((n * 5 + 99) / 100 - 1)
+      val hi = xs((n * 95 + 99) / 100 - 1)
+      val clipped = out.filter(_._1 == g).map(_._2)
+      assert(clipped.forall(v => v >= lo && v <= hi))
+      // each tail clamps at most ~5% of the group (+ ties at the bound)
+      assert(clipped.count(_ == lo) >= n * 5 / 100)
+      assert(clipped.count(_ == hi) >= n * 5 / 100)
+      assert(clipped.count(v => v == lo || v == hi) <= n * 11 / 100)
+    }
+  }
+
   test("co-occurrence counts match the self-join spelling") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val toks = docs.select(col("doc_id"), explode(expr(
@@ -369,6 +403,15 @@ class PipelineSpec extends SparkTestBase {
     release()
     assert(spark.sparkContext.getPersistentRDDs.size < before,
       "release handle must drop the cached bit set")
+  }
+
+  test("orc round-trip is lossless row-for-row") {
+    q("q122_orc_roundtrip").collect()
+    val back = spark.read
+      .orc(graft.queries.Ingest.stagingDir(spark, "q122_orc"))
+    val orig = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
   test("csv and json round-trips are lossless row-for-row") {
