@@ -40,14 +40,16 @@ object Curation {
   // Per-stratum hard cap for the quota sample.
   private val QuotaK = 40
 
-  /** Distinct (doc_id, gram) pairs of word n-grams. Distinct FIRST so
-    * every downstream count is "docs containing", never "occurrences" —
-    * and the explode stays a narrow op (the distinct is the only
-    * shuffle, on the gram). */
+  /** Exploded (doc_id, gram) pairs of word n-grams — NOT deduplicated:
+    * a caller that needs "docs containing" semantics must place its own
+    * .distinct() AFTER whatever filter shrinks the stream, so the
+    * dedup shuffle runs over the smallest possible set (q116 dedups
+    * only the benchmark-matched pairs; q117 genuinely needs the
+    * corpus-wide distinct because document frequency is a corpus-wide
+    * stat). */
   private def gramPairs(d: DataFrame, n: Int): DataFrame =
     d.select(col("doc_id"),
-        explode(expr(ngramsSpark(toksSpark("text"), n))).as("g"))
-      .distinct()
+      explode(expr(ngramsSpark(toksSpark("text"), n))).as("g"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -56,19 +58,23 @@ object Curation {
     // training doc sharing ANY full 4-gram with the benchmark set is
     // contaminated. 100 TB shape: the benchmark gram set is tiny and
     // BROADCAST — the corpus side is scanned once, exploded, and
-    // filtered map-side; only the (small) hit set shuffles on doc_id,
-    // and the final flag join broadcasts the hits back onto the
-    // training docs. Output keeps every training doc with its hit
-    // count, so both the keep and drop sides of the gate are proven.
+    // semi-join-filtered map-side with NO shuffle; only the matched
+    // pairs are deduplicated and counted (the dedup shuffle runs over
+    // the hit set, never the corpus), and the hit flags join back
+    // without a forced broadcast — hit cardinality is corpus-bounded,
+    // so that join is left to AQE. Output keeps every training doc
+    // with its hit count, so both the keep and drop sides of the gate
+    // are proven.
     "q116_decontaminate" -> ((s, d) => {
       val pairs = gramPairs(docs(s, d), DecontN)
       val benchGrams = pairs.filter(col("doc_id") % 19 === 0)
         .select("g").distinct()
       val hits = pairs.filter(col("doc_id") % 19 =!= 0)
-        .join(broadcast(benchGrams), Seq("g"))
+        .join(broadcast(benchGrams), Seq("g"), "left_semi")
+        .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       docs(s, d).filter(col("doc_id") % 19 =!= 0)
-        .join(broadcast(hits), Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           col("n_hits").isNull.as("keep"))
@@ -82,7 +88,10 @@ object Curation {
     // one on doc_id; the df table is reused for both sides via the
     // self-contained pairs frame, never recomputed per doc.
     "q117_boilerplate_grams" -> ((s, d) => {
-      val pairs = gramPairs(docs(s, d), BoilN)
+      // corpus-wide distinct is inherent here: document frequency is a
+      // corpus-wide statistic, so the (doc_id, gram) dedup shuffle is
+      // the operator's real cost, not an accident
+      val pairs = gramPairs(docs(s, d), BoilN).distinct()
       val boiler = pairs.groupBy("g")
         .agg(count(lit(1)).as("df")).filter(col("df") >= BoilDf)
         .select("g")

@@ -133,7 +133,8 @@ object Temporal {
         |   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, value AS v
         |  FROM (SELECT *, row_number() OVER (
         |     PARTITION BY user_id, DATE_TRUNC('hour', ts)
-        |     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events)
         |  WHERE rn = 1),
         | grid AS (SELECT user_id,
         |   unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr

@@ -124,8 +124,14 @@ class ScaleSpec extends SparkTestBase {
   test("decontamination broadcasts the benchmark grams, never shuffles the corpus side") {
     val plan = SparkEntry.queries("q116_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
-      s"bench-gram filter and hit flag-back must both broadcast:\n$plan")
+    // the gram match must be a broadcast semi join (benchmark side is
+    // tiny by contract) — if it ever degrades to a shuffled join on g,
+    // the whole exploded corpus gram stream would exchange
+    assert("BroadcastHashJoin \\[g#".r.findFirstIn(plan).isDefined
+        && plan.contains("LeftSemi"),
+      s"gram filter must be a broadcast LEFT SEMI join:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[g#".r.findFirstIn(plan).isEmpty,
+      s"no shuffled join on the gram column is allowed:\n$plan")
   }
 
   test("latest-per-key argmax is one hash aggregate, no window sort") {
