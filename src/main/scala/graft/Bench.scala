@@ -22,7 +22,8 @@ object Bench {
     "q27_demo_pipeline", "q29_events_hourly", "q31_asof_join",
     "q32_text_stats", "q39_minhash_pairs", "q43_knn_brute",
     "q47_pricing_summary", "q49_local_supplier_volume",
-    "q64_window_highcard", "q67_corpus_filter", "q85_incremental_dedup")
+    "q64_window_highcard", "q67_corpus_filter", "q85_incremental_dedup",
+    "q116_decontaminate", "q119_latest_order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

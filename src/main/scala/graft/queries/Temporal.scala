@@ -63,6 +63,33 @@ object Temporal {
           last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
     }),
 
+    // ---- q126: time-weighted average per user ----
+    // Each observation holds until the next one, so its weight is the
+    // µs gap to the successor (the irregular-sampling mean a metrics
+    // pipeline wants — a value that stood for 6 hours counts 6× one
+    // that stood for 1). All arithmetic is exact integers (µs deltas ×
+    // cent-scaled values; |num| ≤ 30d·1e5·1e2 ≈ 2.6e17 < 2^63) with ONE
+    // float division at the end, so both engines produce bit-identical
+    // doubles. One window + one agg, both on the natural user key.
+    "q126_time_weighted" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          fixed(col("value"), 2).as("v100"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dt", col("next_us") - col("us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("span_us"),
+          sum(col("dt") * col("v100")).as("num"))
+        .filter(col("span_us") > 0)
+        .select(col("user_id"), col("n_intervals"), col("span_us"),
+          (col("num") / col("span_us") / lit(100.0)).as("tw_avg"))
+    }),
+
     // Semi-structured extraction from the JSON props column
     "q30_events_json" -> ((s, d) =>
       t(s, d, "events")
@@ -156,6 +183,22 @@ object Temporal {
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q126_time_weighted" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+        |   CAST(ts AS TIMESTAMP) AS ts, ${fixedSql("value", 2)} AS v100
+        |  FROM events),
+        | l AS (SELECT *, lead(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS nts FROM e),
+        | d AS (SELECT user_id,
+        |   date_diff('microsecond', ts, nts) AS dt, v100
+        |  FROM l WHERE nts IS NOT NULL),
+        | a AS (SELECT user_id, count(*) AS n_intervals,
+        |   CAST(SUM(dt) AS BIGINT) AS span_us,
+        |   CAST(SUM(dt * v100) AS BIGINT) AS num
+        |  FROM d GROUP BY 1 HAVING CAST(SUM(dt) AS BIGINT) > 0)
+        |SELECT user_id, n_intervals, span_us,
+        | num / span_us / 100.0 AS tw_avg FROM a""".stripMargin,
 
     "q90_asof_forward" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey

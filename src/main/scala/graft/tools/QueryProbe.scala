@@ -16,11 +16,14 @@ object QueryProbe {
     val cpus = if (args.length > 2) args(2) else "4"
     val spark = graft.Graft.session(master = s"local[$cpus]",
       appName = "query-probe", shufflePartitions = cpus.toInt)
-    val df = graft.SparkEntry.queries(name)(spark, d)
-    val t0 = System.nanoTime()
-    df.write.mode("overwrite").format("noop").save()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"$name in $secs%.3f s (noop-materialized)")
+    val reps = if (args.length > 3) args(3).toInt else 1
+    for (i <- 1 to reps) {
+      val df = graft.SparkEntry.queries(name)(spark, d)
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$name run $i in $secs%.3f s (noop-materialized)")
+    }
     spark.stop()
   }
 }

@@ -44,6 +44,44 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("time-weighted average: long-standing values dominate, bounded by extremes") {
+    // user 1: value 10 stands for 9s, value 1000 for 1s, then closes —
+    // tw = (9e6*1000 + 1e6*100000)/1e7/100 = (10 held 9s, 1000 held 1s)
+    val ev = Seq(
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(9000), 1000.0),
+      (3L, 1L, ts(10000), 7.0))
+      .toDF("event_id", "user_id", "t", "value")
+      .withColumnRenamed("t", "ts")
+    val twSpark = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.select(col("user_id"), col("ts"), col("event_id"),
+          graft.functions.DetMath.fixed(col("value"), 2).as("v100"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dt", col("next_us") - col("us"))
+        .groupBy("user_id")
+        .agg(sum(col("dt")).as("span_us"),
+          sum(col("dt") * col("v100")).as("num"))
+        .select((col("num") / col("span_us") / lit(100.0)).as("tw"))
+        .as[Double].head()
+    }
+    assert(twSpark == (9.0e6 * 1000 + 1.0e6 * 100000) / 1.0e7 / 100.0)
+    // on the real corpus: every tw_avg strictly inside the user's range
+    val out = SparkEntry.queries("q126_time_weighted")(spark, sf)
+      .select("user_id", "tw_avg").as[(Long, Double)].collect().toMap
+    val ranges = graft.sources.Tables.read(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .as[(Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    ranges.filter(r => out.contains(r._1)).foreach { case (u, lo, hi) =>
+      assert(out(u) >= lo - 0.005 && out(u) <= hi + 0.005,
+        s"user $u tw_avg ${out(u)} outside [$lo, $hi]")
+    }
+  }
+
   test("asof join picks the latest right row at-or-before left time") {
     val ev = Seq((1L, 5L, ts(100)), (2L, 5L, ts(250)), (3L, 5L, ts(50)))
       .toDF("event_id", "user_id", "t")
