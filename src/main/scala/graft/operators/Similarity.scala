@@ -161,6 +161,37 @@ object Similarity {
     cent
   }
 
+  /** Per-label element-wise integer-mean centroids (SUM DIV COUNT per
+    * position) from a prepared frame — the train step of
+    * nearest-centroid classification. Same exact-BIGINT recipe as
+    * [[kmeansCentroids]]' recompute, keyed by a given label instead of
+    * a learned cell, so the oracle replays it bit-for-bit. Returns
+    * (cl, cq, cn2) — one row per label, tiny by construction. */
+  def labelCentroids(prep: DataFrame, labelCol: String): DataFrame =
+    prep.select(col(labelCol).as("cl"),
+        posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cl", "pos")
+      .agg(expr("SUM(v) DIV COUNT(*)").as("m"))
+      .groupBy("cl")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("cq"))
+      .withColumn("cn2", dotQ("cq", "cq"))
+
+  /** Assign each prepared vector its nearest centroid label by cosine
+    * (ties → smaller label). Broadcast centroids + a windowless argmax
+    * (max over (cos, -label) structs with map-side partial combine), so
+    * the corpus side streams: no shuffle of the vectors at all —
+    * the only exchange is the tiny per-id aggregate. `keep` columns
+    * ride along for the caller (e.g. the true label for a confusion
+    * matrix). */
+  def classifyByCentroid(vecs: DataFrame, cent: DataFrame, idCol: String,
+      keep: Seq[String] = Nil): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(dotQ("q", "cq"), col("n2"), col("cn2")))
+      .groupBy(col(idCol) +: keep.map(col): _*)
+      .agg(max(struct(col("ccos"), (-col("cl")).as("ncl"))).as("w"))
+      .select(col(idCol) +: keep.map(col) :+ (-col("w.ncl")).as("pred"): _*)
+
   /** IVF top-k with TRAINED centroids (no caller-given structure) and
     * nprobe cells searched per query: corpus vectors live in exactly one
     * cell; a query probes its `nprobe` nearest cells, so candidate sets

@@ -201,6 +201,25 @@ object Curation {
           least(greatest(col("x"), col("lo")), col("hi")).as("x_clip"))
     }),
 
+    // ---- q127: equi-depth (quantile) binning ----
+    // ntile(4) per group over the value: every bin holds n/4 rows (the
+    // equal-WIDTH twin is q109). Ordering by the value alone keeps the
+    // result deterministic even under ties: bin SIZES are fixed by
+    // ntile, and a tied boundary value yields the same min/max on both
+    // sides regardless of which tied row crosses the boundary — so
+    // only (count, min, max) are exposed, never tie-sensitive sums.
+    "q127_equidepth_bins" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("x")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_extendedprice").as("x"))
+        .withColumn("bin", ntile(4).over(w).cast("long"))
+        .groupBy("g", "bin")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("lo"), max("x").as("hi"))
+    }),
+
     // ---- q121: within-document token co-occurrence ----
     // Pair counts (a, b sorted, a < b) over each doc's distinct token
     // set — the phrase/topic-mining primitive. The pairs are generated
@@ -293,6 +312,14 @@ object Curation {
         |SELECT b.g, b.l_orderkey, b.l_linenumber,
         | LEAST(GREATEST(b.x, bo.lo), bo.hi) AS x_clip
         |FROM base b JOIN bounds bo ON b.g = bo.g""".stripMargin,
+
+    "q127_equidepth_bins" ->
+      """SELECT g, bin, count(*) AS n, MIN(x) AS lo, MAX(x) AS hi
+        |FROM (SELECT l_returnflag AS g, l_extendedprice AS x,
+        |   ntile(4) OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice) AS bin
+        |  FROM lineitem)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q121_cooccurrence" ->
       s"""WITH t AS (SELECT

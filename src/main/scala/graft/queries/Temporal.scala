@@ -90,6 +90,22 @@ object Temporal {
           (col("num") / col("span_us") / lit(100.0)).as("tw_avg"))
     }),
 
+    // ---- q128: sliding (overlapping) time windows ----
+    // 2-hour windows sliding every hour: each event lands in exactly
+    // two windows. Uses Spark's native window() generator (the same
+    // construct Structured Streaming slides over, so the batch gate
+    // here covers the streaming shape too); the oracle mirrors it as a
+    // two-way shifted-trunc union. One explode (×2 fan-out) + one hash
+    // agg — no self-join, no range join.
+    "q128_sliding_counts" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sumFixed(col("value"), 2).as("sum_val"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("cnt"), col("sum_val"))),
+
     // Semi-structured extraction from the JSON props column
     "q30_events_json" -> ((s, d) =>
       t(s, d, "events")
@@ -183,6 +199,18 @@ object Temporal {
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q128_sliding_counts" ->
+      s"""WITH w AS (
+        | SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS ws,
+        |   event_type, value FROM events
+        | UNION ALL
+        | SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
+        |     - INTERVAL 1 HOUR AS ws,
+        |   event_type, value FROM events)
+        |SELECT ws, event_type, COUNT(*) AS cnt,
+        | ${sumFixedSql("value", 2)} AS sum_val
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q126_time_weighted" ->
       s"""WITH e AS (SELECT user_id, event_id,

@@ -57,6 +57,25 @@ object Vectors {
     // and checksum the recovered samples — the audio twin of q61's
     // lossless-decode proof. A hash match proves real container parsing
     // + PCM recovery, not a stub.
+    // ---- q129: nearest-centroid classification ----
+    // Train on 80% (vec_id % 5 != 0): per-label exact integer-mean
+    // centroids; classify the held-out 20% by max cosine (tie → smaller
+    // label); output the confusion matrix. 100 TB shape: centroids are
+    // one tiny broadcast table, the corpus streams through a windowless
+    // argmax — the only shuffle is the per-id aggregate, and the final
+    // confusion matrix is label²-bounded.
+    "q129_centroid_classify" -> ((s, d) => {
+      val e = Similarity.prepare(emb(s, d), "embedding")
+      val cent = Similarity.labelCentroids(
+        e.filter(col("vec_id") % 5 =!= 0), "label")
+      Similarity.classifyByCentroid(
+          e.filter(col("vec_id") % 5 === 0)
+            .select(col("vec_id"), col("label"), col("q"), col("n2")),
+          cent, "vec_id", keep = Seq("label"))
+        .groupBy("label", "pred")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q92_audio_decode" -> ((s, d) =>
       Multimodal.decodeAudio(
         Multimodal.synthesizeWavs(Tables.read(s, d, "documents"), "doc_id"))
@@ -316,6 +335,24 @@ object Vectors {
       Multimodal.featureSqlDuck("documents", "doc_id", "text"),
 
     "q62_ivf_trained" -> ivfTrainedSql,
+
+    "q129_centroid_classify" ->
+      s"""WITH $prepCte,
+        | cm AS (SELECT label AS cl, i AS pos,
+        |   CAST(SUM(q[i]) // COUNT(*) AS BIGINT) AS m
+        |  FROM n, range(1, 65) t(i) WHERE vec_id % 5 <> 0 GROUP BY 1, 2),
+        | cc AS (SELECT cl, list(m ORDER BY pos) AS cq FROM cm GROUP BY 1),
+        | cn AS (SELECT cl, cq,
+        |   CAST(list_aggregate([cq[i]*cq[i] FOR i IN range(1,65)], 'sum')
+        |        AS BIGINT) AS cn2 FROM cc),
+        | te AS (SELECT vec_id, label, q, n2 FROM n WHERE vec_id % 5 = 0),
+        | sc AS (SELECT te.vec_id, te.label, cn.cl,
+        |   ${cosDuck(dotDuck("te.q", "cn.cq"), "te.n2", "cn.cn2")} AS cos
+        |  FROM te CROSS JOIN cn),
+        | pk AS (SELECT vec_id, label, cl FROM (SELECT *,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cos DESC, cl) AS r FROM sc) WHERE r = 1)
+        |SELECT label, cl AS pred, count(*) AS n FROM pk GROUP BY 1, 2""".stripMargin,
 
     // The persisted-index path must reproduce the freshly-trained
     // answer exactly (deterministic k-means) — same oracle as q62.

@@ -373,6 +373,44 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("equi-depth bins: sizes within 1, ranges ordered, totals preserved") {
+    val out = q("q127_equidepth_bins")
+      .select("g", "bin", "n", "lo", "hi")
+      .as[(String, Long, Long, Double, Double)].collect()
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(out.map(_._3).sum == total)
+    out.groupBy(_._1).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_._2)
+      assert(sorted.map(_._2) sameElements Array(1L, 2L, 3L, 4L))
+      assert(sorted.map(_._3).max - sorted.map(_._3).min <= 1,
+        "ntile bins must differ by at most one row")
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._5 <= b._4, "bin ranges must be non-decreasing") }
+    }
+  }
+
+  test("sliding windows: every event lands in exactly two windows") {
+    val out = q("q128_sliding_counts")
+      .agg(sum("cnt")).as[Long].head()
+    val events = graft.sources.Tables.read(spark, sf, "events").count()
+    assert(out == 2 * events)
+  }
+
+  test("centroid classification: confusion totals = test set, windowless broadcast plan") {
+    val df = q("q129_centroid_classify")
+    val out = df.select("label", "pred", "n")
+      .as[(Long, Long, Long)].collect()
+    val test = graft.sources.Tables.read(spark, sf, "embeddings")
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(out.map(_._3).sum == test)
+    val labels = (0L to 9L).toSet
+    assert(out.forall(r => labels.contains(r._1) && labels.contains(r._2)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"),
+      s"centroids must broadcast and the argmax must be windowless:\n$plan")
+  }
+
   test("co-occurrence counts match the self-join spelling") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val toks = docs.select(col("doc_id"), explode(expr(
