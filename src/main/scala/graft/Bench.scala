@@ -14,8 +14,9 @@ object Bench {
 
   /** Headline set: one per operator family — scan+agg, join+agg (the
     * reference Demo pipeline shape), sort/top-k, window, dedup (minhash
-    * LSH one-shot + incremental), similarity (brute knn), text stats,
-    * time bucketing, as-of. q85 times the full incremental cycle
+    * LSH one-shot + incremental), similarity (brute knn + the
+    * corpus-wide LSH knn join), text stats, time bucketing, as-of,
+    * iterative graph (PageRank). q85 times the full incremental cycle
     * (index build + batch probe + verify). */
   val headline: Seq[String] = Seq(
     "q05_groupby_sum", "q07_join_inner", "q16_sort_topk", "q22_window",
@@ -23,7 +24,8 @@ object Bench {
     "q32_text_stats", "q39_minhash_pairs", "q43_knn_brute",
     "q47_pricing_summary", "q49_local_supplier_volume",
     "q64_window_highcard", "q67_corpus_filter", "q85_incremental_dedup",
-    "q116_decontaminate", "q119_latest_order")
+    "q116_decontaminate", "q119_latest_order", "q130_pagerank",
+    "q135_ann_knn_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Shapes.queries ++
       graft.queries.Pipelines.queries ++
       graft.queries.Ingest.queries ++
-      graft.queries.Curation.queries
+      graft.queries.Curation.queries ++
+      graft.queries.Graphs.queries
 
   lazy val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Shapes.oracles ++
       graft.queries.Pipelines.oracles ++
       graft.queries.Ingest.oracles ++
-      graft.queries.Curation.oracles
+      graft.queries.Curation.oracles ++
+      graft.queries.Graphs.oracles
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge tables — the power-iteration
+  * companion to [[Dedup.dupClusters]]' label propagation. The reference
+  * has no graph surface (tables only, SURVEY.md §1.1); this is the
+  * extension tier a pipeline reaches for link-based quality signals
+  * (domain authority for crawl curation, co-citation weighting).
+  *
+  * Determinism strategy: ranks are exact scaled BIGINTs and every
+  * per-iteration step is integer arithmetic (per-edge `rank DIV
+  * out_degree`, damping as `(pct * sum) DIV 100`), so sums are
+  * order-independent and the DuckDB oracle replays each iteration
+  * bit-for-bit — no float accumulation drift across engines, executor
+  * counts, or retries.
+  */
+object Graph {
+
+  /** PageRank with a fixed iteration count over a directed edge table.
+    *
+    * Scale shape: the edge table is joined with its source's out-degree
+    * ONCE and lineage-cut — at 100 TB edges dwarf nodes, so the
+    * per-iteration work is one shuffle of the (small) rank table onto
+    * the edge partitioning plus one hash-agg by dst; the edge side is
+    * cached/partitioned once and never re-shuffled. Each iteration's
+    * rank table is lineage-cut (the k-means/q62 discipline) so the plan
+    * does not balloon with `iters`, and the previous cut is released as
+    * soon as its successor materializes.
+    *
+    * Dangling nodes (no out-edges) simply leak their mass — the
+    * classic simplified formulation; with damping the ranks stay
+    * bounded and the ORDERING (what curation thresholds on) is intact.
+    * Returns (node, rank): rank after `iters` iterations, init =
+    * `scale`, teleport = scale*(100-dampPct) DIV 100.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000L, dampPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = Dedup.cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    // out-degree rides WITH the edge row so the per-edge contribution
+    // `rank DIV deg` needs no second join inside the loop
+    val eDeg = Dedup.cut(e.join(
+      e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
+    val teleport = scale * (100 - dampPct) / 100
+    var ranks = Dedup.cut(nodes.withColumn("rank", lit(scale)))
+    var prev = ranks
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val next = Dedup.cut(nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"$dampPct * coalesce(s, CAST(0 AS BIGINT)) DIV 100"))
+            .as("rank")))
+      Dedup.release(prev)
+      prev = next
+      ranks = next
+    }
+    ranks
+  }
+
+  /** Undirected co-occurrence edges: nodes sharing a key become edges
+    * in BOTH directions (a≠b). Per-key fan-out is quadratic in the
+    * key's member count — bounded by design for natural co-occurrence
+    * keys (suppliers per part, authors per paper); a power-law key
+    * should be capped upstream before edge generation. */
+  def coEdges(df: DataFrame, keyCol: String, nodeCol: String): DataFrame = {
+    val m = df.select(col(keyCol).as("k"), col(nodeCol).as("n")).distinct()
+    m.as("a").join(m.as("b"),
+        col("a.k") === col("b.k") && col("a.n") =!= col("b.n"))
+      .select(col("a.n").as("src"), col("b.n").as("dst"))
+      .distinct()
+  }
+}

@@ -55,4 +55,31 @@ object Merge {
       .select(base.columns.map(col): _*)
     survivors.unionAll(upserts)
   }
+
+  /** SCD type 2: turn a keyed event log (initial snapshot rows + later
+    * upserts/deletes, each stamped with `tsCol`) into a VERSIONED
+    * history — every version carries [valid_from, valid_to) and the
+    * open version per key has valid_to = NULL. A delete closes the
+    * current version without opening a new one (the key then has no
+    * current row); an upsert closes the previous version and opens its
+    * own.
+    *
+    * Events per (key, ts) must be unique — CDC feeds with sub-ts
+    * ordering should compose ts from (ts, seq) upstream. `opCol` values:
+    * "base"/"upsert" rows are versions, "delete" rows are closing
+    * events only. Everything is ONE window pass partitioned by the key
+    * (shuffle on key only, no self-join): valid_to = lead(ts) over the
+    * key's full event sequence — a delete participates as a boundary
+    * and is then filtered from the output.
+    */
+  def scd2History(events: DataFrame, key: String, tsCol: String,
+      opCol: String = "op"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol))
+    events
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= "delete")
+      .withColumnRenamed(tsCol, "valid_from")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol)
+  }
 }

@@ -51,6 +51,25 @@ object Sampling {
       s"(${nibbleSpark(h, 0)} * 16 + ${nibbleSpark(h, 1)}) % $nShards"))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: row kept with probability
+    * min(1, weight / wCap), decided by comparing a 16-bit id hash
+    * against the scaled weight — `hash16 * wCap < weight * 65536` in
+    * pure BIGINT arithmetic, so the draw is exact, engine-portable, and
+    * (like every sampler here) a narrow pushdown-able filter with no
+    * shuffle or state. The quality-weighted corpus downsample: a long
+    * high-quality doc survives at weight/wCap, boilerplate at its
+    * (lower) weight — expected sample size = sum(min(w, wCap))/wCap.
+    * `weightCol` must be a non-negative integer column. */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
+      wCap: Long): DataFrame = {
+    require(wCap > 0, "wCap must be positive")
+    val h = s"md5(CAST($idCol AS STRING))"
+    val hash16 = (0 until 4).map(k =>
+      s"${nibbleSpark(h, k)} * ${1L << (4 * (3 - k))}").mkString("(", " + ", ")")
+    df.filter(expr(
+      s"CAST($hash16 AS BIGINT) * $wCap < CAST($weightCol AS BIGINT) * 65536"))
+  }
+
   /** Deterministic STRATIFIED sample: a per-stratum keep rate (in
     * sixteenths), defaulting to `defaultNibbles` for unlisted strata —
     * the rebalancing move (downsample the dominant language, keep the

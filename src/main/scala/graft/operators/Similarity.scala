@@ -281,6 +281,43 @@ object Similarity {
     verifyCosine(cand, df, idCol, embCol, threshold)
   }
 
+  /** Approximate k-NN JOIN: every vector gets its top-`k` neighbors
+    * from among its LSH band collisions — the all-rows companion to the
+    * query-set searches ([[bruteForceTopK]]/[[ivfTopKTrained]]) and the
+    * ranking companion to [[lshDupPairs]]' thresholding. This is the
+    * "nearest neighbor for EVERY row" primitive semantic dedup and
+    * retrieval-curation pipelines run corpus-wide, where a per-query
+    * search or a brute cross join is off the table.
+    *
+    * Scale shape: candidates come only from the (band, bucket)
+    * equi-join — never an all-pairs stage — then one exact-cosine
+    * verify and one per-qid window on the candidate set. Vectors whose
+    * buckets contain no other member yield no row (an isolated vector
+    * has no approximate neighbor — callers needing total coverage fall
+    * back to [[bruteForceTopK]] on the leftover ids, which is tiny). */
+  def lshKnnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
+      nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    val banded = lshBands(df, idCol, embCol, nBits, bandBits)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vec_id"))
+      .dropDuplicates("qid", "vec_id")
+    val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(p.select(col(idCol).as("qid"), col("q").as("qq"),
+        col("n2").as("qn2")), "qid")
+      .join(p.select(col(idCol).as("vec_id"), col("q").as("cq"),
+        col("n2").as("cn2")), "vec_id")
+      .withColumn("cos", cosine(dotQ("cq", "qq"), col("cn2"), col("qn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "cos")
+  }
+
   /** Sign-bit band/bucket rows (id, band, bucket) — the LSH key table
     * [[writeLshIndex]] persists and [[incrementalLshPairs]] probes. */
   def lshBands(df: DataFrame, idCol: String, embCol: String,

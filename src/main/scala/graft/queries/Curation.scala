@@ -220,6 +220,46 @@ object Curation {
           min("x").as("lo"), max("x").as("hi"))
     }),
 
+    // ---- q132: z-order (Morton) layout clustering ----
+    // Interleave the low 8 bits of (l_partkey, l_suppkey) into one
+    // z-value and bucket on its top 6 bits: every bucket then spans at
+    // most 1/8 of EACH dimension's range — the property that makes a
+    // z-clustered file layout prunable by predicates on EITHER column
+    // (operators.Layout.writeZOrdered does the write;
+    // ScaleSpec asserts per-partition locality). Pure integer bit
+    // arithmetic, replayed exactly by the oracle.
+    "q132_zorder_layout" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(expr("l_partkey % 256").as("pa"),
+          expr("l_suppkey % 256").as("sb"))
+        .withColumn("zbucket",
+          expr(s"${graft.operators.Layout.zExprSpark("pa", "sb", 8)} DIV 1024"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("pa").as("pa_lo"), max("pa").as("pa_hi"),
+          min("sb").as("sb_lo"), max("sb").as("sb_hi"))),
+
+    // ---- q134: bigram language-model counts ----
+    // Adjacent-token bigram counts with the conditional probability
+    // P(b|a) in exact parts-per-million integer arithmetic
+    // (c_ab * 1e6 DIV c_a) — the n-gram LM / next-token statistics
+    // pass over a corpus. One narrow explode + two hash aggs; the
+    // continuation total joins back on the (vocabulary-bounded) first
+    // token. The >= 3 support floor bounds the output, applied AFTER
+    // totals so probabilities stay corpus-true.
+    "q134_bigram_lm" -> ((s, d) => {
+      val g2 = docs(s, d).select(
+        explode(expr(ngramsSpark(toksSpark("text"), 2))).as("g"))
+        .select(split(col("g"), " ")(0).as("a"),
+          split(col("g"), " ")(1).as("b"))
+      val c = g2.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val tot = c.groupBy("a").agg(sum("c_ab").as("c_a"))
+      c.join(tot, "a")
+        .withColumn("p_ppm", expr("c_ab * 1000000 DIV c_a"))
+        .filter(col("c_ab") >= 3)
+        .select("a", "b", "c_ab", "p_ppm")
+    }),
+
     // ---- q121: within-document token co-occurrence ----
     // Pair counts (a, b sorted, a < b) over each doc's distinct token
     // set — the phrase/topic-mining primitive. The pairs are generated
@@ -320,6 +360,27 @@ object Curation {
         |     ORDER BY l_extendedprice) AS bin
         |  FROM lineitem)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q132_zorder_layout" -> {
+      val z = graft.operators.Layout.zExprDuck("pa", "sb", 8)
+      s"""WITH m AS (SELECT l_partkey % 256 AS pa, l_suppkey % 256 AS sb
+        |   FROM lineitem),
+        | z AS (SELECT pa, sb, $z // 1024 AS zbucket FROM m)
+        |SELECT zbucket, count(*) AS n,
+        | MIN(pa) AS pa_lo, MAX(pa) AS pa_hi,
+        | MIN(sb) AS sb_lo, MAX(sb) AS sb_hi
+        |FROM z GROUP BY 1""".stripMargin
+    },
+
+    "q134_bigram_lm" ->
+      s"""WITH p AS (SELECT unnest(${ngramsDuck(s"(${toksDuck("text")})", 2)})
+        |   AS g FROM documents),
+        | ab AS (SELECT string_split(g, ' ')[1] AS a,
+        |   string_split(g, ' ')[2] AS b FROM p),
+        | c AS (SELECT a, b, count(*) AS c_ab FROM ab GROUP BY 1, 2),
+        | t AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c GROUP BY 1)
+        |SELECT c.a, c.b, c.c_ab, (c.c_ab * 1000000) // t.c_a AS p_ppm
+        |FROM c JOIN t USING (a) WHERE c.c_ab >= 3""".stripMargin,
 
     "q121_cooccurrence" ->
       s"""WITH t AS (SELECT

@@ -100,6 +100,37 @@ object Ingest {
         .select("o_orderkey", "o_orderpriority", "o_custkey")
     }),
 
+    // ---- q131: SCD-2 versioned history ----
+    // The time-travel companion to q112's SCD-1 merge: the base
+    // snapshot plus a change log (a re-priced upsert at +30 days, a
+    // delete at +60, a second upsert at +90) becomes a versioned
+    // history where every version carries [valid_from, valid_to) and
+    // deletes close without reopening. ONE window pass on the key —
+    // valid_to = lead(ts) over the key's full event sequence — so the
+    // only shuffle is on o_orderkey, and the oracle replays the exact
+    // window.
+    "q131_scd2_history" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderdate").as("ts"), lit("base").as("op"))
+      val k = col("o_orderkey") % 7
+      def ch(filterK: Int, prio: Option[String], days: Int, op: String) = {
+        val f = orders.filter(k === filterK)
+        val p = prio.map(lit(_)).getOrElse(col("o_orderpriority"))
+        f.select(col("o_orderkey"), p.as("o_orderpriority"),
+          col("o_totalprice"),
+          (col("o_orderdate") + expr(s"INTERVAL $days DAYS")).as("ts"),
+          lit(op).as("op"))
+      }
+      val events = base
+        .unionByName(ch(1, Some("9-CHANGED"), 30, "upsert"))
+        .unionByName(ch(1, Some("9-AGAIN"), 90, "upsert"))
+        .unionByName(ch(2, None, 60, "delete"))
+      Merge.scd2History(events, "o_orderkey", "ts")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "valid_from", "valid_to", "is_current")
+    }),
+
     // ---- q113: CSV sink + source round-trip ----
     // Write orders columns to CSV, read them back with an explicit
     // schema, aggregate — gated against the same aggregate straight
@@ -167,6 +198,25 @@ object Ingest {
         |UNION ALL
         |SELECT o_orderkey, '9-LATEST' AS o_orderpriority, o_custkey
         | FROM orders WHERE o_orderkey % 7 IN (2, 3)""".stripMargin,
+
+    "q131_scd2_history" ->
+      """WITH ev AS (
+        | SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |   o_orderdate AS ts, 'base' AS op FROM orders
+        | UNION ALL SELECT o_orderkey, '9-CHANGED', o_totalprice,
+        |   o_orderdate + INTERVAL 30 DAY, 'upsert' FROM orders
+        |   WHERE o_orderkey % 7 = 1
+        | UNION ALL SELECT o_orderkey, '9-AGAIN', o_totalprice,
+        |   o_orderdate + INTERVAL 90 DAY, 'upsert' FROM orders
+        |   WHERE o_orderkey % 7 = 1
+        | UNION ALL SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |   o_orderdate + INTERVAL 60 DAY, 'delete' FROM orders
+        |   WHERE o_orderkey % 7 = 2),
+        | v AS (SELECT *, lead(ts) OVER (PARTITION BY o_orderkey
+        |   ORDER BY ts) AS valid_to FROM ev)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        | ts AS valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM v WHERE op <> 'delete'""".stripMargin,
 
     "q113_csv_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -79,6 +79,41 @@ object Shapes {
           rnd(expr("percentile(l_extendedprice, 0.75)"), 2).as("q75"),
           rnd(expr("percentile(l_extendedprice, 0.99)"), 2).as("q99"))),
 
+    // ---- q133: IQR outlier fences (Tukey) ----
+    // Per group: exact q1/q3 order statistics picked by pure integer
+    // rank (the q125 recipe — ceil(n*p) = (n*p+99) DIV 100, so both
+    // engines choose the identical data value, no interpolation), then
+    // fences q1/q3 ∓ 1.5·IQR from single correctly-rounded IEEE ops on
+    // those exact values. Output: group size, outlier count, fences,
+    // and the kept range — the outlier-removal preprocessing report.
+    // The tiny 6-row bounds table broadcasts back onto the scan.
+    "q133_iqr_outliers" -> ((s, d) => {
+      val base = t(s, d, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val w = Window.partitionBy("g").orderBy(col("x"))
+      val ranked = base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      val bounds = ranked.groupBy("g").agg(
+        min(when(col("rn") === expr("(n * 25 + 99) DIV 100"), col("x")))
+          .as("q1"),
+        min(when(col("rn") === expr("(n * 75 + 99) DIV 100"), col("x")))
+          .as("q3"))
+        .withColumn("lo_fence", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("hi_fence", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      base.join(broadcast(bounds), Seq("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < col("lo_fence") ||
+            col("x") > col("hi_fence"), 1L).otherwise(0L)).as("n_out"),
+          min(col("lo_fence")).as("lo_fence"),
+          min(col("hi_fence")).as("hi_fence"),
+          min(when(col("x") >= col("lo_fence") &&
+            col("x") <= col("hi_fence"), col("x"))).as("kept_min"),
+          max(when(col("x") >= col("lo_fence") &&
+            col("x") <= col("hi_fence"), col("x"))).as("kept_max"))
+    }),
+
     // APPROXIMATE multi-quantile: Greenwald-Khanna sketch with bounded
     // per-group memory (~O(1/accuracy·log n) vs q59's O(group size)) —
     // the quantile you actually run at 100 TB. No oracle: sketch
@@ -130,6 +165,30 @@ object Shapes {
         |SELECT MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
         | user_id, COUNT(*) AS n_events, ${sumFixedSql("value", 2)} AS sum_val
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q133_iqr_outliers" ->
+      """WITH base AS (SELECT l_returnflag AS g, l_extendedprice AS x
+        |   FROM lineitem),
+        | ranked AS (SELECT *,
+        |   row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |   count(*) OVER (PARTITION BY g) AS n FROM base),
+        | qs AS (SELECT g,
+        |   MIN(CASE WHEN rn = (n * 25 + 99) // 100 THEN x END) AS q1,
+        |   MIN(CASE WHEN rn = (n * 75 + 99) // 100 THEN x END) AS q3
+        |  FROM ranked GROUP BY g),
+        | bounds AS (SELECT g,
+        |   q1 - 1.5 * (q3 - q1) AS lo_fence,
+        |   q3 + 1.5 * (q3 - q1) AS hi_fence FROM qs)
+        |SELECT b.g, count(*) AS n,
+        | CAST(SUM(CASE WHEN b.x < bo.lo_fence OR b.x > bo.hi_fence
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        | MIN(bo.lo_fence) AS lo_fence, MIN(bo.hi_fence) AS hi_fence,
+        | MIN(CASE WHEN b.x >= bo.lo_fence AND b.x <= bo.hi_fence
+        |   THEN b.x END) AS kept_min,
+        | MAX(CASE WHEN b.x >= bo.lo_fence AND b.x <= bo.hi_fence
+        |   THEN b.x END) AS kept_max
+        |FROM base b JOIN bounds bo ON b.g = bo.g
+        |GROUP BY b.g""".stripMargin,
 
     "q59_quantiles" ->
       s"""SELECT l_returnflag,

@@ -126,6 +126,25 @@ object Vectors {
       Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
         threshold = 0.35)),
 
+    // ---- q135: approximate k-NN JOIN (every vector, top-3) ----
+    // The corpus-wide "nearest neighbors for EVERY row" primitive:
+    // candidates only from LSH band collisions (never all-pairs), one
+    // exact-cosine verify, one per-qid window on the candidate set.
+    // Unlike q43/q62 (query SET searches) this ranks neighbors for all
+    // rows at once — the semantic-dedup / retrieval-curation join.
+    "q135_ann_knn_join" -> ((s, d) =>
+      Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)),
+
+    // ---- q137: weighted Bernoulli sample ----
+    // Keep each doc with probability min(1, n_chars/600) decided by a
+    // 16-bit id hash in pure BIGINT arithmetic — the quality/length-
+    // weighted corpus downsample, still a narrow pushdown-able filter
+    // (no shuffle, no state, no rand() seed drift).
+    "q137_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedHashSample(
+          Tables.read(s, d, "documents"), "doc_id", "n_chars", wCap = 600)
+        .select("doc_id", "lang", "n_chars")),
+
     // INCREMENTAL embedding dedup (the q85 shape for the embedding
     // modality): persist the corpus LSH band table bucketed on the band
     // key, then find near-dup pairs touching a new 20% batch
@@ -245,7 +264,11 @@ object Vectors {
     * (`range(1, 65)`), nBits=16, bandBits=4 — while the Scala operator
     * is parameterized; only that configuration is oracle-gated.
     * Non-default args are covered by OperatorSpec only. */
-  private val lshCtes: String =
+  /** Sign-bit signature + band/bucket CTEs alone (yields `b(vec_id,
+    * band, bucket)`) — shared by the pair queries (via [[lshCtes]])
+    * and the q135 knn join, which ranks directed collisions instead
+    * of thresholding undirected ones. */
+  private val lshBandCtes: String =
     s"""s AS (SELECT vec_id, q, n2,
       |   [CASE WHEN CAST(list_aggregate(
       |      [q[d] * ${hpwDuck("j", "d")} FOR d IN range(1, 65)],
@@ -255,7 +278,10 @@ object Vectors {
       | b AS (SELECT vec_id, t.b AS band,
       |    8*sig[4*t.b+1] + 4*sig[4*t.b+2] + 2*sig[4*t.b+3] + sig[4*t.b+4]
       |      AS bucket
-      |  FROM s, range(0, 4) t(b)),
+      |  FROM s, range(0, 4) t(b))""".stripMargin
+
+  private val lshCtes: String =
+    s"""$lshBandCtes,
       | cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
       |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
       |    AND x.vec_id < y.vec_id),
@@ -362,6 +388,30 @@ object Vectors {
       s"""WITH $prepCte,
         | $lshCtes
         |SELECT ida, idb, cos FROM scored WHERE cos >= 0.35""".stripMargin,
+
+    // Directed band collisions ranked per query — the knn-join twin of
+    // q63's thresholded pairs, over the same band CTEs.
+    "q135_ann_knn_join" ->
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id <> y.vec_id),
+        | sc AS (SELECT kc.qid, kc.vid AS vec_id,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM kc JOIN n a ON a.vec_id = kc.qid
+        |   JOIN n c ON c.vec_id = kc.vid),
+        | rk AS (SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
+
+    "q137_weighted_sample" -> {
+      val h16 = graft.functions.TextExpr.hexIntDuck(
+        "md5(CAST(doc_id AS VARCHAR))", 4)
+      s"""SELECT doc_id, lang, n_chars FROM documents
+        |WHERE $h16 * 600 < n_chars * 65536""".stripMargin
+    },
 
     // Full-recompute LSH pairs restricted to those touching the 20%
     // batch: the incremental path must find exactly these.

@@ -453,4 +453,90 @@ class OperatorSpec extends SparkTestBase {
     assert(Multimodal.ImageIODecoder.decode(junk) ==
       Multimodal.StubDecoder.decode(junk))
   }
+
+  test("pageRank: cycle is a fixed point; star concentrates; dangling leaks") {
+    // 3-cycle, out-degree 1 everywhere: rank = teleport + 85% of rank
+    // is the fixed point at exactly the initial scale — every node
+    // stays at 1,000,000 through any number of iterations
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val cr = Graph.pageRank(cycle, "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(cr.values.toSet == Set(1000000L))
+    // star a->b, c->b: after iter 1 b holds 150000 + 85% of 2,000,000;
+    // a and c (no in-edges) drop to bare teleport; b is DANGLING so its
+    // mass leaks (simplified formulation) — iter 2 recomputes b from
+    // the sources' teleport-only ranks
+    val star = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
+    val s1 = Graph.pageRank(star, "src", "dst", iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(s1 == Map("a" -> 150000L, "c" -> 150000L, "b" -> 1850000L))
+    val s2 = Graph.pageRank(star, "src", "dst", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(s2 == Map("a" -> 150000L, "c" -> 150000L, "b" -> 405000L))
+  }
+
+  test("scd2History: upserts chain versions, deletes close without reopening") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, "v1", t(0), "base"), (1L, "v2", t(10), "upsert"),
+      (2L, "w1", t(0), "base"), (2L, "w1", t(5), "delete"))
+      .toDF("k", "payload", "ts", "op")
+    val h = Merge.scd2History(ev, "k", "ts")
+      .select("k", "payload", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    // key 1: v1 valid [0, 10), v2 open; adjacent versions must chain
+    assert(h.filter(_._1 == 1L).toSeq == Seq(
+      (1L, "v1", t(0), Some(t(10)), false),
+      (1L, "v2", t(10), None, true)))
+    // key 2: the delete closes w1 at t=5 and the key has NO current row
+    assert(h.filter(_._1 == 2L).toSeq == Seq(
+      (2L, "w1", t(0), Some(t(5)), false)))
+  }
+
+  test("lshKnnJoin: well-formed ranks, true cosines, repartition-invariant") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val knn = Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3)
+    val rows = knn.select("qid", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, ns) =>
+      val byRank = ns.sortBy(_._3)
+      // ranks contiguous from 1, cos non-increasing, no self-neighbor
+      assert(byRank.map(_._3).toSeq == (1 to byRank.length))
+      val cs = byRank.map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"cos must be non-increasing for $qid")
+      assert(ns.forall(_._2 != qid))
+    }
+    // every reported cosine is the TRUE cosine (spot-check via the
+    // exact pair operator on a constant block)
+    val truth = Similarity.cosineDupPairs(
+        e.withColumn("blk", lit(1)), "vec_id", "embedding", "blk", -1.0)
+      .select(col("ida"), col("idb"), col("cos").as("tcos"))
+    val joined = knn.join(truth,
+      (col("qid") === col("ida") && col("vec_id") === col("idb")) ||
+        (col("qid") === col("idb") && col("vec_id") === col("ida")))
+    assert(joined.filter(col("cos") =!= col("tcos")).count() == 0)
+    // physical layout must not change the answer
+    val re = Similarity.lshKnnJoin(
+      e.repartition(7), "vec_id", "embedding", k = 3)
+    assert(knn.exceptAll(re).count() == 0 && re.exceptAll(knn).count() == 0)
+  }
+
+  test("weightedHashSample: zero weight never kept, >=cap always, monotone-ish") {
+    val df = spark.range(2000).toDF("id")
+      .withColumn("w", col("id") % 4 * 200) // weights 0, 200, 400, 600
+    val kept = Sampling.weightedHashSample(df, "id", "w", wCap = 600)
+      .groupBy("w").count().as[(Long, Long)].collect().toMap
+    assert(!kept.contains(0L), "weight 0 must never be sampled")
+    assert(kept(600L) == 500L, "weight >= cap must always be kept")
+    // 200 -> 1/3 of 500, 400 -> 2/3 of 500, both within a loose band
+    assert(kept(200L) > 100 && kept(200L) < 235)
+    assert(kept(400L) > 265 && kept(400L) < 400)
+    assert(kept(200L) < kept(400L))
+    // pure function of the id: layout-invariant
+    val re = Sampling.weightedHashSample(df.repartition(13), "id", "w", 600)
+    assert(re.count() == kept.values.sum)
+  }
 }

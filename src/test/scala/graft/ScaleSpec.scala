@@ -278,4 +278,40 @@ class ScaleSpec extends SparkTestBase {
       s"expected a lineage-cut scan, got:\n${cent.queryExecution.logical}")
     assert(cent.count() == 4)
   }
+
+  test("pageRank plan size stays constant across iterations (lineage cut)") {
+    val edges = operators.Graph.coEdges(
+      sources.Tables.read(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey")
+    // same discipline as k-means: every iteration ends at a
+    // lineage-cut scan, so iters=8 neither balloons the logical tree
+    // nor re-derives earlier iterations
+    val pr = operators.Graph.pageRank(edges, "src", "dst", iters = 8)
+    assert(pr.queryExecution.logical.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD],
+      s"expected a lineage-cut scan, got:\n${pr.queryExecution.logical}")
+    assert(pr.count() > 0)
+  }
+
+  test("z-ordered layout bounds BOTH dimensions per partition") {
+    val li = sources.Tables.read(spark, sf, "lineitem")
+    val z = operators.Layout.zOrdered(li, "l_partkey", "l_suppkey",
+        bits = 8, nFiles = 16)
+      .select(expr("l_partkey % 256").as("pa"),
+        expr("l_suppkey % 256").as("sb"),
+        expr("spark_partition_id()").as("pid"))
+      .groupBy("pid")
+      .agg(max($"pa") - min($"pa"), max($"sb") - min($"sb"))
+      .as[(Int, Long, Long)].collect()
+    assert(z.length > 8, "range partitioner should produce ~nFiles partitions")
+    // each range partition fixes the top z-bits, so both dimensions are
+    // confined to a fraction of their global 0..255 range; sampled
+    // boundaries can straddle one z-cell, hence the slack vs the
+    // theoretical 64. A plain repartition would give ~255 everywhere.
+    val paMean = z.map(_._2).sum.toDouble / z.length
+    val sbMean = z.map(_._3).sum.toDouble / z.length
+    assert(paMean < 110 && sbMean < 110,
+      s"mean per-partition ranges pa=$paMean sb=$sbMean — z-locality lost")
+  }
 }
