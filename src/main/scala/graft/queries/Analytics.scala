@@ -240,6 +240,30 @@ object Analytics {
         .groupBy(col("p_brand"), col("s_name"))
         .agg(sumFixed(col("l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("cnt"))
+    }),
+
+    // ---- q138: chi-square independence (lang x source) ----
+    // Is document language independent of its source? Observed counts
+    // vs expected (row_total * col_total / N), with the expected value
+    // and the per-cell chi-square term in exact parts-per-million
+    // integer arithmetic: term = ((o*N - rt*ct)^2 DIV (rt*ct)) * 1e6
+    // DIV N — every product stays under 2^63 while N^2*1e6 does
+    // (N <= ~3e9 rows; beyond that drop the ppm scale a decade).
+    // Shape: one tiny hash agg, two re-aggs of the CELL table (never
+    // the corpus), marginals broadcast back onto the cells. Cells with
+    // zero observed count carry no row (gate covers observed cells).
+    "q138_chi2_independence" -> ((s, d) => {
+      val o = Tables.read(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val rt = o.groupBy("lang").agg(sum("obs").as("rt"))
+      val ct = o.groupBy("source").agg(sum("obs").as("ct"))
+      val n = o.agg(sum("obs").as("n"))
+      o.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("obs"),
+          expr("(rt * ct * 1000000) DIV n").as("e_ppm"),
+          expr("(((obs * n - rt * ct) * (obs * n - rt * ct)) DIV (rt * ct))" +
+            " * 1000000 DIV n").as("term_ppm"))
     })
   )
 
@@ -259,6 +283,21 @@ object Analytics {
     fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
 
   val oracles: Map[String, String] = Map(
+    "q138_chi2_independence" ->
+      """WITH o AS (SELECT lang, source, count(*) AS obs FROM documents
+        |   GROUP BY 1, 2),
+        | rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS rt FROM o
+        |   GROUP BY 1),
+        | ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS ct FROM o
+        |   GROUP BY 1),
+        | nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+        |SELECT o.lang, o.source, o.obs,
+        | (rt.rt * ct.ct * 1000000) // nn.n AS e_ppm,
+        | (((o.obs * nn.n - rt.rt * ct.ct) * (o.obs * nn.n - rt.rt * ct.ct))
+        |   // (rt.rt * ct.ct)) * 1000000 // nn.n AS term_ppm
+        |FROM o JOIN rt USING (lang) JOIN ct USING (source)
+        | CROSS JOIN nn""".stripMargin,
+
     "q82_describe" -> {
       def duckStats(colName: String, scaledExpr: String, scale: String) =
         s"""SELECT '$colName' AS column, COUNT(x) AS n,

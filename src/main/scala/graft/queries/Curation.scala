@@ -260,6 +260,34 @@ object Curation {
         .select("a", "b", "c_ab", "p_ppm")
     }),
 
+    // ---- q139: cross-source vocabulary overlap (Jaccard matrix) ----
+    // Pairwise token-set Jaccard between sources, in exact ppm integers
+    // — the corpus-mixing diagnostic ("how much does crawlA share with
+    // crawlB") run before choosing training mixture weights. The
+    // (source, token) distinct table is vocabulary-bounded; the
+    // cross-source join fans out per token only by the number of
+    // sources carrying it (<= |sources|² per token, a constant), so
+    // the plan is two hash aggs + one bounded equi-join at any corpus
+    // size.
+    "q139_source_overlap" -> ((s, d) => {
+      val st = docs(s, d)
+        .select(col("source"), explode(expr(toksSpark("text"))).as("tok"))
+        .distinct()
+      val sz = st.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = st.as("x").join(st.as("y"),
+          col("x.tok") === col("y.tok") &&
+            col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sz.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          expr("(inter * 1000000) DIV (na + nb - inter)").as("jac_ppm"))
+    }),
+
     // ---- q121: within-document token co-occurrence ----
     // Pair counts (a, b sorted, a < b) over each doc's distinct token
     // set — the phrase/topic-mining primitive. The pairs are generated
@@ -381,6 +409,19 @@ object Curation {
         | t AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c GROUP BY 1)
         |SELECT c.a, c.b, c.c_ab, (c.c_ab * 1000000) // t.c_a AS p_ppm
         |FROM c JOIN t USING (a) WHERE c.c_ab >= 3""".stripMargin,
+
+    "q139_source_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source,
+        |   unnest(${toksDuck("text")}) AS tok FROM documents),
+        | sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+        | iv AS (SELECT x.source AS src_a, y.source AS src_b,
+        |   count(*) AS inter
+        |  FROM st x JOIN st y ON x.tok = y.tok AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter,
+        | (inter * 1000000) // (na.n + nb.n - inter) AS jac_ppm
+        |FROM iv JOIN sz na ON na.source = iv.src_a
+        | JOIN sz nb ON nb.source = iv.src_b""".stripMargin,
 
     "q121_cooccurrence" ->
       s"""WITH t AS (SELECT

@@ -95,10 +95,47 @@ object Ranges {
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
           .as("approx_users"))
+    }),
+
+    // ---- q140: incremental rollup onto a persisted aggregate ----
+    // The EXACT-additive twin of q94's sketch merge: hourly
+    // (count, exact-cents sum) partials per event_type are persisted
+    // from history (batches 0-2); ingesting the new batch scans ONLY
+    // that batch, appends its partials, and the query-time merge
+    // re-aggregates partials — never raw history. Counts and scaled-
+    // integer sums are associative, so the merged rollup hash-matches
+    // a full recompute (the oracle) exactly; the single final division
+    // converts cents once. The materialized-view maintenance move every
+    // metrics pipeline runs at 100 TB: history cost is paid once, each
+    // delta costs only its own scan.
+    "q140_incr_rollup" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("b", pmod(col("event_id"), lit(4)))
+      def partials(batches: DataFrame) = batches
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(graft.functions.DetMath.fixed(col("value"), 2)).as("cents"))
+      graft.sources.Tables.writeTable(
+        partials(ev.filter(col("b") < 3)), "graft_rollup_hist")
+      partials(ev.filter(col("b") === 3))
+        .write.mode("append").format("parquet")
+        .saveAsTable("graft_rollup_hist")
+      s.table("graft_rollup_hist")
+        .groupBy("hr", "event_type")
+        .agg(sum("cnt").as("cnt"),
+          (sum("cents") / lit(100.0)).as("sum_val"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // the merged persisted rollup must equal a FULL recompute over all
+    // events — the materialized-view maintenance invariant
+    "q140_incr_rollup" ->
+      s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
+        | COUNT(*) AS cnt,
+        | ${graft.functions.DetMath.sumFixedSql("value", 2)} AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q95_interval_overlap" ->
       """WITH base AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         | w AS (SELECT event_id AS wid, ts AS ws,

@@ -79,6 +79,35 @@ object Shapes {
           rnd(expr("percentile(l_extendedprice, 0.75)"), 2).as("q75"),
           rnd(expr("percentile(l_extendedprice, 0.99)"), 2).as("q99"))),
 
+    // ---- q141: session path mining ----
+    // Sessionize (q58's gaps-and-islands), then mine the event-type
+    // PATH of each session ("signup>click>purchase") and count how
+    // often each journey occurs — the sequence-mining read of the
+    // event log. The path is an ORDERED collect: sort the collected
+    // (ts, event_id, type) structs in-row, so the string is a pure
+    // function of the session's events (event_id breaks ts ties) and
+    // the oracle's string_agg(... ORDER BY ts, event_id) replays it.
+    // Per-session state is bounded by session length; the final agg is
+    // path-cardinality-bounded.
+    "q141_session_paths" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L)
+            .cast("int"))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(concat_ws(">", expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+            " x -> x.event_type)")).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+    }),
+
     // ---- q133: IQR outlier fences (Tukey) ----
     // Per group: exact q1/q3 order statistics picked by pure integer
     // rank (the q125 recipe — ceil(n*p) = (n*p+99) DIV 100, so both
@@ -165,6 +194,24 @@ object Shapes {
         |SELECT MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
         | user_id, COUNT(*) AS n_events, ${sumFixedSql("value", 2)} AS sum_val
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    // q58's session CTEs + an ordered string_agg per session
+    "q141_session_paths" ->
+      """WITH base AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   event_type FROM events),
+        | lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_ts FROM base),
+        | flagged AS (SELECT *, CAST(prev_ts IS NULL
+        |     OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000 AS INT)
+        |   AS new_sess FROM lagged),
+        | sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |   FROM flagged),
+        | paths AS (SELECT user_id, sess_id,
+        |   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1""".stripMargin,
 
     "q133_iqr_outliers" ->
       """WITH base AS (SELECT l_returnflag AS g, l_extendedprice AS x
