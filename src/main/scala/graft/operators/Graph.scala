@@ -45,16 +45,28 @@ object Graph {
     // `rank DIV deg` needs no second join inside the loop
     val eDeg = Dedup.cut(e.join(
       e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
+    // Rank/contribution tables are NODE-cardinality while the loop's
+    // joins run against EDGE-cardinality — when nodes fit a broadcast
+    // (the overwhelmingly common case: ranks are 16 B/node, so even
+    // 10^8 nodes are ~1.6 GB while edges are orders larger), pin both
+    // loop joins map-side so the edge table is NEVER shuffled after
+    // its one up-front cut. nodes is already materialized, so the
+    // count is free. Beyond the threshold, fall back to shuffle joins
+    // — there, pre-partitioning eDeg by src amortizes across
+    // iterations (the Pregel layout).
+    val small = nodes.count() < 5000000L
+    def side(df: DataFrame) = if (small) broadcast(df) else df
     val teleport = scale * (100 - dampPct) / 100
     var ranks = Dedup.cut(nodes.withColumn("rank", lit(scale)))
     var prev = ranks
     for (_ <- 1 to iters) {
       val contrib = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(side(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
       val next = Dedup.cut(nodes
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .join(side(contrib.withColumnRenamed("dst", "node")),
+          Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"$dampPct * coalesce(s, CAST(0 AS BIGINT)) DIV 100"))
@@ -64,6 +76,19 @@ object Graph {
       ranks = next
     }
     ranks
+  }
+
+  /** Directed bipartite edges in BOTH directions from a two-column
+    * relation, with the two id spaces interleaved into one BIGINT
+    * namespace (left*2, right*2+1). Edge generation is LINEAR in the
+    * distinct relation — the scale-safe alternative to [[coEdges]]'
+    * per-key quadratic fan-out when the relation is dense (a key
+    * shared by m nodes costs m edges here vs m² there). */
+  def bipartiteEdges(df: DataFrame, leftCol: String, rightCol: String)
+      : DataFrame = {
+    val ps = df.select((col(leftCol) * 2).as("src"),
+      (col(rightCol) * 2 + 1).as("dst")).distinct()
+    ps.unionAll(ps.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** Undirected co-occurrence edges: nodes sharing a key become edges

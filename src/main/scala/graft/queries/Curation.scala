@@ -288,6 +288,59 @@ object Curation {
           expr("(inter * 1000000) DIV (na + nb - inter)").as("jac_ppm"))
     }),
 
+    // ---- q143: first-owner novelty score ----
+    // How much NEW content does each doc contribute? A doc's distinct
+    // 4-grams are "novel" if no lower-id doc carries them (min doc_id
+    // per gram = first owner — ingestion order by id). novelty_ppm =
+    // novel/total in exact ppm integers. The contribution-scoring twin
+    // of dedup: instead of dropping near-dups, rank docs by marginal
+    // new material. Two gram-keyed hash aggs + one doc-keyed agg; docs
+    // under 4 tokens carry no grams and yield no row (unnest parity).
+    "q143_novelty" -> ((s, d) => {
+      val pairs = gramPairs(docs(s, d), DecontN).distinct()
+      val first = pairs.groupBy("g").agg(min("doc_id").as("first_id"))
+      val perDoc = pairs.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val novel = pairs.join(first, "g")
+        .filter(col("doc_id") === col("first_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("coalesce(n_novel, 0) * 1000000 DIV n_grams")
+            .as("novelty_ppm"))
+    }),
+
+    // ---- q144: co-occurrence lift (association mining) ----
+    // For token pairs sharing >= 5 docs: lift = P(a,b)/(P(a)P(b)) in
+    // exact ppm integers — (n_ab * N * 1e6) DIV (n_a * n_b). The
+    // PMI-without-log association score over q121's in-row pair
+    // stream; token doc-counts come from one narrow explode of the
+    // per-row distinct token set (no corpus-wide distinct shuffle —
+    // in-row dedup suffices for doc counts). Integer bound: n_ab*N*1e6
+    // needs N <= ~3e6 rows; beyond that, divide by n_a before scaling.
+    "q144_pair_lift" -> ((s, d) => {
+      val dd = docs(s, d)
+      val dt = dd.select(
+        explode(expr(s"array_distinct(${toksSpark("text")})")).as("tok"))
+      val cnt = dt.groupBy("tok").agg(count(lit(1)).as("n_t"))
+      val pairs = dd
+        .select(expr(s"array_sort(array_distinct(${toksSpark("text")}))")
+          .as("ts"))
+        .select(posexplode(col("ts")).as(Seq("i", "a")), col("ts"))
+        .select(col("a"),
+          explode(expr("slice(ts, i + 2, size(ts))")).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val n = dd.agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(cnt.select(col("tok").as("a"), col("n_t").as("na"))), "a")
+        .join(broadcast(cnt.select(col("tok").as("b"), col("n_t").as("nb"))), "b")
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("n_ab"),
+          expr("(n_ab * n * 1000000) DIV (na * nb)").as("lift_ppm"))
+    }),
+
     // ---- q121: within-document token co-occurrence ----
     // Pair counts (a, b sorted, a < b) over each doc's distinct token
     // set — the phrase/topic-mining primitive. The pairs are generated
@@ -422,6 +475,33 @@ object Curation {
         | (inter * 1000000) // (na.n + nb.n - inter) AS jac_ppm
         |FROM iv JOIN sz na ON na.source = iv.src_a
         | JOIN sz nb ON nb.source = iv.src_b""".stripMargin,
+
+    "q143_novelty" ->
+      s"""WITH pairs AS (SELECT DISTINCT * FROM (${gramsDuck(DecontN)})),
+        | fo AS (SELECT g, MIN(doc_id) AS first_id FROM pairs GROUP BY 1),
+        | pd AS (SELECT doc_id, count(*) AS n_grams FROM pairs GROUP BY 1),
+        | nv AS (SELECT doc_id, count(*) AS n_novel FROM pairs
+        |  JOIN fo USING (g) WHERE doc_id = first_id GROUP BY 1)
+        |SELECT pd.doc_id, pd.n_grams,
+        | COALESCE(nv.n_novel, 0) AS n_novel,
+        | (COALESCE(nv.n_novel, 0) * 1000000) // pd.n_grams AS novelty_ppm
+        |FROM pd LEFT JOIN nv USING (doc_id)""".stripMargin,
+
+    "q144_pair_lift" ->
+      s"""WITH dt AS (SELECT unnest(list_distinct(${toksDuck("text")}))
+        |   AS tok FROM documents),
+        | cnt AS (SELECT tok, count(*) AS n_t FROM dt GROUP BY 1),
+        | t AS (SELECT list_sort(list_distinct(${toksDuck("text")})) AS ts
+        |   FROM documents),
+        | p AS (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM t),
+        | pr AS (SELECT ts[i] AS a, unnest(ts[i+1:len(ts)]) AS b FROM p),
+        | ab AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY 1, 2
+        |   HAVING count(*) >= 5),
+        | nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT ab.a, ab.b, ab.n_ab,
+        | (ab.n_ab * nn.n * 1000000) // (na.n_t * nb.n_t) AS lift_ppm
+        |FROM ab JOIN cnt na ON na.tok = ab.a
+        | JOIN cnt nb ON nb.tok = ab.b CROSS JOIN nn""".stripMargin,
 
     "q121_cooccurrence" ->
       s"""WITH t AS (SELECT

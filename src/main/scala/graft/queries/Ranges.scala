@@ -124,17 +124,35 @@ object Ranges {
         .groupBy("hr", "event_type")
         .agg(sum("cnt").as("cnt"),
           (sum("cents") / lit(100.0)).as("sum_val"))
-    })
+    }),
+
+    // ---- q142: STREAMING incremental rollup (foreachBatch) ----
+    // q140's maintenance loop run as it runs in production: the delta
+    // slice arrives as a file STREAM and each micro-batch appends only
+    // its own partials via foreachBatch; additivity makes the merge
+    // equal a full recompute regardless of micro-batch boundaries.
+    // Same full-recompute oracle as q140 — hash-green proves the
+    // streaming path byte-equivalent to both the batch path and the
+    // one-shot aggregation.
+    "q142_stream_rollup" -> ((s, d) =>
+      graft.streaming.EventStreams.incrementalRollupStream(s, d))
   )
+
+  /** Full recompute over all events — the invariant BOTH rollup
+    * maintenance paths (q140 batch, q142 streaming) must reproduce. */
+  private val fullRollupSql: String =
+    s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
+      | COUNT(*) AS cnt,
+      | ${graft.functions.DetMath.sumFixedSql("value", 2)} AS sum_val
+      |FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the merged persisted rollup must equal a FULL recompute over all
     // events — the materialized-view maintenance invariant
-    "q140_incr_rollup" ->
-      s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
-        | COUNT(*) AS cnt,
-        | ${graft.functions.DetMath.sumFixedSql("value", 2)} AS sum_val
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q140_incr_rollup" -> fullRollupSql,
+    // one oracle, two gates: the batch (q140) and streaming (q142)
+    // maintenance paths must both equal the full recompute
+    "q142_stream_rollup" -> fullRollupSql,
 
     "q95_interval_overlap" ->
       """WITH base AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

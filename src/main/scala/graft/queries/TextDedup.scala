@@ -56,6 +56,44 @@ object TextDedup {
         Dedup.minhashPairs(docs(s, d), "doc_id", "text",
           k = 8, rows = 2, threshold = 0.5))),
 
+    // ---- q145: canonical selection per near-dup cluster ----
+    // The curation DECISION the cluster machinery exists for: every doc
+    // maps to its cluster (singletons to themselves) and each cluster
+    // keeps its best member — longest n_chars, ties to the smaller id.
+    // Selection is the q119 windowless argmax (max over (n_chars, -id)
+    // structs with map-side partial combine; the tiny per-cluster
+    // aggregate is the only extra shuffle on top of the clustering).
+    "q145_cluster_canonical" -> ((s, d) => {
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+          k = 8, rows = 2, threshold = 0.5))
+      val assigned = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .join(clusters.withColumnRenamed("canonical", "cl0"),
+          Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("cl0"), col("doc_id")))
+      val best = assigned.groupBy("cl")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("w"))
+        .select(col("cl"), (-col("w.nid")).as("keep_id"))
+      assigned.join(best, "cl")
+        .select(col("doc_id"), col("cl"),
+          (col("doc_id") === col("keep_id")).as("keep"))
+    }),
+
+    // ---- q146: per-source duplication-rate report ----
+    // How redundant is each source? Exact-dup fingerprints per source:
+    // doc count, distinct-content count, duplicate fraction in ppm —
+    // the triage number that decides which feed needs dedup attention.
+    // One fingerprint pass + one two-level agg.
+    "q146_dup_rate" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("fp", expr(fingerprintSpark(toksSpark("text"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          expr("(n_docs - n_distinct) * 1000000 DIV n_docs")
+            .as("dup_ppm"))),
+
     // SimHash Hamming-ball join: chunk-banded candidates + exact
     // bit_count verify (the 32-bit complement to MinHash-LSH's
     // set-similarity pairs).
@@ -329,6 +367,33 @@ object TextDedup {
         | cc AS (SELECT src AS n, src AS m FROM ed
         |        UNION SELECT e.dst, c.m FROM cc c JOIN ed e ON e.src = c.n)
         |SELECT n AS doc_id, MIN(m) AS canonical FROM cc GROUP BY n""".stripMargin,
+
+    // q60's cluster CTEs + the longest-member argmax per cluster
+    "q145_cluster_canonical" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        | pairs AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5),
+        | ed AS (SELECT ida AS src, idb AS dst FROM pairs
+        |        UNION SELECT idb, ida FROM pairs),
+        | cc AS (SELECT src AS n, src AS m FROM ed
+        |        UNION SELECT e.dst, c.m FROM cc c JOIN ed e ON e.src = c.n),
+        | cl0 AS (SELECT n AS doc_id, MIN(m) AS canonical FROM cc GROUP BY n),
+        | asg AS (SELECT d.doc_id, d.n_chars,
+        |   COALESCE(cl0.canonical, d.doc_id) AS cl
+        |  FROM documents d LEFT JOIN cl0 USING (doc_id)),
+        | best AS (SELECT cl, doc_id AS keep_id FROM (
+        |   SELECT cl, doc_id, ROW_NUMBER() OVER (PARTITION BY cl
+        |     ORDER BY n_chars DESC, doc_id) AS rn FROM asg) WHERE rn = 1)
+        |SELECT asg.doc_id, asg.cl, asg.doc_id = best.keep_id AS keep
+        |FROM asg JOIN best USING (cl)""".stripMargin,
+
+    "q146_dup_rate" ->
+      s"""WITH fp AS (SELECT source,
+        |   ${fingerprintDuck(s"(${toksDuck("text")})")} AS fp
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | count(DISTINCT fp) AS n_distinct,
+        | ((count(*) - count(DISTINCT fp)) * 1000000) // count(*) AS dup_ppm
+        |FROM fp GROUP BY 1""".stripMargin,
 
     "q40_simhash" ->
       s"""WITH $toksCte,

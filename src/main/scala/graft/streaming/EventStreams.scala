@@ -188,6 +188,68 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** STREAMING incremental rollup (q142 — the streaming face of q140's
+    * batch delta-merge): history partials (batches 0-2 of the events
+    * table) land once via a batch write; the remaining slice is
+    * re-staged as files and STREAMED, each micro-batch appending ONLY
+    * its own hourly (count, exact-cents) partials to the persisted
+    * rollup through foreachBatch — the lakehouse materialized-view
+    * maintenance loop. Because count/scaled-int-sum partials are
+    * associative and commutative, the final merge equals a full
+    * recompute REGARDLESS of how the source split the stream into
+    * micro-batches (no single-batch assumption needed, unlike the
+    * stream-stream join gate), which is exactly why additive partials
+    * are the production shape for streaming view maintenance. */
+  def incrementalRollupStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 1): DataFrame = {
+    val ev = graft.sources.Tables.read(spark, sfDir, "events")
+      .withColumn("b", pmod(col("event_id"), lit(4)))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(fixed(col("value"), 2)).as("cents"))
+    graft.sources.Tables.writeTable(
+      partials(ev.filter(col("b") < 3)), "graft_stream_rollup")
+    // stage the delta slice back in the RAW file shape (ns longs) so the
+    // standard streaming source reads it like any landed file drop
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_q142_delta")
+    dir.toFile.deleteOnExit()
+    val ckpt = Files.createTempDirectory("graft_q142_ckpt")
+    ckpt.toFile.deleteOnExit()
+    val delta = ev.filter(col("b") === 3)
+      .select(col("event_id"),
+        expr("unix_micros(ts) * CAST(1000 AS BIGINT)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    // deltaFiles > 1 splits the staged drop into several files so the
+    // spec's one-file-per-trigger run really produces several
+    // micro-batches (a small sf writes one part file otherwise)
+    (if (deltaFiles > 1) delta.repartition(deltaFiles) else delta)
+      .write.mode("overwrite").parquet(dir.toString)
+    // maxFilesPerTrigger splits the staged delta into one micro-batch
+    // per file — StreamingSpec uses it to PROVE the merge equals the
+    // full recompute regardless of batch boundaries (the property the
+    // single-batch-gated stream-stream join does NOT have)
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(nf =>
+      reader.option("maxFilesPerTrigger", nf.toString))
+    val q = reader.parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        partials(batch.toDF()).write.mode("append")
+          .format("parquet").saveAsTable("graft_stream_rollup")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("graft_stream_rollup")
+      .groupBy("hr", "event_type")
+      .agg(sum("cnt").as("cnt"), (sum("cents") / lit(100.0)).as("sum_val"))
+  }
+
   /** Streaming exact dedup on event_id: watermark-bounded state drops
     * replays/late duplicates inside the 1-hour horizon — the streaming
     * face of the dedup operator family (operators.Dedup handles batch). */

@@ -21,7 +21,10 @@ object ExplainAudit {
         "q45_ivf_ann" -> "BNLJ broadcasts tiny centroids/queries (by design)",
         "q62_ivf_trained" -> "BNLJ broadcasts the k trained centroids (by design)",
         "q86_ivf_persisted" -> "BNLJ broadcasts the k persisted centroids (by design)",
-        "q80_tfidf_terms" -> "BNLJ broadcasts the 1-row corpus-size aggregate (by design)")
+        "q80_tfidf_terms" -> "BNLJ broadcasts the 1-row corpus-size aggregate (by design)",
+        "q129_centroid_classify" -> "BNLJ broadcasts the per-label centroid table (by design)",
+        "q138_chi2_independence" -> "BNLJ broadcasts the 1-row total-count aggregate (by design)",
+        "q144_pair_lift" -> "BNLJ broadcasts the 1-row corpus-size aggregate (by design)")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
           val plan = fn(spark, d).queryExecution.executedPlan.toString

@@ -18,8 +18,11 @@ object QueryProbe {
       appName = "query-probe", shufflePartitions = cpus.toInt)
     val reps = if (args.length > 3) args(3).toInt else 1
     for (i <- 1 to reps) {
-      val df = graft.SparkEntry.queries(name)(spark, d)
+      // query CONSTRUCTION stays inside the timer: iterative operators
+      // (pageRank, k-means) run eager lineage-cut actions while the
+      // plan is being built, exactly as Bench times them
       val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, d)
       df.write.mode("overwrite").format("noop").save()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"$name run $i in $secs%.3f s (noop-materialized)")

@@ -256,6 +256,35 @@ class StreamingSpec extends SparkTestBase {
     assert(compacted.exceptAll(expected).count() == 0)
   }
 
+  test("streaming incremental rollup is micro-batch-boundary independent") {
+    // Force one micro-batch PER FILE: the delta slice lands as many
+    // part files, so the foreachBatch maintenance loop appends many
+    // separate partials — and the merged rollup must STILL equal the
+    // full batch recompute, because count/scaled-cents partials are
+    // associative. This is the property that makes additive partials
+    // the production shape for streaming view maintenance.
+    val merged = EventStreams.incrementalRollupStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 8)
+    val ev = sources.Tables.read(spark, sf, "events")
+    val full = ev
+      .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        (sum(graft.functions.DetMath.fixed($"value", 2)) / lit(100.0))
+          .as("sum_val"))
+    assert(merged.exceptAll(full).count() == 0)
+    assert(full.exceptAll(merged).count() == 0)
+    // the raw partial table must show MORE partial rows than a single
+    // delta append would produce — proof that multiple micro-batches
+    // really ran (hours recur across part files)
+    val histRows = ev.filter(pmod($"event_id", lit(4)) < 3)
+      .select(date_trunc("hour", $"ts"), $"event_type").distinct().count()
+    val oneBatchDelta = ev.filter(pmod($"event_id", lit(4)) === 3)
+      .select(date_trunc("hour", $"ts"), $"event_type").distinct().count()
+    assert(spark.table("graft_stream_rollup").count() >
+      histRows + oneBatchDelta,
+      "expected per-micro-batch partials from more than one batch")
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
