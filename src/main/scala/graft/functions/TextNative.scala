@@ -73,7 +73,57 @@ object TextNative {
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_rollhash",
       exprs => RollingHashExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ngrams",
+      exprs => NgramsExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
   }
+}
+
+/** graft_ngrams(text, n) → array<string>: space-joined runs of n
+  * consecutive tokens in one fused pass — exactly
+  * TextExpr.ngramsSpark(toksSpark(text), n) (docs shorter than n tokens
+  * yield an EMPTY array, not the token fallback shingles use). The
+  * declarative spelling walks transform(sequence)+concat_ws(slice)
+  * through interpreted HigherOrderFunction dispatch per gram; this is
+  * the corpus-scan hot loop of the decontamination/boilerplate/novelty
+  * family, so the fused loop matters. */
+case class NgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("graft_ngrams expects a string")
+    else if (n < 1)
+      TypeCheckResult.TypeCheckFailure("graft_ngrams needs n >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextNative.tokenize(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** graft_rollhash(text) → bigint: polynomial rolling hash over code

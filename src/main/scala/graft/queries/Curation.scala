@@ -21,8 +21,16 @@ object Curation {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.read(s, dir, n)
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextNative.register(s)
     Tables.read(s, dir, "documents")
+  }
+
+  /** Native one-pass tokenizer — bit-identical to TextExpr.toksSpark
+    * (the spec spelling the oracle keeps using); the gram queries here
+    * tokenize the whole corpus per scan, so the fused JVM loop beats
+    * the interpreted HigherOrderFunction chain measurably. */
+  private val toksNat = "graft_tokens(text)"
 
   // Decontamination gram width: measured on the driver corpus, 3-grams
   // flag 89% of training docs (the vocabulary is tiny, so trigram
@@ -49,7 +57,7 @@ object Curation {
     * stat). */
   private def gramPairs(d: DataFrame, n: Int): DataFrame =
     d.select(col("doc_id"),
-      explode(expr(ngramsSpark(toksSpark("text"), n))).as("g"))
+      explode(expr(s"graft_ngrams(text, $n)")).as("g"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -113,7 +121,7 @@ object Curation {
     "q118_inverted_index" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"),
-          explode(expr(toksSpark("text"))).as("term"))
+          explode(expr(toksNat)).as("term"))
         .distinct()
         .groupBy("term")
         .agg(count(lit(1)).as("df"),
@@ -249,7 +257,7 @@ object Curation {
     // totals so probabilities stay corpus-true.
     "q134_bigram_lm" -> ((s, d) => {
       val g2 = docs(s, d).select(
-        explode(expr(ngramsSpark(toksSpark("text"), 2))).as("g"))
+        explode(expr("graft_ngrams(text, 2)")).as("g"))
         .select(split(col("g"), " ")(0).as("a"),
           split(col("g"), " ")(1).as("b"))
       val c = g2.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
@@ -271,7 +279,7 @@ object Curation {
     // size.
     "q139_source_overlap" -> ((s, d) => {
       val st = docs(s, d)
-        .select(col("source"), explode(expr(toksSpark("text"))).as("tok"))
+        .select(col("source"), explode(expr(toksNat)).as("tok"))
         .distinct()
       val sz = st.groupBy("source").agg(count(lit(1)).as("n"))
       val inter = st.as("x").join(st.as("y"),
@@ -321,10 +329,10 @@ object Curation {
     "q144_pair_lift" -> ((s, d) => {
       val dd = docs(s, d)
       val dt = dd.select(
-        explode(expr(s"array_distinct(${toksSpark("text")})")).as("tok"))
+        explode(expr(s"array_distinct(${toksNat})")).as("tok"))
       val cnt = dt.groupBy("tok").agg(count(lit(1)).as("n_t"))
       val pairs = dd
-        .select(expr(s"array_sort(array_distinct(${toksSpark("text")}))")
+        .select(expr(s"array_sort(array_distinct(${toksNat}))")
           .as("ts"))
         .select(posexplode(col("ts")).as(Seq("i", "a")), col("ts"))
         .select(col("a"),
@@ -351,7 +359,7 @@ object Curation {
     // corpus size.
     "q121_cooccurrence" -> ((s, d) =>
       docs(s, d)
-        .select(expr(s"array_sort(array_distinct(${toksSpark("text")}))")
+        .select(expr(s"array_sort(array_distinct(${toksNat}))")
           .as("ts"))
         .select(posexplode(col("ts")).as(Seq("i", "a")), col("ts"))
         .select(col("a"),

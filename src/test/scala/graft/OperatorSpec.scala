@@ -181,6 +181,16 @@ class OperatorSpec extends SparkTestBase {
         expr(graft.functions.TextExpr.minhashSpark("sh", i)))
       .reduce(_ || _)
     assert(cmp.filter(mhCmp).count() == 0)
+    // graft_ngrams: fused loop vs transform(sequence)+concat_ws(slice),
+    // including the under-n → EMPTY array edge (ngrams, unlike
+    // shingles, must not fall back to bare tokens)
+    for (n <- Seq(2, 4, 50)) {
+      val ng = docs.select(
+        expr(s"graft_ngrams(text, $n)").as("nat"),
+        expr(graft.functions.TextExpr.ngramsSpark(
+          graft.functions.TextExpr.toksSpark("text"), n)).as("dec"))
+      assert(ng.filter($"nat" =!= $"dec").count() == 0, s"n=$n diverged")
+    }
   }
 
   test("bucketed range join equals the naive theta join; approx distinct close to exact") {
