@@ -47,6 +47,8 @@ object Curation {
   private val Shards = 8
   // Per-stratum hard cap for the quota sample.
   private val QuotaK = 40
+  // q148's token budget — selects a strict subset at every SF.
+  private val TokenBudget = 10000L
 
   /** Exploded (doc_id, gram) pairs of word n-grams — NOT deduplicated:
     * a caller that needs "docs containing" semantics must place its own
@@ -349,6 +351,64 @@ object Curation {
           expr("(n_ab * n * 1000000) DIV (na * nb)").as("lift_ppm"))
     }),
 
+    // ---- q147: quality-threshold sweep ----
+    // For every token-count bucket, how many docs and tokens survive a
+    // ">= bucket" cut — the tuning curve read before choosing a
+    // filter threshold. One corpus scan + one tiny hash agg; the
+    // cumulative window runs over the BUCKET table (cardinality ≈
+    // value range / 10), so its single-partition sort is a few dozen
+    // rows regardless of corpus size.
+    "q147_quality_sweep" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(Long.MinValue, 0)
+      docs(s, d)
+        .select(expr("size(graft_tokens(text))").as("n_toks"))
+        .withColumn("bucket", expr("n_toks DIV 10"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"))
+        .withColumn("cum_docs", sum("n_docs").over(w))
+        .withColumn("cum_toks", sum("toks").over(w))
+    }),
+
+    // ---- q148: token-budget selection (two-phase, no global sort) ----
+    // "Best docs first until the token budget is spent": quality =
+    // integer stopword-per-mille, selection = all docs in strictly
+    // better quality buckets plus a doc_id-ordered prefix of the
+    // boundary bucket. TWO-PHASE plan: the cumulative window runs over
+    // the tiny BUCKET table (phase 1), then only buckets reaching the
+    // boundary join back and the within-bucket prefix window shuffles
+    // on the bucket key (phase 2) — never a global sort of the corpus,
+    // which is what makes a budget cut feasible at 100 TB. prev+in_cum
+    // <= B covers full buckets and the boundary prefix with one
+    // predicate.
+    "q148_token_budget" -> ((s, d) => {
+      val B = TokenBudget
+      val e = docs(s, d)
+        .withColumn("toks", expr(toksNat))
+        .withColumn("n_toks", size(col("toks")))
+        .filter(col("n_toks") > 0)
+        .withColumn("n_stop", expr(
+          graft.functions.TextExpr.hitCountSpark("toks",
+            graft.functions.TextExpr.langWords.toMap.apply("en"))))
+        .select(col("doc_id"), col("n_toks"),
+          expr("(n_stop * 1000) DIV n_toks").as("q_milli"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("q_milli").desc).rowsBetween(Long.MinValue, 0)
+      val cum = e.groupBy("q_milli").agg(sum("n_toks").as("bt"))
+        .withColumn("cum", sum("bt").over(wq))
+        .withColumn("prev", col("cum") - col("bt"))
+        .select("q_milli", "prev")
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_milli").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, 0)
+      e.join(broadcast(cum), "q_milli")
+        .filter(col("prev") < B)
+        .withColumn("in_cum", sum("n_toks").over(wb))
+        .filter(col("prev") + col("in_cum") <= B)
+        .select("doc_id", "q_milli", "n_toks")
+    }),
+
     // ---- q121: within-document token co-occurrence ----
     // Pair counts (a, b sorted, a < b) over each doc's distinct token
     // set — the phrase/topic-mining primitive. The pairs are generated
@@ -510,6 +570,43 @@ object Curation {
         | (ab.n_ab * nn.n * 1000000) // (na.n_t * nb.n_t) AS lift_ppm
         |FROM ab JOIN cnt na ON na.tok = ab.a
         | JOIN cnt nb ON nb.tok = ab.b CROSS JOIN nn""".stripMargin,
+
+    "q147_quality_sweep" ->
+      s"""WITH e AS (SELECT len(${toksDuck("text")}) AS n_toks
+        |   FROM documents),
+        | b AS (SELECT n_toks // 10 AS bucket, count(*) AS n_docs,
+        |   CAST(SUM(n_toks) AS BIGINT) AS toks FROM e GROUP BY 1)
+        |SELECT bucket, n_docs, toks,
+        | CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_docs,
+        | CAST(SUM(toks) OVER (ORDER BY bucket DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_toks
+        |FROM b""".stripMargin,
+
+    "q148_token_budget" -> {
+      val en = graft.functions.TextExpr.langWords.toMap.apply("en")
+      s"""WITH tk AS (SELECT doc_id, ${toksDuck("text")} AS toks
+        |   FROM documents),
+        | e AS (SELECT doc_id, len(toks) AS n_toks,
+        |   (${graft.functions.TextExpr.hitCountDuck("toks", en)} * 1000)
+        |     // len(toks) AS q_milli
+        |  FROM tk WHERE len(toks) > 0),
+        | b AS (SELECT q_milli, CAST(SUM(n_toks) AS BIGINT) AS bt FROM e
+        |   GROUP BY 1),
+        | c AS (SELECT q_milli, bt, CAST(SUM(bt) OVER (ORDER BY q_milli DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum FROM b),
+        | c2 AS (SELECT q_milli, cum - bt AS prev FROM c),
+        | j AS (SELECT e.doc_id, e.q_milli, e.n_toks, c2.prev
+        |  FROM e JOIN c2 USING (q_milli) WHERE c2.prev < $TokenBudget),
+        | wdw AS (SELECT *, CAST(SUM(n_toks) OVER (PARTITION BY q_milli
+        |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS in_cum FROM j)
+        |SELECT doc_id, q_milli, n_toks FROM wdw
+        |WHERE prev + in_cum <= $TokenBudget""".stripMargin
+    },
 
     "q121_cooccurrence" ->
       s"""WITH t AS (SELECT

@@ -79,6 +79,26 @@ object TextDedup {
           (col("doc_id") === col("keep_id")).as("keep"))
     }),
 
+    // ---- q149: leakage-safe train/test split ----
+    // ML-hygiene: a plain per-doc hash split (q76) can put two NEAR-
+    // DUPLICATES on opposite sides — test-set leakage. Split on the
+    // near-dup CLUSTER canonical instead: every cluster member shares
+    // its canonical, so the whole cluster lands on one side (the
+    // property OperatorSpec asserts pair-by-pair). Still a pure
+    // function of content ids — stable across runs/engines/layouts.
+    "q149_leakage_safe_split" -> ((s, d) => {
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+          k = 8, rows = 2, threshold = 0.5))
+      graft.operators.Sampling.hashSplit(
+          docs(s, d).select("doc_id")
+            .join(clusters.withColumnRenamed("canonical", "cl0"),
+              Seq("doc_id"), "left")
+            .withColumn("canonical", coalesce(col("cl0"), col("doc_id"))),
+          "canonical", trainNibbles = 13)
+        .select("doc_id", "canonical", "split")
+    }),
+
     // ---- q146: per-source duplication-rate report ----
     // How redundant is each source? Exact-dup fingerprints per source:
     // doc count, distinct-content count, duplicate fraction in ppm —
@@ -385,6 +405,22 @@ object TextDedup {
         |     ORDER BY n_chars DESC, doc_id) AS rn FROM asg) WHERE rn = 1)
         |SELECT asg.doc_id, asg.cl, asg.doc_id = best.keep_id AS keep
         |FROM asg JOIN best USING (cl)""".stripMargin,
+
+    "q149_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        | pairs AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5),
+        | ed AS (SELECT ida AS src, idb AS dst FROM pairs
+        |        UNION SELECT idb, ida FROM pairs),
+        | cc AS (SELECT src AS n, src AS m FROM ed
+        |        UNION SELECT e.dst, c.m FROM cc c JOIN ed e ON e.src = c.n),
+        | cl0 AS (SELECT n AS doc_id, MIN(m) AS canonical FROM cc GROUP BY n),
+        | asg AS (SELECT d.doc_id,
+        |   COALESCE(cl0.canonical, d.doc_id) AS canonical
+        |  FROM documents d LEFT JOIN cl0 USING (doc_id))
+        |SELECT doc_id, canonical,
+        | CASE WHEN ${nibbleDuck("md5(CAST(canonical AS VARCHAR))", 0)} < 13
+        |   THEN 'train' ELSE 'test' END AS split
+        |FROM asg""".stripMargin,
 
     "q146_dup_rate" ->
       s"""WITH fp AS (SELECT source,

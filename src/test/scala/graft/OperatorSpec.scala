@@ -534,6 +534,31 @@ class OperatorSpec extends SparkTestBase {
     assert(knn.exceptAll(re).count() == 0 && re.exceptAll(knn).count() == 0)
   }
 
+  test("leakage-safe split never places a near-dup pair across the split") {
+    val split = SparkEntry.queries("q149_leakage_safe_split")(spark, sf)
+      .select($"doc_id", $"split")
+    val pairs = Dedup.minhashPairs(
+      sources.Tables.read(spark, sf, "documents"), "doc_id", "text",
+      k = 8, rows = 2, threshold = 0.5)
+    val crossed = pairs
+      .join(split.select($"doc_id".as("ida"), $"split".as("sa")), "ida")
+      .join(split.select($"doc_id".as("idb"), $"split".as("sb")), "idb")
+      .filter($"sa" =!= $"sb")
+    assert(crossed.count() == 0,
+      "a near-dup pair crossing train/test is test-set leakage")
+    // and the plain per-doc split (q76's machinery keyed on doc_id)
+    // DOES leak on this corpus — the hazard q149 exists to remove
+    val naive = Sampling.hashSplit(
+      sources.Tables.read(spark, sf, "documents"), "doc_id", 13)
+      .select($"doc_id", $"split")
+    val naiveCrossed = pairs
+      .join(naive.select($"doc_id".as("ida"), $"split".as("sa")), "ida")
+      .join(naive.select($"doc_id".as("idb"), $"split".as("sb")), "idb")
+      .filter($"sa" =!= $"sb")
+    assert(naiveCrossed.count() > 0,
+      "corpus regression: naive split no longer demonstrates leakage")
+  }
+
   test("weightedHashSample: zero weight never kept, >=cap always, monotone-ish") {
     val df = spark.range(2000).toDF("id")
       .withColumn("w", col("id") % 4 * 200) // weights 0, 200, 400, 600
