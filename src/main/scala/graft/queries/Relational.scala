@@ -273,6 +273,24 @@ object Relational {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sumFixed(col("l_quantity"), 2).as("sum_qty"))),
 
+    // ---- q150: explicit GROUPING SETS + grouping_id ----
+    // Arbitrary set selection ((flag, status), (status), ()) — the
+    // shape neither rollup (q23) nor cube (q74) expresses (no
+    // (flag)-only set), plus the grouping_id bit vector that
+    // disambiguates a rolled-up NULL from a data NULL. The DataFrame
+    // API stops at rollup/cube, so this goes through spark.sql — the
+    // same Catalyst Expand node either way, one pass over the scan.
+    "q150_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li_gs")
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
+        | grouping_id() AS gid, COUNT(*) AS cnt,
+        | SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+        |   / CAST(100 AS DOUBLE) AS sum_qty
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())""".stripMargin)
+    }),
+
     // scalar-function superset (reference has zero string functions)
     "q24_string_funcs" -> ((s, d) =>
       t(s, d, "customer").select(
@@ -451,6 +469,13 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         | ${sumFixedSql("l_quantity", 2)} AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q150_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        | GROUPING(l_returnflag, l_linestatus) AS gid, COUNT(*) AS cnt,
+        | ${sumFixedSql("l_quantity", 2)} AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())""".stripMargin,
     "q24_string_funcs" ->
       """SELECT c_custkey, UPPER(c_name) AS uname, LOWER(c_mktsegment) AS lseg,
         | SUBSTR(c_name, 1, 8) AS pre, LENGTH(c_name) AS nlen,
