@@ -259,8 +259,11 @@ object Similarity {
   // ---- label-free near-dup pairs: random-hyperplane LSH ----
 
   /** Integer hyperplane weight w(j,d) — an LCG over (j,d) mapped to
-    * [-9, 9]. Pure arithmetic, so both engines spell it identically. */
-  private def hyperplaneWeight(j: String, d: String): String =
+    * [-9, 9]. Pure arithmetic, so both engines spell it identically.
+    * This is the SPEC spelling of graft_lshsig's fused loop (the
+    * oracle's hpwDuck and OperatorSpec's parity test both derive from
+    * it). */
+  private[graft] def hyperplaneWeight(j: String, d: String): String =
     s"(((CAST(1103515245 AS BIGINT) * ($j * 128 + $d) + 12345) % 19) - 9)"
 
   /** Label-free embedding near-duplicate pairs: `nBits` sign bits from
@@ -324,21 +327,15 @@ object Similarity {
       nBits: Int = 16, bandBits: Int = 4): DataFrame = {
     require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
     val nBands = nBits / bandBits
-    // hyperplaneWeight's (j,d) stride is 128: a dim above that would
-    // silently reuse weights across hyperplanes, correlating LSH bits
-    // and degrading recall with no error. The guard runs per ROW inside
-    // the plan (no extra job at plan-build time, and mixed-dim frames
-    // can't slip one oversized row past a sampled check).
-    val sig = prepare(df, embCol).select(col(idCol),
-        expr("""CASE WHEN size(q) > 128 THEN
-          | CAST(raise_error(concat('lshBands: embedding dim ', size(q),
-          |   ' exceeds the hyperplane-weight stride (128)')) AS ARRAY<BIGINT>)
-          | ELSE q END""".stripMargin).as("q"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${nBits - 1}), j ->
-           | CASE WHEN aggregate(sequence(1, size(q)), CAST(0 AS BIGINT),
-           |   (acc, d) -> acc + element_at(q, d) * ${hyperplaneWeight("j", "d")})
-           |  >= 0 THEN 1 ELSE 0 END)""".stripMargin))
+    // graft_lshsig = the fused native loop for the declarative
+    // transform∘aggregate spelling (kept below for reference and
+    // spec parity via hyperplaneWeight); it also enforces the dim <=
+    // 128 weight-stride guard per ROW inside the plan — no extra job
+    // at plan-build time, and mixed-dim frames can't slip one
+    // oversized row past a sampled check.
+    val sig = prepare(df, embCol)
+      .select(col(idCol), col("q"))
+      .withColumn("sig", expr(s"graft_lshsig(q, $nBits)"))
     sig.select(col(idCol),
       posexplode(expr(s"""transform(sequence(0, ${nBands - 1}), b ->
         | aggregate(sequence(1, $bandBits), 0,

@@ -191,6 +191,19 @@ class OperatorSpec extends SparkTestBase {
           graft.functions.TextExpr.toksSpark("text"), n)).as("dec"))
       assert(ng.filter($"nat" =!= $"dec").count() == 0, s"n=$n diverged")
     }
+    // graft_lshsig: codegen'd double loop vs the declarative
+    // transform∘aggregate spelling over the same hyperplane weights
+    val emb = Similarity.prepare(
+      sources.Tables.read(spark, sf, "embeddings"), "embedding")
+    val sg = emb.select(
+      expr("graft_lshsig(q, 16)").as("nat"),
+      expr(s"""transform(sequence(0, 15), j ->
+        | CASE WHEN aggregate(sequence(1, size(q)), CAST(0 AS BIGINT),
+        |   (acc, d) -> acc + element_at(q, d) *
+        |     ${Similarity.hyperplaneWeight("j", "d")})
+        |  >= 0 THEN 1 ELSE 0 END)""".stripMargin).as("dec"))
+    assert(sg.filter($"nat" =!= $"dec").count() == 0,
+      "graft_lshsig diverged from the declarative spelling")
   }
 
   test("bucketed range join equals the naive theta join; approx distinct close to exact") {
