@@ -44,6 +44,38 @@ object Pipelines {
   // corpus has ~31 distinct tokens, so N=20 leaves a real OOV tail).
   private val VocabN = 20
 
+  /** Oracle CTEs yielding `ch(doc_id, chunk_idx, chunk)` — the DuckDB
+    * twin of [[chunkFrame]], shared by the q100 and q151 oracles. */
+  private lazy val chunkCtes: String =
+    s"""toks AS (SELECT doc_id, ${toksDuck("text")} AS t
+      |   FROM documents),
+      | b AS (SELECT doc_id, t, len(t) AS n,
+      |   CASE WHEN len(t) <= $ChunkC THEN 0
+      |     ELSE (len(t) - $ChunkC + ${ChunkS - 1}) // $ChunkS END AS extra
+      |   FROM toks),
+      | c AS (SELECT doc_id, t, n,
+      |   unnest(range(0, extra + 1)) AS chunk_idx FROM b),
+      | ch AS (SELECT doc_id, chunk_idx,
+      |   t[chunk_idx * $ChunkS + 1 :
+      |     least(n, chunk_idx * $ChunkS + $ChunkC)] AS chunk FROM c)""".stripMargin
+
+  /** q100's chunk stream (doc_id, chunk_idx, n_toks, chunk_md5) —
+    * shared by the chunking gate itself and q151's chunk-level dedup. */
+  private def chunkFrame(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), expr(toksSpark("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("extra", expr(
+        s"CASE WHEN n <= $ChunkC THEN 0 " +
+          s"ELSE CAST((n - $ChunkC + ${ChunkS - 1}) DIV $ChunkS AS INT) END"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, extra)")).as("chunk_idx"))
+      .withColumn("chunk",
+        expr(s"slice(t, chunk_idx * $ChunkS + 1, $ChunkC)"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_toks"),
+        expr("md5(array_join(chunk, ' '))").as("chunk_md5"))
+
   // q107 measures as exact integers: quantity/price truncated to whole
   // units (Spark CAST truncates toward zero; the oracle spells
   // CAST(TRUNC(x)) since DuckDB's CAST rounds — q79's convention),
@@ -147,20 +179,29 @@ object Pipelines {
     // ---- q100: overlapping token-window chunking (RAG shape) ----
     // Each doc explodes into ceil-spaced C-token windows every S tokens;
     // pure per-row explode — embarrassingly parallel, no shuffle.
-    "q100_doc_chunks" -> ((s, d) =>
-      docs(s, d)
-        .select(col("doc_id"), expr(toksSpark("text")).as("t"))
-        .withColumn("n", size(col("t")))
-        .withColumn("extra", expr(
-          s"CASE WHEN n <= $ChunkC THEN 0 " +
-            s"ELSE CAST((n - $ChunkC + ${ChunkS - 1}) DIV $ChunkS AS INT) END"))
-        .select(col("doc_id"), col("t"),
-          explode(expr("sequence(0, extra)")).as("chunk_idx"))
-        .withColumn("chunk",
-          expr(s"slice(t, chunk_idx * $ChunkS + 1, $ChunkC)"))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(col("chunk")).as("n_toks"),
-          expr("md5(array_join(chunk, ' '))").as("chunk_md5"))),
+    "q100_doc_chunks" -> ((s, d) => chunkFrame(s, d)),
+
+    // ---- q151: chunk-granular dedup report ----
+    // Doc-level dedup misses a doc that REPEATS another doc's passage
+    // inside otherwise-fresh text; retrieval pipelines dedup at the
+    // CHUNK level. First owner per chunk fingerprint = min
+    // (doc_id, chunk_idx) struct (one hash agg with map-side partial
+    // min); every later occurrence is a duplicate chunk, reported per
+    // doc as an exact-ppm redundancy rate. Composes q100's chunker with
+    // the q143 first-owner discipline one level down.
+    "q151_chunk_dedup" -> ((s, d) => {
+      val ch = chunkFrame(s, d)
+      val first = ch.groupBy("chunk_md5")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("fo"))
+      ch.join(first, "chunk_md5")
+        .withColumn("is_dup",
+          (col("doc_id") =!= col("fo.doc_id") ||
+            col("chunk_idx") =!= col("fo.chunk_idx")).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("is_dup").as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          expr("n_dup * 1000000 DIV n_chunks").as("dup_ppm"))
+    }),
 
     // ---- q101: token-budget sequence packing ----
     // Deterministic next-fit packing of the per-source doc stream into
@@ -461,20 +502,28 @@ object Pipelines {
         |LIMIT 20""".stripMargin,
 
     "q100_doc_chunks" ->
-      s"""WITH toks AS (SELECT doc_id, ${toksDuck("text")} AS t
-        |   FROM documents),
-        | b AS (SELECT doc_id, t, len(t) AS n,
-        |   CASE WHEN len(t) <= $ChunkC THEN 0
-        |     ELSE (len(t) - $ChunkC + ${ChunkS - 1}) // $ChunkS END AS extra
-        |   FROM toks),
-        | c AS (SELECT doc_id, t, n,
-        |   unnest(range(0, extra + 1)) AS chunk_idx FROM b),
-        | ch AS (SELECT doc_id, chunk_idx,
-        |   t[chunk_idx * $ChunkS + 1 :
-        |     least(n, chunk_idx * $ChunkS + $ChunkC)] AS chunk FROM c)
+      s"""WITH $chunkCtes
         |SELECT doc_id, chunk_idx, len(chunk) AS n_toks,
         | md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM ch""".stripMargin,
+
+    "q151_chunk_dedup" ->
+      s"""WITH $chunkCtes,
+        | f AS (SELECT doc_id, chunk_idx,
+        |   md5(array_to_string(chunk, ' ')) AS chunk_md5 FROM ch),
+        | fo AS (SELECT chunk_md5, MIN(doc_id) AS fo_doc FROM f GROUP BY 1),
+        | fo2 AS (SELECT x.chunk_md5, x.fo_doc, MIN(y.chunk_idx) AS fo_idx
+        |  FROM fo x JOIN f y ON y.chunk_md5 = x.chunk_md5
+        |    AND y.doc_id = x.fo_doc
+        |  GROUP BY 1, 2),
+        | d AS (SELECT f.doc_id,
+        |   CASE WHEN f.doc_id <> fo2.fo_doc
+        |     OR f.chunk_idx <> fo2.fo_idx THEN 1 ELSE 0 END AS is_dup
+        |  FROM f JOIN fo2 USING (chunk_md5))
+        |SELECT doc_id, count(*) AS n_chunks,
+        | CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+        | (CAST(SUM(is_dup) AS BIGINT) * 1000000) // count(*) AS dup_ppm
+        |FROM d GROUP BY 1""".stripMargin,
 
     "q101_pack_budget" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -135,6 +135,29 @@ object Vectors {
     "q135_ann_knn_join" -> ((s, d) =>
       Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)),
 
+    // ---- q152: ANN recall@5 self-evaluation ----
+    // The engine measures its own index quality: q62's trained-IVF
+    // top-5 against the exact brute-force top-5 for the same queries,
+    // recall in exact ppm integers. Both sides are deterministic, so
+    // even the QUALITY METRIC is oracle-gated — the eval loop every
+    // ANN deployment runs before trusting an index, here as one query.
+    "q152_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val qids = e.select("vec_id").filter(col("vec_id").between(100, 109))
+      val ivf = Similarity.ivfTopKTrained(e, qids, "vec_id", "embedding",
+        k = 5, nCentroids = 8, iters = 2, nprobe = 2)
+      val brute = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id").between(100, 109)), "vec_id", "embedding",
+        k = 5)
+      val hits = ivf.join(brute.select("qid", "vec_id"), Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      qids.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("coalesce(n_hits, 0) * 1000000 DIV 5").as("recall_ppm"))
+    }),
+
     // ---- q137: weighted Bernoulli sample ----
     // Keep each doc with probability min(1, n_chars/600) decided by a
     // 16-bit id hash in pure BIGINT arithmetic — the quality/length-
@@ -412,6 +435,29 @@ object Vectors {
       s"""SELECT doc_id, lang, n_chars FROM documents
         |WHERE $h16 * 600 < n_chars * 65536""".stripMargin
     },
+
+    // q62's full trained-IVF replay and an exact brute-force top-5,
+    // each as a nested-WITH CTE, joined into the recall metric
+    "q152_ann_recall" ->
+      s"""WITH ivf AS ($ivfTrainedSql),
+        | brute AS (WITH $prepCte,
+        |  qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n
+        |    WHERE vec_id BETWEEN 100 AND 109),
+        |  scored AS (SELECT qs.qid, n.vec_id,
+        |    ${cosDuck(dotDuck("n.q", "qs.qq"), "n.n2", "qs.qn2")} AS cos
+        |   FROM n CROSS JOIN qs WHERE n.vec_id <> qs.qid),
+        |  ranked AS (SELECT qid, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+        |      AS rank FROM scored)
+        |  SELECT qid, vec_id FROM ranked WHERE rank <= 5),
+        | hits AS (SELECT i.qid, count(*) AS n_hits FROM ivf i
+        |  JOIN brute b ON b.qid = i.qid AND b.vec_id = i.vec_id
+        |  GROUP BY 1),
+        | qids AS (SELECT vec_id AS qid FROM embeddings
+        |  WHERE vec_id BETWEEN 100 AND 109)
+        |SELECT qids.qid, COALESCE(h.n_hits, 0) AS n_hits,
+        | (COALESCE(h.n_hits, 0) * 1000000) // 5 AS recall_ppm
+        |FROM qids LEFT JOIN hits h USING (qid)""".stripMargin,
 
     // Full-recompute LSH pairs restricted to those touching the 20%
     // batch: the incremental path must find exactly these.
