@@ -45,6 +45,48 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical"))
 
+  /** Prefix-filter similarity join (AllPairs/PPJoin family): ALL pairs
+    * with shingle-set Jaccard >= tNum/tDen — EXACT RECALL, unlike
+    * MinHash-LSH's probabilistic candidates. Prefix-filter theorem:
+    * under any fixed global element order (lexicographic here), two
+    * sets with Jaccard >= t must share an element among each set's
+    * first n − ⌈t·n⌉ + 1 elements — so candidates come from an
+    * equi-join on PREFIX elements only, then exact verification via
+    * pure integer cross-multiplication (inter·tDen >= uni·tNum; no
+    * float threshold). Choose LSH (q39) when approximate recall is
+    * acceptable and sets are hostile to prefixes; choose this when the
+    * answer must be complete (legal/contractual dedup, eval-set
+    * hygiene). Production tuning note: ordering elements by ascending
+    * document frequency makes prefixes rare and shrinks candidates —
+    * the ordering is a parameter of the theorem, not of correctness. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen)
+    val sets = withShingles(df, textCol)
+      .select(col(idCol), array_sort(col("shset")).as("ss"))
+      .withColumn("n", size(col("ss")))
+      .filter(col("n") > 0)
+      // prefix length = n - ceil(t*n) + 1, all integer
+      .withColumn("plen",
+        expr(s"n - (($tNum * n + ${tDen - 1}) DIV $tDen) + 1"))
+    val pref = sets.select(col(idCol),
+      explode(expr("slice(ss, 1, plen)")).as("p"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.p") === col("y.p") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+      .dropDuplicates("ida", "idb")
+    val a = sets.select(col(idCol).as("ida"), col("ss").as("sa"),
+      col("n").as("na"))
+    val b = sets.select(col(idCol).as("idb"), col("ss").as("sb"),
+      col("n").as("nb"))
+    cand.join(a, "ida").join(b, "idb")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select("ida", "idb", "inter", "uni")
+  }
+
   /** MinHash signature: k lexicographic-min seeded md5s over shingles.
     * Returns id, shset, s0..s{k-1}. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,

@@ -78,6 +78,38 @@ object Graph {
     ranks
   }
 
+  /** BFS distances from a source node set, bounded at `maxHops`:
+    * iterative relaxation — each round extends the known-distance table
+    * one hop along the edges and keeps the per-node minimum. Exact
+    * integers; each round's table is lineage-cut, and (like
+    * [[pageRank]]) the node-cardinality distance table broadcasts into
+    * the edge join so the edge side never shuffles — beyond
+    * broadcastable node counts, flip to co-partitioned joins on a
+    * pre-partitioned edge table (the Pregel layout). Returns
+    * (node, d) for every node within `maxHops` of a source. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sourceIds: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = Dedup.cut(edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst")))
+    var dist = Dedup.cut(
+      sourceIds.toDF("node").withColumn("d", lit(0)))
+    var prev = dist
+    for (_ <- 1 to maxHops) {
+      val hop = e
+        .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), (col("d") + 1).as("d"))
+      val next = Dedup.cut(dist.unionAll(hop)
+        .groupBy("node").agg(min("d").as("d")))
+      Dedup.release(prev)
+      prev = next
+      dist = next
+    }
+    dist
+  }
+
   /** Directed bipartite edges in BOTH directions from a two-column
     * relation, with the two id spaces interleaved into one BIGINT
     * namespace (left*2, right*2+1). Edge generation is LINEAR in the

@@ -42,6 +42,20 @@ object Graphs {
         .select(col("node"), col("rank"))
     }),
 
+    // ---- q153: bounded BFS distances ----
+    // Hop distance from supplier 1 (node 3 in the interleaved id
+    // space) to every part/supplier within 4 hops of the supply graph
+    // — the reachability/locality primitive (supply-chain blast
+    // radius, link-distance features). Iterative min-relaxation with
+    // the same lineage-cut + broadcast-distance discipline as q130;
+    // the oracle replays it as a depth-bounded recursive CTE.
+    "q153_bfs_hops" -> ((s, d) => {
+      val edges = Graph.bipartiteEdges(
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey")
+      Graph.bfsDistances(edges, "src", "dst", Seq(3L), maxHops = 4)
+    }),
+
     // ---- q136: Markov transition counts over event sequences ----
     // Per user, order events by (ts, event_id) and count each
     // (from_type -> to_type) adjacency — the user-journey/session-flow
@@ -81,6 +95,16 @@ object Graphs {
         | ${contribRank("r1", "c2", "r2")},
         | ${contribRank("r2", "c3", "r3")}
         |SELECT node, rank FROM r3""".stripMargin,
+
+    "q153_bfs_hops" ->
+      s"""WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey * 2 AS src,
+        |   l_suppkey * 2 + 1 AS dst FROM lineitem),
+        | e AS (SELECT src, dst FROM ps
+        |   UNION ALL SELECT dst, src FROM ps),
+        | r AS (SELECT CAST(3 AS BIGINT) AS node, 0 AS d
+        |   UNION SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node
+        |     WHERE r.d < 4)
+        |SELECT node, MIN(d) AS d FROM r GROUP BY 1""".stripMargin,
 
     "q136_markov_transitions" ->
       """SELECT from_type, to_type, count(*) AS n FROM (

@@ -46,6 +46,18 @@ object TextDedup {
     "q40_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
 
+    // ---- q154: prefix-filter similarity join (exact recall) ----
+    // ALL shingle-set pairs with Jaccard >= 1/2 via the prefix-filter
+    // theorem — the exact-recall twin of q39's MinHash-LSH (same
+    // similarity space, complete answer; OperatorSpec proves equality
+    // with brute force AND that it covers every q39 pair). Verify is
+    // integer cross-multiplication, no float threshold.
+    "q154_prefix_join" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(docs(s, d), "doc_id", "text")
+        .select(col("ida"), col("idb"),
+          col("inter").cast("long").as("inter"),
+          col("uni").cast("long").as("uni"))),
+
     // Gopher-style repetition score: top-bigram share of each doc's
     // word bigrams — the boilerplate/template-spam filter.
     "q93_repetition" -> ((s, d) =>
@@ -405,6 +417,26 @@ object TextDedup {
         |     ORDER BY n_chars DESC, doc_id) AS rn FROM asg) WHERE rn = 1)
         |SELECT asg.doc_id, asg.cl, asg.doc_id = best.keep_id AS keep
         |FROM asg JOIN best USING (cl)""".stripMargin,
+
+    // prefix-filter candidates + integer cross-multiplied verify over
+    // the same shingle sets the minhash oracle uses
+    "q154_prefix_join" ->
+      s"""WITH $toksCte, ${shCte()},
+        | ss AS (SELECT doc_id, list_sort(shset) AS ss, len(shset) AS n
+        |   FROM sh WHERE len(shset) > 0),
+        | pl AS (SELECT doc_id, ss, n,
+        |   n - ((1 * n + 1) // 2) + 1 AS plen FROM ss),
+        | pref AS (SELECT doc_id, unnest(ss[1:plen]) AS p FROM pl),
+        | cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+        |  FROM pref x JOIN pref y ON x.p = y.p AND x.doc_id < y.doc_id),
+        | v AS (SELECT cand.ida, cand.idb,
+        |   len(list_intersect(a.ss, b.ss)) AS inter,
+        |   a.n + b.n - len(list_intersect(a.ss, b.ss)) AS uni
+        |  FROM cand JOIN pl a ON a.doc_id = cand.ida
+        |   JOIN pl b ON b.doc_id = cand.idb)
+        |SELECT ida, idb, CAST(inter AS BIGINT) AS inter,
+        | CAST(uni AS BIGINT) AS uni
+        |FROM v WHERE inter * 2 >= uni * 1""".stripMargin,
 
     "q149_leakage_safe_split" ->
       s"""WITH RECURSIVE $minhashPairCtes,

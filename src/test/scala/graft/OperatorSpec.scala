@@ -498,6 +498,41 @@ class OperatorSpec extends SparkTestBase {
     assert(s2 == Map("a" -> 150000L, "c" -> 150000L, "b" -> 405000L))
   }
 
+  test("bfsDistances: path graph distances, hop bound respected") {
+    // undirected path 1-2-3-4-5-6 from source 1, maxHops 3:
+    // nodes 5,6 are beyond the bound and must be absent
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val edges = path.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(path.select($"b".as("src"), $"a".as("dst")))
+    val d = Graph.bfsDistances(edges, "src", "dst", Seq(1L), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("prefix-filter join equals brute force and covers every LSH pair") {
+    val docs = sources.Tables.read(spark, sf, "documents")
+    val pj = Dedup.prefixJaccardPairs(docs, "doc_id", "text")
+      .select("ida", "idb")
+    // brute force: every pair, exact shingle-set Jaccard >= 1/2
+    val s2 = Dedup.withShingles(docs, "text")
+      .select($"doc_id", array_sort(array_distinct($"sh")).as("ss"))
+      .filter(size($"ss") > 0)
+    val brute = s2.as("x").join(s2.as("y"), $"x.doc_id" < $"y.doc_id")
+      .withColumn("inter", size(array_intersect($"x.ss", $"y.ss")))
+      .withColumn("uni", size($"x.ss") + size($"y.ss") - $"inter")
+      .filter($"inter" * 2 >= $"uni")
+      .select($"x.doc_id".as("ida"), $"y.doc_id".as("idb"))
+    // prefix filter is EXACT: equality in both directions
+    assert(pj.exceptAll(brute).count() == 0, "false positive survived verify")
+    assert(brute.exceptAll(pj).count() == 0,
+      "prefix filter missed a true pair — exact-recall theorem violated")
+    // and it covers everything MinHash-LSH finds (LSH recall <= 1)
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
+      k = 8, rows = 2, threshold = 0.5).select("ida", "idb")
+    assert(lsh.exceptAll(pj).count() == 0)
+  }
+
   test("scd2History: upserts chain versions, deletes close without reopening") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000)
     val ev = Seq(
