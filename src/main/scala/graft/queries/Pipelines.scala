@@ -181,6 +181,25 @@ object Pipelines {
     // pure per-row explode — embarrassingly parallel, no shuffle.
     "q100_doc_chunks" -> ((s, d) => chunkFrame(s, d)),
 
+    // ---- q155: join-key skew audit ----
+    // The pre-join diagnostic that decides salting (q70/q104) vs plain
+    // shuffle: per candidate key column, row/key counts, the hottest
+    // key's frequency, its ppm share, and max/mean in ppm (the skew
+    // factor AQE's skewedPartitionFactor thresholds against). One
+    // stack + two hash aggs — the per-key table never leaves the
+    // cluster, only the 3-row summary does.
+    "q155_skew_report" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(expr("stack(3, 'l_orderkey', l_orderkey, " +
+          "'l_partkey', l_partkey, 'l_suppkey', l_suppkey) AS (key_col, k)"))
+        .groupBy("key_col", "k").agg(count(lit(1)).as("c"))
+        .groupBy("key_col")
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("max_c"))
+        .select(col("key_col"), col("n_rows"), col("n_keys"), col("max_c"),
+          expr("max_c * 1000000 DIV n_rows").as("top_ppm"),
+          expr("max_c * n_keys * 1000000 DIV n_rows").as("skew_x_ppm"))),
+
     // ---- q151: chunk-granular dedup report ----
     // Doc-level dedup misses a doc that REPEATS another doc's passage
     // inside otherwise-fresh text; retrieval pipelines dedup at the
@@ -506,6 +525,20 @@ object Pipelines {
         |SELECT doc_id, chunk_idx, len(chunk) AS n_toks,
         | md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM ch""".stripMargin,
+
+    "q155_skew_report" ->
+      """WITH s AS (
+        |  SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        | f AS (SELECT key_col, k, count(*) AS c FROM s GROUP BY 1, 2),
+        | a AS (SELECT key_col, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |   count(*) AS n_keys, CAST(MAX(c) AS BIGINT) AS max_c
+        |  FROM f GROUP BY 1)
+        |SELECT key_col, n_rows, n_keys, max_c,
+        | (max_c * 1000000) // n_rows AS top_ppm,
+        | (max_c * n_keys * 1000000) // n_rows AS skew_x_ppm
+        |FROM a""".stripMargin,
 
     "q151_chunk_dedup" ->
       s"""WITH $chunkCtes,

@@ -36,6 +36,30 @@ object Temporal {
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sumFixed(col("value"), 2).as("sum_val"))),
 
+    // ---- q156: event-rate anomaly detection (2-sigma, exact) ----
+    // Hours whose per-type event count deviates from that type's mean
+    // by more than two standard deviations — the monitoring read over
+    // the same hourly rollup q29 gates. The 2σ test is pure integer
+    // cross-multiplication of exact count moments:
+    // (x·n − S)² > 4·(n·S2 − S²)  ⇔  |x − μ| > 2σ — no float mean,
+    // no float variance, no sqrt, so both engines flag the identical
+    // hours. Per-type moments are a tiny broadcast back onto the
+    // hourly table.
+    "q156_rate_anomaly" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+      hourly.join(broadcast(m), "event_type")
+        .withColumn("dev2",
+          expr("(cnt * n - s) * (cnt * n - s)"))
+        .withColumn("thr", expr("4 * (n * s2 - s * s)"))
+        .filter(col("dev2") > col("thr"))
+        .select("event_type", "hr", "cnt", "dev2", "thr")
+    }),
+
     // ---- q123: resample to an hourly grid + forward-fill ----
     // The pandas `resample('1h').last().ffill()` move, per user: the
     // last observed value in each hour (deterministic last = max ts,
@@ -170,6 +194,18 @@ object Temporal {
         |SELECT a.o_orderkey, ${rndSql("a.o_totalprice + 2 * b.p2", 2)} AS combo
         |FROM a JOIN b USING (pos)""".stripMargin,
     "q29_events_hourly" -> hourlyOracle,
+    "q156_rate_anomaly" ->
+      """WITH h AS (SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr,
+        |   event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+        | m AS (SELECT event_type, count(*) AS n,
+        |   CAST(SUM(cnt) AS BIGINT) AS s,
+        |   CAST(SUM(cnt * cnt) AS BIGINT) AS s2 FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hr, h.cnt,
+        | (h.cnt * m.n - m.s) * (h.cnt * m.n - m.s) AS dev2,
+        | 4 * (m.n * m.s2 - m.s * m.s) AS thr
+        |FROM h JOIN m USING (event_type)
+        |WHERE (h.cnt * m.n - m.s) * (h.cnt * m.n - m.s)
+        |  > 4 * (m.n * m.s2 - m.s * m.s)""".stripMargin,
     "q68_hourly_stream" -> hourlyOracle,
     "q123_resample_ffill" ->
       """WITH pts AS (SELECT user_id,
