@@ -131,6 +131,36 @@ object Ingest {
           "valid_from", "valid_to", "is_current")
     }),
 
+    // ---- q158: data-contract validation gate ----
+    // The quality gate an ingest runs before admitting a batch: one
+    // violations row per declared constraint — referential integrity
+    // (orders.o_custkey must exist in customer, LEFT ANTI join), key
+    // uniqueness, null checks, domain checks (non-negative price,
+    // status enum). Each check is a scan-bounded aggregate; the report
+    // is constraint-cardinality rows. A zero row proves the check RAN
+    // and passed — absence of a check is not a pass.
+    "q158_data_contract" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val fk = o.join(t(s, d, "customer"),
+          o("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_custkey_exists").as("check"), col("n_violations"))
+      val uniq = o.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("n_violations"))
+        .select(lit("unique_orderkey").as("check"), col("n_violations"))
+      val nn = o.agg(sum(when(col("o_orderpriority").isNull, 1L)
+          .otherwise(0L)).as("n_violations"))
+        .select(lit("priority_not_null").as("check"), col("n_violations"))
+      val pos = o.agg(sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
+          .as("n_violations"))
+        .select(lit("price_non_negative").as("check"), col("n_violations"))
+      val dom = o.agg(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("n_violations"))
+        .select(lit("status_in_domain").as("check"), col("n_violations"))
+      fk.unionAll(uniq).unionAll(nn).unionAll(pos).unionAll(dom)
+    }),
+
     // ---- q113: CSV sink + source round-trip ----
     // Write orders columns to CSV, read them back with an explicit
     // schema, aggregate — gated against the same aggregate straight
@@ -217,6 +247,23 @@ object Ingest {
         |SELECT o_orderkey, o_orderpriority, o_totalprice,
         | ts AS valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM v WHERE op <> 'delete'""".stripMargin,
+
+    "q158_data_contract" ->
+      """SELECT 'fk_custkey_exists' AS "check",
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |     WHERE c.c_custkey = o.o_custkey)) AS n_violations
+        |UNION ALL SELECT 'unique_orderkey',
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |UNION ALL SELECT 'priority_not_null',
+        |  (SELECT CAST(SUM(CASE WHEN o_orderpriority IS NULL
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+        |UNION ALL SELECT 'price_non_negative',
+        |  (SELECT CAST(SUM(CASE WHEN o_totalprice < 0
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+        |UNION ALL SELECT 'status_in_domain',
+        |  (SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM orders)""".stripMargin,
 
     "q113_csv_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -135,6 +135,48 @@ object Vectors {
     "q135_ann_knn_join" -> ((s, d) =>
       Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)),
 
+    // ---- q157: k-NN label classification (LSH neighbors vote) ----
+    // The neighbor-based alternative to q129's centroid classifier,
+    // same 80/20 split: each held-out vector takes its top-3 nearest
+    // TRAIN vectors from LSH band collisions (exact cosine rank), the
+    // majority label wins (ties -> smaller label); output the
+    // confusion matrix. Candidates only test x train band collisions —
+    // never all-pairs; vote + argmax are windowless-style tiny aggs.
+    // Held-out vectors with no train collision yield no row (the
+    // brute-force fallback is q43's shape).
+    "q157_knn_classify" -> ((s, d) => {
+      val e = emb(s, d)
+      val bands = Similarity.lshBands(e, "vec_id", "embedding")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") % 5 === 0 && col("y.vec_id") % 5 =!= 0)
+        .select(col("x.vec_id").as("qid"), col("y.vec_id").as("vid"))
+        .dropDuplicates("qid", "vid")
+      val p = Similarity.prepare(e, "embedding")
+        .select(col("vec_id"), col("label"), col("q"), col("n2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+      val top = cand
+        .join(p.select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2")), "qid")
+        .join(p.select(col("vec_id").as("vid"), col("label"),
+          col("q").as("cq"), col("n2").as("cn2")), "vid")
+        .withColumn("cos",
+          Similarity.cosine(Similarity.dotQ("cq", "qq"), col("cn2"), col("qn2")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+      val pred = top.groupBy("qid", "label")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("qid")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("wv"))
+        .select(col("qid"), (-col("wv.nl")).as("pred"))
+      pred.join(p.select(col("vec_id").as("qid"),
+          col("label").as("true_label")), "qid")
+        .groupBy("true_label", "pred")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // ---- q152: ANN recall@5 self-evaluation ----
     // The engine measures its own index quality: q62's trained-IVF
     // top-5 against the exact brute-force top-5 for the same queries,
@@ -435,6 +477,30 @@ object Vectors {
       s"""SELECT doc_id, lang, n_chars FROM documents
         |WHERE $h16 * 600 < n_chars * 65536""".stripMargin
     },
+
+    // test x train band collisions -> exact-cosine top-3 -> majority
+    // vote -> confusion matrix, over the shared band CTEs
+    "q157_knn_classify" ->
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id % 5 = 0 AND y.vec_id % 5 <> 0),
+        | sc AS (SELECT kc.qid, kc.vid, c.label,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM kc JOIN n a ON a.vec_id = kc.qid
+        |   JOIN n c ON c.vec_id = kc.vid),
+        | rk AS (SELECT qid, vid, label,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rank FROM sc),
+        | votes AS (SELECT qid, label, count(*) AS c FROM rk
+        |  WHERE rank <= 3 GROUP BY 1, 2),
+        | pred AS (SELECT qid, label AS pred FROM (
+        |   SELECT qid, label, ROW_NUMBER() OVER (PARTITION BY qid
+        |     ORDER BY c DESC, label) AS r FROM votes) WHERE r = 1)
+        |SELECT t.label AS true_label, p.pred, count(*) AS cnt
+        |FROM pred p JOIN n t ON t.vec_id = p.qid
+        |GROUP BY 1, 2""".stripMargin,
 
     // q62's full trained-IVF replay and an exact brute-force top-5,
     // each as a nested-WITH CTE, joined into the recall metric
