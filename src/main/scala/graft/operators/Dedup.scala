@@ -87,6 +87,44 @@ object Dedup {
       .select("ida", "idb", "inter", "uni")
   }
 
+  /** Directed CONTAINMENT join: pairs (a, b) with
+    * |A∩B| / |A| >= tNum/tDen — "doc a's content is (mostly) inside
+    * doc b", the quote/subset detector symmetric Jaccard structurally
+    * misses (a small doc embedded in a large one has LOW Jaccard, so
+    * neither MinHash bands nor the Jaccard prefix filter can find it).
+    * Same prefix-filter pigeonhole as [[prefixJaccardPairs]] applied
+    * one-sided: if |A∩B| >= t·|A|, then B contains one of A's first
+    * n − ⌈t·n⌉ + 1 sorted elements — so candidates come from A-prefix
+    * elements equi-joined against B's FULL element list (the
+    * asymmetric cost: the container side explodes fully, bounded by
+    * per-element document frequency), verify is integer
+    * cross-multiplication. EXACT recall. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      tNum: Int = 3, tDen: Int = 4): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen)
+    val sets = withShingles(df, textCol)
+      .select(col(idCol), array_sort(col("shset")).as("ss"))
+      .withColumn("n", size(col("ss")))
+      .filter(col("n") > 0)
+    val prefA = sets
+      .withColumn("plen",
+        expr(s"n - (($tNum * n + ${tDen - 1}) DIV $tDen) + 1"))
+      .select(col(idCol).as("ida"), explode(expr("slice(ss, 1, plen)")).as("p"))
+    val allB = sets.select(col(idCol).as("idb"), explode(col("ss")).as("p"))
+    val cand = prefA.join(allB,
+        prefA("p") === allB("p") && col("ida") =!= col("idb"))
+      .select("ida", "idb").dropDuplicates("ida", "idb")
+    val a = sets.select(col(idCol).as("ida"), col("ss").as("sa"),
+      col("n").as("na"))
+    val b = sets.select(col(idCol).as("idb"), col("ss").as("sb"))
+    cand.join(a, "ida").join(b, "idb")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter") * tDen >= col("na") * tNum)
+      .select(col("ida"), col("idb"),
+        col("inter").cast("long").as("inter"),
+        col("na").cast("long").as("na"))
+  }
+
   /** MinHash signature: k lexicographic-min seeded md5s over shingles.
     * Returns id, shset, s0..s{k-1}. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,

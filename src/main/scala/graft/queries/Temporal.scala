@@ -36,6 +36,27 @@ object Temporal {
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sumFixed(col("value"), 2).as("sum_val"))),
 
+    // ---- q160: cohort retention triangle ----
+    // Users grouped by first-signup week; for each later week, how many
+    // of the cohort were active — the product-analytics retention
+    // matrix. Cohort = one windowless min-agg per user; activity weeks
+    // dedup per (user, week); offsets are exact day-diffs DIV 7 on
+    // week-truncated timestamps. Two hash aggs + one join on user_id.
+    "q160_cohort_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_wk"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      active.join(cohort, "user_id")
+        .filter(col("wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"),
+          expr("datediff(wk, cohort_wk) DIV 7").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ---- q156: event-rate anomaly detection (2-sigma, exact) ----
     // Hours whose per-type event count deviates from that type's mean
     // by more than two standard deviations — the monitoring read over
@@ -194,6 +215,21 @@ object Temporal {
         |SELECT a.o_orderkey, ${rndSql("a.o_totalprice + 2 * b.p2", 2)} AS combo
         |FROM a JOIN b USING (pos)""".stripMargin,
     "q29_events_hourly" -> hourlyOracle,
+    "q160_cohort_retention" ->
+      """WITH base AS (SELECT user_id, event_type,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | cohort AS (SELECT user_id,
+        |   CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_wk
+        |  FROM base WHERE event_type = 'signup' GROUP BY 1),
+        | act AS (SELECT DISTINCT user_id,
+        |   CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk FROM base)
+        |SELECT c.cohort_wk,
+        | date_diff('day', c.cohort_wk, a.wk) // 7 AS week_offset,
+        | count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN cohort c USING (user_id)
+        |WHERE a.wk >= c.cohort_wk
+        |GROUP BY 1, 2""".stripMargin,
+
     "q156_rate_anomaly" ->
       """WITH h AS (SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr,
         |   event_type, count(*) AS cnt FROM events GROUP BY 1, 2),

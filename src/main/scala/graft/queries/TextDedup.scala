@@ -111,6 +111,14 @@ object TextDedup {
         .select("doc_id", "canonical", "split")
     }),
 
+    // ---- q159: containment join (quote/subset detection) ----
+    // Directed pairs where >= 3/4 of doc a's shingles appear in doc b —
+    // the embedded-quote case symmetric Jaccard misses (a small doc
+    // inside a large one has LOW Jaccard). One-sided prefix filter:
+    // exact recall, integer verify.
+    "q159_containment_join" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), "doc_id", "text")),
+
     // ---- q146: per-source duplication-rate report ----
     // How redundant is each source? Exact-dup fingerprints per source:
     // doc count, distinct-content count, duplicate fraction in ppm —
@@ -437,6 +445,25 @@ object TextDedup {
         |SELECT ida, idb, CAST(inter AS BIGINT) AS inter,
         | CAST(uni AS BIGINT) AS uni
         |FROM v WHERE inter * 2 >= uni * 1""".stripMargin,
+
+    // one-sided prefix filter: A-prefix vs B-full element join,
+    // containment verified by integer cross-multiplication
+    "q159_containment_join" ->
+      s"""WITH $toksCte, ${shCte()},
+        | ss AS (SELECT doc_id, list_sort(shset) AS ss, len(shset) AS n
+        |   FROM sh WHERE len(shset) > 0),
+        | pa AS (SELECT doc_id AS ida,
+        |   unnest(ss[1:(n - ((3 * n + 3) // 4) + 1)]) AS p FROM ss),
+        | ab AS (SELECT doc_id AS idb, unnest(ss) AS p FROM ss),
+        | cand AS (SELECT DISTINCT pa.ida, ab.idb
+        |  FROM pa JOIN ab ON pa.p = ab.p AND pa.ida <> ab.idb),
+        | v AS (SELECT cand.ida, cand.idb,
+        |   len(list_intersect(a.ss, b.ss)) AS inter, a.n AS na
+        |  FROM cand JOIN ss a ON a.doc_id = cand.ida
+        |   JOIN ss b ON b.doc_id = cand.idb)
+        |SELECT ida, idb, CAST(inter AS BIGINT) AS inter,
+        | CAST(na AS BIGINT) AS na
+        |FROM v WHERE inter * 4 >= na * 3""".stripMargin,
 
     "q149_leakage_safe_split" ->
       s"""WITH RECURSIVE $minhashPairCtes,

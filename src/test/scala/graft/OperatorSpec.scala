@@ -533,6 +533,22 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.exceptAll(pj).count() == 0)
   }
 
+  test("containment join is exact: equals brute-force directed containment") {
+    val docs = sources.Tables.read(spark, sf, "documents")
+    val cj = Dedup.containmentPairs(docs, "doc_id", "text")
+      .select("ida", "idb")
+    val s2 = Dedup.withShingles(docs, "text")
+      .select($"doc_id", array_sort(array_distinct($"sh")).as("ss"))
+      .filter(size($"ss") > 0)
+    val brute = s2.as("x").join(s2.as("y"), $"x.doc_id" =!= $"y.doc_id")
+      .withColumn("inter", size(array_intersect($"x.ss", $"y.ss")))
+      .filter($"inter" * 4 >= size($"x.ss") * 3)
+      .select($"x.doc_id".as("ida"), $"y.doc_id".as("idb"))
+    assert(cj.exceptAll(brute).count() == 0, "false positive")
+    assert(brute.exceptAll(cj).count() == 0,
+      "one-sided prefix filter missed a containment pair")
+  }
+
   test("scd2History: upserts chain versions, deletes close without reopening") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000)
     val ev = Seq(
