@@ -56,6 +56,32 @@ object Merge {
     survivors.unionAll(upserts)
   }
 
+  /** Inverse of [[applyChanges]]: diff two keyed snapshots into the
+    * MINIMAL change batch that turns `old` into `neu` — upserts for
+    * added/changed keys (carrying the new payload), deletes for
+    * vanished keys (carrying the old payload, so the feed is
+    * self-describing). Round-trip law, spec-enforced:
+    * `applyChanges(old, diffSnapshots(old, neu), key) == neu`.
+    * One full-outer join on the key plus a struct comparison — the
+    * change-feed generator for publishing snapshot deltas downstream
+    * (the reverse direction of CDC ingestion). */
+  def diffSnapshots(old: DataFrame, neu: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    val payloadCols = old.columns.filter(_ != key).toSeq
+    val o = old.select(col(key),
+      struct(payloadCols.map(col): _*).as("_old"))
+    val n = neu.select(col(key),
+      struct(payloadCols.map(col): _*).as("_new"))
+    o.join(n, Seq(key), "full_outer")
+      .filter(col("_old").isNull || col("_new").isNull ||
+        col("_old") =!= col("_new"))
+      .select(col(key),
+        when(col("_new").isNull, "delete").otherwise("upsert").as(opCol),
+        coalesce(col("_new"), col("_old")).as("_p"))
+      .select(col(key) +: col(opCol) +:
+        payloadCols.map(c => col(s"_p.$c").as(c)): _*)
+  }
+
   /** SCD type 2: turn a keyed event log (initial snapshot rows + later
     * upserts/deletes, each stamped with `tsCol`) into a VERSIONED
     * history — every version carries [valid_from, valid_to) and the

@@ -131,6 +131,20 @@ object Ingest {
           "valid_from", "valid_to", "is_current")
     }),
 
+    // ---- q161: snapshot diff (change-feed generation) ----
+    // The inverse of q112: diff the original snapshot against its
+    // CDC-merged successor and recover EXACTLY the effective change
+    // batch — upserts for the re-priced keys, deletes for the removed
+    // ones. PipelineSpec also enforces the round-trip law
+    // applyChanges(old, diff(old, new)) == new. One full-outer join on
+    // the key; payloads compare as structs.
+    "q161_snapshot_diff" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val neu = Merge.applyChanges(orders, changesOf(orders), "o_orderkey")
+      Merge.diffSnapshots(orders, neu, "o_orderkey")
+        .select("o_orderkey", "op", "o_orderpriority", "o_custkey")
+    }),
+
     // ---- q158: data-contract validation gate ----
     // The quality gate an ingest runs before admitting a batch: one
     // violations row per declared constraint — referential integrity
@@ -247,6 +261,14 @@ object Ingest {
         |SELECT o_orderkey, o_orderpriority, o_totalprice,
         | ts AS valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM v WHERE op <> 'delete'""".stripMargin,
+
+    "q161_snapshot_diff" ->
+      """SELECT o_orderkey, 'upsert' AS op,
+        | '9-CHANGED' AS o_orderpriority, o_custkey
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'delete', o_orderpriority, o_custkey
+        |FROM orders WHERE o_orderkey % 7 = 2""".stripMargin,
 
     "q158_data_contract" ->
       """SELECT 'fk_custkey_exists' AS "check",

@@ -93,6 +93,29 @@ object Tables {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction (lakehouse OPTIMIZE): rewrite a parquet
+    * directory into ~`targetFiles` files. Streaming sinks and
+    * per-batch appends accumulate thousands of small files whose
+    * open/footer cost eventually dominates scans; compaction restores
+    * scan-sized files. Write-to-side-dir-then-swap, so a reader never
+    * sees a half-written directory and a crash mid-compact leaves the
+    * original intact (the swap is the only destructive step).
+    * Content is untouched — ScaleSpec asserts byte-equal rows and the
+    * reduced file count. `coalesce` (not repartition): compaction must
+    * not pay a shuffle, only a narrow re-read. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
+    require(targetFiles >= 1)
+    val tmp = dir + "_compacting"
+    spark.read.parquet(dir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    if (!fs.rename(t, p))
+      throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+  }
+
   /** Plain managed-table sink (tiny dimension/centroid tables). */
   def writeTable(df: DataFrame, table: String): Unit = {
     resetTable(df.sparkSession, table)

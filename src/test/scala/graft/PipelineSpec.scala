@@ -443,6 +443,25 @@ class PipelineSpec extends SparkTestBase {
       "release handle must drop the cached bit set")
   }
 
+  test("snapshot diff round-trips: applyChanges(old, diff(old, new)) == new") {
+    val old = sources.Tables.read(spark, sf, "orders")
+    // a second-generation state: re-priced, deleted, AND re-keyed rows
+    val changed = operators.Merge.applyChanges(old,
+      old.filter($"o_orderkey" % 7 === 1)
+        .withColumn("o_orderpriority", org.apache.spark.sql.functions.lit("9-X"))
+        .withColumn("op", org.apache.spark.sql.functions.lit("upsert"))
+        .unionAll(old.filter($"o_orderkey" % 7 === 2)
+          .withColumn("op", org.apache.spark.sql.functions.lit("delete"))),
+      "o_orderkey")
+    val diff = operators.Merge.diffSnapshots(old, changed, "o_orderkey")
+    // the diff is MINIMAL: only the touched keys appear
+    assert(diff.filter($"o_orderkey" % 7 === 0).count() == 0)
+    val replayed = operators.Merge.applyChanges(old, diff, "o_orderkey")
+    assert(replayed.exceptAll(changed).count() == 0 &&
+      changed.exceptAll(replayed).count() == 0,
+      "diff + apply must reproduce the new snapshot exactly")
+  }
+
   test("orc round-trip is lossless row-for-row") {
     q("q122_orc_roundtrip").collect()
     val back = spark.read

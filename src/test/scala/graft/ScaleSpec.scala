@@ -294,6 +294,21 @@ class ScaleSpec extends SparkTestBase {
     assert(pr.count() > 0)
   }
 
+  test("compaction shrinks file count, preserves content, never shuffles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .resolve("t").toString
+    val src = sources.Tables.read(spark, sf, "orders")
+    src.repartition(32).write.mode("overwrite").parquet(dir)
+    def parts(p: String) = new java.io.File(p).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(dir) == 32)
+    sources.Tables.compact(spark, dir, targetFiles = 4)
+    assert(parts(dir) <= 4, "compaction must merge small files")
+    val after = spark.read.parquet(dir)
+    assert(after.exceptAll(src).count() == 0 &&
+      src.exceptAll(after).count() == 0, "compaction changed content")
+  }
+
   test("z-ordered layout bounds BOTH dimensions per partition") {
     val li = sources.Tables.read(spark, sf, "lineitem")
     val z = operators.Layout.zOrdered(li, "l_partkey", "l_suppkey",
