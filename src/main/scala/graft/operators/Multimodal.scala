@@ -156,6 +156,88 @@ object Multimodal {
     }
   }
 
+  /** One histogram-bin row per (doc, bin): counts of decoded pixel
+    * values bucketed into `bins` equal-width bins — the
+    * brightness-distribution feature (exposure/contrast filters key off
+    * it) computed from REAL decoded pixels. The histogram accumulates
+    * IN-ROW (an int array per image), so only bin-cardinality rows per
+    * doc leave the decoder — never per-pixel rows. */
+  case class PixelHistBin(doc_id: Long, bin: Int, n: Long)
+
+  def pixelHistogram(media: DataFrame, bins: Int = 16)
+      : Dataset[PixelHistBin] = {
+    require(256 % bins == 0, "bins must divide 256")
+    val width = 256 / bins
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = readImageOrNull(r.content)
+        if (img == null) Iterator.empty
+        else {
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Long](bins)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              hist(raster.getSample(x, y, 0) / width) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (0 until bins).iterator.filter(hist(_) > 0)
+            .map(b => PixelHistBin(r.doc_id, b, hist(b)))
+        }
+      }
+    }
+  }
+
+  /** Per-window audio energy from REAL decoded samples: non-overlapping
+    * `frameLen`-sample windows, energy = Σ sample² in exact BIGINTs
+    * (8-bit unsigned samples, so a window's energy is bounded at
+    * frameLen·255²) — the silence/clipping detector of an audio
+    * pipeline, windowed in-row so only frame-cardinality rows leave the
+    * decoder. The trailing partial window is emitted with its true
+    * sample count. */
+  case class AudioFrameEnergy(doc_id: Long, frame_idx: Int, n: Int,
+      energy: Long)
+
+  def audioFrameEnergy(media: DataFrame, frameLen: Int = 64)
+      : Dataset[AudioFrameEnergy] = {
+    require(frameLen >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val frames = in.readAllBytes()
+            val nFrames = (frames.length + frameLen - 1) / frameLen
+            (0 until nFrames).iterator.map { fi =>
+              val start = fi * frameLen
+              val end = math.min(frames.length, start + frameLen)
+              var e = 0L
+              var i = start
+              while (i < end) {
+                val s = (frames(i) & 0xff).toLong
+                e += s * s
+                i += 1
+              }
+              AudioFrameEnergy(r.doc_id, fi, end - start, e)
+            }.toSeq
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException | _: RuntimeException => Seq.empty
+        }
+      }
+    }
+  }
+
   /** Synthesized audio fixture: one real 8-bit PCM mono WAV per id,
     * length and samples pure functions of the id so a SQL oracle can
     * replay them: n_samples = 256 + id % 256, sample(i) =

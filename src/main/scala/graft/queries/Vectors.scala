@@ -81,6 +81,27 @@ object Vectors {
         Multimodal.synthesizeWavs(Tables.read(s, d, "documents"), "doc_id"))
         .toDF),
 
+    // ---- q162: windowed audio energy from decoded samples ----
+    // Real DSP over real decode: 64-sample windows of each WAV's PCM
+    // stream, energy = sum of squared samples in exact BIGINTs — the
+    // silence/clipping detector. The oracle replays the synthesized
+    // sample function per window, so hash-green proves the energies
+    // came from truly decoded samples, windowed in-row.
+    "q162_audio_energy" -> ((s, d) =>
+      Multimodal.audioFrameEnergy(
+        Multimodal.synthesizeWavs(Tables.read(s, d, "documents"), "doc_id"))
+        .toDF),
+
+    // ---- q163: pixel-value histogram from decoded images ----
+    // Brightness distribution (16 equal-width bins) of each synthesized
+    // PNG's REAL decoded pixels, accumulated in-row — the
+    // exposure/contrast feature. Oracle replays the pixel function
+    // bucketed the same way.
+    "q163_pixel_histogram" -> ((s, d) =>
+      Multimodal.pixelHistogram(
+        Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
+        .toDF),
+
     // REAL image resize: synthesize PNGs (as q61), decode, and resample
     // 16x16 by nearest-neighbor with floor index arithmetic; checksum
     // the OUTPUT pixels. The oracle replays srcX = X*w_in DIV 16 /
@@ -594,6 +615,31 @@ object Vectors {
         |   [(doc_id*17 + i*5) % 256 FOR i IN range(0, n_samples)],
         |   'sum') AS BIGINT) AS sample_sum
         |FROM d""".stripMargin,
+
+    // per-window replay of the synthesized sample function
+    "q162_audio_energy" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(256 + doc_id % 256 AS BIGINT) AS ns FROM documents),
+        | f AS (SELECT doc_id, ns,
+        |   unnest(range(0, (ns + 63) // 64)) AS fi FROM d)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        | CAST(LEAST(CAST(64 AS BIGINT), ns - fi * 64) AS INT) AS n,
+        | CAST(list_aggregate(
+        |   [((doc_id*17 + i*5) % 256) * ((doc_id*17 + i*5) % 256)
+        |    FOR i IN range(fi * 64, least(ns, fi * 64 + 64))],
+        |   'sum') AS BIGINT) AS energy
+        |FROM f""".stripMargin,
+
+    // pixel function (id*31 + x*7 + y) % 256 bucketed into 16 bins
+    "q163_pixel_histogram" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(8 + doc_id % 24 AS INT) AS wi,
+        |   CAST(8 + (doc_id // 7) % 24 AS INT) AS hi FROM documents),
+        | px AS (SELECT doc_id,
+        |   unnest([(doc_id*31 + (i % wi)*7 + (i // wi)) % 256
+        |     FOR i IN range(0, wi * hi)]) AS v FROM d)
+        |SELECT doc_id, CAST(v // 16 AS INT) AS bin, count(*) AS n
+        |FROM px GROUP BY 1, 2""".stripMargin,
 
     // Replays q84's nearest-neighbor rescale: output pixel (X,Y) reads
     // synthesized input pixel (X*w_in//16, Y*h_in//16), whose value is
