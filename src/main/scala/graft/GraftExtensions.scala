@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{LongArrayDot, MinHashSigExpr, TokensExpr}
+import graft.functions.{LongArrayDot, LshSigExpr, MinHashSigExpr,
+  NgramsExpr, RollingHashExpr, TokensExpr}
 
 /** SparkSessionExtensions installer for graft's native expressions, so a
   * plain-SQL user gets them without touching the Scala API:
@@ -35,6 +36,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(text, k) - k seeded md5 minhash components"),
       (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_rollhash"),
+      info("graft_rollhash", "graft_rollhash(text) - polynomial rolling hash"),
+      (exprs: Seq[Expression]) => RollingHashExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "graft_ngrams(text, n) - space-joined token n-grams"),
+      (exprs: Seq[Expression]) => NgramsExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_lshsig"),
+      info("graft_lshsig", "graft_lshsig(q, nBits) - sign-bit LSH signature of a bigint array"),
+      (exprs: Seq[Expression]) => LshSigExpr(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int])))
   }
 }

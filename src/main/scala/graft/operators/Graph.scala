@@ -75,6 +75,11 @@ object Graph {
       prev = next
       ranks = next
     }
+    // the loop-support checkpoints are dead once the final rank table
+    // is materialized — free them now (checkpoint blocks are not
+    // reaped by GC/unpersist; see Dedup.release)
+    Dedup.release(nodes)
+    Dedup.release(eDeg)
     ranks
   }
 
@@ -107,6 +112,7 @@ object Graph {
       prev = next
       dist = next
     }
+    Dedup.release(e) // edge checkpoint is dead once dist is materialized
     dist
   }
 

@@ -305,20 +305,34 @@ object Similarity {
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") =!= col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vec_id"))
-      .dropDuplicates("qid", "vec_id")
+      .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vid"))
+      .dropDuplicates("qid", "vid")
     val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
+    rankCandidates(cand, p, idCol, k)
+      .withColumnRenamed("vid", "vec_id")
+  }
+
+  /** Shared tail of every candidate-based search: exact-cosine score
+    * each (qid, vid) candidate pair, rank per qid (cos desc, id
+    * tiebreak), keep top-k. `vecs` must provide (idCol, q, n2) for
+    * every id on either side; `keepVidCols` ride along from the vid
+    * side (e.g. a label for voting classifiers). One spelling for
+    * [[lshKnnJoin]] and the q157 classifier, so the ranking semantics
+    * cannot drift between them. */
+  private[graft] def rankCandidates(cand: DataFrame, vecs: DataFrame,
+      idCol: String, k: Int, keepVidCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id"))
+      .orderBy(col("cos").desc, col("vid"))
     cand
-      .join(p.select(col(idCol).as("qid"), col("q").as("qq"),
+      .join(vecs.select(col(idCol).as("qid"), col("q").as("qq"),
         col("n2").as("qn2")), "qid")
-      .join(p.select(col(idCol).as("vec_id"), col("q").as("cq"),
-        col("n2").as("cn2")), "vec_id")
+      .join(vecs.select(col(idCol).as("vid") +: col("q").as("cq") +:
+        col("n2").as("cn2") +: keepVidCols.map(col): _*), "vid")
       .withColumn("cos", cosine(dotQ("cq", "qq"), col("cn2"), col("qn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("qid", "vec_id", "rank", "cos")
+      .select(col("qid") +: col("vid") +: col("rank") +: col("cos") +:
+        keepVidCols.map(col): _*)
   }
 
   /** Sign-bit band/bucket rows (id, band, bucket) — the LSH key table

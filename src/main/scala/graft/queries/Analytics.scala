@@ -247,8 +247,13 @@ object Analytics {
     // vs expected (row_total * col_total / N), with the expected value
     // and the per-cell chi-square term in exact parts-per-million
     // integer arithmetic: term = ((o*N - rt*ct)^2 DIV (rt*ct)) * 1e6
-    // DIV N — every product stays under 2^63 while N^2*1e6 does
-    // (N <= ~3e9 rows; beyond that drop the ppm scale a decade).
+    // DIV N. Overflow bound: the squared deviation (o*N - rt*ct)^2 can
+    // reach ~N^4/16 for a maximally skewed 2-cell table, so the exact
+    // BIGINT path is safe to N ~= 1e5 rows worst-case (far above the
+    // gated corpus; much higher when marginals are balanced). Beyond
+    // that, the CELL table is still tiny — recompute the term there
+    // with 128-bit arithmetic (DuckDB HUGEINT / Spark DECIMAL(38)) or
+    // drop the ppm scale; the plan shape is unchanged.
     // Shape: one tiny hash agg, two re-aggs of the CELL table (never
     // the corpus), marginals broadcast back onto the cells. Cells with
     // zero observed count carry no row (gate covers observed cells).

@@ -109,21 +109,15 @@ object Ranges {
     // metrics pipeline runs at 100 TB: history cost is paid once, each
     // delta costs only its own scan.
     "q140_incr_rollup" -> ((s, d) => {
+      import graft.operators.Rollup
       val ev = t(s, d, "events")
         .withColumn("b", pmod(col("event_id"), lit(4)))
-      def partials(batches: DataFrame) = batches
-        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(graft.functions.DetMath.fixed(col("value"), 2)).as("cents"))
       graft.sources.Tables.writeTable(
-        partials(ev.filter(col("b") < 3)), "graft_rollup_hist")
-      partials(ev.filter(col("b") === 3))
+        Rollup.hourlyPartials(ev.filter(col("b") < 3)), "graft_rollup_hist")
+      Rollup.hourlyPartials(ev.filter(col("b") === 3))
         .write.mode("append").format("parquet")
         .saveAsTable("graft_rollup_hist")
-      s.table("graft_rollup_hist")
-        .groupBy("hr", "event_type")
-        .agg(sum("cnt").as("cnt"),
-          (sum("cents") / lit(100.0)).as("sum_val"))
+      Rollup.mergePartials(s, "graft_rollup_hist")
     }),
 
     // ---- q142: STREAMING incremental rollup (foreachBatch) ----

@@ -176,17 +176,10 @@ object Vectors {
         .dropDuplicates("qid", "vid")
       val p = Similarity.prepare(e, "embedding")
         .select(col("vec_id"), col("label"), col("q"), col("n2"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-      val top = cand
-        .join(p.select(col("vec_id").as("qid"), col("q").as("qq"),
-          col("n2").as("qn2")), "qid")
-        .join(p.select(col("vec_id").as("vid"), col("label"),
-          col("q").as("cq"), col("n2").as("cn2")), "vid")
-        .withColumn("cos",
-          Similarity.cosine(Similarity.dotQ("cq", "qq"), col("cn2"), col("qn2")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // same ranking machinery as lshKnnJoin (shared helper), with the
+      // neighbor's label riding along for the vote
+      val top = Similarity.rankCandidates(cand, p, "vec_id", k = 3,
+        keepVidCols = Seq("label"))
       val pred = top.groupBy("qid", "label")
         .agg(count(lit(1)).as("c"))
         .groupBy("qid")

@@ -97,9 +97,15 @@ object Tables {
     * directory into ~`targetFiles` files. Streaming sinks and
     * per-batch appends accumulate thousands of small files whose
     * open/footer cost eventually dominates scans; compaction restores
-    * scan-sized files. Write-to-side-dir-then-swap, so a reader never
-    * sees a half-written directory and a crash mid-compact leaves the
-    * original intact (the swap is the only destructive step).
+    * scan-sized files. Write-to-side-dir, then a two-rename swap
+    * (original → `_old`, compacted → live, drop `_old`): no
+    * half-written directory is ever at the live path, and a crash at
+    * ANY point leaves the full dataset recoverable — before the first
+    * rename the original is live; between renames it sits intact under
+    * `_old`. The rename window does mean a concurrent reader can
+    * briefly miss the path: this is a single-writer MAINTENANCE op
+    * (run it when the table is quiesced), not a transactional commit —
+    * that is what table formats' metadata pointers add on top.
     * Content is untouched — ScaleSpec asserts byte-equal rows and the
     * reduced file count. `coalesce` (not repartition): compaction must
     * not pay a shuffle, only a narrow re-read. */
@@ -110,10 +116,17 @@ object Tables {
       .write.mode("overwrite").parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(dir)
     val t = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(dir + "_old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    if (!fs.rename(t, p))
+    fs.delete(old, true) // stale leftover from a prior crash
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: rename $dir -> $old failed")
+    if (!fs.rename(t, p)) {
+      fs.rename(old, p) // restore the original before failing
       throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+    }
+    fs.delete(old, true)
+    ()
   }
 
   /** Plain managed-table sink (tiny dimension/centroid tables). */

@@ -203,21 +203,22 @@ object EventStreams {
   def incrementalRollupStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       deltaFiles: Int = 1): DataFrame = {
+    import graft.operators.Rollup.{hourlyPartials, mergePartials}
     val ev = graft.sources.Tables.read(spark, sfDir, "events")
       .withColumn("b", pmod(col("event_id"), lit(4)))
-    def partials(df: DataFrame): DataFrame = df
-      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(fixed(col("value"), 2)).as("cents"))
     graft.sources.Tables.writeTable(
-      partials(ev.filter(col("b") < 3)), "graft_stream_rollup")
+      hourlyPartials(ev.filter(col("b") < 3)), "graft_stream_rollup")
     // stage the delta slice back in the RAW file shape (ns longs) so the
-    // standard streaming source reads it like any landed file drop
+    // standard streaming source reads it like any landed file drop.
+    // Exit-hook RECURSIVE deletion (not deleteOnExit): Spark writes the
+    // part files and the whole checkpoint tree AFTER registration, and
+    // deleteOnExit on a non-empty directory is a no-op — the same trap
+    // Ingest.stagingDir documents.
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_q142_delta")
-    dir.toFile.deleteOnExit()
+    registerTreeCleanup(dir.toFile)
     val ckpt = Files.createTempDirectory("graft_q142_ckpt")
-    ckpt.toFile.deleteOnExit()
+    registerTreeCleanup(ckpt.toFile)
     val delta = ev.filter(col("b") === 3)
       .select(col("event_id"),
         expr("unix_micros(ts) * CAST(1000 AS BIGINT)").as("ts"),
@@ -239,15 +240,35 @@ object EventStreams {
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        partials(batch.toDF()).write.mode("append")
+        hourlyPartials(batch.toDF()).write.mode("append")
           .format("parquet").saveAsTable("graft_stream_rollup")
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table("graft_stream_rollup")
-      .groupBy("hr", "event_type")
-      .agg(sum("cnt").as("cnt"), (sum("cents") / lit(100.0)).as("sum_val"))
+    mergePartials(spark, "graft_stream_rollup")
+  }
+
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupDirs.forEach(deleteTree)))
+
+  /** Register a directory tree for recursive deletion at JVM exit —
+    * covers files Spark creates AFTER registration, which
+    * File.deleteOnExit cannot. */
+  private def registerTreeCleanup(dir: java.io.File): Unit = {
+    cleanupHook
+    cleanupDirs.add(dir)
+    ()
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete()
+    ()
   }
 
   /** Streaming exact dedup on event_id: watermark-bounded state drops

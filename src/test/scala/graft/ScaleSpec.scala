@@ -64,6 +64,12 @@ class ScaleSpec extends SparkTestBase {
         .head().getSeq[String](0) == Seq("the", "fast", "dog"))
       assert(s2.sql("SELECT size(graft_minhash('a b c d e', 4)) AS n")
         .head().getInt(0) == 4)
+      assert(s2.sql("SELECT graft_rollhash('ab') AS h")
+        .head().getLong(0) == (97L * 31 + 98))
+      assert(s2.sql("SELECT graft_ngrams('a b c', 2) AS g")
+        .head().getSeq[String](0) == Seq("a b", "b c"))
+      assert(s2.sql("SELECT size(graft_lshsig(array(1L, 2L), 16)) AS n")
+        .head().getInt(0) == 16)
     } finally {
       SparkSession.setActiveSession(old)
       SparkSession.setDefaultSession(old)
