@@ -361,6 +361,52 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) per decodable image: resample band 0
+    * to 8×8 with the SAME floor-index arithmetic as [[resizeImages]],
+    * threshold each pixel at the image mean in exact integers
+    * (px·64 >= Σpx — no float mean), pack the bits row-major
+    * (bit i = pixel (i%8, i/8)). Emitted as two unsigned 32-bit halves
+    * so neither engine plays sign games with bit 63. This is the
+    * perceptual fingerprint of image dedup — identical hashes group
+    * visually-identical-structure images; undecodable payloads drop
+    * (dead-letter), exactly like [[decodeImages]]. */
+  case class AHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  def aHash(media: DataFrame): Dataset[AHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = readImageOrNull(r.content)
+        if (img == null) None
+        else {
+          val raster = img.getRaster
+          val (wi, hi) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](64)
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            val v = raster.getSample(
+              ((i % 8).toLong * wi / 8).toInt, ((i / 8).toLong * hi / 8).toInt, 0)
+            px(i) = v
+            sum += v
+            i += 1
+          }
+          var hb = 0L
+          var lb = 0L
+          i = 0
+          while (i < 64) {
+            if (px(i).toLong * 64 >= sum) {
+              if (i < 32) lb |= 1L << i else hb |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          Some(AHash(r.doc_id, hb, lb))
+        }
+      }
+    }
+  }
+
   private def stubResize(digest: java.security.MessageDigest, r: MediaRow,
       w: Int, h: Int): ResizedMedia = {
     digest.reset()

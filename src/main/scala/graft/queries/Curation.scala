@@ -49,6 +49,10 @@ object Curation {
   private val QuotaK = 40
   // q148's token budget — selects a strict subset at every SF.
   private val TokenBudget = 10000L
+  // q164's retrieval query terms: two common tokens plus the one rare
+  // token in the synthetic vocabulary, so the idf weighting is visible.
+  private val Bm25Terms = Seq("spark", "vector", "dup")
+  private val Bm25K = 5
 
   /** Exploded (doc_id, gram) pairs of word n-grams — NOT deduplicated:
     * a caller that needs "docs containing" semantics must place its own
@@ -425,7 +429,46 @@ object Curation {
         .select(col("a"),
           explode(expr("slice(ts, i + 2, size(ts))")).as("b"))
         .groupBy("a", "b")
-        .agg(count(lit(1)).as("n_docs")))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    // ---- q164: BM25 top-k retrieval ----
+    // The retrieval scorer of every decontamination / near-dup-lookup
+    // pipeline: per query term, the top-5 docs by BM25 (k1 = 1.2,
+    // b = 0.75). The standard ln-idf is replaced by the rational
+    // (N+1)/(df+1) (the q80 idf) so the WHOLE score reduces to one
+    // BIGINT numerator / one BIGINT denominator with k1, b folded in as
+    // exact fifths/quarters:
+    //   score = 44·tf·Σdl·(N+1) / ((20·tf·Σdl + 6·Σdl + 18·dl·N)·(df+1))
+    // — a single IEEE division both engines compute bit-identically.
+    // Overflow bound: num needs 44·tf·Σdl·N < 2^63 (Σdl·N ~ 2e16 at
+    // corpus Σdl 1e13 with tf ≤ 20 — beyond that, pre-divide Σdl by
+    // 2^10 or move to DECIMAL(38); the ln-idf double spelling is the
+    // conventional at-scale fallback). Plan shape: tf filters to the
+    // query terms BEFORE any shuffle (one narrow explode + tiny hash
+    // agg), df and the 1-row corpus stats broadcast, and the top-k
+    // window partitions by term — per-term state only, never a global
+    // sort.
+    "q164_bm25" -> ((s, d) => {
+      val tk = docs(s, d).select(col("doc_id"), expr(toksNat).as("t"))
+      val dl = tk.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+      val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      val tf = tk.select(col("doc_id"), explode(col("t")).as("tok"))
+        .filter(col("tok").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("tok").orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("score",
+          (lit(44) * col("tf") * col("sumdl") * (col("n") + 1)).cast("double") /
+            ((lit(20) * col("tf") * col("sumdl") + lit(6) * col("sumdl") +
+              lit(18) * col("dl") * col("n")) * (col("df") + 1)).cast("double"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= Bm25K)
+        .select("tok", "doc_id", "rank", "score")
+    })
   )
 
   private def gramsDuck(n: Int): String =
@@ -614,6 +657,31 @@ object Curation {
         |   FROM documents),
         | p AS (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM t),
         | pr AS (SELECT ts[i] AS a, unnest(ts[i+1:len(ts)]) AS b FROM p)
-        |SELECT a, b, count(*) AS n_docs FROM pr GROUP BY 1, 2""".stripMargin
+        |SELECT a, b, count(*) AS n_docs FROM pr GROUP BY 1, 2""".stripMargin,
+
+    "q164_bm25" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, ${toksDuck("text")} AS t
+        |   FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+        | corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+        | tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM
+        |    (SELECT doc_id, unnest(t) AS tok FROM tk)
+        |  WHERE tok IN ($terms) GROUP BY 1, 2),
+        | dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |   GROUP BY tok),
+        | scored AS (SELECT tf.tok, tf.doc_id,
+        |    CAST(44 * tf.tf * c.sumdl * (c.n + 1) AS DOUBLE) /
+        |    CAST((20 * tf.tf * c.sumdl + 6 * c.sumdl + 18 * dl.dl * c.n)
+        |         * (dfq.df + 1) AS DOUBLE) AS score
+        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN corpus c),
+        | ranked AS (SELECT tok, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY tok
+        |      ORDER BY score DESC, doc_id) AS rank FROM scored)
+        |SELECT tok, doc_id, rank, score FROM ranked
+        |WHERE rank <= $Bm25K""".stripMargin
+    }
   )
 }

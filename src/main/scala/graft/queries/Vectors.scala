@@ -102,6 +102,22 @@ object Vectors {
         Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
         .toDF),
 
+    // ---- q165: perceptual-hash (aHash) image dup clusters ----
+    // The image-modality dedup move: 8x8 average-hash over REAL decoded
+    // pixels (same floor-index resample as q84, mean threshold in exact
+    // integers), then exact-match clusters of >= 2 images. The oracle
+    // replays synthesize->resample->threshold->pack per doc, so
+    // hash-green proves the fingerprints came from truly decoded
+    // pixels. 100 TB shape: one narrow decode pass, one 16-byte
+    // fingerprint per image, one hash agg — the near-dup extension is
+    // q40's Hamming-chunk banding over the same 64 bits.
+    "q165_image_ahash" -> ((s, d) =>
+      Multimodal.aHash(
+          Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
+        .filter(col("n_docs") >= 2)),
+
     // REAL image resize: synthesize PNGs (as q61), decode, and resample
     // 16x16 by nearest-neighbor with floor index arithmetic; checksum
     // the OUTPUT pixels. The oracle replays srcX = X*w_in DIV 16 /
@@ -155,6 +171,27 @@ object Vectors {
     // rows at once — the semantic-dedup / retrieval-curation join.
     "q135_ann_knn_join" -> ((s, d) =>
       Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)),
+
+    // ---- q166: triangle listing on the semantic k-NN graph ----
+    // Build the corpus similarity graph (q135's LSH k-NN join, k=3,
+    // undirected unique edges) and list its triangles — the local-
+    // density/clustering-coefficient signal that separates tight
+    // semantic clusters from chains of pairwise near-dups. The ordered
+    // 3-way edge self-join (a < b < c by construction of the
+    // normalized edge) counts each triangle exactly once; because
+    // every node has out-degree <= k, the edge table is O(kN) and each
+    // join's fan-out is degree-bounded — two equi-join shuffles total,
+    // no enumeration blow-up at 100 TB.
+    "q166_knn_triangles" -> ((s, d) => {
+      val knn = Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)
+      val e = knn.select(least(col("qid"), col("vec_id")).as("a"),
+        greatest(col("qid"), col("vec_id")).as("b")).distinct()
+      val e2 = e.select(col("a").as("b2"), col("b").as("c2"))
+      val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+      e.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+        .select(col("a"), col("b"), col("c2").as("c"))
+    }),
 
     // ---- q157: k-NN label classification (LSH neighbors vote) ----
     // The neighbor-based alternative to q129's centroid classifier,
@@ -485,6 +522,27 @@ object Vectors {
         |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
         |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
 
+    // q135's CTEs through the rank filter, then normalized undirected
+    // edges and the ordered 3-way triangle join.
+    "q166_knn_triangles" ->
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id <> y.vec_id),
+        | sc AS (SELECT kc.qid, kc.vid,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM kc JOIN n a ON a.vec_id = kc.qid
+        |   JOIN n c ON c.vec_id = kc.vid),
+        | rk AS (SELECT qid, vid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rank FROM sc),
+        | e AS (SELECT DISTINCT LEAST(qid, vid) AS a, GREATEST(qid, vid) AS b
+        |   FROM rk WHERE rank <= 3)
+        |SELECT e1.a, e1.b, e2.b AS c
+        |FROM e e1 JOIN e e2 ON e2.a = e1.b
+        | JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
     "q137_weighted_sample" -> {
       val h16 = graft.functions.TextExpr.hexIntDuck(
         "md5(CAST(doc_id AS VARCHAR))", 4)
@@ -633,6 +691,30 @@ object Vectors {
         |     FOR i IN range(0, wi * hi)]) AS v FROM d)
         |SELECT doc_id, CAST(v // 16 AS INT) AS bin, count(*) AS n
         |FROM px GROUP BY 1, 2""".stripMargin,
+
+    // Replays the aHash pipeline: synthesized pixel function through
+    // the 8x8 floor-index resample, exact-integer mean threshold,
+    // row-major bit pack into two unsigned 32-bit halves.
+    "q165_image_ahash" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(8 + doc_id % 24 AS INT) AS wi,
+        |   CAST(8 + (doc_id // 7) % 24 AS INT) AS hi FROM documents),
+        | px AS (SELECT doc_id,
+        |   [(doc_id*31 + (((i % 8) * wi) // 8)*7 + (((i // 8) * hi) // 8)) % 256
+        |    FOR i IN range(0, 64)] AS p FROM d),
+        | s AS (SELECT doc_id, p,
+        |   CAST(list_aggregate(p, 'sum') AS BIGINT) AS total FROM px),
+        | ah AS (SELECT doc_id,
+        |   CAST(list_aggregate([CASE WHEN p[i+1]*64 >= total
+        |       THEN CAST(1 AS BIGINT) << (i - 32) ELSE CAST(0 AS BIGINT) END
+        |     FOR i IN range(32, 64)], 'sum') AS BIGINT) AS ahash_hi,
+        |   CAST(list_aggregate([CASE WHEN p[i+1]*64 >= total
+        |       THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END
+        |     FOR i IN range(0, 32)], 'sum') AS BIGINT) AS ahash_lo
+        |  FROM s)
+        |SELECT ahash_hi, ahash_lo, count(*) AS n_docs,
+        | MIN(doc_id) AS rep_doc
+        |FROM ah GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // Replays q84's nearest-neighbor rescale: output pixel (X,Y) reads
     // synthesized input pixel (X*w_in//16, Y*h_in//16), whose value is

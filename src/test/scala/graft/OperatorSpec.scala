@@ -327,6 +327,51 @@ class OperatorSpec extends SparkTestBase {
     assert(cOut.length == 1 && cOut.head.pixels.length == 16)
   }
 
+  test("aHash: decoded-pixel average hash matches the formula replay; junk drops") {
+    val docs = sources.Tables.read(spark, sf, "documents").limit(40)
+    val out = Multimodal.aHash(Multimodal.synthesizePngs(docs, "doc_id"))
+      .collect().sortBy(_.doc_id)
+    assert(out.length == 40)
+    out.foreach { r =>
+      val wi = 8 + (r.doc_id % 24).toInt
+      val hi = 8 + ((r.doc_id / 7) % 24).toInt
+      val px = Array.tabulate(64) { i =>
+        ((r.doc_id * 31 + ((i % 8) * wi / 8) * 7 + ((i / 8) * hi / 8)) % 256).toInt
+      }
+      val sum = px.map(_.toLong).sum
+      var (hb, lb) = (0L, 0L)
+      for (i <- 0 until 64 if px(i).toLong * 64 >= sum)
+        if (i < 32) lb |= 1L << i else hb |= 1L << (i - 32)
+      assert(r.ahash_hi == hb && r.ahash_lo == lb, s"doc ${r.doc_id}")
+      // halves are unsigned 32-bit — no sign games in either engine
+      assert(r.ahash_hi >= 0 && r.ahash_hi < (1L << 32))
+      assert(r.ahash_lo >= 0 && r.ahash_lo < (1L << 32))
+    }
+    // undecodable payloads drop (dead-letter), never crash or stub
+    val junk = Multimodal.asMedia(docs, "doc_id", "text")
+    assert(Multimodal.aHash(junk).count() == 0)
+  }
+
+  test("knn triangle listing: ordered, edge-closed, matches brute recount") {
+    val tri = SparkEntry.queries("q166_knn_triangles")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val knn = operators.Similarity.lshKnnJoin(
+      sources.Tables.read(spark, sf, "embeddings"), "vec_id", "embedding", 3)
+    val edges = knn.collect()
+      .map(r => { val (p, q) = (r.getLong(0), r.getLong(1))
+        (math.min(p, q), math.max(p, q)) }).toSet
+    tri.foreach { case (a, b, c) =>
+      assert(a < b && b < c, s"unordered triangle ($a,$b,$c)")
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)))
+    }
+    // brute recount over the collected edge set
+    val brute = for {
+      (a, b) <- edges.toSeq; (b2, c) <- edges.toSeq
+      if b2 == b && edges((a, c))
+    } yield (a, b, c)
+    assert(tri.toSet == brute.toSet && tri.length == brute.length)
+  }
+
   test("multimodal resize and frame-sample stubs: shapes, determinism, twin parity") {
     val docs = sources.Tables.read(spark, sf, "documents").limit(40)
     val media = Multimodal.asMedia(docs, "doc_id", "text")
