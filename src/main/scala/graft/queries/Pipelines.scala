@@ -455,7 +455,17 @@ object Pipelines {
     // driver hash-checks the emitted matches against the batch interval
     // join. NOTE: executing this entry RUNS the stream (an action).
     "q105_stream_join" -> ((s, d) =>
-      graft.streaming.EventStreams.joinBatchEquivalent(s, d))
+      graft.streaming.EventStreams.joinBatchEquivalent(s, d)),
+
+    // ---- q169: LEFT OUTER stream-stream join (conversion report) ----
+    // q105 shows only converters; this emits EVERY signup once — with
+    // its in-window purchases or with NULLs — the funnel report a
+    // streaming pipeline actually publishes. Unmatched rows flush on
+    // watermark-driven state eviction (a staged far-future sentinel
+    // advances the final watermark past every join window; see
+    // EventStreams.signupConversions). NOTE: RUNS the stream.
+    "q169_stream_left_join" -> ((s, d) =>
+      graft.streaming.EventStreams.conversionsBatchEquivalent(s, d))
   )
 
   // ---- oracle SQL (DuckDB dialect, same algorithms) ----
@@ -691,6 +701,18 @@ object Pipelines {
         |   FROM base WHERE event_type = 'purchase')
         |SELECT s.signup_id, p.purchase_id, p.user_id AS user_id, p.value
         |FROM p JOIN s
+        | ON p.user_id = s.user_id AND p.ts >= s.ts
+        |  AND p.ts < s.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "q169_stream_left_join" ->
+      """WITH base AS (SELECT event_id, event_type, user_id, value,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | s AS (SELECT event_id AS signup_id, user_id, ts
+        |   FROM base WHERE event_type = 'signup'),
+        | p AS (SELECT event_id AS purchase_id, user_id, ts, value
+        |   FROM base WHERE event_type = 'purchase')
+        |SELECT s.signup_id, s.user_id AS user_id, p.purchase_id, p.value
+        |FROM s LEFT JOIN p
         | ON p.user_id = s.user_id AND p.ts >= s.ts
         |  AND p.ts < s.ts + INTERVAL 1 HOUR""".stripMargin
   )

@@ -143,6 +143,41 @@ object Shapes {
             col("x") <= col("hi_fence"), col("x"))).as("kept_max"))
     }),
 
+    // ---- q167: median-absolute-deviation robust dispersion ----
+    // The robust twin of q110's z-score and q133's IQR fences: per
+    // group, the MAD (median of |x - median|) plus how many rows sit
+    // within 1 MAD of the median (core density) and beyond 1.5 MADs
+    // (robust outliers). Both medians are the SAME ceil-rank order
+    // statistic as q125/q133 ((n*50+99) DIV 100 — exact, no
+    // interpolation drift), so every output is either an input value
+    // or one deterministic double product. Two ranked window passes +
+    // two broadcast joins of group-cardinality tables; the q59
+    // group-sort caveat applies at extreme group sizes, with q83's
+    // sketch as the documented approximate pre-pass.
+    "q167_mad_dispersion" -> ((s, d) => {
+      val base = t(s, d, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      def ceilMedian(df: DataFrame, v: String, out: String) = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col(v))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+        .groupBy("g").agg(
+          min(when(col("rn") === expr("(n * 50 + 99) DIV 100"), col(v)))
+            .as(out))
+      val med = ceilMedian(base, "x", "med")
+      val dev = base.join(broadcast(med), Seq("g"))
+        .withColumn("dev", abs(col("x") - col("med")))
+      val mad = ceilMedian(dev, "dev", "mad")
+      dev.join(broadcast(mad), Seq("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), min("med").as("med"),
+          min("mad").as("mad"),
+          sum(when(col("dev") <= col("mad"), 1L).otherwise(0L))
+            .as("n_core"),
+          sum(when(col("dev") > lit(1.5) * col("mad"), 1L).otherwise(0L))
+            .as("n_out"))
+    }),
+
     // APPROXIMATE multi-quantile: Greenwald-Khanna sketch with bounded
     // per-group memory (~O(1/accuracy·log n) vs q59's O(group size)) —
     // the quantile you actually run at 100 TB. No oracle: sketch
@@ -236,6 +271,30 @@ object Shapes {
         |   THEN b.x END) AS kept_max
         |FROM base b JOIN bounds bo ON b.g = bo.g
         |GROUP BY b.g""".stripMargin,
+
+    "q167_mad_dispersion" ->
+      """WITH base AS (SELECT l_returnflag AS g, l_extendedprice AS x
+        |   FROM lineitem),
+        | r1 AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY x)
+        |    AS rn, count(*) OVER (PARTITION BY g) AS n FROM base),
+        | med AS (SELECT g,
+        |   MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN x END) AS med
+        |  FROM r1 GROUP BY g),
+        | dev AS (SELECT b.g AS g, b.x, m.med, ABS(b.x - m.med) AS dev
+        |  FROM base b JOIN med m ON m.g = b.g),
+        | r2 AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY dev)
+        |    AS rn, count(*) OVER (PARTITION BY g) AS n FROM dev),
+        | mad AS (SELECT g,
+        |   MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN dev END) AS mad
+        |  FROM r2 GROUP BY g)
+        |SELECT d.g AS g, count(*) AS n, MIN(d.med) AS med,
+        | MIN(ma.mad) AS mad,
+        | CAST(SUM(CASE WHEN d.dev <= ma.mad THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_core,
+        | CAST(SUM(CASE WHEN d.dev > 1.5 * ma.mad THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_out
+        |FROM dev d JOIN mad ma ON ma.g = d.g
+        |GROUP BY d.g""".stripMargin,
 
     "q59_quantiles" ->
       s"""SELECT l_returnflag,

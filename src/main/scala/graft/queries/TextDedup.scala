@@ -46,6 +46,30 @@ object TextDedup {
     "q40_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
 
+    // ---- q168: shard-boundary overlap (suffix == prefix) ----
+    // Detect document pairs where A's trailing k tokens equal B's
+    // leading k tokens — the signature of one source document split
+    // across shard/file boundaries during ingest (each half passes
+    // whole-doc dedup, the seam gives the split away). Candidates come
+    // from ONE equi-join on the boundary gram string, which is also the
+    // exact verify — no post-filter needed. At 100 TB this is two
+    // narrow k-token projections and a string-keyed shuffle of
+    // 2 rows/doc; directed output (ida's tail, idb's head), self-pairs
+    // excluded, boundary text carried for triage.
+    "q168_boundary_overlap" -> ((s, d) => {
+      val k = 3
+      val b = TextAnalysis.withTokens(docs(s, d), "text")
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= k)
+      val tails = b.select(col("doc_id").as("ida"),
+        array_join(expr(s"slice(toks, n - ${k - 1}, $k)"), " ").as("boundary"))
+      val heads = b.select(col("doc_id").as("idb"),
+        array_join(slice(col("toks"), 1, k), " ").as("boundary"))
+      tails.join(heads, Seq("boundary"))
+        .filter(col("ida") =!= col("idb"))
+        .select("ida", "idb", "boundary")
+    }),
+
     // ---- q154: prefix-filter similarity join (exact recall) ----
     // ALL shingle-set pairs with Jaccard >= 1/2 via the prefix-filter
     // theorem — the exact-recall twin of q39's MinHash-LSH (same
@@ -244,6 +268,17 @@ object TextDedup {
 
   private def sigSelect(k: Int): String =
     (0 until k).map(i => s"${minhashDuck("sg", i)} AS s$i").mkString(", ")
+
+  private val boundaryOverlapSql: String =
+    s"""WITH $toksCte,
+      | b AS (SELECT doc_id, len(t) AS n, t FROM toks WHERE len(t) >= 3),
+      | tails AS (SELECT doc_id AS ida,
+      |    array_to_string(t[n-2:n], ' ') AS boundary FROM b),
+      | heads AS (SELECT doc_id AS idb,
+      |    array_to_string(t[1:3], ' ') AS boundary FROM b)
+      |SELECT tails.ida, heads.idb, tails.boundary
+      |FROM tails JOIN heads ON tails.boundary = heads.boundary
+      |WHERE tails.ida <> heads.idb""".stripMargin
 
   /** One-shot MinHash-LSH pair pipeline CTEs (ends at `j`), shared by
     * q39/q85/q88 so the spellings cannot drift. */
@@ -499,6 +534,8 @@ object TextDedup {
         |SELECT doc_id,
         | ${simhashFromSumsDuck(j => s"SUM(${bitSignDuck(j)})")} AS simhash
         |FROM nib GROUP BY doc_id""".stripMargin,
+
+    "q168_boundary_overlap" -> boundaryOverlapSql,
 
     "q80_tfidf_terms" ->
       s"""WITH $toksCte,

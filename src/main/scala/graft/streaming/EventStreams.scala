@@ -127,13 +127,71 @@ object EventStreams {
     runToCompletion(spark, sfDir, "graft_q105_join",
       purchasesAfterSignup(_), OutputMode.Append)
 
+  /** q169: signup→purchase conversion via LEFT OUTER stream-stream
+    * join — every signup emits exactly once, joined to each purchase by
+    * the same user within the next hour, or with NULL purchase columns
+    * if none came. The outer side makes this the funnel/conversion
+    * report streaming pipelines actually run (q105's inner join only
+    * shows converters). Unmatched rows can only emit once the watermark
+    * passes a signup's join window, so the gate stages a far-future
+    * SENTINEL event (see [[joinBatchEquivalent]]'s single-batch note):
+    * the post-data no-data micro-batch then evicts all join state and
+    * flushes every outer row. */
+  def signupConversions(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    signups.join(purchases,
+        col("p_user") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("signup_id"), col("s_user").as("user_id"),
+        col("purchase_id"), col("value"))
+  }
+
+  /** Oracle-gated face of [[signupConversions]] (q169). The negative-id
+    * guard strips the sentinel signup should it ever surface — by the
+    * watermark arithmetic it can't (its own join window END sits past
+    * the final watermark, so it stays in state), but the gate must not
+    * depend on that margin. */
+  def conversionsBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sfDir, "graft_q169_conv",
+      signupConversions(_), OutputMode.Append, sentinel = true)
+      .filter(col("signup_id") >= 0)
+
+  // Far-future sentinel event time (2035-01-01 UTC, ns): past every
+  // corpus timestamp by decades, so watermark = sentinel - delay clears
+  // every real join window; lexicographic ISO floor the waiter polls
+  // for. TWO sentinel rows — one per join side — because watermarks
+  // attach to the FILTERED side streams and the global watermark is
+  // their MIN (multipleWatermarkPolicy=min): a single typed row would
+  // advance only its own side. The sentinel purchase (user -2) matches
+  // no signup and a left join drops unmatched right rows; the sentinel
+  // signup (user -1) out-waits the watermark inside the state store.
+  private val SentinelNs = 2051222400L * 1000000000L
+  private val SentinelWmFloor = "2034-01-01"
+
   /** Stage `sfDir`'s events table into a directory, run `transform` on
     * it as a stream to exhaustion, return the final memory-sink table.
     * Complete mode for aggregations (every group re-emitted at the end);
-    * Append for stream-stream joins (matches emit exactly once). */
+    * Append for stream-stream joins (matches emit exactly once).
+    *
+    * `sentinel = true` additionally stages ONE far-future event (type
+    * "sentinel" — no real transform selects it) and, after the data
+    * batch, waits for the no-data micro-batch to report a watermark past
+    * [[SentinelWmFloor]] — the signal that outer-join state was evicted
+    * and unmatched rows reached the sink (left-outer rows emit on
+    * eviction, not on arrival). */
   private def runToCompletion(spark: SparkSession, sfDir: String,
       name: String, transform: DataFrame => DataFrame,
-      mode: OutputMode = OutputMode.Complete): DataFrame = {
+      mode: OutputMode = OutputMode.Complete,
+      sentinel: Boolean = false): DataFrame = {
     // NOTE: calling this EXECUTES the streaming job (it is an action, not
     // a lazy plan) and the complete-mode memory sink materializes the
     // final aggregate on the driver — correct for the oracle gate's
@@ -162,6 +220,28 @@ object EventStreams {
       Files.copy(src, staged)
       staged.toFile.deleteOnExit()
     }
+    if (sentinel) {
+      import spark.implicits._
+      // the source lists top-level FILES only (the staged events table
+      // is a flat file, so nothing triggers recursive listing) — write
+      // the sentinel to a scratch dir and move its part file up as a
+      // sibling FILE of the staged events
+      val scratch = Files.createTempDirectory(s"$name-sentinel")
+      Seq((-1L, SentinelNs, -1L, "signup", 0.0, "{}"),
+          (-2L, SentinelNs, -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val listing = Files.list(scratch)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+        finally listing.close()
+      Files.move(part, dir.resolve("zz_sentinel.parquet"))
+      deleteTree(scratch.toFile)
+      // staged files written after the walk above — recursive exit hook
+      registerTreeCleanup(dir.toFile)
+    }
     val q = transform(fromDirectory(spark, dir.toString))
       .writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
@@ -183,6 +263,19 @@ object EventStreams {
           s"append-mode gate expects at most one data micro-batch, saw " +
             s"$dataBatches — a source/trigger change broke the " +
             "single-batch completeness assumption")
+      }
+      if (sentinel) {
+        // wait for the no-data micro-batch: its progress reports the
+        // ADVANCED watermark (the data batch reports the one it ran
+        // under), and its sink commit carries the flushed outer rows.
+        // ISO-8601 strings compare lexicographically.
+        val deadline = System.nanoTime + 60L * 1000000000L
+        def wm = Option(q.lastProgress)
+          .flatMap(p => Option(p.eventTime.get("watermark")))
+        while (wm.forall(_ < SentinelWmFloor) && System.nanoTime < deadline)
+          Thread.sleep(50)
+        require(wm.exists(_ >= SentinelWmFloor),
+          s"watermark never passed $SentinelWmFloor — outer rows not flushed")
       }
     } finally { q.stop() }
     spark.table(name)
