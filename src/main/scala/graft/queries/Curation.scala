@@ -431,6 +431,28 @@ object Curation {
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_docs"))),
 
+    // ---- q170: temperature-scaled source mixture weights ----
+    // The training-mixture allocator: per-source sampling weights
+    // proportional to (token share)^alpha with alpha = 0.5 — the
+    // sqrt-temperature rebalance that upweights small sources (the
+    // multilingual-sampling move). sqrt is the ONE fractional power
+    // both engines round identically (IEEE-exact for BIGINTs under
+    // 2^53), and the weights are floor(sqrt) BIGINTs normalized in
+    // exact ppm — no float sums anywhere. One corpus scan -> one
+    // source-cardinality agg -> broadcast total; the allocation each
+    // downstream sampler (q89/q124/q137) consumes.
+    "q170_mixture_weights" -> ((s, d) => {
+      val per = docs(s, d)
+        .select(col("source"), expr(s"size(${toksNat})").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_toks"))
+        .withColumn("isq",
+          expr("CAST(FLOOR(SQRT(CAST(n_toks AS DOUBLE))) AS BIGINT)"))
+      per.crossJoin(broadcast(per.agg(sum("isq").as("isq_tot"))))
+        .select(col("source"), col("n_docs"), col("n_toks"), col("isq"),
+          expr("isq * 1000000 DIV isq_tot").as("w_ppm"))
+    }),
+
     // ---- q164: BM25 top-k retrieval ----
     // The retrieval scorer of every decontamination / near-dup-lookup
     // pipeline: per query term, the top-5 docs by BM25 (k1 = 1.2,
@@ -658,6 +680,18 @@ object Curation {
         | p AS (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM t),
         | pr AS (SELECT ts[i] AS a, unnest(ts[i+1:len(ts)]) AS b FROM p)
         |SELECT a, b, count(*) AS n_docs FROM pr GROUP BY 1, 2""".stripMargin,
+
+    "q170_mixture_weights" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+        |   CAST(SUM(len(${toksDuck("text")})) AS BIGINT) AS n_toks
+        |  FROM documents GROUP BY source),
+        | w AS (SELECT *,
+        |   CAST(FLOOR(SQRT(CAST(n_toks AS DOUBLE))) AS BIGINT) AS isq
+        |  FROM per),
+        | tot AS (SELECT CAST(SUM(isq) AS BIGINT) AS isq_tot FROM w)
+        |SELECT source, n_docs, n_toks, isq,
+        | (isq * 1000000) // isq_tot AS w_ppm
+        |FROM w CROSS JOIN tot""".stripMargin,
 
     "q164_bm25" -> {
       val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")

@@ -178,6 +178,39 @@ object Shapes {
             .as("n_out"))
     }),
 
+    // ---- q173: quantile normalization onto the global distribution ----
+    // The cross-group feature equalizer (the bioinformatics/feature-prep
+    // move): each value maps to its group's percentile, then to the
+    // GLOBAL order statistic at that percentile — after which every
+    // group has the same marginal distribution. The global ordinal
+    // comes from Align.withPosition (range-partitioned sort +
+    // zipWithIndex, NO single-partition window), the reference grid is
+    // 101 exact order statistics picked by one broadcast join, and
+    // ranks tie-break on the full key so both engines assign identical
+    // percentiles. Per-group ranking shuffles on g only.
+    "q173_quantile_norm" -> ((s, d) => {
+      val base = t(s, d, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice").as("x"))
+      val order = Seq(col("x"), col("l_orderkey"), col("l_linenumber"))
+      val gv = graft.operators.Align.withPosition(base, order)
+      val nTot = gv.agg(count(lit(1)).as("nn"))
+      val grid = s.range(0, 101).toDF("p")
+        .crossJoin(broadcast(nTot))
+        .select(col("p").cast("long").as("p"),
+          expr("p * (nn - 1) DIV 100").as("pos"))
+      val ref = gv.join(broadcast(grid), "pos")
+        .select(col("p"), col("x").as("x_norm"))
+      val wg = Window.partitionBy("g").orderBy(order: _*)
+      base
+        .withColumn("rn", row_number().over(wg).cast("long"))
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy("g")))
+        .withColumn("p", expr(
+          "CASE WHEN ng > 1 THEN (rn - 1) * 100 DIV (ng - 1) ELSE CAST(0 AS BIGINT) END"))
+        .join(broadcast(ref), "p")
+        .select("g", "l_orderkey", "l_linenumber", "x", "p", "x_norm")
+    }),
+
     // APPROXIMATE multi-quantile: Greenwald-Khanna sketch with bounded
     // per-group memory (~O(1/accuracy·log n) vs q59's O(group size)) —
     // the quantile you actually run at 100 TB. No oracle: sketch
@@ -271,6 +304,25 @@ object Shapes {
         |   THEN b.x END) AS kept_max
         |FROM base b JOIN bounds bo ON b.g = bo.g
         |GROUP BY b.g""".stripMargin,
+
+    "q173_quantile_norm" ->
+      """WITH base AS (SELECT l_returnflag AS g, l_orderkey, l_linenumber,
+        |   l_extendedprice AS x FROM lineitem),
+        | gv AS (SELECT *, row_number() OVER
+        |    (ORDER BY x, l_orderkey, l_linenumber) - 1 AS pos FROM base),
+        | nn AS (SELECT count(*) AS nn FROM base),
+        | grid AS (SELECT p, (p * (nn - 1)) // 100 AS pos
+        |   FROM range(0, 101) t(p) CROSS JOIN nn),
+        | ref AS (SELECT grid.p AS p, gv.x AS x_norm
+        |   FROM gv JOIN grid USING (pos)),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY g
+        |     ORDER BY x, l_orderkey, l_linenumber) AS rn,
+        |   count(*) OVER (PARTITION BY g) AS ng FROM base),
+        | withp AS (SELECT g, l_orderkey, l_linenumber, x,
+        |   CASE WHEN ng > 1 THEN ((rn - 1) * 100) // (ng - 1)
+        |     ELSE 0 END AS p FROM ranked)
+        |SELECT g, l_orderkey, l_linenumber, x, p, x_norm
+        |FROM withp JOIN ref USING (p)""".stripMargin,
 
     "q167_mad_dispersion" ->
       """WITH base AS (SELECT l_returnflag AS g, l_extendedprice AS x

@@ -87,6 +87,29 @@ object TextDedup {
     "q93_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d), "doc_id", "text")),
 
+    // ---- q172: token Gini diversity (entropy without the log) ----
+    // Per-doc lexical concentration: gini = 1 - Σ pᵢ² over the token
+    // distribution, in exact ppm integers — (n² - Σcᵢ²)·1e6 DIV n².
+    // Shannon entropy needs log() (libm rounding differs per engine);
+    // Gini impurity carries the same low-diversity signal (spam /
+    // keyword-stuffing / template pages score near 0) in pure BIGINT
+    // arithmetic. Computed fully IN-ROW (distinct-token counts via
+    // array ops, no explode-shuffle): a narrow scan-speed column at
+    // any corpus size. Overflow: n²·1e6 needs n ≤ ~3e6 tokens/doc.
+    "q172_token_gini" -> ((s, d) =>
+      TextAnalysis.withTokens(docs(s, d), "text")
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+        .withColumn("sumsq", expr(
+          """aggregate(
+            |  transform(array_distinct(toks),
+            |    t -> size(filter(toks, x -> x = t))),
+            |  CAST(0 AS BIGINT), (a, c) -> a + CAST(c AS BIGINT) * c)"""
+            .stripMargin))
+        .select(col("doc_id"), col("n").as("n_toks"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          expr("(n * n - sumsq) * 1000000 DIV (n * n)").as("gini_ppm"))),
+
     "q60_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(
         Dedup.minhashPairs(docs(s, d), "doc_id", "text",
@@ -536,6 +559,19 @@ object TextDedup {
         |FROM nib GROUP BY doc_id""".stripMargin,
 
     "q168_boundary_overlap" -> boundaryOverlapSql,
+
+    "q172_token_gini" ->
+      s"""WITH $toksCte,
+        | s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+        |   CAST(list_aggregate(
+        |     [x * x FOR x IN [len(list_filter(t, x -> x = d))
+        |        FOR d IN list_distinct(t)]],
+        |     'sum') AS BIGINT) AS sumsq,
+        |   CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT doc_id, n AS n_toks, n_uniq,
+        | ((n * n - sumsq) * 1000000) // (n * n) AS gini_ppm
+        |FROM s""".stripMargin,
 
     "q80_tfidf_terms" ->
       s"""WITH $toksCte,

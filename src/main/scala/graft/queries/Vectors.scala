@@ -172,6 +172,36 @@ object Vectors {
     "q135_ann_knn_join" -> ((s, d) =>
       Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)),
 
+    // ---- q171: cluster-quality report (centroid cohesion vs margin) ----
+    // The eval a clustering/labeling pipeline runs before trusting its
+    // labels: per label, mean cosine of members to their OWN centroid
+    // vs to the best FOREIGN centroid, and the margin between them —
+    // silhouette's shape with centroid surrogates. Per-vector cosines
+    // become ppm BIGINTs (DetMath.fixed) BEFORE averaging, so the group
+    // means are order-independent exact integers. Plan: one broadcast
+    // of the label-cardinality centroid table, one windowless per-
+    // vector reduction, one label agg — the corpus streams through
+    // once.
+    "q171_cluster_quality" -> ((s, d) => {
+      val p = Similarity.prepare(emb(s, d), "embedding")
+        .select(col("vec_id"), col("label"), col("q"), col("n2"))
+      val cent = Similarity.labelCentroids(p, "label")
+      val sc = p.crossJoin(broadcast(cent))
+        .withColumn("cos_ppm", graft.functions.DetMath.fixed(
+          Similarity.cosine(Similarity.dotQ("q", "cq"),
+            col("n2"), col("cn2")), 6))
+      sc.groupBy("vec_id", "label")
+        .agg(max(when(col("label") === col("cl"), col("cos_ppm")))
+            .as("own"),
+          max(when(col("label") =!= col("cl"), col("cos_ppm")))
+            .as("other"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(own) AS BIGINT) DIV COUNT(*)").as("own_ppm"),
+          expr("CAST(SUM(other) AS BIGINT) DIV COUNT(*)").as("other_ppm"))
+        .withColumn("margin_ppm", col("own_ppm") - col("other_ppm"))
+    }),
+
     // ---- q166: triangle listing on the semantic k-NN graph ----
     // Build the corpus similarity graph (q135's LSH k-NN join, k=3,
     // undirected unique edges) and list its triangles — the local-
@@ -521,6 +551,32 @@ object Vectors {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
         |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
+
+    // label centroids over ALL vectors (q129's integer-mean spelling),
+    // ppm-fixed cosines, own-vs-best-foreign margins
+    "q171_cluster_quality" ->
+      s"""WITH $prepCte,
+        | cm AS (SELECT label AS cl, i AS pos,
+        |   CAST(SUM(q[i]) // COUNT(*) AS BIGINT) AS m
+        |  FROM n, range(1, 65) t(i) GROUP BY 1, 2),
+        | cc AS (SELECT cl, list(m ORDER BY pos) AS cq FROM cm GROUP BY 1),
+        | cn AS (SELECT cl, cq,
+        |   CAST(list_aggregate([cq[i]*cq[i] FOR i IN range(1,65)], 'sum')
+        |        AS BIGINT) AS cn2 FROM cc),
+        | sc AS (SELECT n.vec_id, n.label, cn.cl,
+        |   CAST(FLOOR(${cosDuck(dotDuck("n.q", "cn.cq"), "n.n2", "cn.cn2")}
+        |     * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+        |  FROM n CROSS JOIN cn),
+        | per AS (SELECT vec_id, label,
+        |   MAX(CASE WHEN label = cl THEN cos_ppm END) AS own,
+        |   MAX(CASE WHEN label <> cl THEN cos_ppm END) AS other
+        |  FROM sc GROUP BY 1, 2),
+        | agg AS (SELECT label, count(*) AS n,
+        |   CAST(SUM(own) AS BIGINT) // COUNT(*) AS own_ppm,
+        |   CAST(SUM(other) AS BIGINT) // COUNT(*) AS other_ppm
+        |  FROM per GROUP BY label)
+        |SELECT label, n, own_ppm, other_ppm,
+        | own_ppm - other_ppm AS margin_ppm FROM agg""".stripMargin,
 
     // q135's CTEs through the rank filter, then normalized undirected
     // edges and the ordered 3-way triangle join.

@@ -26,6 +26,7 @@ object ExplainAudit {
         "q138_chi2_independence" -> "BNLJ broadcasts the 1-row total-count aggregate (by design)",
         "q144_pair_lift" -> "BNLJ broadcasts the 1-row corpus-size aggregate (by design)",
         "q164_bm25" -> "BNLJ broadcasts the 1-row corpus-stats aggregate (by design)",
+        "q170_mixture_weights" -> "BNLJ broadcasts the 1-row weight-total aggregate (by design)",
         "q152_ann_recall" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
