@@ -257,6 +257,37 @@ object Analytics {
     // Shape: one tiny hash agg, two re-aggs of the CELL table (never
     // the corpus), marginals broadcast back onto the cells. Cells with
     // zero observed count carry no row (gate covers observed cells).
+    // ---- q174: corpus datasheet (one-query dataset card) ----
+    // The "datasheet for datasets" summary a curation run publishes:
+    // row counts for every table in the corpus plus the headline text
+    // stats (token volume, language/source fan-out, exact-dup volume)
+    // as one (metric, value) table. Each leg is a single count/sum agg
+    // over one table — ten independent scans that parallelize freely
+    // and union into a constant-size result at any corpus scale.
+    "q174_corpus_datasheet" -> ((s, d) => {
+      def rows(n: String) = t(s, d, n)
+        .agg(lit(s"rows_$n").as("metric"), count(lit(1)).as("value"))
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val docsT = {
+        graft.functions.TextNative.register(s)
+        t(s, d, "documents")
+      }
+      val extras = Seq(
+        docsT.agg(lit("doc_tokens").as("metric"),
+          sum(expr("size(graft_tokens(text))")).as("value")),
+        docsT.agg(lit("doc_langs").as("metric"),
+          countDistinct(col("lang")).as("value")),
+        docsT.agg(lit("doc_sources").as("metric"),
+          countDistinct(col("source")).as("value")),
+        // docs sharing their exact text fingerprint with another doc
+        graft.operators.Dedup.exactGroups(docsT, "doc_id", "text")
+          .filter(col("n_docs") >= 2)
+          .agg(lit("exact_dup_docs").as("metric"),
+            coalesce(sum(col("n_docs")), lit(0L)).as("value")))
+      (names.map(rows) ++ extras).reduce(_ unionAll _)
+    }),
+
     "q138_chi2_independence" -> ((s, d) => {
       val o = Tables.read(s, d, "documents")
         .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
@@ -288,6 +319,24 @@ object Analytics {
     fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
 
   val oracles: Map[String, String] = Map(
+    "q174_corpus_datasheet" -> {
+      import graft.functions.TextExpr.{fingerprintDuck, toksDuck}
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val rowLegs = names.map(n =>
+        s"SELECT 'rows_$n' AS metric, count(*) AS value FROM $n")
+      (rowLegs ++ Seq(
+        s"""SELECT 'doc_tokens', CAST(SUM(len(${toksDuck("text")}))
+           |  AS BIGINT) FROM documents""".stripMargin,
+        "SELECT 'doc_langs', count(DISTINCT lang) FROM documents",
+        "SELECT 'doc_sources', count(DISTINCT source) FROM documents",
+        s"""SELECT 'exact_dup_docs', COALESCE(CAST(SUM(n_docs) AS BIGINT), 0)
+           |FROM (SELECT count(*) AS n_docs FROM (SELECT
+           |    ${fingerprintDuck(toksDuck("text"))} AS fp FROM documents)
+           |  GROUP BY fp HAVING count(*) >= 2)""".stripMargin))
+        .mkString("\nUNION ALL ")
+    },
+
     "q138_chi2_independence" ->
       """WITH o AS (SELECT lang, source, count(*) AS obs FROM documents
         |   GROUP BY 1, 2),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.functions.DetMath.{fixed, fixedSql}
 import graft.operators.Merge
 
 /** Ingest-surface inventory: CDC merge onto a snapshot and
@@ -182,6 +183,55 @@ object Ingest {
     // text format (quoting, header, type re-parse). Strings and
     // integers only: CSV float formatting is not a contract worth
     // relying on at any scale.
+    // ---- q177: dynamic partition overwrite (partition backfill) ----
+    // The daily backfill move: a partitioned events table gets ONE
+    // partition recomputed (click values re-priced x2) and rewritten
+    // with partitionOverwriteMode=dynamic — only partitions present in
+    // the incoming frame are replaced, the other four stay untouched
+    // (static mode would truncate the whole table). Gated on the
+    // post-overwrite per-partition aggregate: click rows carry doubled
+    // cents, every other partition is byte-identical to the first
+    // write.
+    "q177_partition_overwrite" -> ((s, d) => {
+      val dir = stagingDir(s, "q177_dpo")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(fixed(col("value"), 2)).as("cents"))
+    }),
+
+    // ---- q176: schema-evolution read (mergeSchema) ----
+    // The lakehouse reality: a column added mid-corpus. Half the orders
+    // land as a 3-column v1 file, half as a 4-column v2 file with
+    // o_orderpriority; one mergeSchema read unifies them — v1 rows
+    // surface the new column as NULL, types and values byte-exact. The
+    // oracle replays the NULL pattern from the split predicate. (Footer
+    // merge costs one extra listing pass at read time; production pins
+    // the merged schema in a catalog instead — this gates the engine
+    // capability the catalog path is built on.)
+    "q176_schema_merge" -> ((s, d) => {
+      val dir = stagingDir(s, "q176_merge")
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/v1", s"$dir/v2")
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     "q113_csv_roundtrip" -> ((s, d) => {
       val dir = stagingDir(s, "q113_csv")
       t(s, d, "orders")
@@ -286,6 +336,19 @@ object Ingest {
         |UNION ALL SELECT 'status_in_domain',
         |  (SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
         |     THEN 1 ELSE 0 END) AS BIGINT) FROM orders)""".stripMargin,
+
+    "q177_partition_overwrite" ->
+      s"""SELECT event_type, count(*) AS n,
+        | CAST(SUM(${fixedSql(
+            "CASE WHEN event_type = 'click' THEN value * 2 ELSE value END",
+            2)}) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q176_schema_merge" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |   AS o_orderpriority
+        |FROM orders""".stripMargin,
 
     "q113_csv_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -31,6 +31,31 @@ object Temporal {
 
     // Tumbling-hour aggregation over the ns-timestamp events stream table
     // (batch twin of streaming.EventStreams.hourlyCounts)
+    // ---- q175: recency-decayed engagement score ----
+    // Per-user activity score with a one-week half-life: weight =
+    // 1e6 DIV 2^age_weeks — exponential decay spelled as an integer
+    // SHIFT (ppm weights), because pow(0.5, fractional) rounds
+    // differently per libm while 2^k division is exact everywhere.
+    // decayed = Σ value_cents · w_ppm accumulates in pure BIGINTs, so
+    // the aggregate is partition-order-independent. The corpus max ts
+    // (decay anchor) is a 1-row broadcast; everything else is one
+    // narrow pass + one user-keyed agg — recency weighting at corpus
+    // scale without a single float sum.
+    "q175_decay_score" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mx = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age_w", expr(
+          "datediff(CAST(mx AS DATE), CAST(ts AS DATE)) DIV 7"))
+        .withColumn("w_ppm", expr(
+          "CAST(1000000 AS BIGINT) DIV (CAST(1 AS BIGINT) << LEAST(age_w, 62))"))
+        .withColumn("cents", fixed(col("value"), 2))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("cents").as("cents"),
+          sum(expr("cents * w_ppm")).as("decayed_cents_ppm"))
+    }),
+
     "q29_events_hourly" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
@@ -215,6 +240,20 @@ object Temporal {
         |SELECT a.o_orderkey, ${rndSql("a.o_totalprice + 2 * b.p2", 2)} AS combo
         |FROM a JOIN b USING (pos)""".stripMargin,
     "q29_events_hourly" -> hourlyOracle,
+    "q175_decay_score" ->
+      s"""WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+        | e AS (SELECT user_id,
+        |   ${fixedSql("value", 2)} AS cents,
+        |   date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+        |     CAST(mx AS DATE)) // 7 AS age_w
+        |  FROM events CROSS JOIN mx),
+        | w AS (SELECT user_id, cents,
+        |   CAST(1000000 AS BIGINT) // (CAST(1 AS BIGINT)
+        |     << LEAST(age_w, 62)) AS w_ppm FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(cents) AS BIGINT) AS cents,
+        | CAST(SUM(cents * w_ppm) AS BIGINT) AS decayed_cents_ppm
+        |FROM w GROUP BY user_id""".stripMargin,
     "q160_cohort_retention" ->
       """WITH base AS (SELECT user_id, event_type,
         |   CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -27,6 +27,8 @@ object ExplainAudit {
         "q144_pair_lift" -> "BNLJ broadcasts the 1-row corpus-size aggregate (by design)",
         "q164_bm25" -> "BNLJ broadcasts the 1-row corpus-stats aggregate (by design)",
         "q170_mixture_weights" -> "BNLJ broadcasts the 1-row weight-total aggregate (by design)",
+        "q171_cluster_quality" -> "BNLJ broadcasts the per-label centroid table (by design, as q129)",
+        "q173_quantile_norm" -> "BNLJ broadcasts the 1-row global count onto the 101-point grid (by design)",
         "q152_ann_recall" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
