@@ -247,6 +247,24 @@ object Pipelines {
     // (emails first, so their digits don't half-match as numbers).
     // Patterns are chosen to mean the same thing in Java regex (Spark)
     // and RE2 (DuckDB). Pure per-row projection — scan-speed.
+    // ---- q179: k-anonymity audit (equivalence-class histogram) ----
+    // The privacy gate run before releasing a quasi-identified table:
+    // group rows by the quasi-identifier tuple (nation, segment,
+    // account-balance band), then histogram the equivalence-class
+    // sizes — every row in a class smaller than k=5 is re-identifiable
+    // by QI lookup. Two hash aggs (rows -> classes -> size histogram),
+    // each strictly smaller than the last; the flag column makes the
+    // risky mass a one-filter read. Exact integers end to end.
+    "q179_k_anonymity" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .groupBy("class_size")
+        .agg(count(lit(1)).as("n_classes"),
+          sum("class_size").as("n_customers"))
+        .withColumn("is_risky", col("class_size") < 5)),
+
     "q102_pii_scrub" -> ((s, d) => {
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val nums = "[0-9]{4,}"
@@ -465,7 +483,15 @@ object Pipelines {
     // advances the final watermark past every join window; see
     // EventStreams.signupConversions). NOTE: RUNS the stream.
     "q169_stream_left_join" -> ((s, d) =>
-      graft.streaming.EventStreams.conversionsBatchEquivalent(s, d))
+      graft.streaming.EventStreams.conversionsBatchEquivalent(s, d)),
+
+    // ---- q180: stream-static enrichment join, run to completion ----
+    // The dimension-lookup pattern every streaming pipeline starts
+    // with: events stream joined to the static customer dim (stateless
+    // map-side lookup, dim re-planned per micro-batch), rolled up per
+    // (segment, type). NOTE: RUNS the stream.
+    "q180_stream_enrich" -> ((s, d) =>
+      graft.streaming.EventStreams.enrichBatchEquivalent(s, d))
   )
 
   // ---- oracle SQL (DuckDB dialect, same algorithms) ----
@@ -703,6 +729,22 @@ object Pipelines {
         |FROM p JOIN s
         | ON p.user_id = s.user_id AND p.ts >= s.ts
         |  AND p.ts < s.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "q180_stream_enrich" ->
+      s"""SELECT c.c_mktsegment, e.event_type, count(*) AS cnt,
+        | ${DetMath.sumFixedSql("e.value", 2)} AS sum_val
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q179_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |   count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT class_size, count(*) AS n_classes,
+        | CAST(SUM(class_size) AS BIGINT) AS n_customers,
+        | class_size < 5 AS is_risky
+        |FROM cls GROUP BY class_size""".stripMargin,
 
     "q169_stream_left_join" ->
       """WITH base AS (SELECT event_id, event_type, user_id, value,

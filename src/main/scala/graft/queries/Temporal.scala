@@ -31,6 +31,27 @@ object Temporal {
 
     // Tumbling-hour aggregation over the ns-timestamp events stream table
     // (batch twin of streaming.EventStreams.hourlyCounts)
+    // ---- q178: last-touch attribution ----
+    // The marketing-analytics read of the event log: each purchase is
+    // attributed to the SAME user's most recent click at or before it,
+    // but only within a 24-hour window (older clicks don't get credit
+    // — the match nulls out, exactly pandas merge_asof tolerance).
+    // Reuses the one-shuffle union-carry as-of machinery (q31/q90);
+    // clicks collapse to one row per (user, ts) first so the match is
+    // deterministic. Shuffles once, on user_id.
+    "q178_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), fixed(col("value"), 2).as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      AsOfJoin.leftAsOf(purchases, "user_id", "ts",
+          clicks, "user_id", "ts", Seq("click_id"),
+          toleranceMicros = Some(24L * 3600 * 1000000))
+        .select("purchase_id", "user_id", "cents", "click_id")
+    }),
+
     // ---- q175: recency-decayed engagement score ----
     // Per-user activity score with a one-week half-life: weight =
     // 1e6 DIV 2^age_weeks — exponential decay spelled as an integer
@@ -338,6 +359,20 @@ object Temporal {
         |  FROM d GROUP BY 1 HAVING CAST(SUM(dt) AS BIGINT) > 0)
         |SELECT user_id, n_intervals, span_us,
         | num / span_us / 100.0 AS tw_avg FROM a""".stripMargin,
+
+    "q178_attribution" ->
+      s"""WITH base AS (SELECT event_id, event_type, user_id, value,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | p AS (SELECT event_id AS purchase_id, user_id, ts,
+        |   ${fixedSql("value", 2)} AS cents
+        |  FROM base WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM base WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id, p.cents,
+        | CASE WHEN p.ts <= c.ts + INTERVAL 24 HOUR
+        |   THEN c.click_id END AS click_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "q90_asof_forward" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey

@@ -127,6 +127,27 @@ object EventStreams {
     runToCompletion(spark, sfDir, "graft_q105_join",
       purchasesAfterSignup(_), OutputMode.Append)
 
+  /** q180: stream-static ENRICHMENT join — the canonical streaming
+    * dimension lookup: each streamed event joins the static customer
+    * dim on user_id (stateless, no watermark needed — the static side
+    * is re-planned per micro-batch, which is exactly how a slowly-
+    * changing dim stays fresh), then rolls up per (segment, type).
+    * Complete-mode aggregation makes the finite run's final table the
+    * batch answer, which the oracle replays as a plain join+group. */
+  def enrichedSegmentRollup(spark: SparkSession, sfDir: String)
+      (events: DataFrame): DataFrame = {
+    val dim = graft.sources.Tables.read(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    events.join(dim, "user_id")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"), sumFixed(col("value"), 2).as("sum_val"))
+  }
+
+  /** Oracle-gated face of [[enrichedSegmentRollup]] (q180). */
+  def enrichBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sfDir, "graft_q180_enrich",
+      enrichedSegmentRollup(spark, sfDir))
+
   /** q169: signup→purchase conversion via LEFT OUTER stream-stream
     * join — every signup emits exactly once, joined to each purchase by
     * the same user within the next hour, or with NULL purchase columns
