@@ -57,7 +57,10 @@ object Graph {
     val small = nodes.count() < 5000000L
     def side(df: DataFrame) = if (small) broadcast(df) else df
     val teleport = scale * (100 - dampPct) / 100
-    var ranks = Dedup.cut(nodes.withColumn("rank", lit(scale)))
+    // no cut for the initial ranks: they are the (already-cut) node
+    // table plus a literal column, so "recomputing" them is free and
+    // a checkpoint here would only add a materialization job
+    var ranks = nodes.withColumn("rank", lit(scale))
     var prev = ranks
     for (_ <- 1 to iters) {
       val contrib = eDeg
