@@ -257,6 +257,76 @@ object Analytics {
     // Shape: one tiny hash agg, two re-aggs of the CELL table (never
     // the corpus), marginals broadcast back onto the cells. Cells with
     // zero observed count carry no row (gate covers observed cells).
+    // ---- q181: Pareto frontier (skyline) over supplier aggregates ----
+    // "Best suppliers by revenue AND breadth, no weighting": the
+    // non-dominated set over (total cents, distinct parts supplied).
+    // The skyline runs on the AGGREGATED supplier-cardinality table —
+    // the corpus-size work is one hash agg; the dominance anti-join is
+    // quadratic only in suppliers (always ≪ rows, and partitionable by
+    // grid cells if a catalog ever outgrows one executor). Dominance
+    // is the standard strict-in-at-least-one spelling, identical in
+    // both engines, all-integer.
+    "q181_pareto_frontier" -> ((s, d) => {
+      val agg = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(fixed(col("l_extendedprice"), 2)).as("cents"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+      val dom = agg.select(col("cents").as("dc"), col("n_parts").as("dp"))
+      agg.join(dom,
+          col("dc") >= col("cents") && col("dp") >= col("n_parts") &&
+            (col("dc") > col("cents") || col("dp") > col("n_parts")),
+          "left_anti")
+        .select("l_suppkey", "cents", "n_parts")
+    }),
+
+    // ---- q182: column profile (missingness + cardinality) ----
+    // The per-column data-profiling pass a pipeline runs on an
+    // unfamiliar table: null count and distinct cardinality for EVERY
+    // column in ONE scan — Spark plans the multi-column
+    // count(DISTINCT) through a single Expand (one pass, ×ncols
+    // fan-out), then stack() unpivots the 1-row aggregate into the
+    // (column, metric) report. At 100 TB swap the exact distincts for
+    // approx_count_distinct (q54's sketch family) — the plan shape is
+    // unchanged.
+    "q182_column_profile" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val cols = o.columns.toSeq
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+      val row = o.agg(aggs.head, aggs.drop(1): _*)
+      val stack = cols.map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+      row.select(expr(
+        s"stack(${cols.size}, $stack) AS (col_name, n_null, n_distinct)"))
+    }),
+
+    // ---- q183: per-group trend regression from exact moments ----
+    // "Is this event type's daily volume growing?": least-squares
+    // slope/intercept of daily cents against the day index, per type.
+    // All five moments (n, Σx, Σy, Σxy, Σx²) accumulate as exact
+    // BIGINTs — the same discipline as q79's correlation — and the
+    // closed-form coefficients are each ONE IEEE division of two
+    // BIGINTs, so both engines produce bit-identical doubles. Two hash
+    // aggs (day grain, then type grain); nothing here is corpus-order
+    // or partitioning dependent.
+    "q183_trend_regression" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").as("x"))
+        .agg(sum(fixed(col("value"), 2)).as("y"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sx2"))
+        .select(col("event_type"), col("n_days"),
+          expr("CAST(n_days * sxy - sx * sy AS DOUBLE) / " +
+            "CAST(n_days * sx2 - sx * sx AS DOUBLE)")
+            .as("slope_cents_per_day"),
+          expr("CAST(sy * sx2 - sx * sxy AS DOUBLE) / " +
+            "CAST(n_days * sx2 - sx * sx AS DOUBLE)")
+            .as("intercept_cents"))
+    }),
+
     // ---- q174: corpus datasheet (one-query dataset card) ----
     // The "datasheet for datasets" summary a curation run publishes:
     // row counts for every table in the corpus plus the headline text
@@ -319,6 +389,43 @@ object Analytics {
     fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
 
   val oracles: Map[String, String] = Map(
+    "q181_pareto_frontier" ->
+      s"""WITH agg AS (SELECT l_suppkey,
+        |   CAST(SUM(${fixedSql("l_extendedprice", 2)}) AS BIGINT) AS cents,
+        |   count(DISTINCT l_partkey) AS n_parts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s.l_suppkey, s.cents, s.n_parts FROM agg s
+        |WHERE NOT EXISTS (SELECT 1 FROM agg t
+        |  WHERE t.cents >= s.cents AND t.n_parts >= s.n_parts
+        |    AND (t.cents > s.cents OR t.n_parts > s.n_parts))""".stripMargin,
+
+    "q183_trend_regression" ->
+      s"""WITH daily AS (SELECT event_type,
+        |   date_diff('day', DATE '2024-01-01',
+        |     CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS x,
+        |   CAST(SUM(${fixedSql("value", 2)}) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        | m AS (SELECT event_type, COUNT(*) AS n_days,
+        |   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |   CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |   CAST(SUM(x * x) AS BIGINT) AS sx2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        | CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n_days * sx2 - sx * sx AS DOUBLE) AS slope_cents_per_day,
+        | CAST(sy * sx2 - sx * sxy AS DOUBLE)
+        |   / CAST(n_days * sx2 - sx * sx AS DOUBLE) AS intercept_cents
+        |FROM m""".stripMargin,
+
+    "q182_column_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_null,
+           | COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("\nUNION ALL ")
+    },
+
     "q174_corpus_datasheet" -> {
       import graft.functions.TextExpr.{fingerprintDuck, toksDuck}
       val names = Seq("region", "nation", "customer", "supplier", "part",

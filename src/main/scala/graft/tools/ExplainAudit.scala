@@ -28,6 +28,7 @@ object ExplainAudit {
         "q164_bm25" -> "BNLJ broadcasts the 1-row corpus-stats aggregate (by design)",
         "q170_mixture_weights" -> "BNLJ broadcasts the 1-row weight-total aggregate (by design)",
         "q171_cluster_quality" -> "BNLJ broadcasts the per-label centroid table (by design, as q129)",
+        "q181_pareto_frontier" -> "BNLJ dominance anti-join on the supplier-cardinality aggregate (by design)",
         "q173_quantile_norm" -> "BNLJ broadcasts the 1-row global count onto the 101-point grid (by design)",
         "q152_ann_recall" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
