@@ -304,6 +304,101 @@ object Multimodal {
     }
   }
 
+  /** Synthesized VIDEO-like fixture: one real animated GIF per id —
+    * a true multi-frame container the JDK can both write and read.
+    * 2 + id%4 frames of 8×8 grayscale, frame f's pixel(x,y) =
+    * (id·31 + f·11 + x·7 + y) % 256; GIF's 256-entry gray palette
+    * stores 8-bit samples losslessly, so a correct container parse +
+    * per-frame decode recovers them exactly (the moving-picture twin
+    * of [[synthesizePngs]]/[[synthesizeWavs]]). */
+  def synthesizeGifs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      import javax.imageio.{IIOImage, ImageIO}
+      val baos = new java.io.ByteArrayOutputStream()
+      ids.map { id =>
+        val nFrames = 2 + (id % 4).toInt
+        baos.reset()
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              raster.setSample(x, y, 0,
+                ((id * 31 + f * 11 + x * 7 + y) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        (id, baos.toByteArray, "image/gif")
+      }
+    }.toDF("doc_id", "content", "fmt")
+  }
+
+  /** One row per decoded frame of a multi-frame container. */
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, px_sum: Long)
+
+  /** REAL multi-frame decode: parse the GIF container with the JDK's
+    * ImageIO reader, decode EVERY frame, checksum its pixels (palette
+    * index resolved through getRGB so the recovered gray value — not
+    * the index — is summed). This retires [[frameSampleStub]]'s
+    * byte-slice stand-in for the one container format the JDK really
+    * decodes: the fan-out shape (one media row in, n frame rows out),
+    * per-partition reader reuse, and dead-letter drop for undecodable
+    * payloads are exactly what a JNI video codec drops into. */
+  def gifFrames(media: DataFrame): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      import javax.imageio.ImageIO
+      rows.flatMap { r =>
+        try {
+          val iis = ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n).iterator.map { f =>
+                val img = reader.read(f)
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+                  y += 1
+                }
+                FrameFeatures(r.doc_id, f, w, h, sum)
+              }.toVector
+            } finally { reader.dispose(); iis.close() }
+          }
+        } catch {
+          case _: java.io.IOException | _: RuntimeException => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Real plumbing path: partition-wise decode via the codec seam. */
   def decodePartitions(media: DataFrame, decoder: MediaDecoder)
       : Dataset[MediaFeatures] = {
@@ -428,11 +523,12 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling — STUB: a real video decoder would pick n key
-    * frames; here frame i is the i-th of n contiguous byte slices
-    * (boundaries floor(i·L/n)), which exercises the flatMap fan-out
-    * shape (one row in, n frame rows out) with exact arithmetic an
-    * oracle can replay. */
+  /** Frame sampling — STUB for codec-less byte payloads: frame i is
+    * the i-th of n contiguous byte slices (boundaries floor(i·L/n)),
+    * exercising the flatMap fan-out shape with oracle-replayable
+    * arithmetic. The REAL multi-frame path is [[gifFrames]] (container
+    * parse + per-frame decode); this remains the seam for formats the
+    * JDK cannot decode. */
   case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   def frameSampleStub(media: DataFrame, n: Int): Dataset[MediaFrame] = {

@@ -102,6 +102,19 @@ object Vectors {
         Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
         .toDF),
 
+    // ---- q184: REAL multi-frame container decode (animated GIF) ----
+    // The video-shaped decode the frame-sample stub stood in for:
+    // synthesize one animated GIF per doc (2 + id%4 frames, pixels a
+    // pure function of (id, frame, x, y)), parse the container with
+    // ImageIO, decode EVERY frame, checksum recovered pixels. The
+    // oracle replays the per-frame pixel function, so hash-green
+    // proves true container parsing + per-frame lossless decode —
+    // not byte slicing.
+    "q184_gif_frames" -> ((s, d) =>
+      Multimodal.gifFrames(
+        Multimodal.synthesizeGifs(Tables.read(s, d, "documents"), "doc_id"))
+        .toDF),
+
     // ---- q165: perceptual-hash (aHash) image dup clusters ----
     // The image-modality dedup move: 8x8 average-hash over REAL decoded
     // pixels (same floor-index resample as q84, mean threshold in exact
@@ -747,6 +760,18 @@ object Vectors {
         |     FOR i IN range(0, wi * hi)]) AS v FROM d)
         |SELECT doc_id, CAST(v // 16 AS INT) AS bin, count(*) AS n
         |FROM px GROUP BY 1, 2""".stripMargin,
+
+    // per-frame replay of the synthesized GIF pixel function
+    "q184_gif_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(2 + doc_id % 4 AS INT) AS nf FROM documents),
+        | f AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM d)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        | CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        | CAST(list_aggregate(
+        |   [(doc_id*31 + fi*11 + (i % 8)*7 + (i // 8)) % 256
+        |    FOR i IN range(0, 64)], 'sum') AS BIGINT) AS px_sum
+        |FROM f""".stripMargin,
 
     // Replays the aHash pipeline: synthesized pixel function through
     // the 8x8 floor-index resample, exact-integer mean threshold,

@@ -372,6 +372,25 @@ class OperatorSpec extends SparkTestBase {
     assert(tri.toSet == brute.toSet && tri.length == brute.length)
   }
 
+  test("gifFrames: real container parse recovers every synthesized frame; junk drops") {
+    val docs = sources.Tables.read(spark, sf, "documents").limit(30)
+    val out = Multimodal.gifFrames(Multimodal.synthesizeGifs(docs, "doc_id"))
+      .collect().groupBy(_.doc_id)
+    assert(out.size == 30)
+    out.foreach { case (id, frames) =>
+      assert(frames.length == 2 + (id % 4).toInt, s"doc $id frame count")
+      frames.sortBy(_.frame_idx).zipWithIndex.foreach { case (fr, i) =>
+        assert(fr.frame_idx == i && fr.width == 8 && fr.height == 8)
+        val want = (for (y <- 0 until 8; x <- 0 until 8)
+          yield (id * 31 + i * 11 + x * 7 + y) % 256).sum
+        assert(fr.px_sum == want, s"doc $id frame $i pixel sum")
+      }
+    }
+    // non-media payloads drop, never crash
+    assert(Multimodal.gifFrames(
+      Multimodal.asMedia(docs, "doc_id", "text")).count() == 0)
+  }
+
   test("multimodal resize and frame-sample stubs: shapes, determinism, twin parity") {
     val docs = sources.Tables.read(spark, sf, "documents").limit(40)
     val media = Multimodal.asMedia(docs, "doc_id", "text")
