@@ -113,6 +113,18 @@ final case class Table(df: DataFrame) {
   /** fetch — collect to the client (`interface.py:203-214`, sync). */
   def get(): Array[Row] = df.collect()
 
+  /** fetch, Arrow wire format: the reference's get() ships Arrow IPC
+    * record batches to its Python client and materializes a pandas
+    * frame (`charmpandas/interface.py:23-33`); this returns the same
+    * payload — one encoded Arrow record batch per byte array, schema
+    * available as `df.schema.json`. Encoding happens ON THE EXECUTORS
+    * (only the compact batches travel to the driver), so a client
+    * bridge pays no row-by-row JVM serialization. Decode with
+    * [[org.apache.spark.sql.GraftShim.fromArrowBatches]] or any Arrow
+    * reader. */
+  def getArrow(): Array[Array[Byte]] =
+    org.apache.spark.sql.GraftShim.toArrowBatches(df)
+
   /** print (op=5) — per-partition pretty print in the reference;
     * driver-side show here. */
   def show(n: Int = 20): Unit = df.show(n, truncate = false)

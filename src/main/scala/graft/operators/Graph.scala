@@ -91,12 +91,18 @@ object Graph {
     * one hop along the edges and keeps the per-node minimum. Exact
     * integers; each round's table is lineage-cut, and (like
     * [[pageRank]]) the node-cardinality distance table broadcasts into
-    * the edge join so the edge side never shuffles — beyond
-    * broadcastable node counts, flip to co-partitioned joins on a
-    * pre-partitioned edge table (the Pregel layout). Returns
-    * (node, d) for every node within `maxHops` of a source. */
+    * the edge join so the edge side never shuffles — gated PER HOP on
+    * the just-materialized table's row count (the frontier grows as the
+    * search expands, so unlike pageRank's static node-count gate this
+    * one re-decides each round: early hops broadcast a tiny frontier,
+    * and once the reachable set exceeds `broadcastLimit` rows the join
+    * flips to a plain shuffle — the Pregel layout — instead of pushing
+    * an ever-larger table through the driver). The count is free: the
+    * checkpoint already materialized the table. Returns (node, d) for
+    * every node within `maxHops` of a source. */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      sourceIds: Seq[Long], maxHops: Int): DataFrame = {
+      sourceIds: Seq[Long], maxHops: Int,
+      broadcastLimit: Long = 5000000L): DataFrame = {
     require(maxHops >= 0)
     val spark = edges.sparkSession
     import spark.implicits._
@@ -106,8 +112,11 @@ object Graph {
       sourceIds.toDF("node").withColumn("d", lit(0)))
     var prev = dist
     for (_ <- 1 to maxHops) {
+      val renamed = dist.withColumnRenamed("node", "src")
+      val side =
+        if (dist.count() < broadcastLimit) broadcast(renamed) else renamed
       val hop = e
-        .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
+        .join(side, "src")
         .select(col("dst").as("node"), (col("d") + 1).as("d"))
       val next = Dedup.cut(dist.unionAll(hop)
         .groupBy("node").agg(min("d").as("d")))

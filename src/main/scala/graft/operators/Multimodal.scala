@@ -182,7 +182,10 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              hist(raster.getSample(x, y, 0) / width) += 1
+              // clamp: a >8-bit sample model (16-bit grayscale PNG)
+              // lands in the top bin instead of throwing past the
+              // array — decode oddities dead-letter, never fail the task
+              hist(math.min(bins - 1, raster.getSample(x, y, 0) / width)) += 1
               x += 1
             }
             y += 1
@@ -500,6 +503,44 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** NEAR-duplicate image pairs within Hamming distance `maxHamming`
+    * over the 64-bit [[aHash]] — the Hamming-ball extension of q165's
+    * exact-match clusters, catching re-encodes/minor edits whose hashes
+    * differ in a few bits. Same chunk-pigeonhole as the 60-bit simhash
+    * pairs ([[Dedup.simhashPairs]]): the 64 bits split into 4 exact
+    * 16-bit chunks, and any pair within Hamming 3 differs in at most 3
+    * chunks, so it SHARES at least one — candidates come from a
+    * (chunk_idx, chunk_value) equi-join (4×65536 buckets; random
+    * collisions ~N²/262144, never all-pairs) and only candidates pay
+    * the exact popcount verification. Exact recall at maxHamming ≤ 3 by
+    * pigeonhole — the DuckDB oracle is the brute-force all-pairs join,
+    * so the gate proves it. The 16 B/doc hash table is cached: decode
+    * runs once, not once per plan reference. */
+  def aHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4 chunks only guarantee recall for Hamming <= 3")
+    val h = hashes.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = h.select(col("doc_id"), posexplode(expr(
+      "array(ahash_lo & 65535, shiftright(ahash_lo, 16) & 65535, " +
+        "ahash_hi & 65535, shiftright(ahash_hi, 16) & 65535)"))
+      .as(Seq("ci", "cv")))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    val a = h.select(col("doc_id").as("ida"), col("ahash_hi").as("hia"),
+      col("ahash_lo").as("loa"))
+    val b = h.select(col("doc_id").as("idb"), col("ahash_hi").as("hib"),
+      col("ahash_lo").as("lob"))
+    cand.join(a, "ida").join(b, "idb")
+      .withColumn("hamming",
+        expr("CAST(bit_count(hia ^ hib) + bit_count(loa ^ lob) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
   }
 
   private def stubResize(digest: java.security.MessageDigest, r: MediaRow,

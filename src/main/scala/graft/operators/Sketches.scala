@@ -103,6 +103,32 @@ object Sketches {
     (pruned, () => { cached.unpersist(); () })
   }
 
+  /** Register rows of the deterministic HLL-style distinct sketch
+    * (functions.DetSketch) over `valueCol`, one row per (group, bucket)
+    * — at most DetSketch.M rows per group no matter the corpus size.
+    * The map-side partial MAX bounds shuffle volume at M rows per
+    * (partition, group); union across frames ≡ MAX of `rv`, which is
+    * what makes a persisted incremental path exact. */
+  def detRegisters(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    import graft.functions.DetSketch._
+    val g = groupCols.map(col)
+    df.select(g :+ expr(hSpark(valueCol)).as("h"): _*)
+      .select(g ++ Seq(expr(bucketSpark("h")).as("rb"),
+        expr(wSpark("h")).as("w40")): _*)
+      .select(g ++ Seq(col("rb"), expr(rankCase("w40")).as("r")): _*)
+      .groupBy(g :+ col("rb"): _*)
+      .agg(max("r").as("rv"))
+  }
+
+  /** Distinct-count estimates from register rows (possibly merged from
+    * several frames via MAX): fixed-point harmonic mean + integer
+    * linear counting — bit-identical to the DuckDB rendering. */
+  def detEstimate(regs: DataFrame, groupCols: Seq[String],
+      outCol: String): DataFrame =
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(expr(graft.functions.DetSketch.estimateSpark).as(outCol))
+
   /** Build a count-min sketch over `tokCol` occurrences: `d` hash rows ×
     * `w` cells, counters as rows (r, cell, cnt) — at most d×w rows. */
   def cmsBuild(tokens: DataFrame, tokCol: String, d: Int, w: Int): DataFrame =

@@ -12,6 +12,11 @@ import graft.functions.DetMath._
   */
 object Analytics {
 
+  /** q182's pinned profiling column list — shared by the Spark side and
+    * the oracle so both always name the identical columns. */
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.read(s, dir, n)
 
@@ -287,10 +292,13 @@ object Analytics {
     // fan-out), then stack() unpivots the 1-row aggregate into the
     // (column, metric) report. At 100 TB swap the exact distincts for
     // approx_count_distinct (q54's sketch family) — the plan shape is
-    // unchanged.
+    // unchanged. Both this side and the oracle profile the SAME pinned
+    // ProfileCols list (not o.columns), so a schema evolution in the
+    // corpus surfaces as a compile-visible diff, not a silent gate
+    // divergence.
     "q182_column_profile" -> ((s, d) => {
       val o = t(s, d, "orders")
-      val cols = o.columns.toSeq
+      val cols = ProfileCols
       val aggs = cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
         countDistinct(col(c)).as(s"dist_$c")))
@@ -418,8 +426,7 @@ object Analytics {
         |FROM m""".stripMargin,
 
     "q182_column_profile" -> {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val cols = ProfileCols
       cols.map(c =>
         s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_null,
            | COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)

@@ -124,6 +124,10 @@ object Curation {
     // one hash agg; collect_set is bounded by per-term df — at 100 TB a
     // production index delta-encodes and shards hot terms' postings,
     // but the build plan (distinct pairs -> agg by term) is this one.
+    // The posting list is gated as a ','-joined string: the driver's
+    // canonicalizer sorts columns with pandas, which can't hash
+    // array-typed cells, so the array stays internal and the projection
+    // is scalar-only.
     "q118_inverted_index" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"),
@@ -131,7 +135,10 @@ object Curation {
         .distinct()
         .groupBy("term")
         .agg(count(lit(1)).as("df"),
-          sort_array(collect_set(col("doc_id"))).as("postings"))),
+          sort_array(collect_set(col("doc_id"))).as("p"))
+        .select(col("term"), col("df"),
+          array_join(expr("transform(p, x -> cast(x as string))"), ",")
+            .as("postings"))),
 
     // ---- q119: latest record per key, windowless ----
     // "Current snapshot from an append log": per customer, the most
@@ -524,7 +531,8 @@ object Curation {
       s"""WITH p AS (SELECT DISTINCT doc_id,
         |   unnest(${toksDuck("text")}) AS term FROM documents)
         |SELECT term, count(*) AS df,
-        | list(doc_id ORDER BY doc_id) AS postings
+        | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |   AS postings
         |FROM p GROUP BY 1""".stripMargin,
 
     "q119_latest_order" ->

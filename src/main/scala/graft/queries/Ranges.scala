@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.RangeJoin
 
-/** Range/interval-join inventory + an approximate-distinct surface.
-  * q54 has no SQL oracle by design (HLL sketches differ per engine) —
-  * the driver records the weaker rows-only check; accuracy is asserted
-  * in OperatorSpec instead.
+/** Range/interval-join inventory + the approximate-distinct surface.
+  * The distinct sketches (q54 one-shot, q94 incremental) are the
+  * deterministic md5-register HLL of functions.DetSketch, so BOTH are
+  * fully oracle-gated; the engine-native `approx_count_distinct` /
+  * `hll_union_agg` production spellings are pinned against exact counts
+  * in OperatorSpec instead (the graft_ngrams-vs-declarative split).
   */
 object Ranges {
 
@@ -59,42 +61,53 @@ object Ranges {
         .select("ida", "idb")
     }),
 
-    // HLL++ approximate distinct (reference's count_distinct is exact
-    // only; this is the at-scale variant). No oracle: sketches are
-    // engine-specific.
-    "q54_approx_distinct" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          count(lit(1)).as("cnt"))),
+    // Approximate distinct (reference's count_distinct is exact only;
+    // this is the at-scale variant): the DETERMINISTIC md5-register HLL
+    // (functions.DetSketch — integer-only harmonic mean + precomputed
+    // linear-counting table), so DuckDB replays the identical registers
+    // and the row is hash-gated. Register state is ≤ 256 rows per
+    // group; the partial MAX combines map-side, so the shuffle carries
+    // ≤ 256 rows per (partition, group) at any corpus size. The
+    // engine-native approx_count_distinct stays the production
+    // spelling (OperatorSpec pins it within tolerance of exact).
+    "q54_approx_distinct" -> ((s, d) => {
+      import graft.operators.Sketches
+      val li = t(s, d, "lineitem")
+      val est = Sketches.detEstimate(
+        Sketches.detRegisters(li, Seq("l_returnflag"), "l_orderkey"),
+        Seq("l_returnflag"), "approx_orders")
+      val cnt = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      est.join(cnt, Seq("l_returnflag"))
+    }),
 
-    // INCREMENTAL distinct counting: per-batch HLL sketches PERSISTED
-    // (the analytics twin of q85's persisted band index), exercised as
-    // it would run in production — a sketch table built from history
-    // (batches 0-2), then ONE new batch APPENDING only its own sketch
-    // rows (scanning just that batch, no recount of history), then
-    // hll_union_agg merging everything at query time. Sketch union is
-    // exact over the sketch lattice, so the merged estimate equals a
-    // one-shot sketch over the union — OperatorSpec asserts that
-    // equality; no DuckDB oracle (sketch binaries are engine-specific,
-    // q54's contract).
+    // INCREMENTAL distinct counting: per-batch register sketches
+    // PERSISTED (the analytics twin of q85's persisted band index),
+    // exercised as it would run in production — a register table built
+    // from history (batches 0-2), then ONE new batch APPENDING only its
+    // own registers (scanning just that batch, no recount of history),
+    // then a MAX-merge at query time. Register union is exact over the
+    // sketch lattice (MAX of MAXes = MAX of the union), so the merged
+    // estimate equals a one-shot sketch over all events — which is
+    // exactly what the DuckDB oracle computes, making the incremental
+    // path hash-gated end to end. The engine-native hll_union_agg
+    // spelling keeps its OperatorSpec parity pin.
     "q94_incr_distinct" -> ((s, d) => {
+      import graft.operators.Sketches
       val ev = t(s, d, "events")
         .withColumn("b", pmod(col("event_id"), lit(4)))
-      def sketchOf(batches: org.apache.spark.sql.DataFrame) = batches
-        .groupBy("b", "event_type")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      def regsOf(batches: org.apache.spark.sql.DataFrame) =
+        Sketches.detRegisters(batches, Seq("b", "event_type"), "user_id")
       graft.sources.Tables.writeTable(
-        sketchOf(ev.filter(col("b") < 3)), "graft_hll_batches")
-      // the incremental step: the new batch's sketches append — only
+        regsOf(ev.filter(col("b") < 3)), "graft_det_registers")
+      // the incremental step: the new batch's registers append — only
       // this batch is scanned, history stays untouched
-      sketchOf(ev.filter(col("b") === 3))
+      regsOf(ev.filter(col("b") === 3))
         .write.mode("append").format("parquet")
-        .saveAsTable("graft_hll_batches")
-      s.table("graft_hll_batches")
-        .groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-          .as("approx_users"))
+        .saveAsTable("graft_det_registers")
+      Sketches.detEstimate(
+        s.table("graft_det_registers")
+          .groupBy("event_type", "rb").agg(max("rv").as("rv")),
+        Seq("event_type"), "approx_users")
     }),
 
     // ---- q140: incremental rollup onto a persisted aggregate ----
@@ -140,7 +153,35 @@ object Ranges {
       | ${graft.functions.DetMath.sumFixedSql("value", 2)} AS sum_val
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** DuckDB rendering of the deterministic register sketch over
+    * `table`, grouped on `g`, counting distinct `v` — the exact mirror
+    * of Sketches.detRegisters + detEstimate. */
+  private def detDistinctDuck(table: String, g: String, v: String,
+      outCol: String): String = {
+    import graft.functions.DetSketch._
+    s"""WITH h AS (SELECT $g, ${hDuck(v)} AS h FROM $table),
+      | bw AS (SELECT $g, ${bucketDuck("h")} AS rb,
+      |   ${wDuck("h")} AS w40 FROM h),
+      | rk AS (SELECT $g, rb, ${rankCase("w40")} AS r FROM bw),
+      | regs AS (SELECT $g, rb, max(r) AS rv FROM rk GROUP BY 1, 2)
+      |SELECT $g, $estimateDuck AS $outCol FROM regs GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // one-shot register sketch, replayed bit-for-bit
+    "q54_approx_distinct" ->
+      s"""WITH est AS (${detDistinctDuck("lineitem", "l_returnflag",
+            "l_orderkey", "approx_orders")}),
+        | cnt AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |   GROUP BY 1)
+        |SELECT e.l_returnflag, e.approx_orders, c.cnt
+        |FROM est e JOIN cnt c USING (l_returnflag)""".stripMargin,
+
+    // the MAX-merged incremental registers must equal the one-shot
+    // sketch over ALL events (union exactness of the register lattice)
+    "q94_incr_distinct" ->
+      detDistinctDuck("events", "event_type", "user_id", "approx_users"),
+
     // the merged persisted rollup must equal a FULL recompute over all
     // events — the materialized-view maintenance invariant
     "q140_incr_rollup" -> fullRollupSql,

@@ -211,23 +211,35 @@ object Shapes {
         .select("g", "l_orderkey", "l_linenumber", "x", "p", "x_norm")
     }),
 
-    // APPROXIMATE multi-quantile: Greenwald-Khanna sketch with bounded
-    // per-group memory (~O(1/accuracy·log n) vs q59's O(group size)) —
-    // the quantile you actually run at 100 TB. No oracle: sketch
-    // internals are engine-specific (DuckDB's approx_quantile is a
-    // different t-digest); the driver records the rows-only check and
-    // OperatorSpec pins accuracy against q59's exact answer.
-    "q83_approx_quantiles" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 10000)")
-            .as("qs"))
-        .select(col("l_returnflag"),
-          element_at(col("qs"), 1).as("q25"),
-          element_at(col("qs"), 2).as("q50"),
-          element_at(col("qs"), 3).as("q75"),
-          element_at(col("qs"), 4).as("q99")))
+    // APPROXIMATE multi-quantile over a DETERMINISTIC md5 hash-sample
+    // (the q89 sampler): both engines thin lineitem with the identical
+    // content-hash predicate (8/16 of rows), then take EXACT
+    // lower-nearest-rank quantiles OF THE SAMPLE — a real approximate-
+    // quantile operator (rank error ~1/sqrt(sample), pinned vs q59's
+    // exact answer in OperatorSpec) that DuckDB replays bit-for-bit,
+    // unlike a GK/t-digest sketch whose internals are engine-private.
+    // Work is bounded by the sample: the per-group rank sort sees only
+    // kept rows, and at 100 TB the keepNibbles knob thins it to
+    // whatever one group's sort budget allows. Spark's
+    // approx_percentile stays the engine-native production spelling
+    // (also pinned in OperatorSpec); q59 stays the exact one.
+    "q83_approx_quantiles" -> ((s, d) => {
+      val samp = t(s, d, "lineitem")
+        .withColumn("rid",
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+      val kept = graft.operators.Sampling.hashSample(samp, "rid", 8)
+        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val ranked = kept
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("x")).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+      def pick(p: Int) =
+        max(when(expr(s"rn = ((n - 1) * $p) DIV 100 + 1"), col("x")))
+      ranked.groupBy("l_returnflag").agg(
+        pick(25).as("q25"), pick(50).as("q50"),
+        pick(75).as("q75"), pick(99).as("q99"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +366,22 @@ object Shapes {
         | ${rndSql("QUANTILE_CONT(l_extendedprice, 0.5)", 2)} AS q50,
         | ${rndSql("QUANTILE_CONT(l_extendedprice, 0.75)", 2)} AS q75,
         | ${rndSql("QUANTILE_CONT(l_extendedprice, 0.99)", 2)} AS q99
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q83_approx_quantiles" -> {
+      val rid = "CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR)"
+      val keep = graft.functions.TextExpr.nibbleDuck(s"md5($rid)", 0)
+      def pick(p: Int) =
+        s"max(CASE WHEN rn = ((n - 1) * $p) // 100 + 1 THEN x END)"
+      s"""WITH samp AS (SELECT l_returnflag, l_extendedprice AS x
+        |   FROM lineitem WHERE $keep < 8),
+        | r AS (SELECT l_returnflag, x,
+        |   row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+        |   count(*) OVER (PARTITION BY l_returnflag) AS n FROM samp)
+        |SELECT l_returnflag, ${pick(25)} AS q25, ${pick(50)} AS q50,
+        | ${pick(75)} AS q75, ${pick(99)} AS q99
+        |FROM r GROUP BY 1""".stripMargin
+    }
   )
 }

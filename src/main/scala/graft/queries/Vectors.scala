@@ -131,6 +131,21 @@ object Vectors {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
         .filter(col("n_docs") >= 2)),
 
+    // ---- q185: Hamming-ball aHash near-dup pairs ----
+    // q165's exact clusters miss re-encodes whose hash flips a few
+    // bits; this finds every pair within Hamming 3 of the 64-bit aHash
+    // via 16-bit chunk-pigeonhole banding (Multimodal.aHashPairs —
+    // never all-pairs; candidates from a 4x65536-bucket equi-join,
+    // popcount verify on candidates only). The oracle IS the
+    // brute-force all-pairs join over the replayed hashes, so
+    // hash-green proves the banding's exact-recall claim, not just
+    // plausibility.
+    "q185_ahash_near_dup" -> ((s, d) =>
+      Multimodal.aHashPairs(
+        Multimodal.aHash(
+          Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
+          .toDF)),
+
     // REAL image resize: synthesize PNGs (as q61), decode, and resample
     // 16x16 by nearest-neighbor with floor index arithmetic; checksum
     // the OUTPUT pixels. The oracle replays srcX = X*w_in DIV 16 /
@@ -474,6 +489,26 @@ object Vectors {
       |  FROM scored)
       |SELECT qid, vec_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Shared CTE chain replaying synthesize→resample→threshold→pack to
+    * the per-doc 64-bit aHash halves (q165 clusters, q185 pairs). */
+  private val ahashCte: String =
+    """d AS (SELECT doc_id,
+      |   CAST(8 + doc_id % 24 AS INT) AS wi,
+      |   CAST(8 + (doc_id // 7) % 24 AS INT) AS hi FROM documents),
+      | px AS (SELECT doc_id,
+      |   [(doc_id*31 + (((i % 8) * wi) // 8)*7 + (((i // 8) * hi) // 8)) % 256
+      |    FOR i IN range(0, 64)] AS p FROM d),
+      | s AS (SELECT doc_id, p,
+      |   CAST(list_aggregate(p, 'sum') AS BIGINT) AS total FROM px),
+      | ah AS (SELECT doc_id,
+      |   CAST(list_aggregate([CASE WHEN p[i+1]*64 >= total
+      |       THEN CAST(1 AS BIGINT) << (i - 32) ELSE CAST(0 AS BIGINT) END
+      |     FOR i IN range(32, 64)], 'sum') AS BIGINT) AS ahash_hi,
+      |   CAST(list_aggregate([CASE WHEN p[i+1]*64 >= total
+      |       THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END
+      |     FOR i IN range(0, 32)], 'sum') AS BIGINT) AS ahash_lo
+      |  FROM s)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q42_embed_stats" ->
       s"""WITH $prepCte
@@ -777,25 +812,23 @@ object Vectors {
     // the 8x8 floor-index resample, exact-integer mean threshold,
     // row-major bit pack into two unsigned 32-bit halves.
     "q165_image_ahash" ->
-      """WITH d AS (SELECT doc_id,
-        |   CAST(8 + doc_id % 24 AS INT) AS wi,
-        |   CAST(8 + (doc_id // 7) % 24 AS INT) AS hi FROM documents),
-        | px AS (SELECT doc_id,
-        |   [(doc_id*31 + (((i % 8) * wi) // 8)*7 + (((i // 8) * hi) // 8)) % 256
-        |    FOR i IN range(0, 64)] AS p FROM d),
-        | s AS (SELECT doc_id, p,
-        |   CAST(list_aggregate(p, 'sum') AS BIGINT) AS total FROM px),
-        | ah AS (SELECT doc_id,
-        |   CAST(list_aggregate([CASE WHEN p[i+1]*64 >= total
-        |       THEN CAST(1 AS BIGINT) << (i - 32) ELSE CAST(0 AS BIGINT) END
-        |     FOR i IN range(32, 64)], 'sum') AS BIGINT) AS ahash_hi,
-        |   CAST(list_aggregate([CASE WHEN p[i+1]*64 >= total
-        |       THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END
-        |     FOR i IN range(0, 32)], 'sum') AS BIGINT) AS ahash_lo
-        |  FROM s)
+      s"""WITH $ahashCte
         |SELECT ahash_hi, ahash_lo, count(*) AS n_docs,
         | MIN(doc_id) AS rep_doc
         |FROM ah GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // BRUTE-FORCE all-pairs Hamming join over the replayed hashes: the
+    // chunk-banded Spark side must find EXACTLY these pairs (pigeonhole
+    // recall proof — the oracle has no banding to agree with by
+    // accident).
+    "q185_ahash_near_dup" ->
+      s"""WITH $ahashCte
+        |SELECT x.doc_id AS ida, y.doc_id AS idb,
+        | CAST(bit_count(xor(x.ahash_hi, y.ahash_hi))
+        |   + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS INT) AS hamming
+        |FROM ah x JOIN ah y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.ahash_hi, y.ahash_hi))
+        |   + bit_count(xor(x.ahash_lo, y.ahash_lo)) <= 3""".stripMargin,
 
     // Replays q84's nearest-neighbor rescale: output pixel (X,Y) reads
     // synthesized input pixel (X*w_in//16, Y*h_in//16), whose value is

@@ -40,14 +40,34 @@ object Tables {
     } else df
   }
 
-  /** Reference-parity reader: accepts a glob/regex-ish path. The reference
-    * regex-matches files (`src/partition.cpp:51-63`); Spark takes globs
-    * natively, so a trailing `.*`-style regex is translated to a glob.
+  /** Reference-parity reader: the path's last component is a REGEX
+    * fully matched against the parent directory's entry names — the
+    * reference lists the directory and `std::regex_match`es each file
+    * (`src/partition.cpp:51-63`), so `data_[0-9]+\.parquet` selects
+    * exactly the numbered files and nothing else. A path that exists
+    * literally is read directly (also the reference's fast path: a
+    * non-pattern path matches only itself). The listing goes through
+    * the Hadoop FileSystem API, so the same semantics hold on
+    * HDFS/object stores, and the matched files are passed to ONE
+    * multi-path parquet scan — split planning, pushdown and row-group
+    * pruning all still apply across the whole set.
     */
   def readParquet(spark: SparkSession, path: String): DataFrame = {
-    val globbed =
-      if (path.contains(".*")) path.replace(".*", "*") else path
-    spark.read.parquet(globbed)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath)) spark.read.parquet(path)
+    else {
+      val parent = hPath.getParent
+      require(parent != null && fs.exists(parent),
+        s"readParquet: neither '$path' nor its parent directory exist")
+      val re = java.util.regex.Pattern.compile(hPath.getName)
+      val matched = fs.listStatus(parent).map(_.getPath)
+        .filter(p => re.matcher(p.getName).matches())
+        .map(_.toString).sorted
+      require(matched.nonEmpty,
+        s"readParquet: no entry of $parent matches regex '${hPath.getName}'")
+      spark.read.parquet(matched: _*)
+    }
   }
 
   /** Canonical sink. `mode=overwrite` matches the reference's

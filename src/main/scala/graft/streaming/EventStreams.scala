@@ -203,12 +203,18 @@ object EventStreams {
     * Complete mode for aggregations (every group re-emitted at the end);
     * Append for stream-stream joins (matches emit exactly once).
     *
-    * `sentinel = true` additionally stages ONE far-future event (type
-    * "sentinel" — no real transform selects it) and, after the data
-    * batch, waits for the no-data micro-batch to report a watermark past
-    * [[SentinelWmFloor]] — the signal that outer-join state was evicted
-    * and unmatched rows reached the sink (left-outer rows emit on
-    * eviction, not on arrival). */
+    * `sentinel = true` additionally stages TWO far-future events — one
+    * typed "signup" (user -1), one typed "purchase" (user -2), because
+    * per-side watermarks only advance from rows that survive that
+    * side's type filter and the global watermark is their MIN. The
+    * negative user ids keep them out of every real result: the
+    * sentinel purchase matches no signup (unmatched right rows drop in
+    * a left join) and the sentinel signup's own row is stripped by the
+    * negative-id guard in the transforms that would otherwise emit it.
+    * After the data batch, the waiter polls for the no-data micro-batch
+    * to report a watermark past [[SentinelWmFloor]] — the signal that
+    * outer-join state was evicted and unmatched rows reached the sink
+    * (left-outer rows emit on eviction, not on arrival). */
   private def runToCompletion(spark: SparkSession, sfDir: String,
       name: String, transform: DataFrame => DataFrame,
       mode: OutputMode = OutputMode.Complete,

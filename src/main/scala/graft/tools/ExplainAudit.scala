@@ -30,7 +30,8 @@ object ExplainAudit {
         "q171_cluster_quality" -> "BNLJ broadcasts the per-label centroid table (by design, as q129)",
         "q181_pareto_frontier" -> "BNLJ dominance anti-join on the supplier-cardinality aggregate (by design)",
         "q173_quantile_norm" -> "BNLJ broadcasts the 1-row global count onto the 101-point grid (by design)",
-        "q152_ann_recall" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)")
+        "q152_ann_recall" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)",
+        "q175_decay_score" -> "BNLJ broadcasts the 1-row max(ts) aggregate (by design, as q80/q164)")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
           val plan = fn(spark, d).queryExecution.executedPlan.toString

@@ -13,4 +13,18 @@ object GraftShim {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Arrow record-batch payloads of `df`, one byte[] per produced batch
+    * — the IPC wire format the reference's fetch ships to its Python
+    * client. Computation stays distributed; only the encoded batches
+    * are collected (exactly what collectAsArrowToPython does). */
+  def toArrowBatches(df: DataFrame): Array[Array[Byte]] =
+    df.asInstanceOf[classic.Dataset[_]].toArrowBatchRdd.collect()
+
+  /** Decode Arrow record batches (as produced by [[toArrowBatches]])
+    * back into a DataFrame, given the schema's JSON rendering. */
+  def fromArrowBatches(spark: SparkSession, batches: Iterator[Array[Byte]],
+      schemaJson: String): DataFrame =
+    execution.arrow.ArrowConverters.toDataFrame(
+      batches, schemaJson, spark.asInstanceOf[classic.SparkSession])
 }

@@ -1,8 +1,9 @@
 package graft
 
 /** The driver's smoke contract: entry() on sf0.001 returns rows, and
-  * every declared query has either an oracle or a documented reason
-  * (rows-only HLL). */
+  * EVERY declared query has a DuckDB oracle — the approximate surfaces
+  * (q54/q83/q94) are gated through their deterministic md5 spellings,
+  * so the oracle-less allow-set is empty. */
 class EntrySpec extends SparkTestBase {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -12,9 +13,7 @@ class EntrySpec extends SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("q54_approx_distinct", "q83_approx_quantiles",
-      "q94_incr_distinct"),
-      s"unexpected oracle-less queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected oracle-less queries: $rowsOnly")
   }
   test("every query runs on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>

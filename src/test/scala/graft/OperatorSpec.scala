@@ -222,6 +222,15 @@ class OperatorSpec extends SparkTestBase {
     val approx = li.agg(approx_count_distinct($"l_orderkey", 0.02)).head().getLong(0)
     val exact = li.select("l_orderkey").distinct().count()
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
+
+    // and the oracle-replayable deterministic register sketch (q54's
+    // gated spelling) tracks exact within its ~1.04/sqrt(256) = 6.5%
+    // standard error (3 sigma ~ 20%)
+    val det = Sketches.detEstimate(
+      Sketches.detRegisters(li.withColumn("g", lit(1)), Seq("g"),
+        "l_orderkey"), Seq("g"), "est").head().getLong(1)
+    assert(math.abs(det - exact).toDouble / exact < 0.2,
+      s"det sketch $det vs exact $exact")
   }
 
   test("bucketed interval-overlap join equals the naive theta join, once per pair") {
@@ -241,36 +250,68 @@ class OperatorSpec extends SparkTestBase {
     assert(naive.exceptAll(bucketed).count() == 0)
   }
 
-  test("merged per-batch HLL sketches equal the one-shot sketch estimate") {
+  test("merged per-batch sketches equal the one-shot estimate (det + HLL)") {
     // sketch union is exact over the sketch lattice: union of
     // per-batch sketches IS the sketch of the union, so the persisted
-    // incremental path must reproduce the one-shot estimate exactly
+    // incremental path (q94, deterministic registers) must reproduce
+    // the one-shot estimate exactly
+    val ev = sources.Tables.read(spark, sf, "events")
     val merged = SparkEntry.queries("q94_incr_distinct")(spark, sf)
-    val oneShot = sources.Tables.read(spark, sf, "events")
-      .groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id"))
-        .as("approx_users"))
+    val oneShot = Sketches.detEstimate(
+      Sketches.detRegisters(ev, Seq("event_type"), "user_id"),
+      Seq("event_type"), "approx_users")
     assert(merged.exceptAll(oneShot).count() == 0)
     assert(oneShot.exceptAll(merged).count() == 0)
-    // and the estimate is actually close to the exact distinct count
-    val exact = sources.Tables.read(spark, sf, "events")
-      .groupBy("event_type").agg(countDistinct($"user_id").as("n"))
+    // the estimate is actually close to the exact distinct count
+    val exact = ev.groupBy("event_type").agg(countDistinct($"user_id").as("n"))
     val joined = merged.join(exact, "event_type")
     assert(joined.filter(
+      abs($"approx_users" - $"n") / $"n" > 0.2).count() == 0)
+
+    // the ENGINE-NATIVE production spelling keeps the same lattice
+    // property: per-batch HLL sketches merged with hll_union_agg equal
+    // the one-shot sketch, and land within the configured accuracy
+    val b = ev.withColumn("b", pmod($"event_id", lit(4)))
+    val hllMerged = b.groupBy("b", "event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+    val hllOneShot = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id"))
+        .as("approx_users"))
+    assert(hllMerged.exceptAll(hllOneShot).count() == 0)
+    assert(hllOneShot.exceptAll(hllMerged).count() == 0)
+    assert(hllMerged.join(exact, "event_type").filter(
       abs($"approx_users" - $"n") / $"n" > 0.05).count() == 0)
   }
 
-  test("approx quantiles track the exact percentiles within sketch tolerance") {
-    // q83 (bounded-memory sketch) vs q59 (exact, buffers the group):
-    // every approximate quantile must land within 1% relative error of
-    // the exact answer at this accuracy setting.
+  test("approx quantiles track the exact percentiles within sample tolerance") {
+    // q83 (deterministic half-sample, oracle-replayable) vs q59 (exact,
+    // buffers the group): sampling rank error is ~1/sqrt(sample), which
+    // at sf0.001's ~1000-row half-samples means up to ~5% drift in
+    // sparse value regions (measured max 4.5%) — 8% is the 3-sigma
+    // bound here; at sf0.01 the same check holds at 3%.
     val approx = SparkEntry.queries("q83_approx_quantiles")(spark, sf)
     val exact = SparkEntry.queries("q59_quantiles")(spark, sf)
     val joined = approx.as("a").join(exact.as("e"), "l_returnflag")
     for (q <- Seq("q25", "q50", "q75", "q99")) {
       val bad = joined.filter(
+        abs(col(s"a.$q") - col(s"e.$q")) / col(s"e.$q") > 0.08)
+      assert(bad.count() == 0, s"approx $q drifted >8% from exact")
+    }
+    // the ENGINE-NATIVE production spelling (GK sketch, bounded memory)
+    // stays pinned too — tighter, since it sees every row
+    val gk = sources.Tables.read(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 10000)").as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("q25"), element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 3).as("q75"), element_at(col("qs"), 4).as("q99"))
+    val j2 = gk.as("a").join(exact.as("e"), "l_returnflag")
+    for (q <- Seq("q25", "q50", "q75", "q99")) {
+      val bad = j2.filter(
         abs(col(s"a.$q") - col(s"e.$q")) / col(s"e.$q") > 0.01)
-      assert(bad.count() == 0, s"approx $q drifted >1% from exact")
+      assert(bad.count() == 0, s"GK $q drifted >1% from exact")
     }
   }
 

@@ -299,10 +299,14 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("inverted index: postings sorted, df == postings length") {
+    // postings are gated as a ','-joined string (the driver's
+    // canonicalizer is scalar-only) — parse back and hold the same
+    // invariants: sorted, unique, df == length
     val out = q("q118_inverted_index")
-      .as[(String, Long, Seq[Long])].collect()
+      .as[(String, Long, String)].collect()
     assert(out.nonEmpty)
-    assert(out.forall { case (_, df, p) =>
+    assert(out.forall { case (_, df, ps) =>
+      val p = ps.split(',').map(_.toLong).toSeq
       df == p.length && p == p.sorted && p.distinct.length == p.length })
   }
 

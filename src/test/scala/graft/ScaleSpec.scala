@@ -335,4 +335,21 @@ class ScaleSpec extends SparkTestBase {
     assert(paMean < 110 && sbMean < 110,
       s"mean per-partition ranges pa=$paMean sb=$sbMean — z-locality lost")
   }
+
+  test("bfsDistances shuffle fallback returns identical distances") {
+    // the per-hop broadcast gate (Graph.bfsDistances broadcastLimit):
+    // forcing the limit to 0 exercises the shuffle-join path a
+    // too-large reachable set takes at scale — the distances must be
+    // identical to the broadcast path's
+    val rel = sources.Tables.read(spark, sf, "lineitem")
+      .select($"l_partkey", $"l_suppkey").limit(2000)
+    val edges = operators.Graph.bipartiteEdges(rel, "l_partkey", "l_suppkey")
+    val bcast = operators.Graph.bfsDistances(
+      edges, "src", "dst", Seq(2L), maxHops = 3)
+    val shuf = operators.Graph.bfsDistances(
+      edges, "src", "dst", Seq(2L), maxHops = 3, broadcastLimit = 0L)
+    assert(bcast.exceptAll(shuf).count() == 0 &&
+      shuf.exceptAll(bcast).count() == 0,
+      "shuffle-path BFS diverged from broadcast-path BFS")
+  }
 }

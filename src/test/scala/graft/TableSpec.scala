@@ -105,6 +105,42 @@ class TableSpec extends SparkTestBase {
     assert(t.count() > 0)
   }
 
+  test("readParquet regex-matches file names like the reference's directory scan") {
+    // reference semantics (src/partition.cpp:51-63): list the parent
+    // dir, std::regex_match each name — character classes included, not
+    // just `.*` globs. part_0/part_1 match `part_[0-9]+\.parquet`;
+    // other.parquet and part_x.parquet must NOT.
+    val dir = java.nio.file.Files.createTempDirectory("graft-regex").toString
+    val two = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    two.limit(1).coalesce(1).write.parquet(s"$dir/part_0.parquet")
+    two.filter($"id" === 2L).coalesce(1).write.parquet(s"$dir/part_1.parquet")
+    Seq((99L, "z")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/other.parquet")
+    Seq((98L, "y")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/part_x.parquet")
+    val t = Table.readParquet(spark, s"$dir/part_[0-9]+\\.parquet")
+    assert(t.df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // a literal existing path is read directly, no regex interpretation
+    assert(Table.readParquet(spark, s"$dir/other.parquet").count() == 1)
+    // and a pattern matching nothing fails loudly, like the reference
+    intercept[IllegalArgumentException] {
+      Table.readParquet(spark, s"$dir/missing_[0-9]+\\.parquet")
+    }
+  }
+
+  test("getArrow round-trips rows through Arrow IPC batches") {
+    // S2 parity: the reference's fetch ships Arrow record batches
+    // (interface.py:23-33) — encode, decode, and get the same rows back
+    val t = Table.readParquet(spark, s"$sf/nation.parquet")
+    val batches = t.getArrow()
+    assert(batches.nonEmpty && batches.forall(_.nonEmpty))
+    val back = org.apache.spark.sql.GraftShim.fromArrowBatches(
+      spark, batches.iterator, t.df.schema.json)
+    assert(back.exceptAll(t.df).count() == 0 &&
+      t.df.exceptAll(back).count() == 0,
+      "Arrow round-trip changed the rows")
+  }
+
   test("barrier is a sync no-op; join aliases merge") {
     val t = Table(Seq((1, "a")).toDF("k", "v"))
     t.barrier() // must not throw
