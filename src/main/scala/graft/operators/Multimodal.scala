@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextExpr.{nibbleSpark, nibbleDuck}
 
@@ -518,6 +518,59 @@ object Multimodal {
     * pigeonhole — the DuckDB oracle is the brute-force all-pairs join,
     * so the gate proves it. The 16 B/doc hash table is cached: decode
     * runs once, not once per plan reference. */
+  /** Denormalized aHash chunk table: one row per (doc, chunk) carrying
+    * the full 64-bit hash alongside — 4 rows × ~32 B per image, so the
+    * Hamming verify after a chunk collision is ROW-LOCAL (no second
+    * join back to a hash table). */
+  private def aHashChunkTable(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      posexplode(expr(
+        "array(ahash_lo & 65535, shiftright(ahash_lo, 16) & 65535, " +
+          "ahash_hi & 65535, shiftright(ahash_hi, 16) & 65535)"))
+        .as(Seq("ci", "cv")))
+
+  /** Persist the corpus aHash chunk index BUCKETED on the (ci, cv)
+    * join key — the image twin of [[Dedup.writeBandIndex]]: pay the
+    * corpus shuffle once at write time; every later batch probes with
+    * zero corpus-side exchange ([[incrementalAHashPairs]]). */
+  def writeAHashIndex(hashes: DataFrame, table: String,
+      nBuckets: Int = 32): Unit =
+    graft.sources.Tables.writeBucketed(
+      aHashChunkTable(hashes), table, Seq("ci", "cv"), nBuckets)
+
+  /** Incremental image near-dup pairs: pairs within Hamming `maxHamming`
+    * touching a NEW batch, probed against a [[writeAHashIndex]]-persisted
+    * corpus — the daily-ingest shape (the one-shot [[aHashPairs]]
+    * re-chunks the whole corpus every time). Candidates = batch chunks
+    * equi-joined against the bucketed index (only the batch moves) plus
+    * the batch's within-batch chunk self-join; the popcount verify is
+    * row-local thanks to the denormalized chunk rows, and the final
+    * distinct dedups multi-chunk agreements. Exact recall at
+    * maxHamming ≤ 3 by the same 4×16-bit pigeonhole as [[aHashPairs]] —
+    * the oracle brute-forces every batch-touching pair to prove it. */
+  def incrementalAHashPairs(batchHashes: DataFrame, indexTable: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4 chunks only guarantee recall for Hamming <= 3")
+    val spark = batchHashes.sparkSession
+    val corpus = spark.table(indexTable)
+    val batch = aHashChunkTable(batchHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairsOf(other: DataFrame, cond: Column) =
+      batch.as("x").join(other.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+            cond)
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("ida"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("idb"),
+          expr("CAST(bit_count(x.ahash_hi ^ y.ahash_hi)" +
+            " + bit_count(x.ahash_lo ^ y.ahash_lo) AS INT)").as("hamming"))
+    val vsCorpus = pairsOf(corpus, col("x.doc_id") =!= col("y.doc_id"))
+    val vsBatch = pairsOf(batch, col("x.doc_id") < col("y.doc_id"))
+    vsCorpus.union(vsBatch)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def aHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4,
       "4 chunks only guarantee recall for Hamming <= 3")

@@ -142,7 +142,43 @@ object Ranges {
     // streaming path byte-equivalent to both the batch path and the
     // one-shot aggregation.
     "q142_stream_rollup" -> ((s, d) =>
-      graft.streaming.EventStreams.incrementalRollupStream(s, d))
+      graft.streaming.EventStreams.incrementalRollupStream(s, d)),
+
+    // ---- q186: STREAMING incremental distinct (foreachBatch) ----
+    // q94's register maintenance run as a stream (exactly q142 : q140):
+    // each micro-batch appends only its own md5-register rows; MAX-
+    // merge over the register lattice is associative, commutative AND
+    // idempotent, so the estimate equals the one-shot sketch no matter
+    // how the source chopped the delta into micro-batches — and a
+    // replayed batch is harmless, which count-partials cannot claim.
+    // Same one-shot oracle as q94.
+    "q186_stream_distinct" -> ((s, d) =>
+      graft.streaming.EventStreams.incrementalDistinctStream(s, d)),
+
+    // ---- q187: sketch-cube reaggregation (hour -> day) ----
+    // The "sketch cube" move every metrics stack runs at 100 TB:
+    // hour-grain distinct-user registers are built ONCE from raw
+    // events; the day grain is then derived by MAX-merging hour
+    // registers — NO rescan of raw data, state ≤ M rows per (hour,
+    // type). Plain counts can't do this (distinct isn't additive);
+    // the register lattice makes coarse grains exact derivations of
+    // fine ones, and the oracle (registers computed at day grain
+    // directly) hash-proves that equality.
+    "q187_sketch_reagg" -> ((s, d) => {
+      import graft.operators.Sketches
+      val ev = t(s, d, "events")
+        .withColumn("hr", expr("date_trunc('hour', ts)"))
+      val hourRegs = Sketches.detRegisters(
+        ev, Seq("hr", "event_type"), "user_id")
+      // day grain as TIMESTAMP (not DATE): the driver's canonicalizer
+      // reads Spark DATE as python objects but DuckDB DATE as
+      // datetime64 — the q140 time-grain convention
+      val dayRegs = hourRegs
+        .withColumn("day", expr("date_trunc('day', hr)"))
+        .groupBy("day", "event_type", "rb").agg(max("rv").as("rv"))
+      Sketches.detEstimate(dayRegs, Seq("day", "event_type"),
+        "approx_users")
+    })
   )
 
   /** Full recompute over all events — the invariant BOTH rollup
@@ -154,24 +190,30 @@ object Ranges {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** DuckDB rendering of the deterministic register sketch over
-    * `table`, grouped on `g`, counting distinct `v` — the exact mirror
-    * of Sketches.detRegisters + detEstimate. */
-  private def detDistinctDuck(table: String, g: String, v: String,
-      outCol: String): String = {
+    * `table`, grouped on the select-list `gSel` (aliased group columns,
+    * referenced downstream as `gNames`), counting distinct `v` — the
+    * exact mirror of Sketches.detRegisters + detEstimate. */
+  private def detDistinctDuck(table: String, gSel: String, gNames: String,
+      v: String, outCol: String): String = {
     import graft.functions.DetSketch._
-    s"""WITH h AS (SELECT $g, ${hDuck(v)} AS h FROM $table),
-      | bw AS (SELECT $g, ${bucketDuck("h")} AS rb,
+    val nG = gNames.split(",").length
+    val regsBy = (1 to nG + 1).mkString(", ")
+    val estBy = (1 to nG).mkString(", ")
+    s"""WITH h AS (SELECT $gSel, ${hDuck(v)} AS h FROM $table),
+      | bw AS (SELECT $gNames, ${bucketDuck("h")} AS rb,
       |   ${wDuck("h")} AS w40 FROM h),
-      | rk AS (SELECT $g, rb, ${rankCase("w40")} AS r FROM bw),
-      | regs AS (SELECT $g, rb, max(r) AS rv FROM rk GROUP BY 1, 2)
-      |SELECT $g, $estimateDuck AS $outCol FROM regs GROUP BY 1""".stripMargin
+      | rk AS (SELECT $gNames, rb, ${rankCase("w40")} AS r FROM bw),
+      | regs AS (SELECT $gNames, rb, max(r) AS rv FROM rk
+      |   GROUP BY $regsBy)
+      |SELECT $gNames, $estimateDuck AS $outCol FROM regs
+      |GROUP BY $estBy""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     // one-shot register sketch, replayed bit-for-bit
     "q54_approx_distinct" ->
       s"""WITH est AS (${detDistinctDuck("lineitem", "l_returnflag",
-            "l_orderkey", "approx_orders")}),
+            "l_returnflag", "l_orderkey", "approx_orders")}),
         | cnt AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |   GROUP BY 1)
         |SELECT e.l_returnflag, e.approx_orders, c.cnt
@@ -180,7 +222,22 @@ object Ranges {
     // the MAX-merged incremental registers must equal the one-shot
     // sketch over ALL events (union exactness of the register lattice)
     "q94_incr_distinct" ->
-      detDistinctDuck("events", "event_type", "user_id", "approx_users"),
+      detDistinctDuck("events", "event_type", "event_type",
+        "user_id", "approx_users"),
+
+    // streaming maintenance must land on the identical one-shot sketch
+    "q186_stream_distinct" ->
+      detDistinctDuck("events", "event_type", "event_type",
+        "user_id", "approx_users"),
+
+    // day-grain registers computed DIRECTLY from events must equal the
+    // Spark side's MAX-merge of hour-grain registers (lattice
+    // coarsening exactness)
+    "q187_sketch_reagg" ->
+      detDistinctDuck("events",
+        "CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)" +
+          " AS day, event_type",
+        "day, event_type", "user_id", "approx_users"),
 
     // the merged persisted rollup must equal a FULL recompute over all
     // events — the materialized-view maintenance invariant

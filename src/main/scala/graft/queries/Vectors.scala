@@ -146,6 +146,27 @@ object Vectors {
           Multimodal.synthesizePngs(Tables.read(s, d, "documents"), "doc_id"))
           .toDF)),
 
+    // ---- q188: INCREMENTAL image dedup vs persisted aHash index ----
+    // The image twin of q85's daily-ingest shape: corpus images
+    // (doc_id % 5 != 0) are hashed and chunk-indexed ONCE, bucketed on
+    // the (ci, cv) probe key; the new batch (doc_id % 5 == 0) decodes
+    // and probes with zero corpus-side exchange — corpus pixels are
+    // never re-decoded, corpus chunks never re-shuffled. Emits every
+    // Hamming<=3 pair touching the batch; the oracle brute-forces all
+    // batch-touching pairs over the replayed hashes, proving both the
+    // pigeonhole recall AND that the persisted index is complete.
+    "q188_incr_image_dedup" -> ((s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      def hashesOf(part: DataFrame) =
+        Multimodal.aHash(Multimodal.synthesizePngs(part, "doc_id")).toDF
+      Multimodal.writeAHashIndex(
+        hashesOf(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
+        "graft_ahash_index")
+      Multimodal.incrementalAHashPairs(
+        hashesOf(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
+        "graft_ahash_index")
+    }),
+
     // REAL image resize: synthesize PNGs (as q61), decode, and resample
     // 16x16 by nearest-neighbor with floor index arithmetic; checksum
     // the OUTPUT pixels. The oracle replays srcX = X*w_in DIV 16 /
@@ -827,6 +848,19 @@ object Vectors {
         | CAST(bit_count(xor(x.ahash_hi, y.ahash_hi))
         |   + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS INT) AS hamming
         |FROM ah x JOIN ah y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.ahash_hi, y.ahash_hi))
+        |   + bit_count(xor(x.ahash_lo, y.ahash_lo)) <= 3""".stripMargin,
+
+    // every Hamming<=3 pair with at least one member in the batch
+    // slice — brute force over the replayed hashes (no banding, no
+    // index to agree with by accident)
+    "q188_incr_image_dedup" ->
+      s"""WITH $ahashCte
+        |SELECT x.doc_id AS ida, y.doc_id AS idb,
+        | CAST(bit_count(xor(x.ahash_hi, y.ahash_hi))
+        |   + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS INT) AS hamming
+        |FROM ah x JOIN ah y ON x.doc_id < y.doc_id
+        | AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)
         |WHERE bit_count(xor(x.ahash_hi, y.ahash_hi))
         |   + bit_count(xor(x.ahash_lo, y.ahash_lo)) <= 3""".stripMargin,
 

@@ -324,34 +324,77 @@ object EventStreams {
       maxFilesPerTrigger: Option[Int] = None,
       deltaFiles: Int = 1): DataFrame = {
     import graft.operators.Rollup.{hourlyPartials, mergePartials}
+    runDeltaStream(spark, sfDir, "graft_q142", maxFilesPerTrigger,
+      deltaFiles,
+      seed = hist => graft.sources.Tables.writeTable(
+        hourlyPartials(hist), "graft_stream_rollup"),
+      onBatch = batch => hourlyPartials(batch).write.mode("append")
+        .format("parquet").saveAsTable("graft_stream_rollup"))
+    mergePartials(spark, "graft_stream_rollup")
+  }
+
+  /** STREAMING incremental distinct counting (q186 — the streaming face
+    * of q94's batch register-merge, exactly as q142 is to q140):
+    * history DetSketch registers land once via a batch write; the delta
+    * slice is re-staged as files and STREAMED, each micro-batch
+    * appending ONLY its own md5-register rows through foreachBatch.
+    * Register union is MAX over the sketch lattice — associative,
+    * commutative, idempotent — so the query-time MAX-merge equals a
+    * one-shot sketch over all events REGARDLESS of micro-batch
+    * boundaries (idempotence even makes a replayed batch harmless,
+    * which count-partials do NOT give you), and the same brute-replay
+    * DuckDB oracle as q94 gates it hash-exactly. State stays bounded:
+    * ≤ DetSketch.M register rows per (event_type) per micro-batch, and
+    * the merge reads register rows only — never raw history. */
+  def incrementalDistinctStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 1): DataFrame = {
+    import graft.operators.Sketches.{detRegisters, detEstimate}
+    def regsOf(df: DataFrame) =
+      detRegisters(df, Seq("event_type"), "user_id")
+    runDeltaStream(spark, sfDir, "graft_q186", maxFilesPerTrigger,
+      deltaFiles,
+      seed = hist => graft.sources.Tables.writeTable(
+        regsOf(hist), "graft_stream_distinct"),
+      onBatch = batch => regsOf(batch).write.mode("append")
+        .format("parquet").saveAsTable("graft_stream_distinct"))
+    detEstimate(
+      spark.table("graft_stream_distinct")
+        .groupBy("event_type", "rb").agg(max("rv").as("rv")),
+      Seq("event_type"), "approx_users")
+  }
+
+  /** Shared delta-replay harness for the incremental-maintenance
+    * streams (q142 rollup, q186 distinct): `seed` persists the history
+    * slice's summary (event batches 0-2), then the remaining slice
+    * (batch 3) is re-staged in the RAW file shape (ns longs) and
+    * STREAMED with `onBatch` invoked per micro-batch — the landed-file
+    * ingest loop a production pipeline runs. `maxFilesPerTrigger`
+    * splits the staged delta into one micro-batch per file —
+    * StreamingSpec uses it to PROVE the merge equals the full recompute
+    * regardless of batch boundaries; `deltaFiles > 1` splits the
+    * staged drop into several files so that run really produces
+    * several micro-batches (a small sf writes one part file
+    * otherwise). Staging + checkpoint trees are exit-hook deleted
+    * RECURSIVELY (deleteOnExit on a non-empty dir is a no-op — the
+    * Ingest.stagingDir trap). */
+  private def runDeltaStream(spark: SparkSession, sfDir: String,
+      tmpPrefix: String, maxFilesPerTrigger: Option[Int], deltaFiles: Int,
+      seed: DataFrame => Unit, onBatch: DataFrame => Unit): Unit = {
     val ev = graft.sources.Tables.read(spark, sfDir, "events")
       .withColumn("b", pmod(col("event_id"), lit(4)))
-    graft.sources.Tables.writeTable(
-      hourlyPartials(ev.filter(col("b") < 3)), "graft_stream_rollup")
-    // stage the delta slice back in the RAW file shape (ns longs) so the
-    // standard streaming source reads it like any landed file drop.
-    // Exit-hook RECURSIVE deletion (not deleteOnExit): Spark writes the
-    // part files and the whole checkpoint tree AFTER registration, and
-    // deleteOnExit on a non-empty directory is a no-op — the same trap
-    // Ingest.stagingDir documents.
+    seed(ev.filter(col("b") < 3))
     import java.nio.file.Files
-    val dir = Files.createTempDirectory("graft_q142_delta")
+    val dir = Files.createTempDirectory(s"${tmpPrefix}_delta")
     registerTreeCleanup(dir.toFile)
-    val ckpt = Files.createTempDirectory("graft_q142_ckpt")
+    val ckpt = Files.createTempDirectory(s"${tmpPrefix}_ckpt")
     registerTreeCleanup(ckpt.toFile)
     val delta = ev.filter(col("b") === 3)
       .select(col("event_id"),
         expr("unix_micros(ts) * CAST(1000 AS BIGINT)").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-    // deltaFiles > 1 splits the staged drop into several files so the
-    // spec's one-file-per-trigger run really produces several
-    // micro-batches (a small sf writes one part file otherwise)
     (if (deltaFiles > 1) delta.repartition(deltaFiles) else delta)
       .write.mode("overwrite").parquet(dir.toString)
-    // maxFilesPerTrigger splits the staged delta into one micro-batch
-    // per file — StreamingSpec uses it to PROVE the merge equals the
-    // full recompute regardless of batch boundaries (the property the
-    // single-batch-gated stream-stream join does NOT have)
     val reader = spark.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(nf =>
       reader.option("maxFilesPerTrigger", nf.toString))
@@ -360,13 +403,11 @@ object EventStreams {
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        hourlyPartials(batch.toDF()).write.mode("append")
-          .format("parquet").saveAsTable("graft_stream_rollup")
+        onBatch(batch.toDF())
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    mergePartials(spark, "graft_stream_rollup")
   }
 
   private val cleanupDirs =

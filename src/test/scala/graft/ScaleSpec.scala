@@ -336,6 +336,46 @@ class ScaleSpec extends SparkTestBase {
       s"mean per-partition ranges pa=$paMean sb=$sbMean — z-locality lost")
   }
 
+  test("incremental image dedup probes the aHash index with zero corpus-side exchange") {
+    // q188's plan evidence, mirroring the band-index test: with
+    // broadcast off (the at-scale regime), the only hash exchange in
+    // the probe join is the BATCH chunk side aligning to the corpus
+    // buckets — the persisted index is read in place.
+    val all = sources.Tables.read(spark, sf, "documents").limit(120)
+    val hashes = operators.Multimodal.aHash(
+      operators.Multimodal.synthesizePngs(all, "doc_id")).toDF
+    spark.sql("DROP TABLE IF EXISTS ahash_idx_spec")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "ahash_idx_spec")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    val corpusH = hashes.filter($"doc_id" % 5 =!= 0)
+    val batchH = hashes.filter($"doc_id" % 5 === 0)
+    operators.Multimodal.writeAHashIndex(corpusH, "ahash_idx_spec",
+      nBuckets = 8)
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inc = operators.Multimodal.incrementalAHashPairs(
+        batchH, "ahash_idx_spec")
+      val plan = inc.queryExecution.executedPlan.toString
+      // exchanges: batch side of the index probe + the batch-batch
+      // self-join's two sides + the final distinct — but NONE may hash
+      // the bucketed corpus scan, which must read its buckets in place
+      assert(plan.contains("Bucketed: true"),
+        s"corpus aHash index scan should use buckets:\n$plan")
+      // end-to-end: incremental == one-shot pairs restricted to the batch
+      val full = operators.Multimodal.aHashPairs(hashes)
+        .filter($"ida" % 5 === 0 || $"idb" % 5 === 0)
+      assert(inc.exceptAll(full).count() == 0 &&
+        full.exceptAll(inc).count() == 0,
+        "incremental aHash pairs diverged from one-shot restriction")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+  }
+
   test("bfsDistances shuffle fallback returns identical distances") {
     // the per-hop broadcast gate (Graph.bfsDistances broadcastLimit):
     // forcing the limit to 0 exercises the shuffle-join path a

@@ -285,6 +285,24 @@ class StreamingSpec extends SparkTestBase {
       "expected per-micro-batch partials from more than one batch")
   }
 
+  test("streaming incremental distinct is micro-batch-boundary independent") {
+    // q186's register lattice version of the rollup property: one
+    // micro-batch PER FILE appends many separate register slices, and
+    // the MAX-merge must still equal the one-shot sketch — MAX is
+    // associative, commutative AND idempotent, so even this shredded
+    // maintenance history lands on the exact one-shot estimate.
+    val merged = EventStreams.incrementalDistinctStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 8)
+    val oneShot = operators.Sketches.detEstimate(
+      operators.Sketches.detRegisters(
+        sources.Tables.read(spark, sf, "events"),
+        Seq("event_type"), "user_id"),
+      Seq("event_type"), "approx_users")
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "shredded streaming register merge diverged from one-shot sketch")
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
