@@ -239,6 +239,39 @@ object Shapes {
       ranked.groupBy("l_returnflag").agg(
         pick(25).as("q25"), pick(50).as("q50"),
         pick(75).as("q75"), pick(99).as("q99"))
+    }),
+
+    // ---- q189: equi-DEPTH histogram (ANALYZE statistics) ----
+    // The optimizer-statistics primitive q109's equal-WIDTH bins can't
+    // give you: bin edges at the sample's p10..p90 order statistics
+    // (q83's deterministic md5 half-sample + exact ranks), so bins hold
+    // ~equal row counts and selectivity estimates stay accurate on
+    // skewed columns — what ANALYZE TABLE computes for a CBO. The 9
+    // edges collapse to ONE row (bounded agg), broadcast onto the full
+    // scan, and each row's bin is an in-row 9-element array filter —
+    // no per-row join, no second shuffle; the final count is one hash
+    // agg on ≤10 groups. Edges from the sample, counts from the FULL
+    // table: the sample bounds the sort, the histogram stays exact.
+    "q189_equidepth_hist" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val samp = graft.operators.Sampling.hashSample(
+        li.withColumn("rid",
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))), "rid", 8)
+        .select(col("l_extendedprice").as("x"))
+      val ranked = samp
+        .withColumn("rn", row_number().over(
+          Window.orderBy("x")).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+      val rankSet = (10 to 90 by 10)
+        .map(p => s"rn = ((n - 1) * $p) DIV 100 + 1").mkString(" OR ")
+      val edges = ranked.filter(expr(rankSet))
+        .agg(sort_array(collect_set(col("x"))).as("es"))
+      li.select(col("l_extendedprice").as("x"))
+        .crossJoin(broadcast(edges))
+        .select(expr("size(filter(es, e -> x >= e))").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"))
     })
   )
 
@@ -382,6 +415,24 @@ object Shapes {
         |SELECT l_returnflag, ${pick(25)} AS q25, ${pick(50)} AS q50,
         | ${pick(75)} AS q75, ${pick(99)} AS q99
         |FROM r GROUP BY 1""".stripMargin
+    },
+
+    "q189_equidepth_hist" -> {
+      val rid = "CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR)"
+      val keep = graft.functions.TextExpr.nibbleDuck(s"md5($rid)", 0)
+      val rankSet = (10 to 90 by 10)
+        .map(p => s"rn = ((n - 1) * $p) // 100 + 1").mkString(" OR ")
+      s"""WITH samp AS (SELECT l_extendedprice AS x
+        |   FROM lineitem WHERE $keep < 8),
+        | r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+        |   count(*) OVER () AS n FROM samp),
+        | ed AS (SELECT list_sort(list(DISTINCT x)) AS es FROM r
+        |   WHERE $rankSet),
+        | b AS (SELECT CAST(len(list_filter(ed.es,
+        |     e -> l.l_extendedprice >= e)) AS INT) AS bin
+        |   FROM lineitem l CROSS JOIN ed)
+        |SELECT bin, count(*) AS n_rows FROM b GROUP BY 1""".stripMargin
     }
   )
 }

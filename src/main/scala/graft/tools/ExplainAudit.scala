@@ -31,16 +31,33 @@ object ExplainAudit {
         "q181_pareto_frontier" -> "BNLJ dominance anti-join on the supplier-cardinality aggregate (by design)",
         "q173_quantile_norm" -> "BNLJ broadcasts the 1-row global count onto the 101-point grid (by design)",
         "q152_ann_recall" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)",
-        "q175_decay_score" -> "BNLJ broadcasts the 1-row max(ts) aggregate (by design, as q80/q164)")
+        "q175_decay_score" -> "BNLJ broadcasts the 1-row max(ts) aggregate (by design, as q80/q164)",
+        "q189_equidepth_hist" -> "BNLJ broadcasts the 1-row collected edge array (by design, as q80)")
+      // single-partition windows — the OTHER classic scale-killer a
+      // string grep can't see reliably; detected on the optimized plan
+      // (empty partitionSpec) and allow-listed only where the window's
+      // input is provably bounded
+      val globalWinOk = Map(
+        "q147_quality_sweep" -> "cumulative window over the BUCKET table (~range/10 rows), not the corpus",
+        "q148_token_budget" -> "phase-1 cumulative window over the q_milli bucket table (<=1001 rows)",
+        "q189_equidepth_hist" -> "global rank over the deterministic half-sample, not the full scan")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
-          val plan = fn(spark, d).queryExecution.executedPlan.toString
+          val df = fn(spark, d)
+          val plan = df.queryExecution.executedPlan.toString
           val flags = Seq(
             "CartesianProduct", "BroadcastNestedLoopJoin")
             .filter(plan.contains)
           if (flags.nonEmpty)
             println(s"$n: ${flags.mkString(",")}" +
               intended.get(n).map(r => s"  [OK: $r]").getOrElse("  [REVIEW]"))
+          val hasGlobalWin = df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty => w
+          }.nonEmpty
+          if (hasGlobalWin)
+            println(s"$n: GlobalWindow" +
+              globalWinOk.get(n).map(r => s"  [OK: $r]").getOrElse("  [REVIEW]"))
         } catch { case e: Throwable => println(s"$n: ERROR ${e.getMessage}") }
       }
     } else {

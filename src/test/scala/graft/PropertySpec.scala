@@ -88,4 +88,35 @@ class PropertySpec extends SparkTestBase {
     assert(sampled.exceptAll(viaSplit).count() == 0 &&
       viaSplit.exceptAll(sampled).count() == 0)
   }
+
+  test("DetSketch estimate tracks exact cardinality across a scale sweep") {
+    // the accuracy claim behind q54/q94/q186/q187: m = 256 registers
+    // give ~6.5% standard error once past the linear-counting range —
+    // sweep 3 orders of magnitude of TRUE cardinality and require every
+    // estimate within 3 sigma (20%); and the small-range linear-counting
+    // branch must stay tight (5%) where it engages. Also: merge
+    // invariance — registers built from ANY partitioning of the inputs
+    // MAX-merge to the identical registers (the q94/q186 lattice
+    // property), checked here at the operator level.
+    import graft.operators.Sketches
+    for (n <- Seq(100L, 1000L, 10000L, 100000L)) {
+      val ids = spark.range(0, n).toDF("v").withColumn("g", lit(1))
+      val est = Sketches.detEstimate(
+        Sketches.detRegisters(ids, Seq("g"), "v"), Seq("g"), "est")
+        .head().getLong(1)
+      val tol = if (n <= 640) 0.05 else 0.2
+      assert(math.abs(est - n).toDouble / n < tol,
+        s"det estimate $est for true $n exceeded ${tol * 100}%")
+    }
+    val ids = spark.range(0, 20000).toDF("v").withColumn("g", lit(1))
+    val whole = Sketches.detRegisters(ids, Seq("g"), "v")
+    val split = Sketches.detRegisters(
+        ids.filter($"v" % 3 === 0), Seq("g"), "v")
+      .unionAll(Sketches.detRegisters(
+        ids.filter($"v" % 3 =!= 0), Seq("g"), "v"))
+      .groupBy("g", "rb").agg(max("rv").as("rv"))
+    assert(whole.exceptAll(split).count() == 0 &&
+      split.exceptAll(whole).count() == 0,
+      "MAX-merged partition registers diverged from one-shot registers")
+  }
 }
