@@ -178,6 +178,71 @@ object Ranges {
         .groupBy("day", "event_type", "rb").agg(max("rv").as("rv"))
       Sketches.detEstimate(dayRegs, Seq("day", "event_type"),
         "approx_users")
+    }),
+
+    // ---- q190: INCREMENTAL approximate quantiles ----
+    // q94's maintenance story for ORDER statistics: the deterministic
+    // md5 half-sample is a pure content-hash row predicate, so the
+    // union of per-batch samples IS the sample of the union — persist
+    // each batch's sample rows (batches 0-2 seed, batch 3 appends,
+    // scanning only itself), then exact ranks over the merged sample
+    // reproduce the one-shot q83 answer EXACTLY (same oracle). The
+    // sample lattice is set-union where the register lattice is MAX —
+    // both make incremental maintenance exact, which rank sketches
+    // (GK/t-digest) only approximate.
+    "q190_incr_quantiles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("rid",
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+        .withColumn("b", pmod(col("l_orderkey"), lit(4)))
+      def sampOf(part: DataFrame) =
+        graft.operators.Sampling.hashSample(part, "rid", 8)
+          .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      graft.sources.Tables.writeTable(
+        sampOf(li.filter(col("b") < 3)), "graft_quant_samples")
+      sampOf(li.filter(col("b") === 3))
+        .write.mode("append").format("parquet")
+        .saveAsTable("graft_quant_samples")
+      val merged = s.table("graft_quant_samples")
+      val ranked = merged
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag").orderBy("x")).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag")))
+      def pick(p: Int) =
+        max(when(expr(s"rn = ((n - 1) * $p) DIV 100 + 1"), col("x")))
+      ranked.groupBy("l_returnflag").agg(
+        pick(25).as("q25"), pick(50).as("q50"),
+        pick(75).as("q75"), pick(99).as("q99"))
+    }),
+
+    // ---- q191: sketch set-operation cardinalities ----
+    // The join-selectivity primitive a planner wants WITHOUT running
+    // the join: distinct order-placing customers (A, from orders) and
+    // registered customers (B, from customer) each as a register
+    // sketch; |A∪B| from the MAX-merged registers (register union ≡
+    // set union), |A∩B| by inclusion-exclusion, containment of B in A
+    // in exact ppm of the estimates. Three bounded register tables and
+    // three 1-row crossJoins — no join of the base tables anywhere.
+    // Every number is the deterministic integer estimator, so DuckDB
+    // replays the whole derivation bit-for-bit.
+    "q191_sketch_set_ops" -> ((s, d) => {
+      import graft.operators.Sketches.{detRegisters, detEstimate}
+      val ra = detRegisters(
+        t(s, d, "orders").select(col("o_custkey").as("v")), Seq(), "v")
+      val rb = detRegisters(
+        t(s, d, "customer").select(col("c_custkey").as("v")), Seq(), "v")
+      val ru = ra.unionAll(rb).groupBy("rb").agg(max("rv").as("rv"))
+      detEstimate(ra, Seq(), "n_a")
+        .crossJoin(detEstimate(rb, Seq(), "n_b"))
+        .crossJoin(detEstimate(ru, Seq(), "n_union"))
+        .select(col("n_a"), col("n_b"), col("n_union"),
+          expr("greatest(n_a + n_b - n_union, CAST(0 AS BIGINT))")
+            .as("n_intersect"),
+          expr("greatest(n_a + n_b - n_union, CAST(0 AS BIGINT))" +
+            " * 1000000 DIV n_b").as("contained_ppm"))
     })
   )
 
@@ -238,6 +303,50 @@ object Ranges {
         "CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)" +
           " AS day, event_type",
         "day, event_type", "user_id", "approx_users"),
+
+    // the merged per-batch samples are exactly the one-shot half-sample
+    // (content-hash predicate ⇒ union of samples = sample of union), so
+    // the oracle is q83's one-shot sample quantiles verbatim
+    "q190_incr_quantiles" -> {
+      val rid = "CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR)"
+      val keep = graft.functions.TextExpr.nibbleDuck(s"md5($rid)", 0)
+      def pick(p: Int) =
+        s"max(CASE WHEN rn = ((n - 1) * $p) // 100 + 1 THEN x END)"
+      s"""WITH samp AS (SELECT l_returnflag, l_extendedprice AS x
+        |   FROM lineitem WHERE $keep < 8),
+        | r AS (SELECT l_returnflag, x,
+        |   row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+        |   count(*) OVER (PARTITION BY l_returnflag) AS n FROM samp)
+        |SELECT l_returnflag, ${pick(25)} AS q25, ${pick(50)} AS q50,
+        | ${pick(75)} AS q75, ${pick(99)} AS q99
+        |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // the whole inclusion-exclusion derivation replayed on the same
+    // registers
+    "q191_sketch_set_ops" -> {
+      import graft.functions.DetSketch._
+      def regsCte(tag: String, table: String, v: String) =
+        s"""h$tag AS (SELECT ${hDuck(v)} AS h FROM $table),
+          | bw$tag AS (SELECT ${bucketDuck("h")} AS rb,
+          |   ${wDuck("h")} AS w40 FROM h$tag),
+          | rk$tag AS (SELECT rb, ${rankCase("w40")} AS r FROM bw$tag),
+          | regs_$tag AS (SELECT rb, max(r) AS rv FROM rk$tag GROUP BY 1)""".stripMargin
+      s"""WITH ${regsCte("a", "orders", "o_custkey")},
+        | ${regsCte("b", "customer", "c_custkey")},
+        | regs_u AS (SELECT rb, max(rv) AS rv FROM
+        |   (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+        |   GROUP BY 1),
+        | ea AS (SELECT $estimateDuck AS n_a FROM regs_a),
+        | eb AS (SELECT $estimateDuck AS n_b FROM regs_b),
+        | eu AS (SELECT $estimateDuck AS n_union FROM regs_u)
+        |SELECT n_a, n_b, n_union,
+        | greatest(n_a + n_b - n_union, 0) AS n_intersect,
+        | CAST(greatest(n_a + n_b - n_union, 0) * 1000000 // n_b
+        |   AS BIGINT) AS contained_ppm
+        |FROM ea CROSS JOIN eb CROSS JOIN eu""".stripMargin
+    },
 
     // the merged persisted rollup must equal a FULL recompute over all
     // events — the materialized-view maintenance invariant
