@@ -15,10 +15,20 @@ class EntrySpec extends SparkTestBase {
     val rowsOnly = q -- o
     assert(rowsOnly.isEmpty, s"unexpected oracle-less queries: $rowsOnly")
   }
-  test("every query runs on sf0.001") {
+  test("every query runs on sf0.001 and emits only atomic columns") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
-      assert(n >= 0, name)
+      val df = fn(spark, sf)
+      // the driver's pandas canonicalizer sorts on every column and
+      // cannot hash array/struct/map cells (the q118 red-row class) —
+      // gated projections must be scalar-only
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val nonAtomic = df.schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(nonAtomic.isEmpty,
+        s"$name emits non-scalar columns: ${nonAtomic.map(_.name).mkString(",")}")
+      assert(df.count() >= 0, name)
     }
   }
 }
