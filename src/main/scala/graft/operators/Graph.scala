@@ -34,10 +34,21 @@ object Graph {
     * bounded and the ORDERING (what curation thresholds on) is intact.
     * Returns (node, rank): rank after `iters` iterations, init =
     * `scale`, teleport = scale*(100-dampPct) DIV 100.
+    *
+    * `cutEvery`: lineage-cut cadence. 1 (default) checkpoints every
+    * iteration — the safe cadence for large `iters`. Raising it makes
+    * the uncut stretch compile into one job whose per-iteration
+    * broadcasts nest (each subplan still executes exactly once).
+    * Measured at q130's 3 iterations / sf0.1 the two cadences are
+    * within noise — node-cardinality checkpoints are cheap — so the
+    * knob matters only when `iters` is large enough that analyzer cost
+    * or driver plan size becomes the constraint. The arithmetic is
+    * identical either way; cuts only bound plan growth.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, scale: Long = 1000000L, dampPct: Int = 85): DataFrame = {
-    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+      iters: Int, scale: Long = 1000000L, dampPct: Int = 85,
+      cutEvery: Int = 1): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100 && cutEvery >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = Dedup.cut(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
@@ -61,22 +72,27 @@ object Graph {
     // table plus a literal column, so "recomputing" them is free and
     // a checkpoint here would only add a materialization job
     var ranks = nodes.withColumn("rank", lit(scale))
-    var prev = ranks
-    for (_ <- 1 to iters) {
+    var prevCut: DataFrame = null
+    for (i <- 1 to iters) {
       val contrib = eDeg
         .join(side(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      val next = Dedup.cut(nodes
+      val next = nodes
         .join(side(contrib.withColumnRenamed("dst", "node")),
           Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"$dampPct * coalesce(s, CAST(0 AS BIGINT)) DIV 100"))
-            .as("rank")))
-      Dedup.release(prev)
-      prev = next
-      ranks = next
+            .as("rank"))
+      // the final ranks are always cut (callers get a materialized,
+      // re-readable frame exactly as before)
+      ranks = if (i % cutEvery == 0 || i == iters) {
+        val c = Dedup.cut(next)
+        if (prevCut != null) Dedup.release(prevCut)
+        prevCut = c
+        c
+      } else next
     }
     // the loop-support checkpoints are dead once the final rank table
     // is materialized — free them now (checkpoint blocks are not
