@@ -411,6 +411,42 @@ object Similarity {
     verifyCosine(cand, verifySource, idCol, embCol, threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023): cluster-blocked semantic dedup.
+    * K-means the embeddings ([[kmeansCentroids]] — deterministic,
+    * exact-BIGINT, so the DuckDB oracle replays the whole chain), then
+    * compare pairs ONLY within a cluster and drop every vector that has
+    * a lower-id same-cell neighbor with cosine >= threshold (greedy
+    * keep-lowest-id — deterministic where the paper keeps a random
+    * exemplar). Output: (vec_id, cent_id, keep 1/0) for every vector.
+    *
+    * Scale shape: the clusters are the blocking structure — the
+    * quadratic is bounded per cell (sum over cells of |cell|^2, never
+    * corpus^2), and k grows with the corpus so cell sizes stay flat; the
+    * self-join is a shuffle on cent_id, the drop-set anti-probe is one
+    * more shuffle on vec_id. This is the same candidate-bounding story
+    * as the LSH paths (q44/q135) with the cluster index in place of
+    * hash buckets. */
+  def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val prep = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
+    val cent = kmeansCentroids(prep, idCol, k, iters)
+      .select(col("cent_id").as(idCol), col("cq").as("q"),
+        col("cn2").as("n2"))
+    val cells = assignCells(prep, cent, idCol)
+      .select(col(idCol), col("q"), col("n2"), col("cent_id"))
+    val drops = cells.as("x").join(cells.as("y"),
+        col("x.cent_id") === col("y.cent_id") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("cos", cosine(dotQ("x.q", "y.q"),
+        col("x.n2"), col("y.n2")))
+      .filter(col("cos") >= threshold)
+      .select(col(s"y.$idCol").as(idCol)).distinct
+      .withColumn("dropped", lit(1))
+    cells.join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("cent_id"),
+        when(col("dropped").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (e.g.
     * label or an LSH bucket): cosine >= threshold. */
   def cosineDupPairs(df: DataFrame, idCol: String, embCol: String,

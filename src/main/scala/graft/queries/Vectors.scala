@@ -392,6 +392,18 @@ object Vectors {
     // before the join, aggregated per (lang, label). The join key is
     // unique per side -> plain equi-join; exact integer n2 keeps the
     // aggregate oracle-stable.
+    // ---- q192: SemDeDup — cluster-blocked semantic dedup ----
+    // (Abbas et al. 2023.) The trained k-means cells (q62's exact
+    // chain: k=8, 2 iterations, exact-BIGINT centroids) are the
+    // blocking index; within a cell every vector with a lower-id
+    // neighbor at cosine >= 0.35 is dropped (greedy keep-lowest-id in
+    // place of the paper's random exemplar, for determinism). The
+    // oracle replays centroids, assignment, and the keep rule
+    // bit-for-bit. 100 TB: the quadratic is per-cell, never corpus².
+    "q192_semdedup" -> ((s, d) =>
+      Similarity.semDedup(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.35)),
+
     "q69_doc_embed_join" -> ((s, d) => {
       val docsQ = Tables.read(s, d, "documents")
         .filter(col("n_chars").between(150, 450))
@@ -576,6 +588,22 @@ object Vectors {
       Multimodal.featureSqlDuck("documents", "doc_id", "text"),
 
     "q62_ivf_trained" -> ivfTrainedSql,
+
+    "q192_semdedup" ->
+      s"""WITH $prepCte,
+        | c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cent_id,
+        |   q AS cq, n2 AS cn2 FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)),
+        | ${assignDuck("c0", "a1", 1)},
+        | ${recomputeDuck("a1", "c1")},
+        | ${assignDuck("c1", "a2", 1)},
+        | ${recomputeDuck("a2", "c2")},
+        | ${assignDuck("c2", "cells", 1)},
+        | drops AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+        |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |  WHERE ${cosDuck(dotDuck("a.q", "b.q"), "a.n2", "b.n2")} >= 0.35)
+        |SELECT c.vec_id, c.cent_id,
+        |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id""".stripMargin,
 
     "q129_centroid_classify" ->
       s"""WITH $prepCte,

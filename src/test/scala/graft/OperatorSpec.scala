@@ -504,6 +504,28 @@ class OperatorSpec extends SparkTestBase {
     assert(overlap > 0, "nprobe=2 IVF should recall some exact neighbors")
   }
 
+  test("semDedup: keep-set is exactly the lowest-id-free vectors per cell") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val got = Similarity.semDedup(e, "vec_id", "embedding",
+      k = 8, iters = 2, threshold = 0.35)
+    assert(got.count() == e.count(), "one verdict row per vector")
+    // replay the rule from first principles on the same cells
+    val prep = Similarity.prepare(e, "embedding").select($"vec_id", $"q", $"n2")
+    val cent = Similarity.kmeansCentroids(prep, "vec_id", k = 8, iters = 2)
+      .select($"cent_id".as("vec_id"), $"cq".as("q"), $"cn2".as("n2"))
+    val cells = Similarity.assignCells(prep, cent, "vec_id")
+      .select($"vec_id", $"q", $"n2", $"cent_id")
+    val expectedDrops = cells.as("x").join(cells.as("y"),
+        col("x.cent_id") === col("y.cent_id") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", Similarity.cosine(
+        Similarity.dotQ("x.q", "y.q"), col("x.n2"), col("y.n2")))
+      .filter($"cos" >= 0.35)
+      .select(col("y.vec_id")).distinct.as[Long].collect().toSet
+    val verdicts = got.select("vec_id", "keep").as[(Long, Int)].collect().toMap
+    assert(expectedDrops.nonEmpty, "threshold must actually drop something")
+    assert(verdicts.filter(_._2 == 0).keySet == expectedDrops)
+  }
+
   test("LSH dup pairs need no blocking column and only report true dups") {
     val e = sources.Tables.read(spark, sf, "embeddings")
     val lsh = Similarity.lshDupPairs(e, "vec_id", "embedding", 0.35)
