@@ -276,7 +276,18 @@ object TextDedup {
       val pairs = Dedup.incrementalPairs(batch, "graft_band_index_q88",
         all, "doc_id", "text", k = 8, rows = 2, threshold = 0.5)
       Dedup.admitBatch(batch, pairs, "doc_id").select("doc_id")
-    })
+    }),
+
+    // ---- q193: STREAMING near-dup admission (foreachBatch) ----
+    // q88's ingest decision maintained from a document stream — the
+    // continuous form of the daily-ingest shape (q186 : q94 for
+    // dedup). Each micro-batch probes the persisted corpus band index
+    // + earlier batches' bands, appends verified pairs and its own
+    // bands; the admission anti-join over the accumulated (symmetric,
+    // idempotent) pair set equals one-shot q88 regardless of
+    // micro-batch boundaries, so this shares q88's oracle.
+    "q193_stream_admission" -> ((s, d) =>
+      graft.streaming.EventStreams.streamingAdmissionStream(s, d))
   )
 
   // ---- oracle SQL (DuckDB dialect, same algorithms) ----
@@ -327,6 +338,18 @@ object TextDedup {
     s"""WITH $minhashPairCtes
       |SELECT ida, idb, inter / uni AS jac FROM j
       |WHERE inter / uni >= 0.5$extraWhere""".stripMargin
+
+  /** One-shot batch-admission decision — shared by q88 (batch) and
+    * q193 (streaming maintenance of the same decision). */
+  private lazy val admissionSql: String =
+    s"""WITH $minhashPairCtes,
+      | rp AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5
+      |   AND (ida % 5 = 0 OR idb % 5 = 0)),
+      | rej AS (SELECT idb AS doc_id FROM rp
+      |         UNION SELECT ida FROM rp WHERE idb % 5 <> 0)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 5 = 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM rej)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q32_text_stats" ->
@@ -434,15 +457,10 @@ object TextDedup {
 
     // Admission = batch minus rejects: a batch doc loses to any pair
     // partner that is corpus (always) or a smaller batch id.
-    "q88_batch_admission" ->
-      s"""WITH $minhashPairCtes,
-        | rp AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5
-        |   AND (ida % 5 = 0 OR idb % 5 = 0)),
-        | rej AS (SELECT idb AS doc_id FROM rp
-        |         UNION SELECT ida FROM rp WHERE idb % 5 <> 0)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id % 5 = 0
-        |  AND doc_id NOT IN (SELECT doc_id FROM rej)""".stripMargin,
+    "q88_batch_admission" -> admissionSql,
+
+    // streaming maintenance must land on the identical admission set
+    "q193_stream_admission" -> admissionSql,
 
     "q60_dup_clusters" ->
       s"""WITH RECURSIVE $toksCte, ${shCte()},

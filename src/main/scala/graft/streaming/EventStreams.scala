@@ -384,22 +384,36 @@ object EventStreams {
     val ev = graft.sources.Tables.read(spark, sfDir, "events")
       .withColumn("b", pmod(col("event_id"), lit(4)))
     seed(ev.filter(col("b") < 3))
+    val delta = ev.filter(col("b") === 3)
+      .select(col("event_id"),
+        expr("unix_micros(ts) * CAST(1000 AS BIGINT)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    runStagedStream(spark, tmpPrefix, delta, rawSchema, maxFilesPerTrigger,
+      deltaFiles, onBatch, postRead =
+        _.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")))
+  }
+
+  /** Stage `delta` as landed parquet files and stream them back with
+    * `onBatch` invoked per micro-batch — the shared file-ingest loop
+    * under [[runDeltaStream]] (events, raw ns shape) and
+    * [[streamingAdmissionStream]] (documents). Staging + checkpoint
+    * trees are exit-hook deleted recursively. */
+  private def runStagedStream(spark: SparkSession, tmpPrefix: String,
+      delta: DataFrame, schema: StructType,
+      maxFilesPerTrigger: Option[Int], deltaFiles: Int,
+      onBatch: DataFrame => Unit,
+      postRead: DataFrame => DataFrame = identity): Unit = {
     import java.nio.file.Files
     val dir = Files.createTempDirectory(s"${tmpPrefix}_delta")
     registerTreeCleanup(dir.toFile)
     val ckpt = Files.createTempDirectory(s"${tmpPrefix}_ckpt")
     registerTreeCleanup(ckpt.toFile)
-    val delta = ev.filter(col("b") === 3)
-      .select(col("event_id"),
-        expr("unix_micros(ts) * CAST(1000 AS BIGINT)").as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
     (if (deltaFiles > 1) delta.repartition(deltaFiles) else delta)
       .write.mode("overwrite").parquet(dir.toString)
-    val reader = spark.readStream.schema(rawSchema)
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(nf =>
       reader.option("maxFilesPerTrigger", nf.toString))
-    val q = reader.parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val q = postRead(reader.parquet(dir.toString))
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -408,6 +422,71 @@ object EventStreams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  /** documents schema as stored (for staging doc deltas as stream
+    * sources — no timestamp columns, so no ns handling needed). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** q193: STREAMING near-dup admission — q88's ingest decision
+    * maintained from a document stream (exactly the q186 : q94
+    * relationship). Seed: the corpus (doc_id % 5 != 0) band index,
+    * built ONCE, bucketed on the band key. The q88 batch (doc_id % 5
+    * == 0) is staged as landed files and streamed; each micro-batch
+    *   (a) probes the persisted corpus index (bucket-aligned — zero
+    *       corpus-side exchange, q85's plan) AND the accumulated bands
+    *       of earlier micro-batches (delta-scale),
+    *   (b) exact-Jaccard-verifies its candidates and appends the
+    *       verified pairs, and
+    *   (c) appends its own bands, so later micro-batches see it.
+    * Pair discovery is symmetric (normalized ida < idb) and idempotent
+    * (re-verified duplicates agree bit-for-bit and the final
+    * dropDuplicates collapses them), so the accumulated pair set — and
+    * therefore the admission anti-join — equals the one-shot q88
+    * computation no matter how the landed files were chopped into
+    * micro-batches; a replayed file is harmless (incrementalPairs'
+    * self-pair guard strips the jac=1 echoes). 100 TB: per-trigger
+    * work is batch-sized; the corpus never re-exchanges.
+    */
+  def streamingAdmissionStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 2): DataFrame = {
+    import graft.operators.Dedup
+    val all = graft.sources.Tables.read(spark, sfDir, "documents")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val batchDocs = all.filter(col("doc_id") % 5 === 0)
+    val (k, rows, thr) = (8, 2, 0.5)
+    Dedup.writeBandIndex(corpus, "doc_id", "text",
+      "graft_band_index_q193", k = k, rows = rows, nBuckets = 8)
+    graft.sources.Tables.writeTable(
+      Dedup.bandTable(all.limit(0), "doc_id", "text", k, rows),
+      "graft_q193_batch_bands")
+    graft.sources.Tables.writeTable(
+      all.limit(0).select(col("doc_id").as("ida"),
+        col("doc_id").as("idb"), col("n_chars").cast("double").as("jac")),
+      "graft_q193_pairs")
+    runStagedStream(spark, "graft_q193",
+      batchDocs.select("doc_id", "text", "lang", "source", "n_chars"),
+      docSchema, maxFilesPerTrigger, deltaFiles, mb => {
+        val bands = Dedup.bandTable(mb, "doc_id", "text", k, rows).cache()
+        val vsIndex = Dedup.incrementalPairs(mb, "graft_band_index_q193",
+          all, "doc_id", "text", k, rows, thr, reuseBands = Some(bands))
+        val vsEarlier = Dedup.incrementalPairs(mb, "graft_q193_batch_bands",
+          all, "doc_id", "text", k, rows, thr, reuseBands = Some(bands))
+        vsIndex.union(vsEarlier).dropDuplicates("ida", "idb")
+          .write.mode("append").format("parquet")
+          .saveAsTable("graft_q193_pairs")
+        bands.write.mode("append").format("parquet")
+          .saveAsTable("graft_q193_batch_bands")
+        bands.unpersist()
+        ()
+      })
+    Dedup.admitBatch(batchDocs,
+      spark.table("graft_q193_pairs").dropDuplicates("ida", "idb"), "doc_id")
+      .select("doc_id")
   }
 
   private val cleanupDirs =

@@ -303,6 +303,30 @@ class StreamingSpec extends SparkTestBase {
       "shredded streaming register merge diverged from one-shot sketch")
   }
 
+  test("streaming near-dup admission is micro-batch-boundary independent") {
+    // q193: shred the q88 batch into one micro-batch PER FILE — the
+    // accumulated pair set is symmetric and idempotent, so the final
+    // admission anti-join must equal the one-shot q88 decision even
+    // when near-dup batch members arrive in different micro-batches
+    // (larger-id-first orders included).
+    val merged = EventStreams.streamingAdmissionStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6)
+    val all = sources.Tables.read(spark, sf, "documents")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    operators.Dedup.writeBandIndex(corpus, "doc_id", "text",
+      "graft_band_index_spec193", k = 8, rows = 2, nBuckets = 8)
+    val pairs = operators.Dedup.incrementalPairs(batch,
+      "graft_band_index_spec193", all, "doc_id", "text",
+      k = 8, rows = 2, threshold = 0.5)
+    val oneShot = operators.Dedup.admitBatch(batch, pairs, "doc_id")
+      .select("doc_id")
+    assert(merged.count() > 0)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "shredded streaming admission diverged from one-shot q88")
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
