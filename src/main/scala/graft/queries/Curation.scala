@@ -420,6 +420,46 @@ object Curation {
         .select("doc_id", "q_milli", "n_toks")
     }),
 
+    // ---- q194: CCNet-style head/middle/tail quality buckets ----
+    // (Wenzek et al. 2020.) Per-language tercile split by a quality
+    // score (integer stopword-per-mille — q148's exact proxy for the
+    // paper's LM perplexity). The SCALE move: thresholds come from
+    // exact ranks over the deterministic md5 half-sample (q83's
+    // trick), per language — so the sort is sample-sized, the tiny
+    // (lang, t_head, t_mid) table broadcasts, and bucketing the full
+    // corpus is one comparison per row. NEVER ntile over the corpus:
+    // PARTITION BY lang puts the dominant language in one partition —
+    // the single-sort scale-killer this formulation avoids. A rank-r
+    // order statistic is a multiset property, so ties need no
+    // tiebreaker and both engines agree bit-for-bit.
+    "q194_ccnet_buckets" -> ((s, d) => {
+      val e = docs(s, d)
+        .withColumn("toks", expr(toksNat))
+        .withColumn("n_toks", size(col("toks")))
+        .filter(col("n_toks") > 0)
+        .withColumn("n_stop", expr(
+          graft.functions.TextExpr.hitCountSpark("toks",
+            graft.functions.TextExpr.langWords.toMap.apply("en"))))
+        .select(col("doc_id"), col("lang"),
+          expr("(n_stop * 1000) DIV n_toks").as("q_milli"))
+      val samp = graft.operators.Sampling.hashSample(e, "doc_id", 8)
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("q_milli").desc)
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      def pick(p: Int) =
+        max(when(expr(s"rn = ((n - 1) * $p) DIV 100 + 1"), col("q_milli")))
+      val th = samp
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("lang")
+        .agg(pick(33).as("t_head"), pick(66).as("t_mid"))
+      e.join(broadcast(th), "lang")
+        .select(col("doc_id"), col("lang"), col("q_milli"),
+          when(col("q_milli") >= col("t_head"), lit("head"))
+            .when(col("q_milli") >= col("t_mid"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    }),
+
     // ---- q121: within-document token co-occurrence ----
     // Pair counts (a, b sorted, a < b) over each doc's distinct token
     // set — the phrase/topic-mining primitive. The pairs are generated
@@ -679,6 +719,33 @@ object Curation {
         |   AS BIGINT) AS in_cum FROM j)
         |SELECT doc_id, q_milli, n_toks FROM wdw
         |WHERE prev + in_cum <= $TokenBudget""".stripMargin
+    },
+
+    "q194_ccnet_buckets" -> {
+      val en = graft.functions.TextExpr.langWords.toMap.apply("en")
+      val keep = graft.functions.TextExpr.nibbleDuck(
+        "md5(CAST(doc_id AS VARCHAR))", 0)
+      s"""WITH tk AS (SELECT doc_id, lang, ${toksDuck("text")} AS toks
+        |   FROM documents),
+        | e AS (SELECT doc_id, lang,
+        |   (${graft.functions.TextExpr.hitCountDuck("toks", en)} * 1000)
+        |     // len(toks) AS q_milli
+        |  FROM tk WHERE len(toks) > 0),
+        | samp AS (SELECT * FROM e WHERE $keep < 8),
+        | r AS (SELECT lang, q_milli,
+        |   row_number() OVER (PARTITION BY lang ORDER BY q_milli DESC) AS rn,
+        |   count(*) OVER (PARTITION BY lang) AS n FROM samp),
+        | th AS (SELECT lang,
+        |   max(CASE WHEN rn = (n - 1) * 33 // 100 + 1 THEN q_milli END)
+        |     AS t_head,
+        |   max(CASE WHEN rn = (n - 1) * 66 // 100 + 1 THEN q_milli END)
+        |     AS t_mid
+        |  FROM r GROUP BY 1)
+        |SELECT e.doc_id, e.lang, e.q_milli,
+        | CASE WHEN e.q_milli >= th.t_head THEN 'head'
+        |      WHEN e.q_milli >= th.t_mid THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM e JOIN th USING (lang)""".stripMargin
     },
 
     "q121_cooccurrence" ->
