@@ -44,6 +44,10 @@ object Curation {
   // no newlines to split into lines).
   private val BoilN = 3
   private val BoilDf = 5
+  // q195's duplicated-span gram width: 4 tokens — wide enough that a
+  // cross-doc repeat is copied text, not vocabulary chance (same
+  // measurement as DecontN); real pipelines run 50-token windows.
+  private val DupSpanN = 4
   private val Shards = 8
   // Per-stratum hard cap for the quota sample.
   private val QuotaK = 40
@@ -460,6 +464,54 @@ object Curation {
             .otherwise(lit("tail")).as("bucket"))
     }),
 
+    // ---- q195: duplicated-substring spans (exact substring dedup) ----
+    // The Lee et al. 2022 "Deduplicating Training Data" move at the
+    // granularity MinHash can't see: find exact token spans repeated
+    // ACROSS documents and, per doc, the longest such span. Positional
+    // word 4-grams stream out narrow (doc_id, pos, gram); a gram
+    // repeated in >= 2 distinct docs is "duplicated text"; consecutive
+    // duplicated positions chain into spans via gaps-and-islands
+    // (pos - row_number), so a k-position run = a k+3-token duplicated
+    // substring. Plan shape at 100 TB: two map-side-combining hash
+    // aggs find the duplicated grams (distinct pairs -> df >= 2 — the
+    // same shape as q117's boilerplate scorer), one equi-join hands
+    // positions back, and the island window partitions by doc_id over
+    // ONLY the duplicated positions (a tiny fraction of the corpus) —
+    // no all-pairs comparison and no global sort anywhere. At real
+    // scale the gram join key would be an 8-byte xxhash64 fingerprint
+    // instead of the string (collision odds ~n²/2⁶⁴); the string key
+    // here keeps the DuckDB oracle bit-exact.
+    "q195_dup_spans" -> ((s, d) => {
+      val n = DupSpanN
+      val doc = docs(s, d)
+      val tk = doc.select(col("doc_id"), expr(toksNat).as("t"))
+      val p = tk.filter(size(col("t")) >= n)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(t) - $n + 1), " +
+            s"i -> concat_ws(' ', slice(t, i, $n)))")).as(Seq("i", "g")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"),
+          col("g"))
+      val dg = p.select("doc_id", "g").distinct()
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("g")
+      val dp = p.join(dg, "g").select("doc_id", "pos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val rmax = dp.withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(max("run").as("mrun"))
+      val perdoc = p.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val ds = dp.groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      doc.select("doc_id")
+        .join(perdoc, Seq("doc_id"), "left")
+        .join(ds, Seq("doc_id"), "left")
+        .join(rmax, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          coalesce(col("mrun") + lit(n - 1), lit(0L)).as("max_run_toks"))
+    }),
+
     // ---- q121: within-document token co-occurrence ----
     // Pair counts (a, b sorted, a < b) over each doc's distinct token
     // set — the phrase/topic-mining primitive. The pairs are generated
@@ -747,6 +799,30 @@ object Curation {
         |      ELSE 'tail' END AS bucket
         |FROM e JOIN th USING (lang)""".stripMargin
     },
+
+    "q195_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksDuck("text")} AS t
+        |   FROM documents),
+        | pu AS (SELECT doc_id, unnest([struct_pack(pos := i,
+        |     g := array_to_string(t[i:i+${DupSpanN - 1}], ' '))
+        |   FOR i IN range(1, len(t) - $DupSpanN + 2)]) AS u FROM tk),
+        | p AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM pu),
+        | dg AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM p)
+        |   GROUP BY g HAVING count(*) >= 2),
+        | dp AS (SELECT doc_id, pos FROM p JOIN dg USING (g)),
+        | runs AS (SELECT doc_id, count(*) AS run FROM (
+        |    SELECT doc_id, pos, pos - row_number()
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp)
+        |   GROUP BY doc_id, grp),
+        | perdoc AS (SELECT doc_id, count(*) AS n_grams FROM p GROUP BY 1),
+        | ds AS (SELECT doc_id, count(*) AS n_dup FROM dp GROUP BY 1),
+        | rmax AS (SELECT doc_id, max(run) AS mrun FROM runs GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(perdoc.n_grams, 0) AS n_grams,
+        | COALESCE(ds.n_dup, 0) AS n_dup,
+        | COALESCE(rmax.mrun + ${DupSpanN - 1}, 0) AS max_run_toks
+        |FROM documents d LEFT JOIN perdoc USING (doc_id)
+        |LEFT JOIN ds USING (doc_id)
+        |LEFT JOIN rmax USING (doc_id)""".stripMargin,
 
     "q121_cooccurrence" ->
       s"""WITH t AS (SELECT

@@ -310,6 +310,33 @@ class PipelineSpec extends SparkTestBase {
       df == p.length && p == p.sorted && p.distinct.length == p.length })
   }
 
+  test("dup spans: counts bounded, runs imply shared spans, short docs zeroed") {
+    val out = q("q195_dup_spans")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 500)
+    // n_dup never exceeds n_grams; a max run implies at least one dup
+    // position and is at least gram width (4 tokens) when present
+    assert(out.forall { case (_, ng, nd, mr) =>
+      nd <= ng && (if (nd == 0) mr == 0 else mr >= 4 && mr <= ng + 3) })
+    // the synthetic corpus genuinely contains cross-doc repeats
+    assert(out.exists(_._3 > 0))
+    // re-derive n_dup independently: positional grams joined against
+    // the set of grams seen in >= 2 distinct docs, counted per doc
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.functions.TextNative.register(spark)
+    val pos = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, greatest(size(graft_tokens(text)) - 3, 1)), " +
+        "i -> concat_ws(' ', slice(graft_tokens(text), i, 4)))")).as("g"))
+      .filter(length(col("g")) > 0)
+      .filter(expr("size(split(g, ' ')) = 4"))
+    val shared = pos.select("doc_id", "g").distinct()
+      .groupBy("g").count().filter(col("count") >= 2).select("g")
+    val nd2 = pos.join(shared, "g").groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(out.forall { case (id, _, nd, _) =>
+      nd2.getOrElse(id, 0L) == nd })
+  }
+
   test("latest-per-key argmax agrees with the window spelling") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val win = org.apache.spark.sql.expressions.Window
