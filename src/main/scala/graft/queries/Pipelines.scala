@@ -43,6 +43,10 @@ object Pipelines {
   // Vocab coverage: top-N tokens by corpus frequency (the synthetic
   // corpus has ~31 distinct tokens, so N=20 leaves a real OOV tail).
   private val VocabN = 20
+  // q196: a quasi-identifier class needs >= L distinct sensitive values
+  // (order priorities have a 5-value vocabulary, so L=3 leaves both
+  // risky and safe classes at every SF).
+  private val LDiversity = 3
 
   /** Oracle CTEs yielding `ch(doc_id, chunk_idx, chunk)` — the DuckDB
     * twin of [[chunkFrame]], shared by the q100 and q151 oracles. */
@@ -264,6 +268,33 @@ object Pipelines {
         .agg(count(lit(1)).as("n_classes"),
           sum("class_size").as("n_customers"))
         .withColumn("is_risky", col("class_size") < 5)),
+
+    // ---- q196: l-diversity audit ----
+    // q179's k-anonymity counts how many people share a quasi-identifier
+    // class; l-diversity asks the stronger question — within each class,
+    // how many DISTINCT sensitive values exist (a class of 50 people who
+    // all share one diagnosis is k-anonymous and still leaks). Quasi-ids
+    // here are (nation, segment); the sensitive attribute is the
+    // customer's order priority. Plan shape: one join customer->orders
+    // (orders side is the big one and shuffles once on custkey), then a
+    // two-level hash agg — distinct (class, sensitive) pairs collapse
+    // map-side before the per-class count, so the shuffle carries at
+    // most |classes| x |priority vocabulary| rows at any corpus size.
+    // Output is class-cardinality; risky = fewer than L distinct values.
+    "q196_l_diversity" -> ((s, d) => {
+      val cls = t(s, d, "customer").join(
+          t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("o_orderpriority"))
+      val pairs = cls.distinct()
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("l_distinct"))
+      val sizes = cls.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("class_size"))
+      sizes.join(pairs, Seq("c_nationkey", "c_mktsegment"))
+        .withColumn("is_risky", col("l_distinct") < LDiversity)
+    }),
 
     "q102_pii_scrub" -> ((s, d) => {
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -491,7 +522,17 @@ object Pipelines {
     // map-side lookup, dim re-planned per micro-batch), rolled up per
     // (segment, type). NOTE: RUNS the stream.
     "q180_stream_enrich" -> ((s, d) =>
-      graft.streaming.EventStreams.enrichBatchEquivalent(s, d))
+      graft.streaming.EventStreams.enrichBatchEquivalent(s, d)),
+
+    // ---- q197: streaming exactly-once dedup of a replayed feed ----
+    // The events table staged twice (at-least-once redelivery) and
+    // collapsed by watermark-bounded dropDuplicates state back to the
+    // single-delivery table, bit-for-bit — the oracle reads the
+    // original table, so equality PROVES the replay was fully absorbed.
+    // State is one key per event inside the 1-hour watermark horizon,
+    // evicted as the watermark advances. NOTE: RUNS the stream.
+    "q197_stream_dedup" -> ((s, d) =>
+      graft.streaming.EventStreams.replayedDedupStream(s, d))
   )
 
   // ---- oracle SQL (DuckDB dialect, same algorithms) ----
@@ -735,6 +776,22 @@ object Pipelines {
         | ${DetMath.sumFixedSql("e.value", 2)} AS sum_val
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "q197_stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        | event_type, value FROM events""".stripMargin,
+
+    "q196_l_diversity" ->
+      s"""WITH cls AS (SELECT c_nationkey, c_mktsegment, o_orderpriority
+        |  FROM customer JOIN orders ON c_custkey = o_custkey),
+        | sizes AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |  FROM cls GROUP BY 1, 2),
+        | lv AS (SELECT c_nationkey, c_mktsegment,
+        |   count(DISTINCT o_orderpriority) AS l_distinct
+        |  FROM cls GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+        | l_distinct < $LDiversity AS is_risky
+        |FROM sizes JOIN lv USING (c_nationkey, c_mktsegment)""".stripMargin,
 
     "q179_k_anonymity" ->
       """WITH cls AS (SELECT c_nationkey, c_mktsegment,

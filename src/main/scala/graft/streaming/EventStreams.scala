@@ -218,7 +218,8 @@ object EventStreams {
   private def runToCompletion(spark: SparkSession, sfDir: String,
       name: String, transform: DataFrame => DataFrame,
       mode: OutputMode = OutputMode.Complete,
-      sentinel: Boolean = false): DataFrame = {
+      sentinel: Boolean = false,
+      copies: Int = 1): DataFrame = {
     // NOTE: calling this EXECUTES the streaming job (it is an action, not
     // a lazy plan) and the complete-mode memory sink materializes the
     // final aggregate on the driver — correct for the oracle gate's
@@ -246,6 +247,16 @@ object EventStreams {
     } else {
       Files.copy(src, staged)
       staged.toFile.deleteOnExit()
+    }
+    // extra staged copies model at-least-once redelivery: the source
+    // sees every event `copies` times (flat-file staging only — the
+    // driver corpus ships events as one flat parquet file)
+    for (k <- 1 until copies) {
+      require(!Files.isDirectory(src),
+        "replay staging supports flat-file sources only")
+      val replay = dir.resolve(s"events_replay$k.parquet")
+      Files.copy(src, replay)
+      replay.toFile.deleteOnExit()
     }
     if (sentinel) {
       import spark.implicits._
@@ -517,6 +528,22 @@ object EventStreams {
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
+
+  /** q197: exactly-once dedup of an at-least-once delivery — the events
+    * feed staged TWICE (every row redelivered, the Kafka-rewind /
+    * redeployed-producer scenario) and collapsed back to one row per
+    * event_id by [[dedupedEvents]]'s watermark-bounded state. The
+    * result must equal the single-delivery table bit-for-bit (the
+    * DuckDB oracle reads the original), proving the dedup state absorbs
+    * the entire replay; at 100 TB the 1-hour watermark keeps that state
+    * proportional to one hour of arrivals, not corpus history. Append
+    * mode — deduped rows emit immediately; payload columns are
+    * identical across deliveries so which copy wins is unobservable. */
+  def replayedDedupStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sfDir, "graft_q197",
+      ev => dedupedEvents(ev)
+        .select("event_id", "ts", "user_id", "event_type", "value"),
+      OutputMode.Append, copies = 2)
 
   /** Stream-stream join: purchases attributed to the same user's signup
     * within the following hour. Both sides are watermarked so Spark can

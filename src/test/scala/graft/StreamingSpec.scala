@@ -105,6 +105,16 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("replayed feed dedups back to the single-delivery table") {
+    val got = EventStreams.replayedDedupStream(spark, sf)
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // the stream saw every row twice; the output must equal one copy
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("rate source feeds the same transforms: schema + flow") {
     val src = EventStreams.fromRate(spark, rowsPerBatch = 500)
     assert(src.schema.fieldNames.toSeq ==
