@@ -100,6 +100,13 @@ object Graft {
       // sources.Tables normalize to us TimestampType (SURVEY.md §7.3's
       // ns→us truncation rule).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Bucketed scans report their sortBy ordering (safe: only applies
+      // when a bucket is ONE file, which sources.Tables.writeBucketed
+      // guarantees by pre-repartitioning on the bucket key) — merge
+      // joins over co-bucketed tables then skip the per-partition Sort
+      // as well as the Exchange. Off by default only because historical
+      // multi-file buckets broke the assumption.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config(extra)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -232,6 +232,32 @@ object Ingest {
           "o_orderpriority")
     }),
 
+    // ---- q198: co-located (bucketed) fact-fact join ----
+    // The durable answer to "this join shuffles 100 TB every night":
+    // both sides are written bucketed on the join key
+    // (sources.Tables.writeBucketed — the write-once shuffle), then
+    // joined with a merge hint. Catalyst recognizes the matching
+    // bucketing AND the in-bucket sort, so the physical plan has NO
+    // Exchange and NO Sort on either side — a pure per-bucket zip
+    // (IngestSpec pins that plan). The aggregate after the join
+    // re-keys on priority, which is a legitimate |priorities|-row
+    // shuffle. At 1000 executors the bucketed layout also bounds task
+    // inputs: bucket i of lineitem only ever meets bucket i of orders.
+    "q198_bucketed_join" -> ((s, d) => {
+      Tables.writeBucketed(
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        "graft_bkt_lineitem", Seq("l_orderkey"), 8)
+      Tables.writeBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders", Seq("o_orderkey"), 8)
+      s.table("graft_bkt_orders").hint("merge")
+        .join(s.table("graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(fixed(col("l_quantity"), 2)).as("qty_cents"))
+    }),
+
     "q113_csv_roundtrip" -> ((s, d) => {
       val dir = stagingDir(s, "q113_csv")
       t(s, d, "orders")
@@ -349,6 +375,12 @@ object Ingest {
         | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
         |   AS o_orderpriority
         |FROM orders""".stripMargin,
+
+    "q198_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(SUM(${fixedSql("l_quantity", 2)}) AS BIGINT) AS qty_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q113_csv_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -106,7 +106,15 @@ object Tables {
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       nBuckets: Int): Unit = {
     resetTable(df.sparkSession, table)
-    df.write.mode("overwrite")
+    // repartition on the bucket key first (same murmur3 hash as
+    // bucketBy): each bucket then lands in exactly ONE file, which is
+    // the condition under which the scan reports the sortBy ordering —
+    // downstream merge joins then skip BOTH the Exchange and the Sort
+    // (ScaleSpec pins that plan for q198). Without it every input task
+    // writes its own file per bucket and readers re-sort.
+    df.repartition(nBuckets,
+        bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")

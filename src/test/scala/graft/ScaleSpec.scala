@@ -154,6 +154,22 @@ class ScaleSpec extends SparkTestBase {
       s"one shuffle on the group key expected:\n$plan")
   }
 
+  test("bucketed join: no Exchange and no Sort under the merge join") {
+    val df = SparkEntry.queries("q198_bucketed_join")(spark, sf)
+    df.collect() // materialize through AQE so the final plan is real
+    val plan = df.queryExecution.executedPlan.toString
+    // matching bucketing + in-bucket sort on both sides: the join zips
+    // buckets locally. The only exchange allowed is the post-join
+    // re-key onto the 5-row priority aggregate.
+    val joinPart = plan.split("SortMergeJoin").last
+    assert(plan.contains("SortMergeJoin"),
+      s"merge hint should plan a sort-merge join:\n$plan")
+    assert(!joinPart.contains("Exchange"),
+      s"bucketed sides must not re-shuffle:\n$plan")
+    assert(!joinPart.contains("Sort "),
+      s"bucketed sortBy must satisfy the join ordering:\n$plan")
+  }
+
   test("co-occurrence pairs are generated in-row: no join anywhere in the plan") {
     val plan = SparkEntry.queries("q121_cooccurrence")(spark, sf)
       .queryExecution.executedPlan.toString
