@@ -144,6 +144,57 @@ object Graph {
     dist
   }
 
+  /** Synchronous label propagation over an UNDIRECTED edge table —
+    * community detection (not connected components: [[Dedup.dupClusters]]'
+    * pointer-doubling finds components exactly; LPA finds denser-than-
+    * surroundings regions and is the standard cheap community pass over
+    * a similarity/knn graph). Every node starts as its own label; each
+    * round every node adopts the label most frequent among its
+    * neighbors, ties broken by the SMALLEST label (the determinism
+    * anchor: with a fixed iteration count the whole evolution is a pure
+    * function of the edge set, so the DuckDB oracle replays it
+    * bit-for-bit — no async/random visit order like the original
+    * Raghavan et al. formulation). Isolated or vote-less nodes keep
+    * their current label.
+    *
+    * Scale shape per round: one equi-join of the edge table against the
+    * node-cardinality label table (broadcast-gated like [[pageRank]],
+    * shuffle fallback beyond `broadcastLimit`), one (node, label) count
+    * agg — partials combine map-side — and one argmax agg. Each round's
+    * label table is lineage-cut and the previous cut released, so the
+    * plan stays flat for any `iters`. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, broadcastLimit: Long = 5000000L): DataFrame = {
+    require(iters >= 1)
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = Dedup.cut(
+      e0.unionAll(e0.select(col("b").as("a"), col("a").as("b"))).distinct())
+    val nodes = Dedup.cut(und.select(col("a").as("id")).distinct())
+    val small = nodes.count() < broadcastLimit
+    def side(df: DataFrame) = if (small) broadcast(df) else df
+    var labels = nodes.withColumn("lbl", col("id"))
+    var prevCut: DataFrame = null
+    for (i <- 1 to iters) {
+      val votes = und
+        .join(side(labels.withColumnRenamed("id", "b")), "b")
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax as one agg: max(struct(count, -label)) sorts count desc
+      // then label asc — the q119 windowless latest-per-key move
+      val arg = votes.groupBy("a")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("w"))
+        .select(col("a").as("id"), (-col("w.nl")).as("lbl2"))
+      val next = labels.join(side(arg), Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+      val c = Dedup.cut(next)
+      if (prevCut != null) Dedup.release(prevCut)
+      prevCut = c
+      labels = c
+    }
+    Dedup.release(und)
+    Dedup.release(nodes)
+    labels
+  }
+
   /** Directed bipartite edges in BOTH directions from a two-column
     * relation, with the two id spaces interleaved into one BIGINT
     * namespace (left*2, right*2+1). Edge generation is LINEAR in the

@@ -272,6 +272,24 @@ object Vectors {
         .select(col("a"), col("b"), col("c2").as("c"))
     }),
 
+    // ---- q199: label-propagation communities on the knn graph ----
+    // The community pass over q166's knn edge set: 3 synchronous
+    // rounds of "adopt the most frequent neighbor label, ties -> min"
+    // (Graph.labelPropagate) — the cheap clustering every similarity
+    // graph gets before sampling one exemplar per community. The
+    // deterministic synchronous schedule + fixed rounds make the whole
+    // evolution a pure function of the edge set, so the oracle replays
+    // all 3 rounds as chained CTEs. Per round: one edges->labels join
+    // (node table broadcast-gated), two hash aggs; rounds lineage-cut.
+    "q199_label_prop" -> ((s, d) => {
+      val knn = Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding",
+        k = 3)
+      val e = knn.select(least(col("qid"), col("vec_id")).as("a"),
+        greatest(col("qid"), col("vec_id")).as("b")).distinct()
+      graft.operators.Graph.labelPropagate(e, "a", "b", iters = 3)
+        .select(col("id").as("vec_id"), col("lbl").as("community"))
+    }),
+
     // ---- q157: k-NN label classification (LSH neighbors vote) ----
     // The neighbor-based alternative to q129's centroid classifier,
     // same 80/20 split: each held-out vector takes its top-3 nearest
@@ -695,6 +713,39 @@ object Vectors {
         |SELECT e1.a, e1.b, e2.b AS c
         |FROM e e1 JOIN e e2 ON e2.a = e1.b
         | JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "q199_label_prop" -> {
+      // 3 LPA rounds as chained CTEs over q166's knn edge derivation
+      val rounds = (1 to 3).map { k =>
+        s"""v$k AS (SELECT ed.a, l.lbl, count(*) AS c
+          |  FROM ed JOIN l${k - 1} l ON l.id = ed.b GROUP BY 1, 2),
+          | a$k AS (SELECT a AS id, lbl FROM (SELECT a, lbl,
+          |    row_number() OVER (PARTITION BY a ORDER BY c DESC, lbl)
+          |      AS rn FROM v$k) WHERE rn = 1),
+          | l$k AS (SELECT n.id, COALESCE(a$k.lbl, p.lbl) AS lbl
+          |  FROM nodes n JOIN l${k - 1} p USING (id)
+          |  LEFT JOIN a$k USING (id))""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id <> y.vec_id),
+        | sc AS (SELECT kc.qid, kc.vid,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM kc JOIN n a ON a.vec_id = kc.qid
+        |   JOIN n c ON c.vec_id = kc.vid),
+        | rk AS (SELECT qid, vid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rank FROM sc),
+        | e AS (SELECT DISTINCT LEAST(qid, vid) AS a, GREATEST(qid, vid) AS b
+        |   FROM rk WHERE rank <= 3),
+        | ed AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        | nodes AS (SELECT DISTINCT a AS id FROM ed),
+        | l0 AS (SELECT id, id AS lbl FROM nodes),
+        | $rounds
+        |SELECT id AS vec_id, lbl AS community FROM l3""".stripMargin
+    },
 
     "q137_weighted_sample" -> {
       val h16 = graft.functions.TextExpr.hexIntDuck(

@@ -98,6 +98,26 @@ class OperatorSpec extends SparkTestBase {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
+  test("label propagation: two triangles + bridge evolve exactly as hand-computed") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; synchronous
+    // min-tie-break LPA for 3 rounds lands on communities led by 1 and
+    // by 3 (label 3 migrates across the bridge in round 1 and seeds the
+    // second triangle — the hand evolution is in the operator's spec)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.labelPropagate(e, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // one round only: every node has adopted its min neighbor (votes
+    // are all ties at count 1 except the bridge endpoints)
+    val r1 = Graph.labelPropagate(e, "a", "b", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+  }
+
   test("minhash LSH finds exact duplicates with jaccard 1.0") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
