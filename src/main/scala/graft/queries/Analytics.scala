@@ -296,6 +296,36 @@ object Analytics {
     // ProfileCols list (not o.columns), so a schema evolution in the
     // corpus surfaces as a compile-visible diff, not a silent gate
     // divergence.
+    // ---- q201: distribution-drift audit between ingest batches ----
+    // The monitoring gate every training-data pipeline puts between
+    // "new batch landed" and "new batch admitted": does the value
+    // distribution of the delta match history? Histogram both sides on
+    // a fixed integer grid (floor(value) — fixed bins, not quantiles,
+    // so the comparison needs no global sort), normalize to exact ppm
+    // shares, and score the drift as the L1 distance Σ|p_hist - p_new|
+    // (total-variation ×2 — the integer-exact cousin of PSI, which
+    // needs ln and so can't be hash-gated). Plan: one (type, bin) hash
+    // agg over the corpus, per-type totals as a window over the ≤101-
+    // row bin table (never the raw data), one tiny final agg.
+    "q201_dist_drift" -> ((s, d) => {
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val bins = t(s, d, "events")
+        .withColumn("b", pmod(col("event_id"), lit(4)))
+        .withColumn("bin", floor(col("value")).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("b") < 3, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("b") === 3, 1L).otherwise(0L)).as("cb"))
+        .withColumn("ta", sum("ca").over(wt))
+        .withColumn("tb", sum("cb").over(wt))
+      bins
+        .withColumn("pa", expr("ca * 1000000 DIV ta"))
+        .withColumn("pb", expr("cb * 1000000 DIV tb"))
+        .groupBy("event_type")
+        .agg(max("ta").as("n_hist"), max("tb").as("n_new"),
+          sum(abs(col("pa") - col("pb"))).as("l1_ppm"))
+    }),
+
     "q182_column_profile" -> ((s, d) => {
       val o = t(s, d, "orders")
       val cols = ProfileCols
@@ -397,6 +427,23 @@ object Analytics {
     fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
 
   val oracles: Map[String, String] = Map(
+    "q201_dist_drift" ->
+      """WITH bins AS (SELECT event_type,
+        |   CAST(FLOOR(value) AS BIGINT) AS bin,
+        |   CAST(SUM(CASE WHEN event_id % 4 < 3 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS ca,
+        |   CAST(SUM(CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS cb
+        |  FROM events GROUP BY 1, 2),
+        | w AS (SELECT *,
+        |   CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+        |   CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS tb
+        |  FROM bins)
+        |SELECT event_type, max(ta) AS n_hist, max(tb) AS n_new,
+        | CAST(SUM(ABS(ca * 1000000 // ta - cb * 1000000 // tb))
+        |   AS BIGINT) AS l1_ppm
+        |FROM w GROUP BY 1""".stripMargin,
+
     "q181_pareto_frontier" ->
       s"""WITH agg AS (SELECT l_suppkey,
         |   CAST(SUM(${fixedSql("l_extendedprice", 2)}) AS BIGINT) AS cents,

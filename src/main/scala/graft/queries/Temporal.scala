@@ -62,6 +62,30 @@ object Temporal {
     // (decay anchor) is a 1-row broadcast; everything else is one
     // narrow pass + one user-keyed agg — recency weighting at corpus
     // scale without a single float sum.
+    // ---- q200: hourly-completeness (gap) audit ----
+    // The freshness/completeness check every ingestion SLA dashboard
+    // runs: per event type, how many hours inside the type's observed
+    // [first, last] span produced NO events. Pure integer arithmetic —
+    // epoch-hour min/max + one distinct-hour count per type — so the
+    // expected-grid size is (h1 - h0 + 1) with no grid materialization
+    // at all (exploding a sequence() per type works but allocates the
+    // full span; the subtraction is the 100 TB spelling). One shuffle
+    // on event_type; distinct hours collapse map-side first.
+    "q200_hourly_gaps" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000")
+            .as("eh"))
+        .groupBy("event_type")
+        .agg(min("eh").as("h0"), max("eh").as("h1"),
+          countDistinct(col("eh")).as("n_present"))
+        .select(col("event_type"),
+          expr("timestamp_micros(h0 * 3600000000)").as("first_hr"),
+          expr("timestamp_micros(h1 * 3600000000)").as("last_hr"),
+          (col("h1") - col("h0") + 1).as("n_expected"),
+          col("n_present"),
+          (col("h1") - col("h0") + 1 - col("n_present")).as("n_missing"))),
+
     "q175_decay_score" -> ((s, d) => {
       val ev = t(s, d, "events")
       val mx = ev.agg(max(col("ts")).as("mx"))
@@ -261,6 +285,18 @@ object Temporal {
         |SELECT a.o_orderkey, ${rndSql("a.o_totalprice + 2 * b.p2", 2)} AS combo
         |FROM a JOIN b USING (pos)""".stripMargin,
     "q29_events_hourly" -> hourlyOracle,
+    "q200_hourly_gaps" ->
+      """WITH e AS (SELECT event_type,
+        |   epoch_us(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))) // 3600000000
+        |     AS eh FROM events),
+        | g AS (SELECT event_type, min(eh) AS h0, max(eh) AS h1,
+        |   count(DISTINCT eh) AS n_present FROM e GROUP BY 1)
+        |SELECT event_type,
+        | make_timestamp(h0 * 3600000000) AS first_hr,
+        | make_timestamp(h1 * 3600000000) AS last_hr,
+        | h1 - h0 + 1 AS n_expected, n_present,
+        | h1 - h0 + 1 - n_present AS n_missing
+        |FROM g""".stripMargin,
     "q175_decay_score" ->
       s"""WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
         | e AS (SELECT user_id,

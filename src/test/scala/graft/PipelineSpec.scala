@@ -310,6 +310,28 @@ class PipelineSpec extends SparkTestBase {
       df == p.length && p == p.sorted && p.distinct.length == p.length })
   }
 
+  test("hourly gaps: arithmetic identity and grid membership") {
+    val out = q("q200_hourly_gaps")
+      .select("event_type", "n_expected", "n_present", "n_missing")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 5)
+    assert(out.forall { case (_, exp, pres, miss) =>
+      miss == exp - pres && pres >= 1 && miss >= 0 && pres <= exp })
+  }
+
+  test("drift: l1 bounded by 2M ppm, totals partition the corpus") {
+    val out = q("q201_dist_drift")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 5)
+    // L1 of two ppm distributions is at most 2,000,000 (disjoint
+    // support); >= 0 trivially. ppm floor-division undercounts at most
+    // #bins ppm, never over.
+    assert(out.forall { case (_, na, nb, l1) =>
+      l1 >= 0 && l1 <= 2000000 && na > 0 && nb > 0 })
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(out.map(r => r._2 + r._3).sum == total)
+  }
+
   test("dup spans: counts bounded, runs imply shared spans, short docs zeroed") {
     val out = q("q195_dup_spans")
       .as[(Long, Long, Long, Long)].collect()
