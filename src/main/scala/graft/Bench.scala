@@ -16,7 +16,9 @@ object Bench {
     * reference Demo pipeline shape), sort/top-k, window, dedup (minhash
     * LSH one-shot + incremental), similarity (brute knn + the
     * corpus-wide LSH knn join), text stats, time bucketing, as-of,
-    * iterative graph (PageRank). q85 times the full incremental cycle
+    * iterative graph (PageRank), duplicated-span detection (positional
+    * grams), co-bucketed join (index build + zero-exchange join), and
+    * iterative label propagation. q85 times the full incremental cycle
     * (index build + batch probe + verify). */
   val headline: Seq[String] = Seq(
     "q05_groupby_sum", "q07_join_inner", "q16_sort_topk", "q22_window",
@@ -25,7 +27,8 @@ object Bench {
     "q47_pricing_summary", "q49_local_supplier_volume",
     "q64_window_highcard", "q67_corpus_filter", "q85_incremental_dedup",
     "q116_decontaminate", "q119_latest_order", "q130_pagerank",
-    "q135_ann_knn_join")
+    "q135_ann_knn_join", "q195_dup_spans", "q198_bucketed_join",
+    "q199_label_prop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

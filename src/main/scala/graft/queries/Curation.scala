@@ -512,6 +512,26 @@ object Curation {
           coalesce(col("mrun") + lit(n - 1), lit(0L)).as("max_run_toks"))
     }),
 
+    // ---- q202: greedy max-coverage selection (submodular pick) ----
+    // "Select the 5 documents that together cover the most distinct
+    // 4-grams" — the submodular data-selection move (facility-location /
+    // coreset family) used to build small high-coverage training
+    // subsets. Classic greedy = (1-1/e)-approximation; the synchronous
+    // deterministic schedule (ties -> min doc_id) makes all 5 rounds a
+    // pure function of the (doc, gram) set, replayed by the oracle as
+    // chained CTEs. Per round: one anti-join + one count agg + a k=1
+    // TakeOrdered — see operators.Coverage for the 100 TB shape.
+    "q202_greedy_cover" -> ((s, d) => {
+      val n = DupSpanN
+      val tk = docs(s, d).select(col("doc_id"), expr(toksNat).as("t"))
+      val p = tk.filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t) - $n + 1), " +
+            s"i -> concat_ws(' ', slice(t, i, $n)))")).as("g"))
+      graft.operators.Coverage.greedyCover(p, "doc_id", "g", k = 5)
+        .withColumnRenamed("item", "doc_id")
+    }),
+
     // ---- q121: within-document token co-occurrence ----
     // Pair counts (a, b sorted, a < b) over each doc's distinct token
     // set — the phrase/topic-mining primitive. The pairs are generated
@@ -823,6 +843,36 @@ object Curation {
         |FROM documents d LEFT JOIN perdoc USING (doc_id)
         |LEFT JOIN ds USING (doc_id)
         |LEFT JOIN rmax USING (doc_id)""".stripMargin,
+
+    "q202_greedy_cover" -> {
+      // 5 greedy rounds as chained CTEs; round r's gains exclude every
+      // gram covered by rounds 1..r-1
+      val rounds = (1 to 5).map { r =>
+        val excl =
+          if (r == 1) ""
+          else s" WHERE g NOT IN (SELECT g FROM c${r - 1})"
+        val cPrev = if (r == 1) "" else s"SELECT g FROM c${r - 1} UNION "
+        s"""g$r AS (SELECT doc_id, count(*) AS gain FROM p$excl
+          |   GROUP BY 1),
+          | b$r AS (SELECT $r AS round, doc_id, gain FROM g$r
+          |   ORDER BY gain DESC, doc_id LIMIT 1),
+          | c$r AS (${cPrev}SELECT DISTINCT g FROM p
+          |   WHERE doc_id = (SELECT doc_id FROM b$r))""".stripMargin
+      }.mkString(",\n ")
+      val picks = (1 to 5).map(r => s"SELECT * FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH tk AS (SELECT doc_id, ${toksDuck("text")} AS t
+        |   FROM documents),
+        | pu AS (SELECT doc_id, unnest([struct_pack(pos := i,
+        |     g := array_to_string(t[i:i+${DupSpanN - 1}], ' '))
+        |   FOR i IN range(1, len(t) - $DupSpanN + 2)]) AS u FROM tk),
+        | p AS (SELECT DISTINCT doc_id, u.g AS g FROM pu),
+        | $rounds,
+        | all_picks AS ($picks)
+        |SELECT round, doc_id, gain,
+        | CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered_cum
+        |FROM all_picks""".stripMargin
+    },
 
     "q121_cooccurrence" ->
       s"""WITH t AS (SELECT

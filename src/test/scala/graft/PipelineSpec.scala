@@ -332,6 +332,27 @@ class PipelineSpec extends SparkTestBase {
     assert(out.map(r => r._2 + r._3).sum == total)
   }
 
+  test("greedy cover: gains non-increasing, cum is the running sum, round-1 argmax") {
+    val out = q("q202_greedy_cover")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 5)
+    assert(out.map(_._1).toSeq == (1 to 5))
+    // submodularity: the best marginal gain can only shrink as coverage grows
+    assert(out.sliding(2).forall(w => w(0)._3 >= w(1)._3))
+    assert(out.scanLeft(0L)(_ + _._3).tail.sameElements(out.map(_._4)))
+    // round 1 is the plain argmax over distinct per-doc gram counts
+    graft.functions.TextNative.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val counts = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, greatest(size(graft_tokens(text)) - 3, 1)), " +
+        "i -> concat_ws(' ', slice(graft_tokens(text), i, 4)))")).as("g"))
+      .filter(expr("size(split(g, ' ')) = 4")).distinct()
+      .groupBy("doc_id").count()
+      .orderBy(col("count").desc, col("doc_id")).limit(1)
+      .as[(Long, Long)].collect().head
+    assert((out.head._2, out.head._3) == counts)
+  }
+
   test("dup spans: counts bounded, runs imply shared spans, short docs zeroed") {
     val out = q("q195_dup_spans")
       .as[(Long, Long, Long, Long)].collect()
