@@ -285,6 +285,56 @@ object Curation {
         .select("a", "b", "c_ab", "p_ppm")
     }),
 
+    // ---- q203: BPE merge scoring (tokenizer-training support) ----
+    // The scoring pass of byte-pair-encoding training: corpus-weighted
+    // counts of adjacent character pairs, top-10 merge candidates
+    // (count desc, pair asc — BPE's "most frequent pair merges first").
+    // Scale shape: ONE corpus scan collapses to the vocabulary-bounded
+    // (token, frequency) table; the char-pair expansion then runs over
+    // the VOCAB (thousands of rows), never the corpus, and the top-10
+    // is a TakeOrdered heap. Real BPE iterates merge->recount; each
+    // subsequent round rewrites only the vocab table, so round cost is
+    // corpus-free after this first scan — exactly why BPE trainers
+    // operate on word-frequency lists.
+    "q203_bpe_merges" -> ((s, d) => {
+      val tf = docs(s, d).select(explode(expr(toksNat)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      tf.filter(length(col("w")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w) - 1), " +
+            "i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(10)
+    }),
+
+    // ---- q204: bigram-LM document scoring (perplexity-proxy filter) ----
+    // The CCNet/KenLM quality gate reshaped for hash-exactness: train
+    // the q134 bigram model on the corpus, then score every document by
+    // its mean next-token probability in exact ppm (sum of integer
+    // p_ppm DIV pair count — the rational stand-in for mean log-prob,
+    // which needs ln and can't be bit-gated; the ORDERING of docs, which
+    // is what a filter thresholds, is monotone-equivalent for the
+    // typical case). Scale shape: the LM is vocabulary²-bounded, so it
+    // BROADCASTS and the corpus pair stream never shuffles for the
+    // lookup; the per-doc mean collapses map-side (a doc's pairs are
+    // row-local). Every pair of every doc exists in the corpus LM by
+    // construction, so the join is total.
+    "q204_lm_score" -> ((s, d) => {
+      val pairs = docs(s, d)
+        .select(col("doc_id"), explode(expr("graft_ngrams(text, 2)")).as("g"))
+        .select(col("doc_id"), split(col("g"), " ")(0).as("a"),
+          split(col("g"), " ")(1).as("b"))
+      val c = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val tot = c.groupBy("a").agg(sum("c_ab").as("c_a"))
+      val lm = broadcast(c.join(tot, "a")
+        .select(col("a"), col("b"),
+          expr("c_ab * 1000000 DIV c_a").as("p_ppm")))
+      pairs.join(lm, Seq("a", "b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(p_ppm) DIV count(1)").as("score_ppm"))
+    }),
+
     // ---- q139: cross-source vocabulary overlap (Jaccard matrix) ----
     // Pairwise token-set Jaccard between sources, in exact ppm integers
     // — the corpus-mixing diagnostic ("how much does crawlA share with
@@ -715,6 +765,32 @@ object Curation {
         | t AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c GROUP BY 1)
         |SELECT c.a, c.b, c.c_ab, (c.c_ab * 1000000) // t.c_a AS p_ppm
         |FROM c JOIN t USING (a) WHERE c.c_ab >= 3""".stripMargin,
+
+    "q203_bpe_merges" ->
+      s"""WITH tf AS (SELECT w, count(*) AS f FROM (
+        |   SELECT unnest(${toksDuck("text")}) AS w FROM documents)
+        |  GROUP BY 1),
+        | pr AS (SELECT f, unnest([substr(w, i, 2)
+        |   FOR i IN range(1, len(w))]) AS pair
+        |  FROM tf WHERE len(w) >= 2)
+        |SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM pr
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 10""".stripMargin,
+
+    "q204_lm_score" ->
+      s"""WITH pr AS (SELECT doc_id,
+        |   unnest(${ngramsDuck(s"(${toksDuck("text")})", 2)}) AS g
+        |  FROM documents),
+        | ab AS (SELECT doc_id, string_split(g, ' ')[1] AS a,
+        |   string_split(g, ' ')[2] AS b FROM pr),
+        | c AS (SELECT a, b, count(*) AS c_ab FROM ab GROUP BY 1, 2),
+        | t AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c
+        |   GROUP BY 1),
+        | lm AS (SELECT c.a, c.b, (c.c_ab * 1000000) // t.c_a AS p_ppm
+        |  FROM c JOIN t USING (a))
+        |SELECT ab.doc_id, count(*) AS n_pairs,
+        | CAST(CAST(SUM(lm.p_ppm) AS BIGINT) // count(*) AS BIGINT)
+        |   AS score_ppm
+        |FROM ab JOIN lm USING (a, b) GROUP BY 1""".stripMargin,
 
     "q139_source_overlap" ->
       s"""WITH st AS (SELECT DISTINCT source,

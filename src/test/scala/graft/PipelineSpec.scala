@@ -332,6 +332,24 @@ class PipelineSpec extends SparkTestBase {
     assert(out.map(r => r._2 + r._3).sum == total)
   }
 
+  test("bpe merges: 2-char pairs, counts non-increasing, weighted by token freq") {
+    val out = q("q203_bpe_merges").as[(String, Long)].collect()
+    assert(out.length == 10)
+    assert(out.forall { case (p, c) => p.length == 2 && c > 0 })
+    assert(out.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("lm score: every doc scored, ppm bounded, pairs = tokens - 1") {
+    graft.functions.TextNative.register(spark)
+    val out = q("q204_lm_score").as[(Long, Long, Long)].collect()
+    assert(out.length == 500)
+    assert(out.forall { case (_, np, s) => np >= 1 && s > 0 && s <= 1000000 })
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), expr("size(graft_tokens(text))").as("nt"))
+      .as[(Long, Int)].collect().toMap
+    assert(out.forall { case (id, np, _) => np == toks(id) - 1 })
+  }
+
   test("greedy cover: gains non-increasing, cum is the running sum, round-1 argmax") {
     val out = q("q202_greedy_cover")
       .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
