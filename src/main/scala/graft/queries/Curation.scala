@@ -534,11 +534,11 @@ object Curation {
     "q195_dup_spans" -> ((s, d) => {
       val n = DupSpanN
       val doc = docs(s, d)
-      val tk = doc.select(col("doc_id"), expr(toksNat).as("t"))
-      val p = tk.filter(size(col("t")) >= n)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(t) - $n + 1), " +
-            s"i -> concat_ws(' ', slice(t, i, $n)))")).as(Seq("i", "g")))
+      // native fused tokenize+gram loop (graft_ngrams yields grams in
+      // position order, so posexplode recovers the position for free)
+      val p = doc
+        .select(col("doc_id"),
+          posexplode(expr(s"graft_ngrams(text, $n)")).as(Seq("i", "g")))
         .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"),
           col("g"))
       val dg = p.select("doc_id", "g").distinct()
@@ -573,11 +573,8 @@ object Curation {
     // TakeOrdered — see operators.Coverage for the 100 TB shape.
     "q202_greedy_cover" -> ((s, d) => {
       val n = DupSpanN
-      val tk = docs(s, d).select(col("doc_id"), expr(toksNat).as("t"))
-      val p = tk.filter(size(col("t")) >= n)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(t) - $n + 1), " +
-            s"i -> concat_ws(' ', slice(t, i, $n)))")).as("g"))
+      val p = docs(s, d).select(col("doc_id"),
+        explode(expr(s"graft_ngrams(text, $n)")).as("g"))
       graft.operators.Coverage.greedyCover(p, "doc_id", "g", k = 5)
         .withColumnRenamed("item", "doc_id")
     }),
