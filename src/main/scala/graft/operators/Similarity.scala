@@ -312,6 +312,43 @@ object Similarity {
       .withColumnRenamed("vid", "vec_id")
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the `k` most-similar vectors carrying a DIFFERENT label —
+    * the pairs a triplet / InfoNCE loss learns the most from, mined
+    * corpus-wide (every row is an anchor, the shape an embedding-model
+    * data pipeline actually runs — not a per-query search). Candidates
+    * are the same sign-bit LSH band collisions as [[lshKnnJoin]], so
+    * there is never an all-pairs stage: the (band, bucket) equi-join
+    * bounds work to near-collisions at any corpus size. Labels join
+    * onto the candidate PAIRS (two narrow joins on the already-banded
+    * id set, not on the corpus) and same-label pairs drop BEFORE the
+    * exact-cosine verify, so positives neither score nor rank; the
+    * surviving negatives rank through [[rankCandidates]] verbatim.
+    * Anchors whose buckets hold only same-label vectors yield no row
+    * (no near-collision negative ⇒ nothing hard to mine). Output:
+    * (qid, vec_id, rank, cos). */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int,
+      nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    val banded = lshBands(df, idCol, embCol, nBits, bandBits)
+    val labels = df.select(col(idCol), col(labelCol))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vid"))
+      .dropDuplicates("qid", "vid")
+      .join(labels.select(col(idCol).as("qid"),
+        col(labelCol).as("ql")), "qid")
+      .join(labels.select(col(idCol).as("vid"),
+        col(labelCol).as("vl")), "vid")
+      .filter(col("ql") =!= col("vl"))
+      .select("qid", "vid")
+    val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
+    rankCandidates(cand, p, idCol, k)
+      .withColumnRenamed("vid", "vec_id")
+  }
+
   /** Shared tail of every candidate-based search: exact-cosine score
     * each (qid, vid) candidate pair, rank per qid (cos desc, id
     * tiebreak), keep top-k. `vecs` must provide (idCol, q, n2) for

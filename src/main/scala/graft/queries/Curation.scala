@@ -57,6 +57,9 @@ object Curation {
   // token in the synthetic vocabulary, so the idf weighting is visible.
   private val Bm25Terms = Seq("spark", "vector", "dup")
   private val Bm25K = 5
+  // q208's conjunctive query: three mid-frequency terms, so the AND
+  // intersection is a strict subset of every single term's postings.
+  private val BoolTerms = Seq("vector", "merge", "stream")
 
   /** Exploded (doc_id, gram) pairs of word n-grams — NOT deduplicated:
     * a caller that needs "docs containing" semantics must place its own
@@ -143,6 +146,25 @@ object Curation {
         .select(col("term"), col("df"),
           array_join(expr("transform(p, x -> cast(x as string))"), ",")
             .as("postings"))),
+
+    // ---- q208: conjunctive boolean retrieval (AND of terms) ----
+    // The query-time face of q118's inverted index: documents
+    // containing ALL query terms, by counting distinct matched terms
+    // per doc and keeping count == |query|. The token stream filters
+    // to the (tiny, literal) query set BEFORE any shuffle, so the agg
+    // input is only the matched postings — the same rows a posting-list
+    // intersection would read, never the corpus. Rides q164's BM25
+    // scorer as the boolean companion (AND semantics vs ranked OR);
+    // tf_sum carries the total query-term mass for downstream ranking.
+    "q208_boolean_retrieval" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(expr(toksNat)).as("term"))
+        .filter(col("term").isin(BoolTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
+        .filter(col("n_terms") === BoolTerms.size)
+        .select("doc_id", "tf_sum")),
 
     // ---- q119: latest record per key, windowless ----
     // "Current snapshot from an append log": per customer, the most
@@ -693,6 +715,16 @@ object Curation {
         | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
         |   AS postings
         |FROM p GROUP BY 1""".stripMargin,
+
+    "q208_boolean_retrieval" -> {
+      val in = BoolTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH f AS (SELECT doc_id, unnest(${toksDuck("text")}) AS term
+        |   FROM documents),
+        | h AS (SELECT doc_id, term, count(*) AS tf FROM f
+        |   WHERE term IN ($in) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum FROM h
+        |GROUP BY 1 HAVING count(*) = ${BoolTerms.size}""".stripMargin
+    },
 
     "q119_latest_order" ->
       """SELECT o_custkey, o_orderdate AS last_date,

@@ -26,8 +26,36 @@ object Fingerprints {
     // frame-sample boundaries + per-frame digests (expression twin of
     // the Dataset-path stub; ASCII payload ⇒ byte==char slicing)
     "q56_frame_sample" -> ((s, d) =>
-      Multimodal.frameColumns(docs(s, d), "doc_id", "text", n = 4))
+      Multimodal.frameColumns(docs(s, d), "doc_id", "text", n = 4)),
+
+    // ---- q207: dataset shard manifest (integrity fingerprints) ----
+    // The data-versioning artifact a 100 TB pipeline publishes with
+    // every snapshot: per shard, the row count plus ORDER-INDEPENDENT
+    // content fingerprints (sum and xor of a 48-bit md5 row digest over
+    // the full canonical row). Diffing two runs' manifests pinpoints
+    // exactly which shards changed — corruption, partial rewrites, or
+    // nondeterministic upstream jobs — without re-reading unchanged
+    // data. Plan: pure per-row projection + one map-side-combining agg
+    // to shard-count rows; no joins, no windows, scan-speed at any
+    // size. 48-bit digests keep the 50-row-shard sum below 2^54 (and a
+    // 1000-row production shard below 2^58); collisions cancel only if
+    // two DIFFERENT row multisets tie on BOTH sum and xor — vanishing
+    // at manifest granularity.
+    "q207_shard_manifest" -> ((s, d) => manifest(docs(s, d)))
   )
+
+  /** Shard manifest of a documents frame — extracted so the spec can
+    * prove a one-row mutation moves exactly its shard's fingerprints. */
+  private[graft] def manifest(df: DataFrame): DataFrame =
+    df.select(expr("doc_id DIV 50").as("shard"),
+        conv(substring(md5(concat_ws("|",
+          col("doc_id").cast("string"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("string"))
+          .cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("fp_sum"),
+        expr("bit_xor(h)").as("fp_xor"))
 
   private val rollDuck =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), [ascii(c) FOR c IN split(%s, '')]), " +
@@ -53,6 +81,17 @@ object Fingerprints {
         |  FROM f)
         |SELECT doc_id, frame_idx, LENGTH(frame) AS frame_chars,
         | MD5(frame) AS frame_md5
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q207_shard_manifest" ->
+      s"""WITH r AS (SELECT doc_id // 50 AS shard,
+        |   MD5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang,
+        |     source, CAST(n_chars AS VARCHAR))) AS h
+        |  FROM documents),
+        | v AS (SELECT shard,
+        |   ${graft.functions.TextExpr.hexIntDuck("h", 12)} AS h FROM r)
+        |SELECT shard, count(*) AS n_rows,
+        | CAST(SUM(h) AS BIGINT) AS fp_sum, bit_xor(h) AS fp_xor
+        |FROM v GROUP BY 1""".stripMargin
   )
 }

@@ -47,6 +47,10 @@ object Pipelines {
   // (order priorities have a 5-value vocabulary, so L=3 leaves both
   // risky and safe classes at every SF).
   private val LDiversity = 3
+  // q209: token budget per inference batch — each batch holds
+  // (BatchToks DIV class-cap) docs padded to the class cap, so batch
+  // tensor shape is (docs, cap) with docs*cap <= BatchToks.
+  private val BatchToks = 256L
 
   /** Oracle CTEs yielding `ch(doc_id, chunk_idx, chunk)` — the DuckDB
     * twin of [[chunkFrame]], shared by the q100 and q151 oracles. */
@@ -243,6 +247,37 @@ object Pipelines {
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n").as("tok_sum"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
+    // ---- q209: length-bucketed inference micro-batching ----
+    // The batch planner an embedding/scoring pass over the corpus runs:
+    // docs bucket by token-length CLASS (next power of two — fixed
+    // tensor shapes, the padding-efficiency move), and each class packs
+    // greedily into batches of (BatchToks DIV class-cap) docs, so every
+    // batch's padded shape fits the same token budget. The class bound
+    // is pure integer bit-math (1 << bitlength(n-1)) — no float log2,
+    // so both engines agree exactly. Batch numbering is a row_number
+    // per (source, class): the batching unit is the ingest shard, as in
+    // q101's packing — classes within a shard order independently, so
+    // parallelism is (shards × classes) and no global sort exists.
+    // pad_waste = padded cells minus real tokens — the fraction the
+    // class geometry wastes, the number you tune BatchToks against.
+    "q209_length_batches" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        expr(s"size(${toksSpark("text")})").as("n"))
+        .filter(col("n") > 0)
+      val cls = base.withColumn("cap_len", expr(
+        """CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+          | ELSE CAST(shiftleft(1, length(bin(n - 1))) AS BIGINT)
+          | END""".stripMargin))
+      val w = Window.partitionBy("source", "cap_len").orderBy("doc_id")
+      cls.withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr(s"CAST(rn - 1 AS BIGINT) DIV " +
+          s"greatest(CAST(1 AS BIGINT), $BatchToks DIV cap_len)"))
+        .groupBy("source", "cap_len", "batch")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tok_sum"))
+        .withColumn("pad_waste",
+          col("cap_len") * col("n_docs") - col("tok_sum"))
     }),
 
     // ---- q102: PII scrub (regex redaction) ----
@@ -646,6 +681,24 @@ object Pipelines {
         | count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tok_sum,
         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q209_length_batches" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |   len(${toksDuck("text")}) AS n FROM documents),
+        | c AS (SELECT doc_id, source, n,
+        |   CAST(CASE WHEN n <= 1 THEN 1
+        |     ELSE 1 << length(bin(n - 1)) END AS BIGINT) AS cap_len
+        |  FROM t WHERE n > 0),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, cap_len
+        |   ORDER BY doc_id) AS rn FROM c),
+        | b AS (SELECT source, cap_len,
+        |   CAST(rn - 1 AS BIGINT)
+        |     // greatest(CAST(1 AS BIGINT), $BatchToks // cap_len)
+        |     AS batch, n FROM r)
+        |SELECT source, cap_len, batch, count(*) AS n_docs,
+        | CAST(SUM(n) AS BIGINT) AS tok_sum,
+        | CAST(cap_len * count(*) - SUM(n) AS BIGINT) AS pad_waste
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
 
     "q102_pii_scrub" ->
       """WITH r AS (SELECT doc_id,

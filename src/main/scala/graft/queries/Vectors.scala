@@ -221,6 +221,63 @@ object Vectors {
     "q135_ann_knn_join" -> ((s, d) =>
       Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)),
 
+    // ---- q205: hard-negative mining (contrastive training pairs) ----
+    // For every anchor, the top-3 most-similar vectors with a DIFFERENT
+    // label — the highest-loss negatives a triplet/InfoNCE fine-tune
+    // mines from its own corpus. Same LSH-collision candidate bound as
+    // q135 (no all-pairs anywhere); same-label pairs drop before the
+    // exact-cosine verify so only true negatives compete for the top-k.
+    "q205_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(emb(s, d), "vec_id", "embedding",
+        "label", k = 3)),
+
+    // ---- q206: int8 scalar-quantization audit ----
+    // The compression step a 100 TB ANN index actually ships: each
+    // dimension linearly mapped to an 8-bit code over its global
+    // [lo, hi]. Everything runs on the exact scaled-integer grid of
+    // Similarity.prepare, so codes AND reconstruction errors are pure
+    // BIGINT arithmetic — hash-gated, no float tolerance. Plan shape:
+    // the per-dim [lo, hi] agg map-side-combines to dim-count rows per
+    // partition, packs into ONE broadcast row of two arrays, and the
+    // corpus then streams through a windowless in-row transform (no
+    // explode shuffle on the per-vector leg). Output per vector: code
+    // checksum, saturated-code count, max reconstruction error (in the
+    // 1e-4 quantization grid's units).
+    "q206_embed_quantize" -> ((s, d) => {
+      val e = Similarity.prepare(emb(s, d), "embedding")
+        .select(col("vec_id"), col("label"), col("q"))
+      val mm = e.select(posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
+      val packed = mm
+        .agg(sort_array(collect_list(struct(col("i"), col("lo"),
+          col("hi")))).as("m"))
+        .select(expr("transform(m, x -> x.lo)").as("los"),
+          expr("transform(m, x -> x.hi)").as("his"))
+      e.crossJoin(broadcast(packed))
+        .withColumn("codes", expr(
+          """transform(q, (x, i) -> CASE
+            |  WHEN element_at(his, i+1) = element_at(los, i+1)
+            |    THEN CAST(0 AS BIGINT)
+            |  ELSE ((x - element_at(los, i+1)) * 255)
+            |    DIV (element_at(his, i+1) - element_at(los, i+1))
+            |  END)""".stripMargin))
+        .withColumn("recon", expr(
+          """transform(codes, (c, i) -> element_at(los, i+1) + CASE
+            |  WHEN element_at(his, i+1) = element_at(los, i+1)
+            |    THEN CAST(0 AS BIGINT)
+            |  ELSE (c * (element_at(his, i+1) - element_at(los, i+1)))
+            |    DIV 255
+            |  END)""".stripMargin))
+        .select(col("vec_id"), col("label"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)")
+            .as("code_sum"),
+          expr("CAST(size(filter(codes, c -> c = 0 OR c = 255)) AS BIGINT)")
+            .as("n_sat"),
+          expr("""aggregate(zip_with(q, recon, (x, r) -> abs(x - r)),
+            | CAST(0 AS BIGINT), (a, e) -> greatest(a, e))""".stripMargin)
+            .as("max_err"))
+    }),
+
     // ---- q171: cluster-quality report (centroid cohesion vs margin) ----
     // The eval a clustering/labeling pipeline runs before trusting its
     // labels: per label, mean cosine of members to their OWN centroid
@@ -666,6 +723,49 @@ object Vectors {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
         |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
+
+    // q135's band-collision CTEs with a label-mismatch filter on the
+    // candidate pairs before scoring — only true negatives rank.
+    "q205_hard_negatives" ->
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id <> y.vec_id),
+        | neg AS (SELECT kc.qid, kc.vid FROM kc
+        |  JOIN n a ON a.vec_id = kc.qid
+        |  JOIN n c ON c.vec_id = kc.vid
+        |  WHERE a.label <> c.label),
+        | sc AS (SELECT neg.qid, neg.vid AS vec_id,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM neg JOIN n a ON a.vec_id = neg.qid
+        |   JOIN n c ON c.vec_id = neg.vid),
+        | rk AS (SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
+
+    // int8 scalar quantization on the exact scaled-integer grid; DuckDB
+    // // is floor division but every numerator here is non-negative, so
+    // it agrees with Spark's truncating DIV.
+    "q206_embed_quantize" ->
+      s"""WITH $prepCte,
+        | ex AS (SELECT vec_id, label, i, q[i] AS v
+        |  FROM n, range(1, 65) t(i)),
+        | mm AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY 1),
+        | c AS (SELECT vec_id, label, v, lo, hi,
+        |   CASE WHEN hi = lo THEN 0
+        |     ELSE ((v - lo) * 255) // (hi - lo) END AS code
+        |  FROM ex JOIN mm USING (i)),
+        | r AS (SELECT vec_id, label, code,
+        |   ABS(v - (lo + CASE WHEN hi = lo THEN 0
+        |     ELSE (code * (hi - lo)) // 255 END)) AS err
+        |  FROM c)
+        |SELECT vec_id, label, CAST(SUM(code) AS BIGINT) AS code_sum,
+        | CAST(SUM(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_sat,
+        | CAST(MAX(err) AS BIGINT) AS max_err
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // label centroids over ALL vectors (q129's integer-mean spelling),
     // ppm-fixed cosines, own-vs-best-foreign margins

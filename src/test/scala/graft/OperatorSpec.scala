@@ -745,6 +745,109 @@ class OperatorSpec extends SparkTestBase {
     assert(knn.exceptAll(re).count() == 0 && re.exceptAll(knn).count() == 0)
   }
 
+  test("hardNegatives: cross-label only, well-formed ranks, true cosines") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val neg = Similarity.hardNegatives(
+      e, "vec_id", "embedding", "label", k = 3)
+    val labels = e.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    val rows = neg.select("qid", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    // every mined negative carries a different label than its anchor
+    rows.foreach { case (qid, vid, _, _) =>
+      assert(labels(qid) != labels(vid),
+        s"$qid -> $vid is a same-label pair — a positive leaked through")
+    }
+    rows.groupBy(_._1).foreach { case (qid, ns) =>
+      val byRank = ns.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to byRank.length))
+      val cs = byRank.map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(ns.forall(_._2 != qid))
+    }
+    // negatives are a subset of the label-agnostic kNN candidate space:
+    // any (qid, vid) here must also collide in some LSH bucket, which
+    // lshKnnJoin with a huge k exposes completely
+    val all = Similarity.lshKnnJoin(
+        e, "vec_id", "embedding", k = 1000000)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(rows.forall { case (q, v, _, _) => all.contains((q, v)) })
+  }
+
+  test("int8 quantization: error bounded by the coarsest dimension step") {
+    val out = SparkEntry.queries("q206_embed_quantize")(spark, sf)
+      .select("vec_id", "code_sum", "n_sat", "max_err")
+      .as[(Long, Long, Long, Long)].collect()
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    assert(out.length == e.count())
+    // widest per-dimension range on the scaled-integer grid bounds the
+    // reconstruction error: err <= step = (hi-lo) DIV 255 + 1
+    val p = Similarity.prepare(e, "embedding")
+      .select(posexplode($"q")).toDF("i", "v")
+      .groupBy("i").agg((max($"v") - min($"v")).as("r"))
+      .agg(max($"r")).as[Long].head()
+    val bound = p / 255 + 1
+    out.foreach { case (id, cs, ns, err) =>
+      assert(err >= 0 && err <= bound,
+        s"vec $id max_err $err exceeds the step bound $bound")
+      assert(cs >= 0 && ns >= 0)
+    }
+    // each dimension's extreme vectors saturate, so saturation exists
+    assert(out.map(_._3).sum > 0)
+  }
+
+  test("shard manifest: a one-row mutation moves exactly its shard") {
+    val d = sources.Tables.read(spark, sf, "documents")
+    val base = graft.queries.Fingerprints.manifest(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val mutated = graft.queries.Fingerprints.manifest(
+      d.withColumn("text",
+        when($"doc_id" === 7L, concat($"text", lit(" corrupted")))
+          .otherwise($"text")))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(base.keySet == mutated.keySet)
+    val changed = base.keySet.filter(k => base(k) != mutated(k))
+    assert(changed == Set(7L / 50),
+      s"only doc 7's shard may change, got $changed")
+    // row counts never move on a content-only mutation
+    assert(base.forall { case (k, (n, _, _)) => mutated(k)._1 == n })
+  }
+
+  test("boolean retrieval: AND semantics exact against array_contains") {
+    val hits = SparkEntry.queries("q208_boolean_retrieval")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val terms = Seq("vector", "merge", "stream")
+    val direct = sources.Tables.read(spark, sf, "documents")
+      .withColumn("t", expr(functions.TextExpr.toksSpark("text")))
+      .filter(terms.map(t => array_contains($"t", t)).reduce(_ && _))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == direct)
+    assert(hits.nonEmpty && hits.size < spark.read
+      .parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("length batches: every batch fits the token budget exactly") {
+    val out = SparkEntry.queries("q209_length_batches")(spark, sf)
+      .select("cap_len", "batch", "n_docs", "tok_sum", "pad_waste")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (cap, _, nDocs, tokSum, waste) =>
+      // power-of-two class caps
+      assert((cap & (cap - 1)) == 0 && cap > 0)
+      // padded batch shape within the 256-token budget (cap > budget
+      // degenerates to one doc per batch)
+      assert(nDocs * cap <= math.max(256L, cap),
+        s"batch of $nDocs docs at cap $cap exceeds the budget")
+      assert(waste == cap * nDocs - tokSum && waste >= 0)
+      // every doc really fits its class: tok_sum <= cap * n_docs and
+      // the class below would not hold the longest doc
+      assert(tokSum <= cap * nDocs)
+    }
+  }
+
   test("leakage-safe split never places a near-dup pair across the split") {
     val split = SparkEntry.queries("q149_leakage_safe_split")(spark, sf)
       .select($"doc_id", $"split")
