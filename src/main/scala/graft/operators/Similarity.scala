@@ -161,6 +161,79 @@ object Similarity {
     cent
   }
 
+  /** Product quantization (PQ) encode — the OTHER compression a 100 TB
+    * ANN index ships (beside int8 scalar quantization): the vector
+    * splits into `m` contiguous subvectors, each subspace trains its
+    * own `k`-centroid codebook (deterministic Lloyd iterations: init =
+    * the k lowest-id vectors' slices, assignment by MIN squared-L2
+    * distance with cid tiebreak, recompute = element-wise SUM DIV
+    * COUNT), and every vector encodes as m small codes — dim×4 bytes
+    * compressed to m bytes. Squared L2 on the scaled-integer grid is
+    * pure BIGINT ((x-y)² summed — max |x-y| ≈ 2e4, ×16 dims ≈ 6e9,
+    * far from overflow), so codes AND reconstruction errors replay
+    * exactly in the oracle: no float distance anywhere.
+    *
+    * Scale shape: the subspace axis lives in the DATA (an in-row
+    * explode to m slim rows per vector), so all m codebooks train in
+    * the SAME broadcast-join + hash-agg passes — per Lloyd iteration
+    * one broadcast of the m·k-row codebook table and one element-wise
+    * agg, identical to [[kmeansCentroids]]' loop shape; iteration
+    * tables are lineage-cut. Output: one row per vector with its m
+    * codes and total squared reconstruction error. */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, iters: Int, subLen: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val prep = prepare(df, embCol)
+    def slices(src: DataFrame): DataFrame =
+      src.select(col(idCol) +: keep.map(col) :+ explode(array(
+          (0 until m).map(i => struct(lit(i).as("sub"),
+            expr(s"slice(q, ${i * subLen + 1}, $subLen)").as("sq"))): _*))
+        .as("z"): _*)
+        .select(col(idCol) +: keep.map(col) :+
+          col("z.sub").as("sub") :+ col("z.sq").as("sq"): _*)
+    val sub = slices(prep)
+    // init: the k lowest-id vectors' slices, cid 1..k per subspace
+    var cent = slices(prep.orderBy(col(idCol)).limit(k))
+      .withColumn("cid", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col(idCol))))
+      .select(col("sub"), col("cid"), col("sq").as("cq"))
+    val d2 = expr(
+      "aggregate(zip_with(sq, cq, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (a, v) -> a + v)")
+    // windowless argmin: (d, cid) is unique per (vector, subspace), so
+    // MIN over the struct picks the nearest centroid with the cid
+    // tiebreak and combines map-side — no per-vector window anywhere
+    def assign(c: DataFrame): DataFrame =
+      sub.join(broadcast(c), "sub")
+        .withColumn("d", d2)
+        .groupBy(col(idCol), col("sub"))
+        .agg(min(struct(col("d"), col("cid"), col("sq"))).as("w"))
+    var prevCut: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val next = Dedup.cut(assign(cent)
+        .select(col("sub"), col("w.cid").as("cid"),
+          posexplode(col("w.sq")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos")
+        .agg(expr("SUM(v) DIV COUNT(*)").as("mv"))
+        .groupBy("sub", "cid")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)")
+          .as("cq")))
+      prevCut.foreach(Dedup.release)
+      prevCut = Some(next)
+      cent = next
+    }
+    val coded = assign(cent)
+      .select(col(idCol), col("sub"),
+        col("w.cid").as("code"), col("w.d").as("err"))
+    val codeCols = (0 until m).map(i =>
+      max(when(col("sub") === i, col("code"))).as(s"code$i"))
+    val out = coded.groupBy(col(idCol))
+      .agg(codeCols.head, codeCols.tail :+ sum("err").as("qerr"): _*)
+    if (keep.isEmpty) out
+    else out.join(df.select(col(idCol) +: keep.map(col): _*), idCol)
+  }
+
   /** Per-label element-wise integer-mean centroids (SUM DIV COUNT per
     * position) from a prepared frame — the train step of
     * nearest-centroid classification. Same exact-BIGINT recipe as

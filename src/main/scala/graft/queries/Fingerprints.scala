@@ -41,7 +41,17 @@ object Fingerprints {
     // 1000-row production shard below 2^58); collisions cancel only if
     // two DIFFERENT row multisets tie on BOTH sum and xor — vanishing
     // at manifest granularity.
-    "q207_shard_manifest" -> ((s, d) => manifest(docs(s, d)))
+    "q207_shard_manifest" -> ((s, d) => manifest(docs(s, d))),
+
+    // ---- q210: STREAMING shard-manifest maintenance ----
+    // q207's manifest maintained from a document stream: history
+    // partials seed once, each micro-batch appends only its own
+    // per-shard partials, and the sum/xor merge equals the one-shot
+    // manifest no matter how the landed files were chopped into
+    // micro-batches (boundary independence spec-proved). Same oracle
+    // as q207 — the merge is exact, not approximate.
+    "q210_stream_manifest" -> ((s, d) =>
+      graft.streaming.EventStreams.manifestStream(s, d))
   )
 
   /** Shard manifest of a documents frame — extracted so the spec can
@@ -84,6 +94,19 @@ object Fingerprints {
         |FROM s""".stripMargin,
 
     "q207_shard_manifest" ->
+      s"""WITH r AS (SELECT doc_id // 50 AS shard,
+        |   MD5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang,
+        |     source, CAST(n_chars AS VARCHAR))) AS h
+        |  FROM documents),
+        | v AS (SELECT shard,
+        |   ${graft.functions.TextExpr.hexIntDuck("h", 12)} AS h FROM r)
+        |SELECT shard, count(*) AS n_rows,
+        | CAST(SUM(h) AS BIGINT) AS fp_sum, bit_xor(h) AS fp_xor
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // the streamed partial-merge is exact, so the one-shot manifest
+    // oracle gates it verbatim
+    "q210_stream_manifest" ->
       s"""WITH r AS (SELECT doc_id // 50 AS shard,
         |   MD5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang,
         |     source, CAST(n_chars AS VARCHAR))) AS h

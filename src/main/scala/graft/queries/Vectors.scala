@@ -278,6 +278,19 @@ object Vectors {
             .as("max_err"))
     }),
 
+    // ---- q211: product-quantization encode (m=4 × k=4 codebooks) ----
+    // The codebook compression a 100 TB ANN index actually ships: 64
+    // dims → 4 subspace codes (256 bytes → 4). Squared-L2 Lloyd
+    // training and encoding run entirely on the exact scaled-integer
+    // grid — codes and reconstruction errors are pure BIGINT, so the
+    // oracle replays the full train+encode chain bit-for-bit. The
+    // subspace axis is data (in-row explode), so all 4 codebooks train
+    // in the same broadcast+agg passes; assignment is a windowless
+    // min-struct argmin.
+    "q211_pq_encode" -> ((s, d) =>
+      Similarity.pqEncode(emb(s, d), "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, subLen = 16, keep = Seq("label"))),
+
     // ---- q171: cluster-quality report (centroid cohesion vs margin) ----
     // The eval a clustering/labeling pipeline runs before trusting its
     // labels: per label, mean cosine of members to their OWN centroid
@@ -508,6 +521,51 @@ object Vectors {
 
   private def cosDuck(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / SQRT(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
+
+  /** q211 oracle: per-subspace Lloyd chains as CTEs. Everything BIGINT
+    * (squared L2 on the scaled-integer grid), so the replay is exact;
+    * `//` vs DIV agrees because it mirrors the green q62/q171 recipe. */
+  private def pqDuck(m: Int, k: Int, iters: Int, subLen: Int): String = {
+    def dist(v: String, c: String): String =
+      s"list_aggregate([(($v)[j] - ($c)[j]) * (($v)[j] - ($c)[j]) " +
+        s"FOR j IN range(1, ${subLen + 1})], 'sum')"
+    val chains = (0 until m).map { i =>
+      val lo = i * subLen + 1
+      val hi = (i + 1) * subLen
+      val parts = Seq.newBuilder[String]
+      parts += s"s$i AS (SELECT vec_id, q[$lo:$hi] AS sq FROM n)"
+      parts += s"c${i}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id)" +
+        s" AS cid, sq AS cq FROM (SELECT vec_id, sq FROM s$i" +
+        s" ORDER BY vec_id LIMIT $k))"
+      for (t <- 1 to iters) {
+        parts += s"""a${i}_$t AS (SELECT vec_id, sq, cid FROM (
+          |  SELECT v.vec_id, v.sq, c.cid,
+          |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+          |      ORDER BY ${dist("v.sq", "c.cq")}, c.cid) AS r
+          |  FROM s$i v CROSS JOIN c${i}_${t - 1} c) WHERE r = 1)""".stripMargin
+        parts += s"""r${i}_$t AS (SELECT cid, pos,
+          |  CAST(SUM(sq[pos]) // COUNT(*) AS BIGINT) AS mv
+          | FROM a${i}_$t, range(1, ${subLen + 1}) t(pos) GROUP BY 1, 2)""".stripMargin
+        parts += s"c${i}_$t AS (SELECT cid, list(mv ORDER BY pos) AS cq" +
+          s" FROM r${i}_$t GROUP BY 1)"
+      }
+      parts += s"""e$i AS (SELECT vec_id, cid AS code$i,
+        |  CAST(d AS BIGINT) AS err$i FROM (
+        |  SELECT v.vec_id, c.cid, ${dist("v.sq", "c.cq")} AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |      ORDER BY ${dist("v.sq", "c.cq")}, c.cid) AS r
+        |  FROM s$i v CROSS JOIN c${i}_$iters c) WHERE r = 1)""".stripMargin
+      parts.result().mkString(",\n ")
+    }.mkString(",\n ")
+    val joins = (0 until m).map(i => s"JOIN e$i USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(i => s"code$i").mkString(", ")
+    val errs = (0 until m).map(i => s"err$i").mkString(" + ")
+    s"""WITH $prepCte,
+      | $chains
+      |SELECT n.vec_id, n.label, $codes,
+      | CAST($errs AS BIGINT) AS qerr
+      |FROM n $joins""".stripMargin
+  }
 
   // ---- k-means oracle building blocks (dim is 64 in every SF corpus;
   // DuckDB's range() can't take a lateral column bound, so the oracle
@@ -766,6 +824,8 @@ object Vectors {
         |   AS n_sat,
         | CAST(MAX(err) AS BIGINT) AS max_err
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q211_pq_encode" -> pqDuck(m = 4, k = 4, iters = 2, subLen = 16),
 
     // label centroids over ALL vectors (q129's integer-mean spelling),
     // ppm-fixed cosines, own-vs-best-foreign margins

@@ -375,6 +375,42 @@ object EventStreams {
       Seq("event_type"), "approx_users")
   }
 
+  /** q210: STREAMING shard-manifest maintenance — q207's integrity
+    * manifest kept current from a document stream (the q186 : q94
+    * relationship applied to data versioning). Seed: the history
+    * slice's per-shard partial manifests (doc batches 0-2) land once;
+    * the remaining slice is staged as landed files and STREAMED, each
+    * micro-batch appending ONLY its own per-shard partials — one scan
+    * of the batch, never of history. The query-time merge (SUM of
+    * n_rows and fp_sum, XOR of fp_xor) is associative and commutative
+    * over disjoint row sets, so it equals the one-shot q207 manifest
+    * REGARDLESS of micro-batch boundaries, and the same DuckDB oracle
+    * gates it hash-exactly. Unlike q186's register MAX these partials
+    * are NOT idempotent (a replayed file would double-count n_rows and
+    * fp_sum and xor-cancel fp_xor); exactly-once file delivery comes
+    * from the checkpointed source, the q142 contract. 100 TB: each
+    * trigger's cost is batch-sized, and the published manifest is
+    * shard-count rows — the snapshot-diff artifact stays queryable
+    * mid-ingest. */
+  def manifestStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 2): DataFrame = {
+    import graft.queries.Fingerprints.manifest
+    val all = graft.sources.Tables.read(spark, sfDir, "documents")
+    val hist = all.filter(pmod(col("doc_id"), lit(4)) < 3)
+    val delta = all.filter(pmod(col("doc_id"), lit(4)) === 3)
+    graft.sources.Tables.writeTable(manifest(hist),
+      "graft_stream_manifest")
+    runStagedStream(spark, "graft_q210", delta, docSchema,
+      maxFilesPerTrigger, deltaFiles,
+      onBatch = b => manifest(b).write.mode("append").format("parquet")
+        .saveAsTable("graft_stream_manifest"))
+    spark.table("graft_stream_manifest")
+      .groupBy("shard")
+      .agg(sum("n_rows").as("n_rows"), sum("fp_sum").as("fp_sum"),
+        expr("bit_xor(fp_xor)").as("fp_xor"))
+  }
+
   /** Shared delta-replay harness for the incremental-maintenance
     * streams (q142 rollup, q186 distinct): `seed` persists the history
     * slice's summary (event batches 0-2), then the remaining slice

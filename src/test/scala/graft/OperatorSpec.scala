@@ -797,6 +797,28 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_._3).sum > 0)
   }
 
+  test("pqEncode: valid codes, Lloyd training never increases distortion") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    def enc(iters: Int) = Similarity.pqEncode(
+      e, "vec_id", "embedding", m = 4, k = 4, iters = iters, subLen = 16)
+    val trained = enc(2)
+      .select("vec_id", "code0", "code1", "code2", "code3", "qerr")
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+    assert(trained.length == e.count())
+    trained.foreach { case (id, c0, c1, c2, c3, err) =>
+      assert(Seq(c0, c1, c2, c3).forall(c => c >= 1 && c <= 4),
+        s"vec $id has a code outside the k=4 codebook")
+      assert(err >= 0)
+    }
+    // the codebook is actually used: more than one code per subspace
+    assert(trained.map(_._2).distinct.length > 1)
+    // Lloyd iterations only ever lower (or hold) total distortion
+    val untrained = enc(0).agg(sum($"qerr")).as[Long].head()
+    val after = trained.map(_._6).sum
+    assert(after <= untrained,
+      s"training raised distortion: $untrained -> $after")
+  }
+
   test("shard manifest: a one-row mutation moves exactly its shard") {
     val d = sources.Tables.read(spark, sf, "documents")
     val base = graft.queries.Fingerprints.manifest(d)

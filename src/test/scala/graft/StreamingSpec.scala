@@ -313,6 +313,25 @@ class StreamingSpec extends SparkTestBase {
       "shredded streaming register merge diverged from one-shot sketch")
   }
 
+  test("streaming manifest maintenance is micro-batch-boundary independent") {
+    // q210: shred the document delta into one micro-batch PER FILE —
+    // per-shard (sum, xor) partials are associative and commutative
+    // over disjoint row sets, so the merged manifest must equal the
+    // one-shot q207 manifest bit-for-bit however the files were
+    // chopped.
+    val merged = EventStreams.manifestStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6)
+    val oneShot = graft.queries.Fingerprints.manifest(
+      sources.Tables.read(spark, sf, "documents"))
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "shredded streaming manifest merge diverged from one-shot q207")
+    // more partial rows than (history shards + one delta append) —
+    // proof several micro-batches really appended
+    assert(spark.table("graft_stream_manifest").count() >
+      oneShot.count() + 1)
+  }
+
   test("streaming near-dup admission is micro-batch-boundary independent") {
     // q193: shred the q88 batch into one micro-batch PER FILE — the
     // accumulated pair set is symmetric and idempotent, so the final
