@@ -183,34 +183,93 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, iters: Int, subLen: Int,
       keep: Seq[String] = Nil): DataFrame = {
+    val sub = pqSlices(prepare(df, embCol), idCol, m, subLen)
+    val cent = pqTrain(df, idCol, embCol, m, k, iters, subLen)
+    val coded = pqAssign(sub, cent, idCol)
+      .select(col(idCol), col("sub"),
+        col("w.cid").as("code"), col("w.d").as("err"))
+    val codeCols = (0 until m).map(i =>
+      max(when(col("sub") === i, col("code"))).as(s"code$i"))
+    val out = coded.groupBy(col(idCol))
+      .agg(codeCols.head, codeCols.tail :+ sum("err").as("qerr"): _*)
+    if (keep.isEmpty) out
+    else out.join(df.select(col(idCol) +: keep.map(col): _*), idCol)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — WHY a PQ index exists:
+    * each query computes a tiny (m × k) lookup table of exact
+    * squared-L2 distances from its own (uncompressed) subvectors to
+    * every codebook centroid, and a corpus vector's distance is then m
+    * table lookups summed — the corpus is scanned as CODES (m bytes a
+    * row), never as raw vectors. Plan: the LUT is (queries × m × k)
+    * rows — broadcast; the code table streams through one equi-join on
+    * (sub, code) and a per-(qid, vec) sum, then a per-qid window ranks
+    * only the summed candidates. Exact BIGINT throughout, so the
+    * oracle replays train + encode + LUT + rank bit-for-bit. */
+  def pqAdcTopK(df: DataFrame, queryIds: DataFrame, idCol: String,
+      embCol: String, m: Int, k: Int, iters: Int, subLen: Int,
+      topK: Int): DataFrame = {
+    val sub = pqSlices(prepare(df, embCol), idCol, m, subLen)
+    val cent = pqTrain(df, idCol, embCol, m, k, iters, subLen)
+    val codes = pqAssign(sub, cent, idCol)
+      .select(col(idCol).as("vec_id"), col("sub"),
+        col("w.cid").as("code"))
+    val lut = sub.join(queryIds.select(col(idCol)), idCol)
+      .select(col(idCol).as("qid"), col("sub"), col("sq"))
+      .join(cent, "sub")
+      .withColumn("d", pqD2)
+      .select(col("qid"), col("sub").as("lsub"), col("cid"), col("d"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(lut),
+        col("sub") === col("lsub") && col("code") === col("cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("adc"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "vec_id", "rank", "adc")
+  }
+
+  /** Exact squared-L2 distance of two same-length BIGINT slices. */
+  private def pqD2: Column = expr(
+    "aggregate(zip_with(sq, cq, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (a, v) -> a + v)")
+
+  /** (id, sub, sq): each prepared vector exploded into its m contiguous
+    * subLen-wide subvector slices — the subspace axis as data. */
+  private def pqSlices(src: DataFrame, idCol: String, m: Int,
+      subLen: Int): DataFrame =
+    src.select(col(idCol), explode(array(
+        (0 until m).map(i => struct(lit(i).as("sub"),
+          expr(s"slice(q, ${i * subLen + 1}, $subLen)").as("sq"))): _*))
+      .as("z"))
+      .select(col(idCol), col("z.sub").as("sub"), col("z.sq").as("sq"))
+
+  /** Windowless nearest-codebook-entry argmin: (d, cid) is unique per
+    * (vector, subspace), so MIN over the struct picks the closest
+    * centroid with the cid tiebreak and combines map-side. */
+  private def pqAssign(sub: DataFrame, cent: DataFrame,
+      idCol: String): DataFrame =
+    sub.join(broadcast(cent), "sub")
+      .withColumn("d", pqD2)
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("d"), col("cid"), col("sq"))).as("w"))
+
+  /** Train the m per-subspace k-centroid PQ codebooks (deterministic
+    * Lloyd as in [[pqEncode]]'s doc). Returns (sub, cid, cq). */
+  def pqTrain(df: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, iters: Int, subLen: Int): DataFrame = {
     val prep = prepare(df, embCol)
-    def slices(src: DataFrame): DataFrame =
-      src.select(col(idCol) +: keep.map(col) :+ explode(array(
-          (0 until m).map(i => struct(lit(i).as("sub"),
-            expr(s"slice(q, ${i * subLen + 1}, $subLen)").as("sq"))): _*))
-        .as("z"): _*)
-        .select(col(idCol) +: keep.map(col) :+
-          col("z.sub").as("sub") :+ col("z.sq").as("sq"): _*)
-    val sub = slices(prep)
+    val sub = pqSlices(prep, idCol, m, subLen)
     // init: the k lowest-id vectors' slices, cid 1..k per subspace
-    var cent = slices(prep.orderBy(col(idCol)).limit(k))
+    var cent = pqSlices(prep.orderBy(col(idCol)).limit(k), idCol, m, subLen)
       .withColumn("cid", row_number().over(
         Window.partitionBy(col("sub")).orderBy(col(idCol))))
       .select(col("sub"), col("cid"), col("sq").as("cq"))
-    val d2 = expr(
-      "aggregate(zip_with(sq, cq, (x, y) -> (x - y) * (x - y)), " +
-        "CAST(0 AS BIGINT), (a, v) -> a + v)")
-    // windowless argmin: (d, cid) is unique per (vector, subspace), so
-    // MIN over the struct picks the nearest centroid with the cid
-    // tiebreak and combines map-side — no per-vector window anywhere
-    def assign(c: DataFrame): DataFrame =
-      sub.join(broadcast(c), "sub")
-        .withColumn("d", d2)
-        .groupBy(col(idCol), col("sub"))
-        .agg(min(struct(col("d"), col("cid"), col("sq"))).as("w"))
     var prevCut: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val next = Dedup.cut(assign(cent)
+      val next = Dedup.cut(pqAssign(sub, cent, idCol)
         .select(col("sub"), col("w.cid").as("cid"),
           posexplode(col("w.sq")).as(Seq("pos", "v")))
         .groupBy("sub", "cid", "pos")
@@ -223,15 +282,7 @@ object Similarity {
       prevCut = Some(next)
       cent = next
     }
-    val coded = assign(cent)
-      .select(col(idCol), col("sub"),
-        col("w.cid").as("code"), col("w.d").as("err"))
-    val codeCols = (0 until m).map(i =>
-      max(when(col("sub") === i, col("code"))).as(s"code$i"))
-    val out = coded.groupBy(col(idCol))
-      .agg(codeCols.head, codeCols.tail :+ sum("err").as("qerr"): _*)
-    if (keep.isEmpty) out
-    else out.join(df.select(col(idCol) +: keep.map(col): _*), idCol)
+    cent
   }
 
   /** Per-label element-wise integer-mean centroids (SUM DIV COUNT per

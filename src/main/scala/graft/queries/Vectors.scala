@@ -291,6 +291,21 @@ object Vectors {
       Similarity.pqEncode(emb(s, d), "vec_id", "embedding",
         m = 4, k = 4, iters = 2, subLen = 16, keep = Seq("label"))),
 
+    // ---- q212: PQ asymmetric-distance (ADC) top-k search ----
+    // The search side of q211's compression: each query builds a tiny
+    // (m × k) exact-distance lookup table against the trained
+    // codebooks, and the corpus is ranked from CODES alone — m table
+    // lookups summed per vector, never a raw-vector scan. The LUT
+    // broadcasts; the code table takes one equi-join + per-pair sum +
+    // per-qid window over candidates. All BIGINT, oracle-replayed
+    // through the identical train/encode/LUT chain.
+    "q212_pq_adc_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", m = 4, k = 4, iters = 2, subLen = 16,
+        topK = 5)
+    }),
+
     // ---- q171: cluster-quality report (centroid cohesion vs margin) ----
     // The eval a clustering/labeling pipeline runs before trusting its
     // labels: per label, mean cosine of members to their OWN centroid
@@ -522,14 +537,18 @@ object Vectors {
   private def cosDuck(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / SQRT(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
 
-  /** q211 oracle: per-subspace Lloyd chains as CTEs. Everything BIGINT
-    * (squared L2 on the scaled-integer grid), so the replay is exact;
-    * `//` vs DIV agrees because it mirrors the green q62/q171 recipe. */
-  private def pqDuck(m: Int, k: Int, iters: Int, subLen: Int): String = {
-    def dist(v: String, c: String): String =
-      s"list_aggregate([(($v)[j] - ($c)[j]) * (($v)[j] - ($c)[j]) " +
-        s"FOR j IN range(1, ${subLen + 1})], 'sum')"
-    val chains = (0 until m).map { i =>
+  /** q211/q212 oracle: per-subspace Lloyd chains as CTEs. Everything
+    * BIGINT (squared L2 on the scaled-integer grid), so the replay is
+    * exact; `//` vs DIV agrees as in the green q62/q171 recipe. */
+  private def pqDist(subLen: Int)(v: String, c: String): String =
+    s"list_aggregate([(($v)[j] - ($c)[j]) * (($v)[j] - ($c)[j]) " +
+      s"FOR j IN range(1, ${subLen + 1})], 'sum')"
+
+  /** The shared train+encode CTE block: s{i} slices, c{i}_t codebooks,
+    * e{i} final per-subspace (code, err) assignments. */
+  private def pqChains(m: Int, k: Int, iters: Int, subLen: Int): String = {
+    val dist = pqDist(subLen) _
+    (0 until m).map { i =>
       val lo = i * subLen + 1
       val hi = (i + 1) * subLen
       val parts = Seq.newBuilder[String]
@@ -557,14 +576,42 @@ object Vectors {
         |  FROM s$i v CROSS JOIN c${i}_$iters c) WHERE r = 1)""".stripMargin
       parts.result().mkString(",\n ")
     }.mkString(",\n ")
+  }
+
+  private def pqDuck(m: Int, k: Int, iters: Int, subLen: Int): String = {
     val joins = (0 until m).map(i => s"JOIN e$i USING (vec_id)").mkString(" ")
     val codes = (0 until m).map(i => s"code$i").mkString(", ")
     val errs = (0 until m).map(i => s"err$i").mkString(" + ")
     s"""WITH $prepCte,
-      | $chains
+      | ${pqChains(m, k, iters, subLen)}
       |SELECT n.vec_id, n.label, $codes,
       | CAST($errs AS BIGINT) AS qerr
       |FROM n $joins""".stripMargin
+  }
+
+  /** q212 oracle: chains + per-query LUT replay + ADC rank. */
+  private def pqAdcDuck(m: Int, k: Int, iters: Int, subLen: Int,
+      topK: Int): String = {
+    val dist = pqDist(subLen) _
+    val luts = (0 until m).map { i =>
+      s"""l$i AS (SELECT qv.vec_id AS qid, c.cid,
+        |  CAST(${dist("qv.sq", "c.cq")} AS BIGINT) AS d
+        | FROM s$i qv CROSS JOIN c${i}_$iters c WHERE qv.vec_id < 5),
+        |t$i AS (SELECT l.qid, e.vec_id, l.d
+        | FROM e$i e JOIN l$i l ON l.cid = e.code$i)""".stripMargin
+    }.mkString(",\n ")
+    val joins = (1 until m).map(i => s"JOIN t$i USING (qid, vec_id)")
+      .mkString(" ")
+    val dsum = (0 until m).map(i => s"t$i.d").mkString(" + ")
+    s"""WITH $prepCte,
+      | ${pqChains(m, k, iters, subLen)},
+      | $luts,
+      | adc0 AS (SELECT qid, vec_id, CAST($dsum AS BIGINT) AS adc
+      |  FROM t0 $joins WHERE vec_id <> qid),
+      | rk AS (SELECT qid, vec_id, adc,
+      |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id)
+      |     AS rank FROM adc0)
+      |SELECT qid, vec_id, rank, adc FROM rk WHERE rank <= $topK""".stripMargin
   }
 
   // ---- k-means oracle building blocks (dim is 64 in every SF corpus;
@@ -826,6 +873,9 @@ object Vectors {
         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q211_pq_encode" -> pqDuck(m = 4, k = 4, iters = 2, subLen = 16),
+
+    "q212_pq_adc_topk" ->
+      pqAdcDuck(m = 4, k = 4, iters = 2, subLen = 16, topK = 5),
 
     // label centroids over ALL vectors (q129's integer-mean spelling),
     // ppm-fixed cosines, own-vs-best-foreign margins

@@ -819,6 +819,28 @@ class OperatorSpec extends SparkTestBase {
       s"training raised distortion: $untrained -> $after")
   }
 
+  test("pqAdcTopK: well-formed ranks, adc monotone, repartition-invariant") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    def run(src: org.apache.spark.sql.DataFrame) = Similarity.pqAdcTopK(
+      src, src.filter($"vec_id" < 5), "vec_id", "embedding",
+      m = 4, k = 4, iters = 2, subLen = 16, topK = 5)
+    val out = run(e)
+    val rows = out.select("qid", "vec_id", "rank", "adc")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(rows.map(_._1).distinct.length == 5)
+    rows.groupBy(_._1).foreach { case (qid, ns) =>
+      val byRank = ns.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to 5))
+      val ds = byRank.map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"adc must be non-decreasing for query $qid")
+      assert(ns.forall(r => r._2 != qid && r._4 >= 0))
+    }
+    // physical layout must not change codebooks, codes, or ranking
+    val re = run(e.repartition(7))
+    assert(out.exceptAll(re).count() == 0 && re.exceptAll(out).count() == 0)
+  }
+
   test("shard manifest: a one-row mutation moves exactly its shard") {
     val d = sources.Tables.read(spark, sf, "documents")
     val base = graft.queries.Fingerprints.manifest(d)
