@@ -56,26 +56,27 @@ object Dedup {
     * float threshold). Choose LSH (q39) when approximate recall is
     * acceptable and sets are hostile to prefixes; choose this when the
     * answer must be complete (legal/contractual dedup, eval-set
-    * hygiene). Production tuning note: ordering elements by ascending
-    * document frequency makes prefixes rare and shrinks candidates —
-    * the ordering is a parameter of the theorem, not of correctness. */
+    * hygiene).
+    *
+    * `dfOrdered = true` (default) canonically orders every set by
+    * ASCENDING corpus document frequency (ties → lexicographic) — the
+    * Chaudhuri/Vernica prefix-filter optimization: prefixes then carry
+    * each set's RAREST elements, so the candidate equi-join fans out
+    * by the df of rare tokens instead of whatever happens to sort
+    * first alphabetically. The pigeonhole theorem holds under ANY one
+    * global order, so the pair set is identical either way (the spec
+    * pins both facts); the price is one extra (doc, element) shuffle
+    * to attach frequencies — at 100 TB that linear pass is noise next
+    * to the quadratic-in-df candidate blowup it prevents. */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+      tNum: Int = 1, tDen: Int = 2,
+      dfOrdered: Boolean = true): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen)
-    val sets = withShingles(df, textCol)
-      .select(col(idCol), array_sort(col("shset")).as("ss"))
-      .withColumn("n", size(col("ss")))
-      .filter(col("n") > 0)
+    val sets = orderedSets(df, idCol, textCol, dfOrdered)
       // prefix length = n - ceil(t*n) + 1, all integer
       .withColumn("plen",
         expr(s"n - (($tNum * n + ${tDen - 1}) DIV $tDen) + 1"))
-    val pref = sets.select(col(idCol),
-      explode(expr("slice(ss, 1, plen)")).as("p"))
-    val cand = pref.as("x").join(pref.as("y"),
-        col("x.p") === col("y.p") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
-      .dropDuplicates("ida", "idb")
+    val cand = prefixCandidates(sets, idCol)
     val a = sets.select(col(idCol).as("ida"), col("ss").as("sa"),
       col("n").as("na"))
     val b = sets.select(col(idCol).as("idb"), col("ss").as("sb"),
@@ -85,6 +86,40 @@ object Dedup {
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
       .select("ida", "idb", "inter", "uni")
+  }
+
+  /** (idCol, ss, n): each doc's distinct shingle set under the chosen
+    * global order — lexicographic, or ascending-df with lexicographic
+    * ties (one extra linear shuffle to attach frequencies). */
+  private[graft] def orderedSets(df: DataFrame, idCol: String,
+      textCol: String, dfOrdered: Boolean): DataFrame = {
+    val base = withShingles(df, textCol).select(col(idCol), col("shset"))
+    val ordered =
+      if (!dfOrdered) base.select(col(idCol), array_sort(col("shset")).as("ss"))
+      else {
+        val pairs = base.select(col(idCol), explode(col("shset")).as("el"))
+        val freq = pairs.groupBy("el").agg(count(lit(1)).as("dfc"))
+        pairs.join(freq, "el")
+          .groupBy(idCol)
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(dfc, el))), x -> x.el)")
+            .as("ss"))
+      }
+    ordered.withColumn("n", size(col("ss"))).filter(col("n") > 0)
+  }
+
+  /** The prefix-collision candidate pairs of a `sets` frame carrying
+    * (idCol, ss, plen) — split out so the spec can count how much the
+    * df ordering shrinks the candidate set before verification. */
+  private[graft] def prefixCandidates(sets: DataFrame,
+      idCol: String): DataFrame = {
+    val pref = sets.select(col(idCol),
+      explode(expr("slice(ss, 1, plen)")).as("p"))
+    pref.as("x").join(pref.as("y"),
+        col("x.p") === col("y.p") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+      .dropDuplicates("ida", "idb")
   }
 
   /** Directed CONTAINMENT join: pairs (a, b) with

@@ -75,7 +75,10 @@ object TextDedup {
     // theorem — the exact-recall twin of q39's MinHash-LSH (same
     // similarity space, complete answer; OperatorSpec proves equality
     // with brute force AND that it covers every q39 pair). Verify is
-    // integer cross-multiplication, no float threshold.
+    // integer cross-multiplication, no float threshold. Prefixes are
+    // df-ordered (rarest elements first), so candidate fan-out follows
+    // rare-token frequencies — the pair set is order-invariant, so the
+    // oracle needs no notion of the ordering.
     "q154_prefix_join" -> ((s, d) =>
       Dedup.prefixJaccardPairs(docs(s, d), "doc_id", "text")
         .select(col("ida"), col("idb"),

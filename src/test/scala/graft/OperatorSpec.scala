@@ -680,6 +680,29 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.exceptAll(pj).count() == 0)
   }
 
+  test("df-ordered prefixes: identical pairs, never more candidates") {
+    val docs = sources.Tables.read(spark, sf, "documents")
+    // the pigeonhole theorem holds under any ONE global order, so the
+    // verified pair set must be order-invariant...
+    val lex = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      dfOrdered = false)
+    val dfo = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      dfOrdered = true)
+    assert(lex.exceptAll(dfo).count() == 0 && dfo.exceptAll(lex).count() == 0,
+      "prefix global order changed the verified pair set")
+    // ...while the df order puts each set's rarest elements in the
+    // prefix, so the pre-verify candidate set can only shrink
+    def cands(ordered: Boolean): Long = Dedup.prefixCandidates(
+      Dedup.orderedSets(docs, "doc_id", "text", ordered)
+        .withColumn("plen", expr("n - ((n + 1) DIV 2) + 1")),
+      "doc_id").count()
+    val (cLex, cDf) = (cands(false), cands(true))
+    assert(cDf <= cLex,
+      s"df ordering grew the candidate set: $cLex -> $cDf")
+    // candidates bound the verified pairs in both orders
+    assert(cDf >= dfo.count())
+  }
+
   test("containment join is exact: equals brute-force directed containment") {
     val docs = sources.Tables.read(spark, sf, "documents")
     val cj = Dedup.containmentPairs(docs, "doc_id", "text")
