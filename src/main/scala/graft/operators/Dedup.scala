@@ -129,18 +129,19 @@ object Dedup {
     * neither MinHash bands nor the Jaccard prefix filter can find it).
     * Same prefix-filter pigeonhole as [[prefixJaccardPairs]] applied
     * one-sided: if |A∩B| >= t·|A|, then B contains one of A's first
-    * n − ⌈t·n⌉ + 1 sorted elements — so candidates come from A-prefix
-    * elements equi-joined against B's FULL element list (the
-    * asymmetric cost: the container side explodes fully, bounded by
-    * per-element document frequency), verify is integer
-    * cross-multiplication. EXACT recall. */
+    * n − ⌈t·n⌉ + 1 elements under any one global order — so candidates
+    * come from A-prefix elements equi-joined against B's FULL element
+    * list (the asymmetric cost: the container side explodes fully,
+    * bounded by per-element document frequency), verify is integer
+    * cross-multiplication. EXACT recall. A-prefixes are df-ordered by
+    * default (as [[prefixJaccardPairs]]): the contained side's prefix
+    * then probes with its RAREST elements, which is what bounds the
+    * equi-join against the fully-exploded container side. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      tNum: Int = 3, tDen: Int = 4): DataFrame = {
+      tNum: Int = 3, tDen: Int = 4,
+      dfOrdered: Boolean = true): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen)
-    val sets = withShingles(df, textCol)
-      .select(col(idCol), array_sort(col("shset")).as("ss"))
-      .withColumn("n", size(col("ss")))
-      .filter(col("n") > 0)
+    val sets = orderedSets(df, idCol, textCol, dfOrdered)
     val prefA = sets
       .withColumn("plen",
         expr(s"n - (($tNum * n + ${tDen - 1}) DIV $tDen) + 1"))

@@ -231,6 +231,29 @@ object Similarity {
       .select("qid", "vec_id", "rank", "adc")
   }
 
+  /** Brute-force exact squared-L2 top-k per query vector — the ground
+    * truth [[pqAdcTopK]]'s recall is measured against (the L2 sibling
+    * of [[bruteForceTopK]]'s cosine ranking; same scale shape: the
+    * query set broadcasts, the corpus streams, rank is a per-qid
+    * window over the scored rows). Output: (qid, vec_id, rank, d). */
+  def l2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    val c = prepare(corpus, embCol)
+      .select(col(idCol).as("vec_id"), col("q").as("cq2"))
+    val qs = prepare(queries, embCol)
+      .select(col(idCol).as("qid"), col("q").as("qq2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d"), col("vec_id"))
+    c.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(cq2, qq2, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "d")
+  }
+
   /** Exact squared-L2 distance of two same-length BIGINT slices. */
   private def pqD2: Column = expr(
     "aggregate(zip_with(sq, cq, (x, y) -> (x - y) * (x - y)), " +

@@ -289,7 +289,7 @@ object Vectors {
     // min-struct argmin.
     "q211_pq_encode" -> ((s, d) =>
       Similarity.pqEncode(emb(s, d), "vec_id", "embedding",
-        m = 4, k = 4, iters = 2, subLen = 16, keep = Seq("label"))),
+        m = 8, k = 8, iters = 2, subLen = 8, keep = Seq("label"))),
 
     // ---- q212: PQ asymmetric-distance (ADC) top-k search ----
     // The search side of q211's compression: each query builds a tiny
@@ -302,8 +302,31 @@ object Vectors {
     "q212_pq_adc_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 5),
-        "vec_id", "embedding", m = 4, k = 4, iters = 2, subLen = 16,
+        "vec_id", "embedding", m = 8, k = 8, iters = 2, subLen = 8,
         topK = 5)
+    }),
+
+    // ---- q213: PQ recall@5 self-evaluation ----
+    // The eval that decides whether q211's compression is usable: per
+    // query, how many of the ADC top-5 (ranked from codes alone) are
+    // in the EXACT squared-L2 top-5 over the raw vectors — q152's
+    // recall methodology applied to the PQ index. Both rankings are
+    // deterministic BIGINT, so the recall numbers gate hash-exactly.
+    "q213_pq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val qset = e.filter(col("vec_id") < 5)
+      val adc = Similarity.pqAdcTopK(e, qset, "vec_id", "embedding",
+          m = 8, k = 8, iters = 2, subLen = 8, topK = 5)
+        .select(col("qid"), col("vec_id"))
+      val exact = Similarity.l2TopK(e, qset, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("vec_id"))
+      val hits = adc.intersect(exact)
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      adc.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) * 20).as("recall_pct"))
     }),
 
     // ---- q171: cluster-quality report (centroid cohesion vs margin) ----
@@ -589,9 +612,8 @@ object Vectors {
       |FROM n $joins""".stripMargin
   }
 
-  /** q212 oracle: chains + per-query LUT replay + ADC rank. */
-  private def pqAdcDuck(m: Int, k: Int, iters: Int, subLen: Int,
-      topK: Int): String = {
+  /** ADC CTE tail shared by q212/q213: per-query LUT replay + rank. */
+  private def pqAdcCtes(m: Int, iters: Int, subLen: Int): String = {
     val dist = pqDist(subLen) _
     val luts = (0 until m).map { i =>
       s"""l$i AS (SELECT qv.vec_id AS qid, c.cid,
@@ -603,15 +625,44 @@ object Vectors {
     val joins = (1 until m).map(i => s"JOIN t$i USING (qid, vec_id)")
       .mkString(" ")
     val dsum = (0 until m).map(i => s"t$i.d").mkString(" + ")
-    s"""WITH $prepCte,
-      | ${pqChains(m, k, iters, subLen)},
-      | $luts,
+    s"""$luts,
       | adc0 AS (SELECT qid, vec_id, CAST($dsum AS BIGINT) AS adc
       |  FROM t0 $joins WHERE vec_id <> qid),
-      | rk AS (SELECT qid, vec_id, adc,
+      | ark AS (SELECT qid, vec_id, adc,
       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id)
-      |     AS rank FROM adc0)
-      |SELECT qid, vec_id, rank, adc FROM rk WHERE rank <= $topK""".stripMargin
+      |     AS rank FROM adc0)""".stripMargin
+  }
+
+  /** q212 oracle: chains + ADC rank. */
+  private def pqAdcDuck(m: Int, k: Int, iters: Int, subLen: Int,
+      topK: Int): String =
+    s"""WITH $prepCte,
+      | ${pqChains(m, k, iters, subLen)},
+      | ${pqAdcCtes(m, iters, subLen)}
+      |SELECT qid, vec_id, rank, adc FROM ark WHERE rank <= $topK""".stripMargin
+
+  /** q213 oracle: ADC top-k vs exact full-vector L2 top-k overlap. */
+  private def pqRecallDuck(m: Int, k: Int, iters: Int, subLen: Int,
+      topK: Int): String = {
+    val dim = m * subLen
+    val l2 = s"list_aggregate([(c.q[j] - qv.q[j]) * (c.q[j] - qv.q[j]) " +
+      s"FOR j IN range(1, ${dim + 1})], 'sum')"
+    s"""WITH $prepCte,
+      | ${pqChains(m, k, iters, subLen)},
+      | ${pqAdcCtes(m, iters, subLen)},
+      | ar AS (SELECT qid, vec_id FROM ark WHERE rank <= $topK),
+      | ex AS (SELECT qv.vec_id AS qid, c.vec_id, $l2 AS d
+      |  FROM n c CROSS JOIN n qv
+      |  WHERE qv.vec_id < 5 AND c.vec_id <> qv.vec_id),
+      | erk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+      |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS r
+      |  FROM ex) WHERE r <= $topK),
+      | h AS (SELECT ar.qid, count(*) AS hits
+      |  FROM ar JOIN erk ON ar.qid = erk.qid AND ar.vec_id = erk.vec_id
+      |  GROUP BY 1)
+      |SELECT q.qid, COALESCE(h.hits, 0) AS hits,
+      | COALESCE(h.hits, 0) * 20 AS recall_pct
+      |FROM (SELECT DISTINCT qid FROM ar) q LEFT JOIN h USING (qid)""".stripMargin
   }
 
   // ---- k-means oracle building blocks (dim is 64 in every SF corpus;
@@ -872,10 +923,13 @@ object Vectors {
         | CAST(MAX(err) AS BIGINT) AS max_err
         |FROM r GROUP BY 1, 2""".stripMargin,
 
-    "q211_pq_encode" -> pqDuck(m = 4, k = 4, iters = 2, subLen = 16),
+    "q211_pq_encode" -> pqDuck(m = 8, k = 8, iters = 2, subLen = 8),
 
     "q212_pq_adc_topk" ->
-      pqAdcDuck(m = 4, k = 4, iters = 2, subLen = 16, topK = 5),
+      pqAdcDuck(m = 8, k = 8, iters = 2, subLen = 8, topK = 5),
+
+    "q213_pq_recall" ->
+      pqRecallDuck(m = 8, k = 8, iters = 2, subLen = 8, topK = 5),
 
     // label centroids over ALL vectors (q129's integer-mean spelling),
     // ppm-fixed cosines, own-vs-best-foreign margins
