@@ -279,6 +279,35 @@ object Similarity {
       .groupBy(col(idCol), col("sub"))
       .agg(min(struct(col("d"), col("cid"), col("sq"))).as("w"))
 
+  /** Persist trained PQ codebooks as a table — "build once": later
+    * ingest batches encode against the saved codebooks with zero
+    * training jobs (the q86 persisted-IVF story for PQ). */
+  def writePqCodebook(df: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, iters: Int, subLen: Int, table: String): Unit =
+    graft.sources.Tables.writeTable(
+      pqTrain(df, idCol, embCol, m, k, iters, subLen), table)
+
+  /** Encode a batch against a PERSISTED codebook table: only the batch
+    * is sliced and assigned — the training corpus is never rescanned,
+    * and the codebook (m·k rows) broadcasts. Output matches
+    * [[pqEncode]]: (id, code0.., qerr) + keep columns. */
+  def pqEncodeAgainst(batch: DataFrame, idCol: String, embCol: String,
+      m: Int, subLen: Int, codebookTable: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val spark = batch.sparkSession
+    val cent = spark.table(codebookTable)
+    val sub = pqSlices(prepare(batch, embCol), idCol, m, subLen)
+    val coded = pqAssign(sub, cent, idCol)
+      .select(col(idCol), col("sub"),
+        col("w.cid").as("code"), col("w.d").as("err"))
+    val codeCols = (0 until m).map(i =>
+      max(when(col("sub") === i, col("code"))).as(s"code$i"))
+    val out = coded.groupBy(col(idCol))
+      .agg(codeCols.head, codeCols.tail :+ sum("err").as("qerr"): _*)
+    if (keep.isEmpty) out
+    else out.join(batch.select(col(idCol) +: keep.map(col): _*), idCol)
+  }
+
   /** Train the m per-subspace k-centroid PQ codebooks (deterministic
     * Lloyd as in [[pqEncode]]'s doc). Returns (sub, cid, cq). */
   def pqTrain(df: DataFrame, idCol: String, embCol: String,

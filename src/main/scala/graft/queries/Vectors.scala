@@ -306,6 +306,24 @@ object Vectors {
         topK = 5)
     }),
 
+    // ---- q214: incremental PQ encode vs a persisted codebook ----
+    // PQ's production loop: codebooks train ONCE on history and
+    // persist; each ingest batch encodes against the saved table with
+    // zero training jobs — only the batch is sliced and assigned, the
+    // history corpus is never rescanned (the q86 persisted-IVF story
+    // for PQ, and the vector sibling of q85's persisted band index).
+    // The oracle retrains on the identical history split and encodes
+    // the identical batch, so codes and errors gate hash-exactly.
+    "q214_incr_pq_encode" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.writePqCodebook(
+        e.filter(pmod(col("vec_id"), lit(4)) < 3), "vec_id", "embedding",
+        m = 8, k = 8, iters = 2, subLen = 8, "graft_pq_codebook")
+      Similarity.pqEncodeAgainst(
+        e.filter(pmod(col("vec_id"), lit(4)) === 3), "vec_id", "embedding",
+        m = 8, subLen = 8, "graft_pq_codebook", keep = Seq("label"))
+    }),
+
     // ---- q213: PQ recall@5 self-evaluation ----
     // The eval that decides whether q211's compression is usable: per
     // query, how many of the ADC top-5 (ranked from codes alone) are
@@ -568,8 +586,11 @@ object Vectors {
       s"FOR j IN range(1, ${subLen + 1})], 'sum')"
 
   /** The shared train+encode CTE block: s{i} slices, c{i}_t codebooks,
-    * e{i} final per-subspace (code, err) assignments. */
-  private def pqChains(m: Int, k: Int, iters: Int, subLen: Int): String = {
+    * e{i} final per-subspace (code, err) assignments. `trainWhere`
+    * restricts which vectors train the codebooks, `encodeWhere` which
+    * vectors receive codes — q214's incremental split. */
+  private def pqChains(m: Int, k: Int, iters: Int, subLen: Int,
+      trainWhere: String = "TRUE", encodeWhere: String = "TRUE"): String = {
     val dist = pqDist(subLen) _
     (0 until m).map { i =>
       val lo = i * subLen + 1
@@ -578,13 +599,14 @@ object Vectors {
       parts += s"s$i AS (SELECT vec_id, q[$lo:$hi] AS sq FROM n)"
       parts += s"c${i}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id)" +
         s" AS cid, sq AS cq FROM (SELECT vec_id, sq FROM s$i" +
-        s" ORDER BY vec_id LIMIT $k))"
+        s" WHERE $trainWhere ORDER BY vec_id LIMIT $k))"
       for (t <- 1 to iters) {
         parts += s"""a${i}_$t AS (SELECT vec_id, sq, cid FROM (
           |  SELECT v.vec_id, v.sq, c.cid,
           |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
           |      ORDER BY ${dist("v.sq", "c.cq")}, c.cid) AS r
-          |  FROM s$i v CROSS JOIN c${i}_${t - 1} c) WHERE r = 1)""".stripMargin
+          |  FROM (SELECT * FROM s$i WHERE $trainWhere) v
+          |   CROSS JOIN c${i}_${t - 1} c) WHERE r = 1)""".stripMargin
         parts += s"""r${i}_$t AS (SELECT cid, pos,
           |  CAST(SUM(sq[pos]) // COUNT(*) AS BIGINT) AS mv
           | FROM a${i}_$t, range(1, ${subLen + 1}) t(pos) GROUP BY 1, 2)""".stripMargin
@@ -596,7 +618,8 @@ object Vectors {
         |  SELECT v.vec_id, c.cid, ${dist("v.sq", "c.cq")} AS d,
         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
         |      ORDER BY ${dist("v.sq", "c.cq")}, c.cid) AS r
-        |  FROM s$i v CROSS JOIN c${i}_$iters c) WHERE r = 1)""".stripMargin
+        |  FROM (SELECT * FROM s$i WHERE $encodeWhere) v
+        |   CROSS JOIN c${i}_$iters c) WHERE r = 1)""".stripMargin
       parts.result().mkString(",\n ")
     }.mkString(",\n ")
   }
@@ -930,6 +953,22 @@ object Vectors {
 
     "q213_pq_recall" ->
       pqRecallDuck(m = 8, k = 8, iters = 2, subLen = 8, topK = 5),
+
+    // identical Lloyd replay, restricted: codebooks from the history
+    // split, codes only for the batch split
+    "q214_incr_pq_encode" -> {
+      val (m, subLen) = (8, 8)
+      val joins = (0 until m).map(i => s"JOIN e$i USING (vec_id)")
+        .mkString(" ")
+      val codes = (0 until m).map(i => s"code$i").mkString(", ")
+      val errs = (0 until m).map(i => s"err$i").mkString(" + ")
+      s"""WITH $prepCte,
+        | ${pqChains(m, k = 8, iters = 2, subLen = subLen,
+            trainWhere = "vec_id % 4 < 3", encodeWhere = "vec_id % 4 = 3")}
+        |SELECT n.vec_id, n.label, $codes,
+        | CAST($errs AS BIGINT) AS qerr
+        |FROM n $joins""".stripMargin
+    },
 
     // label centroids over ALL vectors (q129's integer-mean spelling),
     // ppm-fixed cosines, own-vs-best-foreign margins

@@ -864,6 +864,25 @@ class OperatorSpec extends SparkTestBase {
     assert(out.exceptAll(re).count() == 0 && re.exceptAll(out).count() == 0)
   }
 
+  test("incremental PQ: persisted codebook encodes only the batch, stably") {
+    val out = SparkEntry.queries("q214_incr_pq_encode")(spark, sf)
+    val ids = out.select("vec_id").as[Long].collect()
+    // exactly the batch split, nothing from history
+    assert(ids.nonEmpty && ids.forall(_ % 4 == 3))
+    val codes = out.select("code0", "code7").as[(Int, Int)].collect()
+    assert(codes.forall { case (a, b) =>
+      a >= 1 && a <= 8 && b >= 1 && b <= 8 })
+    // the persisted-table round trip is deterministic: a rerun (which
+    // rewrites the codebook) reproduces identical codes and errors.
+    // Collect BEFORE rerunning — the frame lazily re-reads the table,
+    // and the rerun overwrites it.
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val first = snap(out)
+    val again = snap(SparkEntry.queries("q214_incr_pq_encode")(spark, sf))
+    assert(first == again, "persisted-codebook encode is nondeterministic")
+  }
+
   test("shard manifest: a one-row mutation moves exactly its shard") {
     val d = sources.Tables.read(spark, sf, "documents")
     val base = graft.queries.Fingerprints.manifest(d)
