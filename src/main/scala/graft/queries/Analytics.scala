@@ -20,7 +20,43 @@ object Analytics {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.read(s, dir, n)
 
+  /** q215's fixed audit predicate: orders in Q1 1998. */
+  private val PruneLo = "1998-01-01"
+  private val PruneHi = "1998-04-01"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q215: zone-map pruning audit (layout decides scan cost) ----
+    // THE 100 TB scan lever: a reader skips a whole file when its
+    // (min, max) column statistics exclude the predicate — but only a
+    // layout that CLUSTERS the filter column makes those zone maps
+    // tight. This audit computes per-shard date zone maps under two
+    // layouts of the same orders table — 'keyrange' (arrival order,
+    // shards of 2048 orderkeys) and 'month' (date-partitioned, the
+    // q132 clustering move) — and, for a fixed quarter predicate,
+    // reports which shards a stats-based reader skips plus the TRUE
+    // match count (can_skip rows always show n_match = 0: the zone map
+    // never lies, spec-pinned). On the random arrival layout every
+    // shard spans most of the date range ⇒ ~zero skips; on the month
+    // layout all but 3 shards skip — the measured argument for
+    // date-partitioning a fact table. One pass per layout, two tiny
+    // aggs, no joins.
+    "q215_prune_audit" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def audit(layout: String, shard: Column): DataFrame =
+        o.groupBy(lit(layout).as("layout"), shard.as("shard"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("o_orderdate").as("dmin"), max("o_orderdate").as("dmax"),
+            sum(when(col("o_orderdate") >= lit(PruneLo) &&
+              col("o_orderdate") < lit(PruneHi), 1L).otherwise(0L))
+              .as("n_match"))
+          .withColumn("can_skip",
+            col("dmax") < lit(PruneLo) || col("dmin") >= lit(PruneHi))
+      audit("keyrange", expr("o_orderkey DIV 2048"))
+        .unionAll(audit("month",
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long")))
+    }),
 
     // Rolling time-series frame (trailing mean over the last 3 OBSERVED
     // months of revenue per nation): the sliding ROWS frame q22/q64
@@ -427,6 +463,24 @@ object Analytics {
     fixedSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)
 
   val oracles: Map[String, String] = Map(
+    "q215_prune_audit" ->
+      s"""WITH k AS (SELECT 'keyrange' AS layout,
+        |   o_orderkey // 2048 AS shard, o_orderdate FROM orders),
+        | m AS (SELECT 'month' AS layout,
+        |   CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |     AS shard, o_orderdate FROM orders),
+        | u AS (SELECT * FROM k UNION ALL SELECT * FROM m),
+        | g AS (SELECT layout, shard, count(*) AS n_rows,
+        |   MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax,
+        |   CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '$PruneLo'
+        |     AND o_orderdate < TIMESTAMP '$PruneHi'
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM u GROUP BY 1, 2)
+        |SELECT layout, shard, n_rows, dmin, dmax, n_match,
+        | (dmax < TIMESTAMP '$PruneLo' OR dmin >= TIMESTAMP '$PruneHi')
+        |   AS can_skip
+        |FROM g""".stripMargin,
+
     "q201_dist_drift" ->
       """WITH bins AS (SELECT event_type,
         |   CAST(FLOOR(value) AS BIGINT) AS bin,

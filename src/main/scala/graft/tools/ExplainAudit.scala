@@ -35,7 +35,8 @@ object ExplainAudit {
         "q189_equidepth_hist" -> "BNLJ broadcasts the 1-row collected edge array (by design, as q80)",
         "q191_sketch_set_ops" -> "BNLJ crossJoins of three 1-row estimate frames (by design, as q80)",
         "q192_semdedup" -> "BNLJ broadcasts the k trained centroids (by design, as q62)",
-        "q206_embed_quantize" -> "BNLJ broadcasts the 1-row packed lo/hi dimension-stats arrays (by design, as q189)")
+        "q206_embed_quantize" -> "BNLJ broadcasts the 1-row packed lo/hi dimension-stats arrays (by design, as q189)",
+        "q213_pq_recall" -> "BNLJ from l2TopK's tiny query-set broadcast (by design, as q43/q152)")
       // single-partition windows — the OTHER classic scale-killer a
       // string grep can't see reliably; detected on the optimized plan
       // (empty partitionSpec) and allow-listed only where the window's

@@ -902,6 +902,26 @@ class OperatorSpec extends SparkTestBase {
     assert(base.forall { case (k, (n, _, _)) => mutated(k)._1 == n })
   }
 
+  test("prune audit: zone maps never lie, clustering is what makes them cut") {
+    val out = SparkEntry.queries("q215_prune_audit")(spark, sf)
+      .select("layout", "can_skip", "n_match", "n_rows")
+      .as[(String, Boolean, Long, Long)].collect()
+    // a skippable shard must contain zero matching rows — a zone map
+    // that lies would mean the reader silently drops data
+    out.filter(_._2).foreach { case (l, _, nMatch, _) =>
+      assert(nMatch == 0, s"$l shard marked skippable but has matches")
+    }
+    // both layouts hold the same table: identical total matches
+    val byLayout = out.groupBy(_._1)
+    val totals = byLayout.map { case (l, rs) => l -> rs.map(_._3).sum }
+    assert(totals("keyrange") == totals("month") && totals("month") > 0)
+    // the measured argument: random arrival order skips nothing, the
+    // date-clustered layout skips almost everything
+    def skips(l: String) = byLayout(l).count(_._2)
+    assert(skips("keyrange") == 0)
+    assert(skips("month") > byLayout("month").length / 2)
+  }
+
   test("boolean retrieval: AND semantics exact against array_contains") {
     val hits = SparkEntry.queries("q208_boolean_retrieval")(spark, sf)
       .select("doc_id").as[Long].collect().toSet
