@@ -119,4 +119,25 @@ class PropertySpec extends SparkTestBase {
       split.exceptAll(whole).count() == 0,
       "MAX-merged partition registers diverged from one-shot registers")
   }
+
+  test("manifest partials merge to the one-shot manifest for any split") {
+    // the q207/q210 maintenance law: per-shard (count, sum, xor)
+    // partials computed over ANY disjoint partitioning of the corpus
+    // merge to the one-shot manifest — checked for several moduli so
+    // splits of different grain (2-way ... 5-way) all exercise it
+    val docs = sources.Tables.read(spark, sf, "documents")
+    val whole = graft.queries.Fingerprints.manifest(docs)
+    for (p <- 2 to 5) {
+      val merged = (0 until p)
+        .map(r => graft.queries.Fingerprints.manifest(
+          docs.filter(pmod($"doc_id", lit(p)) === r)))
+        .reduce(_ unionAll _)
+        .groupBy("shard")
+        .agg(sum("n_rows").as("n_rows"), sum("fp_sum").as("fp_sum"),
+          expr("bit_xor(fp_xor)").as("fp_xor"))
+      assert(whole.exceptAll(merged).count() == 0 &&
+        merged.exceptAll(whole).count() == 0,
+        s"$p-way manifest partial merge diverged from one-shot")
+    }
+  }
 }
