@@ -603,6 +603,32 @@ object Multimodal {
     ResizedMedia(r.doc_id, w, h, Array.tabulate[Byte](w * h)(i => d(i % d.length)))
   }
 
+  /** Near-dup VIDEO pairs from decoded frame fingerprints: two
+    * containers are near-dups when they share >= `minShared` distinct
+    * frame fingerprints — the re-encode / trim / re-title detector a
+    * video corpus dedups with (frame-set overlap survives reordering
+    * and truncation, which a whole-file hash does not). Candidates
+    * come ONLY from the fingerprint equi-join (videos sharing a frame
+    * hash), never an all-pairs stage; `overlap_ppm` normalizes shared
+    * count by the smaller video (containment semantics, as q159) so a
+    * clip fully inside a longer cut still scores 1e6. The synthetic
+    * corpus's px_sum fingerprint has a 256-value space (adversarially
+    * collision-heavy); production uses a per-frame perceptual hash
+    * (q165's aHash) where equi-join fan-out is genuinely rare-key. */
+  def frameOverlapPairs(frames: DataFrame, minShared: Int): DataFrame = {
+    val fp = frames.select(col("doc_id"), col("px_sum").as("fp")).distinct()
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("ida"), col("nf").as("nfa")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("nf").as("nfb")), "idb")
+      .withColumn("overlap_ppm",
+        expr("shared * 1000000 DIV least(nfa, nfb)"))
+  }
+
   /** NON-IMAGE fallback resize — output pixels are the md5 digest of
     * the payload cycled to length (deterministic, size-correct), so a
     * resize stage over payloads with no decodable image (audio/video

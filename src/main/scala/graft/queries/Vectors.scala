@@ -115,6 +115,20 @@ object Vectors {
         Multimodal.synthesizeGifs(Tables.read(s, d, "documents"), "doc_id"))
         .toDF),
 
+    // ---- q216: near-dup video pairs via decoded-frame overlap ----
+    // Video dedup from REAL container decodes: q184's per-frame
+    // fingerprints, videos paired when >= 2 distinct frame hashes
+    // coincide, overlap normalized by the shorter video (containment
+    // semantics — a clip inside a longer cut scores full overlap).
+    // Candidates only from the fingerprint equi-join; the oracle
+    // replays synth -> decode -> fingerprint -> overlap end to end.
+    "q216_video_dup" -> ((s, d) =>
+      Multimodal.frameOverlapPairs(
+        Multimodal.gifFrames(
+          Multimodal.synthesizeGifs(Tables.read(s, d, "documents"),
+            "doc_id")).toDF,
+        minShared = 2)),
+
     // ---- q165: perceptual-hash (aHash) image dup clusters ----
     // The image-modality dedup move: 8x8 average-hash over REAL decoded
     // pixels (same floor-index resample as q84, mean threshold in exact
@@ -1210,6 +1224,27 @@ object Vectors {
         |   [(doc_id*31 + fi*11 + (i % 8)*7 + (i // 8)) % 256
         |    FOR i IN range(0, 64)], 'sum') AS BIGINT) AS px_sum
         |FROM f""".stripMargin,
+
+    // q184's frame replay -> distinct per-doc fingerprints -> shared
+    // fingerprint counting -> containment-normalized overlap.
+    "q216_video_dup" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(2 + doc_id % 4 AS INT) AS nf FROM documents),
+        | f AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM d),
+        | fr AS (SELECT doc_id, CAST(list_aggregate(
+        |   [(doc_id*31 + fi*11 + (i % 8)*7 + (i // 8)) % 256
+        |    FOR i IN range(0, 64)], 'sum') AS BIGINT) AS fp FROM f),
+        | fd AS (SELECT DISTINCT doc_id, fp FROM fr),
+        | sz AS (SELECT doc_id, count(*) AS nf FROM fd GROUP BY 1),
+        | sh AS (SELECT x.doc_id AS ida, y.doc_id AS idb,
+        |   count(*) AS shared
+        |  FROM fd x JOIN fd y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT sh.ida, sh.idb, sh.shared,
+        | a.nf AS nfa, b.nf AS nfb,
+        | (sh.shared * 1000000) // least(a.nf, b.nf) AS overlap_ppm
+        |FROM sh JOIN sz a ON a.doc_id = sh.ida
+        | JOIN sz b ON b.doc_id = sh.idb""".stripMargin,
 
     // Replays the aHash pipeline: synthesized pixel function through
     // the 8x8 floor-index resample, exact-integer mean threshold,

@@ -922,6 +922,31 @@ class OperatorSpec extends SparkTestBase {
     assert(skips("month") > byLayout("month").length / 2)
   }
 
+  test("video dup pairs equal brute-force frame-set overlap, completely") {
+    val frames = SparkEntry.queries("q184_gif_frames")(spark, sf)
+    val sets = frames.select($"doc_id", $"px_sum").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val out = SparkEntry.queries("q216_video_dup")(spark, sf)
+      .select("ida", "idb", "shared", "overlap_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, sh, ppm) =>
+      val inter = (sets(a) & sets(b)).size
+      assert(a < b && sh == inter && sh >= 2,
+        s"pair ($a,$b) reported $sh shared, true $inter")
+      assert(ppm == sh * 1000000L / math.min(sets(a).size, sets(b).size))
+    }
+    // completeness: the equi-join blocking missed no qualifying pair
+    val found = out.map(r => (r._1, r._2)).toSet
+    val ids = sets.keys.toSeq.sorted
+    val missed = for {
+      i <- ids; j <- ids
+      if i < j && (sets(i) & sets(j)).size >= 2 && !found((i, j))
+    } yield (i, j)
+    assert(missed.isEmpty, s"missed pairs: ${missed.take(5)}")
+  }
+
   test("boolean retrieval: AND semantics exact against array_contains") {
     val hits = SparkEntry.queries("q208_boolean_retrieval")(spark, sf)
       .select("doc_id").as[Long].collect().toSet
