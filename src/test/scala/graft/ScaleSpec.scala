@@ -286,6 +286,35 @@ class ScaleSpec extends SparkTestBase {
     assert(fromIndex.count() > 0)
   }
 
+  test("persisted PQ codebook: encode path launches no training jobs") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    // build once (this DOES run the Lloyd jobs)...
+    operators.Similarity.writePqCodebook(
+      e.filter($"vec_id" % 4 < 3), "vec_id", "embedding",
+      m = 8, k = 8, iters = 2, subLen = 8, "pq_spec_codebook")
+    // ...encode many batches: plan construction against the saved
+    // table must launch ZERO jobs (pqTrain eagerly cuts each
+    // iteration here, so an accidental retrain is visible as jobs)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val batch = e.filter($"vec_id" % 4 === 3)
+    val encoded =
+      try {
+        val df = operators.Similarity.pqEncodeAgainst(
+          batch, "vec_id", "embedding", m = 8, subLen = 8,
+          "pq_spec_codebook")
+        Thread.sleep(500) // listener bus is async
+        assert(jobs == 0, s"encode-path plan construction ran $jobs jobs")
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(encoded.count() == batch.count())
+  }
+
   test("k-means plan size stays constant across iterations (lineage cut)") {
     val e = sources.Tables.read(spark, sf, "embeddings")
     val prep = operators.Similarity.prepare(e, "embedding")
