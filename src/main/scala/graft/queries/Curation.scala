@@ -641,6 +641,49 @@ object Curation {
           expr("isq * 1000000 DIV isq_tot").as("w_ppm"))
     }),
 
+    // ---- q217: mixture weights APPLIED (the resample job) ----
+    // Closes the q170 loop: the sqrt-temperature allocation becomes an
+    // actual subset. Per source, target tokens = (corpus_toks/2)·w_ppm
+    // and a keep rate p_ppm = target/n_toks; each doc then survives a
+    // DETERMINISTIC md5 draw (hash16·1e6 < p_ppm·65536 — q137's exact
+    // integer Bernoulli), so the resampled corpus is a pure function
+    // of doc ids: reruns, engines, and cluster sizes agree, and the
+    // oracle replays every draw. Plan: one stats agg, a broadcast of
+    // the source-cardinality allocation, then ONE narrow filter over
+    // the corpus — the resample itself never shuffles. Output: the
+    // per-source audit (targets vs what the draws actually kept).
+    "q217_mixture_apply" -> ((s, d) => {
+      val per = docs(s, d).select(col("doc_id"), col("source"),
+        expr(s"size($toksNat)").as("nt"))
+      val stats = per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_toks"))
+        .withColumn("isq",
+          expr("CAST(FLOOR(SQRT(CAST(n_toks AS DOUBLE))) AS BIGINT)"))
+      val tot = stats.agg(sum("isq").as("isq_tot"),
+        sum("n_toks").as("toks_tot"))
+      val alloc = stats.crossJoin(broadcast(tot))
+        .withColumn("w_ppm", expr("isq * 1000000 DIV isq_tot"))
+        .withColumn("target_toks",
+          expr("(toks_tot DIV 2) * w_ppm DIV 1000000"))
+        .withColumn("p_ppm", expr(
+          "least(CAST(1000000 AS BIGINT), target_toks * 1000000 DIV n_toks)"))
+        .select("source", "n_docs", "n_toks", "target_toks", "p_ppm")
+      val h = "md5(CAST(doc_id AS STRING))"
+      val hash16 = (0 until 4).map(k =>
+        s"${nibbleSpark(h, k)} * ${1L << (4 * (3 - k))}")
+        .mkString("(", " + ", ")")
+      val kept = per
+        .join(broadcast(alloc.select("source", "p_ppm")), "source")
+        .filter(expr(s"CAST($hash16 AS BIGINT) * 1000000 < p_ppm * 65536"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("nt").as("kept_toks"))
+      alloc.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_toks"),
+          col("target_toks"), col("p_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_toks"), lit(0L)).as("kept_toks"))
+    }),
+
     // ---- q164: BM25 top-k retrieval ----
     // The retrieval scorer of every decontamination / near-dup-lookup
     // pipeline: per query term, the top-5 docs by BM25 (k1 = 1.2,
@@ -998,6 +1041,38 @@ object Curation {
         |SELECT source, n_docs, n_toks, isq,
         | (isq * 1000000) // isq_tot AS w_ppm
         |FROM w CROSS JOIN tot""".stripMargin,
+
+    "q217_mixture_apply" -> {
+      val h = "md5(CAST(doc_id AS VARCHAR))"
+      val hash16 = (0 until 4).map(k =>
+        s"${nibbleDuck(h, k)} * ${1L << (4 * (3 - k))}")
+        .mkString("(", " + ", ")")
+      s"""WITH per AS (SELECT doc_id, source,
+        |   CAST(len(${toksDuck("text")}) AS BIGINT) AS nt
+        |  FROM documents),
+        | st AS (SELECT source, count(*) AS n_docs,
+        |   CAST(SUM(nt) AS BIGINT) AS n_toks FROM per GROUP BY 1),
+        | w AS (SELECT *,
+        |   CAST(FLOOR(SQRT(CAST(n_toks AS DOUBLE))) AS BIGINT) AS isq
+        |  FROM st),
+        | tot AS (SELECT CAST(SUM(isq) AS BIGINT) AS isq_tot,
+        |   CAST(SUM(n_toks) AS BIGINT) AS toks_tot FROM w),
+        | alloc AS (SELECT source, n_docs, n_toks,
+        |   ((toks_tot // 2) * ((isq * 1000000) // isq_tot)) // 1000000
+        |     AS target_toks
+        |  FROM w CROSS JOIN tot),
+        | a2 AS (SELECT *, least(CAST(1000000 AS BIGINT),
+        |   (target_toks * 1000000) // n_toks) AS p_ppm FROM alloc),
+        | kept AS (SELECT per.source, count(*) AS n_kept,
+        |   CAST(SUM(per.nt) AS BIGINT) AS kept_toks
+        |  FROM per JOIN a2 ON per.source = a2.source
+        |  WHERE CAST($hash16 AS BIGINT) * 1000000 < a2.p_ppm * 65536
+        |  GROUP BY 1)
+        |SELECT a2.source, a2.n_docs, a2.n_toks, a2.target_toks, a2.p_ppm,
+        | COALESCE(kept.n_kept, 0) AS n_kept,
+        | COALESCE(kept.kept_toks, 0) AS kept_toks
+        |FROM a2 LEFT JOIN kept ON a2.source = kept.source""".stripMargin
+    },
 
     "q164_bm25" -> {
       val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")

@@ -947,6 +947,35 @@ class OperatorSpec extends SparkTestBase {
     assert(missed.isEmpty, s"missed pairs: ${missed.take(5)}")
   }
 
+  test("mixture apply: draws recount exactly from an independent md5") {
+    val out = SparkEntry.queries("q217_mixture_apply")(spark, sf)
+      .select("source", "n_toks", "target_toks", "p_ppm", "n_kept")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // keep rate is exactly the declared arithmetic
+    out.values.foreach { case (src, nToks, target, pPpm, _) =>
+      assert(pPpm == math.min(1000000L, target * 1000000L / nToks), src)
+    }
+    // recount every source's kept docs with a JVM-side md5 — the draw
+    // must be a pure function of doc_id, not of Spark's evaluation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash16(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16)
+    }
+    val perDoc = sources.Tables.read(spark, sf, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val recount = perDoc.groupBy(_._2).map { case (src, docs) =>
+      src -> docs.count { case (id, _) =>
+        hash16(id) * 1000000L < out(src)._4 * 65536L }.toLong
+    }
+    recount.foreach { case (src, n) =>
+      assert(out(src)._5 == n,
+        s"$src: engine kept ${out(src)._5}, independent md5 says $n")
+    }
+  }
+
   test("boolean retrieval: AND semantics exact against array_contains") {
     val hits = SparkEntry.queries("q208_boolean_retrieval")(spark, sf)
       .select("doc_id").as[Long].collect().toSet
