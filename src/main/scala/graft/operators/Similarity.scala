@@ -183,8 +183,15 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, iters: Int, subLen: Int,
       keep: Seq[String] = Nil): DataFrame = {
-    val sub = pqSlices(prepare(df, embCol), idCol, m, subLen)
     val cent = pqTrain(df, idCol, embCol, m, k, iters, subLen)
+    pqEncodeTail(df, cent, idCol, embCol, m, subLen, keep)
+  }
+
+  /** Shared encode tail of [[pqEncode]] and [[pqEncodeAgainst]]: slice,
+    * assign against `cent`, pivot codes wide, attach keep columns. */
+  private def pqEncodeTail(src: DataFrame, cent: DataFrame, idCol: String,
+      embCol: String, m: Int, subLen: Int, keep: Seq[String]): DataFrame = {
+    val sub = pqSlices(prepare(src, embCol), idCol, m, subLen)
     val coded = pqAssign(sub, cent, idCol)
       .select(col(idCol), col("sub"),
         col("w.cid").as("code"), col("w.d").as("err"))
@@ -193,7 +200,7 @@ object Similarity {
     val out = coded.groupBy(col(idCol))
       .agg(codeCols.head, codeCols.tail :+ sum("err").as("qerr"): _*)
     if (keep.isEmpty) out
-    else out.join(df.select(col(idCol) +: keep.map(col): _*), idCol)
+    else out.join(src.select(col(idCol) +: keep.map(col): _*), idCol)
   }
 
   /** PQ asymmetric-distance (ADC) top-k search — WHY a PQ index exists:
@@ -260,10 +267,19 @@ object Similarity {
       "CAST(0 AS BIGINT), (a, v) -> a + v)")
 
   /** (id, sub, sq): each prepared vector exploded into its m contiguous
-    * subLen-wide subvector slices — the subspace axis as data. */
+    * subLen-wide subvector slices — the subspace axis as data. A row
+    * whose vector is not exactly m·subLen wide raises at execution
+    * (slice would otherwise silently truncate or short-pad and encode
+    * garbage codes). */
   private def pqSlices(src: DataFrame, idCol: String, m: Int,
       subLen: Int): DataFrame =
-    src.select(col(idCol), explode(array(
+    src
+      // assert_true yields NULL when the predicate holds and raises
+      // otherwise, so this filter keeps every valid row and turns a
+      // geometry mismatch into an immediate execution error
+      .filter(expr(s"assert_true(size(q) = ${m * subLen}, " +
+        s"'pq geometry: vector dim != ${m * subLen} = m*subLen') IS NULL"))
+      .select(col(idCol), explode(array(
         (0 until m).map(i => struct(lit(i).as("sub"),
           expr(s"slice(q, ${i * subLen + 1}, $subLen)").as("sq"))): _*))
       .as("z"))
@@ -296,16 +312,14 @@ object Similarity {
       keep: Seq[String] = Nil): DataFrame = {
     val spark = batch.sparkSession
     val cent = spark.table(codebookTable)
-    val sub = pqSlices(prepare(batch, embCol), idCol, m, subLen)
-    val coded = pqAssign(sub, cent, idCol)
-      .select(col(idCol), col("sub"),
-        col("w.cid").as("code"), col("w.d").as("err"))
-    val codeCols = (0 until m).map(i =>
-      max(when(col("sub") === i, col("code"))).as(s"code$i"))
-    val out = coded.groupBy(col(idCol))
-      .agg(codeCols.head, codeCols.tail :+ sum("err").as("qerr"): _*)
-    if (keep.isEmpty) out
-    else out.join(batch.select(col(idCol) +: keep.map(col): _*), idCol)
+    // geometry gate: a codebook saved with different (m, subLen) would
+    // otherwise zip_with-pad against the batch slices and emit silent
+    // null distances; the codebook is m·k rows, so the check is free
+    val bad = cent.filter(
+      expr(s"size(cq) != $subLen OR sub < 0 OR sub >= $m")).take(1)
+    require(bad.isEmpty,
+      s"codebook '$codebookTable' does not have geometry m=$m subLen=$subLen")
+    pqEncodeTail(batch, cent, idCol, embCol, m, subLen, keep)
   }
 
   /** Train the m per-subspace k-centroid PQ codebooks (deterministic
@@ -476,16 +490,24 @@ object Similarity {
     * back to [[bruteForceTopK]] on the leftover ids, which is tiny). */
   def lshKnnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
       nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    val cand = lshCandidates(df, idCol, embCol, nBits, bandBits)
+    val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
+    rankCandidates(cand, p, idCol, k)
+      .withColumnRenamed("vid", "vec_id")
+  }
+
+  /** Directed (qid, vid) band-collision candidate pairs — ONE spelling
+    * of the LSH candidate space for [[lshKnnJoin]] and
+    * [[hardNegatives]], so their semantics cannot drift apart. */
+  private def lshCandidates(df: DataFrame, idCol: String, embCol: String,
+      nBits: Int, bandBits: Int): DataFrame = {
     val banded = lshBands(df, idCol, embCol, nBits, bandBits)
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") =!= col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vid"))
       .dropDuplicates("qid", "vid")
-    val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
-    rankCandidates(cand, p, idCol, k)
-      .withColumnRenamed("vid", "vec_id")
   }
 
   /** Hard-negative mining for contrastive training: for each anchor
@@ -506,14 +528,8 @@ object Similarity {
   def hardNegatives(df: DataFrame, idCol: String, embCol: String,
       labelCol: String, k: Int,
       nBits: Int = 16, bandBits: Int = 4): DataFrame = {
-    val banded = lshBands(df, idCol, embCol, nBits, bandBits)
     val labels = df.select(col(idCol), col(labelCol))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") =!= col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vid"))
-      .dropDuplicates("qid", "vid")
+    val cand = lshCandidates(df, idCol, embCol, nBits, bandBits)
       .join(labels.select(col(idCol).as("qid"),
         col(labelCol).as("ql")), "qid")
       .join(labels.select(col(idCol).as("vid"),

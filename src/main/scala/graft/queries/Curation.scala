@@ -665,8 +665,12 @@ object Curation {
         .withColumn("w_ppm", expr("isq * 1000000 DIV isq_tot"))
         .withColumn("target_toks",
           expr("(toks_tot DIV 2) * w_ppm DIV 1000000"))
+        // n_toks = 0 (an all-empty source) would make Spark's DIV yield
+        // NULL while the oracle's // errors — pin the degenerate case
         .withColumn("p_ppm", expr(
-          "least(CAST(1000000 AS BIGINT), target_toks * 1000000 DIV n_toks)"))
+          """CASE WHEN n_toks = 0 THEN CAST(0 AS BIGINT)
+            | ELSE least(CAST(1000000 AS BIGINT),
+            |   target_toks * 1000000 DIV n_toks) END""".stripMargin))
         .select("source", "n_docs", "n_toks", "target_toks", "p_ppm")
       val h = "md5(CAST(doc_id AS STRING))"
       val hash16 = (0 until 4).map(k =>
@@ -1061,8 +1065,9 @@ object Curation {
         |   ((toks_tot // 2) * ((isq * 1000000) // isq_tot)) // 1000000
         |     AS target_toks
         |  FROM w CROSS JOIN tot),
-        | a2 AS (SELECT *, least(CAST(1000000 AS BIGINT),
-        |   (target_toks * 1000000) // n_toks) AS p_ppm FROM alloc),
+        | a2 AS (SELECT *, CASE WHEN n_toks = 0 THEN 0
+        |   ELSE least(CAST(1000000 AS BIGINT),
+        |     (target_toks * 1000000) // n_toks) END AS p_ppm FROM alloc),
         | kept AS (SELECT per.source, count(*) AS n_kept,
         |   CAST(SUM(per.nt) AS BIGINT) AS kept_toks
         |  FROM per JOIN a2 ON per.source = a2.source

@@ -292,13 +292,13 @@ object Vectors {
             .as("max_err"))
     }),
 
-    // ---- q211: product-quantization encode (m=4 × k=4 codebooks) ----
+    // ---- q211: product-quantization encode (m=8 × k=8 codebooks) ----
     // The codebook compression a 100 TB ANN index actually ships: 64
-    // dims → 4 subspace codes (256 bytes → 4). Squared-L2 Lloyd
+    // dims → 8 subspace codes (256 bytes → 8). Squared-L2 Lloyd
     // training and encoding run entirely on the exact scaled-integer
     // grid — codes and reconstruction errors are pure BIGINT, so the
     // oracle replays the full train+encode chain bit-for-bit. The
-    // subspace axis is data (in-row explode), so all 4 codebooks train
+    // subspace axis is data (in-row explode), so all 8 codebooks train
     // in the same broadcast+agg passes; assignment is a windowless
     // min-struct argmin.
     "q211_pq_encode" -> ((s, d) =>
@@ -347,10 +347,11 @@ object Vectors {
     "q213_pq_recall" -> ((s, d) => {
       val e = emb(s, d)
       val qset = e.filter(col("vec_id") < 5)
+      val topK = 5
       val adc = Similarity.pqAdcTopK(e, qset, "vec_id", "embedding",
-          m = 8, k = 8, iters = 2, subLen = 8, topK = 5)
+          m = 8, k = 8, iters = 2, subLen = 8, topK = topK)
         .select(col("qid"), col("vec_id"))
-      val exact = Similarity.l2TopK(e, qset, "vec_id", "embedding", k = 5)
+      val exact = Similarity.l2TopK(e, qset, "vec_id", "embedding", k = topK)
         .select(col("qid"), col("vec_id"))
       val hits = adc.intersect(exact)
         .groupBy("qid").agg(count(lit(1)).as("hits"))
@@ -358,7 +359,8 @@ object Vectors {
         .join(hits, Seq("qid"), "left")
         .select(col("qid"),
           coalesce(col("hits"), lit(0L)).as("hits"),
-          (coalesce(col("hits"), lit(0L)) * 20).as("recall_pct"))
+          (coalesce(col("hits"), lit(0L)) * 100 / topK).cast("long")
+            .as("recall_pct"))
     }),
 
     // ---- q171: cluster-quality report (centroid cohesion vs margin) ----
@@ -698,7 +700,7 @@ object Vectors {
       |  FROM ar JOIN erk ON ar.qid = erk.qid AND ar.vec_id = erk.vec_id
       |  GROUP BY 1)
       |SELECT q.qid, COALESCE(h.hits, 0) AS hits,
-      | COALESCE(h.hits, 0) * 20 AS recall_pct
+      | (COALESCE(h.hits, 0) * 100) // $topK AS recall_pct
       |FROM (SELECT DISTINCT qid FROM ar) q LEFT JOIN h USING (qid)""".stripMargin
   }
 

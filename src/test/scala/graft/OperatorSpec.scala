@@ -864,6 +864,24 @@ class OperatorSpec extends SparkTestBase {
     assert(out.exceptAll(re).count() == 0 && re.exceptAll(out).count() == 0)
   }
 
+  test("PQ geometry gates: wrong m/subLen fails loudly, never silently") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    // mismatched codebook geometry is rejected before any encode runs
+    Similarity.writePqCodebook(e, "vec_id", "embedding",
+      m = 8, k = 4, iters = 1, subLen = 8, "pq_geom_spec")
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncodeAgainst(e, "vec_id", "embedding",
+        m = 4, subLen = 16, "pq_geom_spec")
+    }
+    // a vector whose dim != m*subLen raises at execution instead of
+    // silently truncating into garbage codes
+    val err = intercept[Exception] {
+      Similarity.pqEncode(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 1, subLen = 8).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("incremental PQ: persisted codebook encodes only the batch, stably") {
     val out = SparkEntry.queries("q214_incr_pq_encode")(spark, sf)
     val ids = out.select("vec_id").as[Long].collect()
