@@ -311,14 +311,18 @@ object Similarity {
       m: Int, subLen: Int, codebookTable: String,
       keep: Seq[String] = Nil): DataFrame = {
     val spark = batch.sparkSession
-    val cent = spark.table(codebookTable)
     // geometry gate: a codebook saved with different (m, subLen) would
     // otherwise zip_with-pad against the batch slices and emit silent
-    // null distances; the codebook is m·k rows, so the check is free
-    val bad = cent.filter(
-      expr(s"size(cq) != $subLen OR sub < 0 OR sub >= $m")).take(1)
-    require(bad.isEmpty,
-      s"codebook '$codebookTable' does not have geometry m=$m subLen=$subLen")
+    // null distances. The gate must stay LAZY — an eager take(1) here
+    // would launch a job at plan-construction time and break the
+    // "encode path launches zero jobs until acted on" scale law — so
+    // it rides the codebook scan as an execution-time assert_true
+    // (NULL when the row's geometry is right, raises otherwise).
+    val cent = spark.table(codebookTable)
+      .filter(expr(
+        s"assert_true(size(cq) = $subLen AND sub >= 0 AND sub < $m, " +
+          s"'codebook $codebookTable does not have geometry " +
+          s"m=$m subLen=$subLen') IS NULL"))
     pqEncodeTail(batch, cent, idCol, embCol, m, subLen, keep)
   }
 

@@ -118,4 +118,53 @@ object TextAnalysis {
         size(col("toks")).as("ws_toks"),
         expr(bpeCountSpark(textCol)).as("bpe_toks"),
         ceil(length(col(textCol)) / 4.0).cast("long").as("approx_toks"))
+
+  /** Gopher-style composite quality gate (Rae et al. 2021 §A.1.1,
+    * adapted to this corpus's scale): five independent pass flags plus
+    * the conjunction, each spelled in pure integer arithmetic so the
+    * oracle agrees bit-for-bit:
+    *   - len_ok        20 <= n_toks <= 1000
+    *   - mean_len_ok   mean token length in [3, 10] chars
+    *                   (tok_chars*10 between n_toks*30 and n_toks*100)
+    *   - alpha_ok      >= 80% of tokens contain a letter
+    *   - stop_ok       >= 1 *distinct* stopword present (Gopher asks
+    *                   for 2 of 8; this corpus's synthetic vocabulary
+    *                   carries exactly one list word, so 1 is the
+    *                   threshold that discriminates here)
+    *   - rep_ok        top bigram takes <= 20% of all bigrams
+    * Emitting per-rule flags (not just `keep`) is the point: a corpus
+    * audit needs the reject-reason breakdown to see WHICH rule is
+    * eating the data. The four narrow flags are scan-speed column
+    * expressions; rep_ok reuses the (doc, gram) two-level hash-agg of
+    * [[repetition]] and joins back on the id — one extra doc-keyed
+    * shuffle of 3-column rows, which at 100 TB is noise next to the
+    * gram explode itself. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val en = langWords.toMap.apply("en")
+    val narrow = withTokens(df, textCol)
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("tok_chars", expr(tokCharsSpark("toks")))
+      .withColumn("n_alpha",
+        size(expr("filter(toks, x -> x rlike '[a-z]')")))
+      .withColumn("n_stop_d",
+        expr(hitCountSpark("array_distinct(toks)", en)))
+      .select(col(idCol), col("n_toks"),
+        (col("n_toks") >= 20 && col("n_toks") <= 1000)
+          .cast("int").as("len_ok"),
+        (col("n_toks") > 0 &&
+          col("tok_chars") * 10 >= col("n_toks") * 30 &&
+          col("tok_chars") * 10 <= col("n_toks") * 100)
+          .cast("int").as("mean_len_ok"),
+        (col("n_toks") > 0 && col("n_alpha") * 10 >= col("n_toks") * 8)
+          .cast("int").as("alpha_ok"),
+        (col("n_stop_d") >= 1).cast("int").as("stop_ok"))
+    val rep = repetition(df, idCol, textCol)
+      .select(col(idCol),
+        (col("max_gram") * 5 <= greatest(col("n_grams"), lit(1)))
+          .cast("int").as("rep_ok"))
+    narrow.join(rep, idCol)
+      .withColumn("keep",
+        (col("len_ok") * col("mean_len_ok") * col("alpha_ok") *
+          col("stop_ok") * col("rep_ok")).cast("int"))
+  }
 }

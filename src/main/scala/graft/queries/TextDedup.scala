@@ -290,7 +290,15 @@ object TextDedup {
     // idempotent) pair set equals one-shot q88 regardless of
     // micro-batch boundaries, so this shares q88's oracle.
     "q193_stream_admission" -> ((s, d) =>
-      graft.streaming.EventStreams.streamingAdmissionStream(s, d))
+      graft.streaming.EventStreams.streamingAdmissionStream(s, d)),
+
+    // ---- q218: Gopher-rules composite quality gate ----
+    // The pre-training filter suite as ONE operator: five integer-exact
+    // rule flags plus their conjunction, per document, so the audit
+    // tells you which rule rejects what (see TextAnalysis.gopherRules
+    // for the rule list and the scan-speed/one-join plan shape).
+    "q218_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(docs(s, d), "doc_id", "text"))
   )
 
   // ---- oracle SQL (DuckDB dialect, same algorithms) ----
@@ -639,6 +647,34 @@ object TextDedup {
         |  FROM s a JOIN s b
         |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
         |SELECT ida, idb, inter / uni AS jac FROM j
-        |WHERE inter / uni >= 0.3""".stripMargin
+        |WHERE inter / uni >= 0.3""".stripMargin,
+
+    "q218_gopher_rules" ->
+      s"""WITH $toksCte,
+        | n AS (SELECT doc_id, len(t) AS n_toks,
+        |   ${tokCharsDuck("t")} AS tok_chars,
+        |   len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |   ${hitCountDuck("list_distinct(t)", langWords.toMap.apply("en"))} AS n_stop_d,
+        |   t FROM toks),
+        | g AS (SELECT doc_id, CASE WHEN len(t) >= 2
+        |    THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+        |    ELSE [] END AS grams FROM toks),
+        | f AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        | cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        | agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |    CAST(MAX(c) AS BIGINT) AS max_gram FROM cnt GROUP BY doc_id),
+        | fl AS (SELECT n.doc_id, n.n_toks,
+        |   CAST(n_toks >= 20 AND n_toks <= 1000 AS INT) AS len_ok,
+        |   CAST(n_toks > 0 AND tok_chars * 10 >= n_toks * 30
+        |     AND tok_chars * 10 <= n_toks * 100 AS INT) AS mean_len_ok,
+        |   CAST(n_toks > 0 AND n_alpha * 10 >= n_toks * 8 AS INT) AS alpha_ok,
+        |   CAST(n_stop_d >= 1 AS INT) AS stop_ok,
+        |   CAST(COALESCE(a.max_gram, 0) * 5
+        |     <= GREATEST(COALESCE(a.n_grams, 0), 1) AS INT) AS rep_ok
+        |  FROM n LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, n_toks, len_ok, mean_len_ok, alpha_ok, stop_ok,
+        | rep_ok,
+        | len_ok * mean_len_ok * alpha_ok * stop_ok * rep_ok AS keep
+        |FROM fl""".stripMargin
   )
 }

@@ -866,13 +866,15 @@ class OperatorSpec extends SparkTestBase {
 
   test("PQ geometry gates: wrong m/subLen fails loudly, never silently") {
     val e = sources.Tables.read(spark, sf, "embeddings")
-    // mismatched codebook geometry is rejected before any encode runs
+    // mismatched codebook geometry is rejected at execution (the gate
+    // is lazy on purpose: plan construction must stay job-free)
     Similarity.writePqCodebook(e, "vec_id", "embedding",
       m = 8, k = 4, iters = 1, subLen = 8, "pq_geom_spec")
-    intercept[IllegalArgumentException] {
+    val geom = intercept[Exception] {
       Similarity.pqEncodeAgainst(e, "vec_id", "embedding",
-        m = 4, subLen = 16, "pq_geom_spec")
+        m = 4, subLen = 16, "pq_geom_spec").collect()
     }
+    assert(geom.getMessage != null)
     // a vector whose dim != m*subLen raises at execution instead of
     // silently truncating into garbage codes
     val err = intercept[Exception] {
@@ -1065,5 +1067,32 @@ class OperatorSpec extends SparkTestBase {
     // pure function of the id: layout-invariant
     val re = Sampling.weightedHashSample(df.repartition(13), "id", "w", 600)
     assert(re.count() == kept.values.sum)
+  }
+
+  test("gopherRules: each rule rejects its crafted violator, keep is the AND") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("the quick brown fox jumped over lazy dogs again and then " +
+        "some more words follow here to pass every single quality gate " +
+        "easily without tripping any rule at all today") ),
+      (2L, "the tiny doc"),                          // fails len only
+      (3L, "the " + Seq.fill(30)("aa bb").mkString(" ")), // mean len < 3
+      (4L, ("the " + (1 to 40).map(_.toString).mkString(" "))), // digits: alpha
+      (5L, Seq.fill(40)("spark rocks").mkString(" ")), // no stopword + rep
+      (6L, "the " + Seq.fill(40)("same gram").mkString(" ")) // repetition
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("len_ok", "mean_len_ok", "alpha_ok", "stop_ok", "rep_ok", "keep")
+      .as[(Int, Int, Int, Int, Int, Int)].collect()
+    assert(out(0) == ((1, 1, 1, 1, 1, 1)), s"clean doc: ${out(0)}")
+    assert(out(1)._1 == 0 && out(1)._6 == 0, "short doc fails len")
+    assert(out(2)._2 == 0, "2-char tokens fail mean length")
+    assert(out(3)._3 == 0, "digit-run tokens fail alpha fraction")
+    assert(out(4)._4 == 0 && out(4)._5 == 0, "no stopword + template spam")
+    assert(out(5)._5 == 0 && out(5)._4 == 1, "repetition alone rejects")
+    // keep is exactly the conjunction on every row
+    out.foreach { r =>
+      assert(r._6 == r._1 * r._2 * r._3 * r._4 * r._5) }
   }
 }
