@@ -307,6 +307,58 @@ object Dedup {
     verifyJaccard(cand, verifySource, idCol, textCol, threshold)
   }
 
+  /** MOSS-style robust-winnowing fingerprints (Schleimer et al. 2003):
+    * per doc, hash the in-order word 3-grams (md5 hex — lexicographic
+    * min == 128-bit numeric min) and keep the MINIMUM hash of every
+    * sliding window of `w` consecutive gram hashes; the distinct
+    * selected mins are the doc's fingerprint set, exploded to
+    * (id, n_fp, fp) rows. Winnowing's guarantee: any shared substring
+    * of >= w+2 grams yields at least one shared fingerprint, while
+    * storing only ~2/(w+1) of the grams — the standard
+    * plagiarism/overlap detector at corpus scale. All per-row array
+    * ops, no shuffle until the caller aggregates. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4): DataFrame = {
+    graft.functions.TextNative.register(df.sparkSession)
+    df.withColumn("toks", expr(s"graft_tokens($textCol)"))
+      .withColumn("gh",
+        expr(s"transform(${shinglesSpark("toks")}, x -> md5(x))"))
+      .withColumn("fps", expr(
+        s"""array_distinct(CASE
+           | WHEN size(gh) >= $w THEN transform(
+           |   sequence(1, size(gh) - ${w - 1}),
+           |   i -> array_min(slice(gh, i, $w)))
+           | WHEN size(gh) > 0 THEN array(array_min(gh))
+           | ELSE array() END)""".stripMargin))
+      .select(col(idCol), size(col("fps")).as("n_fp"),
+        explode(col("fps")).as("fp"))
+  }
+
+  /** Winnowed-fingerprint overlap pairs: docs sharing >= `minShared`
+    * fingerprints, with the shared count and an overlap ratio in exact
+    * ppm of the smaller fingerprint set. The pair generator is ONE
+    * equi-join on the fingerprint value — the same shuffle-bounded
+    * shape as the MinHash band join — and `maxPostings` drops
+    * fingerprints shared by more docs than that (boilerplate mins)
+    * BEFORE the join, so a template phrase in a billion docs caps the
+    * join fanout instead of producing a quadratic bucket. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, minShared: Int = 2, maxPostings: Int = 50): DataFrame = {
+    val fp = winnowingFingerprints(df, idCol, textCol, w)
+    val cold = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxPostings)
+    val keep = fp.join(cold.select("fp"), "fp")
+    keep.as("x").join(keep.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"),
+        col("x.n_fp").as("nfa"), col("y.n_fp").as("nfb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("ida"), col("idb"), col("n_shared"),
+        expr("n_shared * 1000000 DIV least(nfa, nfb)").as("ov_ppm"))
+  }
+
   /** 32-bit SimHash per doc (docs with zero tokens produce no row, like
     * the oracle's unnest). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

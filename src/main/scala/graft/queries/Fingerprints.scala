@@ -15,6 +15,15 @@ object Fingerprints {
     // Rabin-Karp polynomial fingerprint over raw text + over the
     // normalized token stream (content-defined identity, word-order
     // sensitive — complements the order-free md5 fingerprint of q36)
+    // ---- q219: MOSS robust-winnowing overlap pairs ----
+    // Shared-substring detection the way plagiarism checkers scale it:
+    // winnowed min-hash fingerprints (any shared run of >= w+2 grams
+    // is guaranteed a shared fingerprint), a posting-frequency cap on
+    // boilerplate mins BEFORE the pair join, overlap in exact ppm of
+    // the smaller fingerprint set. See Dedup.winnowingPairs.
+    "q219_winnowing_pairs" -> ((s, d) =>
+      graft.operators.Dedup.winnowingPairs(docs(s, d), "doc_id", "text")),
+
     "q55_rolling_fingerprint" -> ((s, d) => {
       graft.functions.TextNative.register(s)
       docs(s, d).select(col("doc_id"),
@@ -115,6 +124,34 @@ object Fingerprints {
         |   ${graft.functions.TextExpr.hexIntDuck("h", 12)} AS h FROM r)
         |SELECT shard, count(*) AS n_rows,
         | CAST(SUM(h) AS BIGINT) AS fp_sum, bit_xor(h) AS fp_xor
-        |FROM v GROUP BY 1""".stripMargin
+        |FROM v GROUP BY 1""".stripMargin,
+
+    "q219_winnowing_pairs" -> {
+      import graft.functions.TextExpr.{toksDuck, shinglesDuck}
+      val w = 4
+      s"""WITH toks AS (SELECT doc_id,
+        |   ${toksDuck("text")} AS t FROM documents),
+        | gh AS (SELECT doc_id,
+        |   list_transform(${shinglesDuck("t")}, x -> md5(x)) AS gh
+        |  FROM toks),
+        | wins AS (SELECT doc_id, CASE
+        |   WHEN len(gh) >= $w THEN [list_aggregate(gh[i:i+${w - 1}], 'min')
+        |     FOR i IN range(1, len(gh) - ${w - 2})]
+        |   WHEN len(gh) > 0 THEN [list_aggregate(gh, 'min')]
+        |   ELSE [] END AS wins FROM gh),
+        | fp AS (SELECT doc_id, len(list_distinct(wins)) AS n_fp,
+        |   unnest(list_distinct(wins)) AS fp FROM wins),
+        | cold AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fp
+        |   GROUP BY 1) WHERE c <= 50),
+        | keep AS (SELECT f.* FROM fp f JOIN cold USING (fp)),
+        | p AS (SELECT x.doc_id AS ida, y.doc_id AS idb,
+        |   x.n_fp AS nfa, y.n_fp AS nfb, count(*) AS n_shared
+        |  FROM keep x JOIN keep y
+        |  ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT ida, idb, CAST(n_shared AS BIGINT) AS n_shared,
+        | (n_shared * 1000000) // least(nfa, nfb) AS ov_ppm
+        |FROM p WHERE n_shared >= 2""".stripMargin
+    }
   )
 }

@@ -1069,6 +1069,29 @@ class OperatorSpec extends SparkTestBase {
     assert(re.count() == kept.values.sum)
   }
 
+  test("winnowing: a shared >= w+2 gram run is always detected; disjoint is not") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine ten"),
+      (2L, s"red green blue $shared cyan magenta yellow black white grey"),
+      (3L, "totally different words that overlap with nothing else here " +
+        "at all in any way shape or form whatsoever today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+        w = 4, minShared = 1)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "winnowing guarantee: 8-gram shared run must collide")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "doc 3 shares no substring — no fingerprint may collide")
+    // fingerprints are a pure function of the text: layout-invariant
+    val re = Dedup.winnowingPairs(docs.repartition(7), "doc_id", "text",
+      w = 4, minShared = 1).count()
+    assert(re == Dedup.winnowingPairs(docs, "doc_id", "text",
+      w = 4, minShared = 1).count())
+  }
+
   test("gopherRules: each rule rejects its crafted violator, keep is the AND") {
     import spark.implicits._
     val docs = Seq(
