@@ -338,6 +338,32 @@ object Vectors {
         m = 8, subLen = 8, "graft_pq_codebook", keep = Seq("label"))
     }),
 
+    // ---- q220: Johnson–Lindenstrauss ±1 random projection 64 → 16 ----
+    // The cheap dimensionality reduction an ANN/clustering pipeline
+    // runs before the expensive index: a Rademacher (±1) projection
+    // matrix derived from md5("jl:j:i") AT PLAN BUILD (the same signs
+    // are baked into the oracle SQL, so both engines multiply identical
+    // literals), applied to the scaled-integer grid — projections are
+    // exact BIGINTs. jl_n2_ppm audits the JL guarantee per vector:
+    // E[sum_j p_j^2] = outDim * ||q||^2 for Rademacher signs, so the
+    // ratio concentrates at 1e6. Pure narrow column math — streams at
+    // scan speed, no shuffle at any corpus size.
+    "q220_jl_project" -> ((s, d) => {
+      val signs = jlSigns(16, 64)
+      val proj = signs.zipWithIndex.map { case (sv, j) =>
+        expr(sv.zipWithIndex.map { case (sgn, i) =>
+          s"${if (sgn > 0) "+" else "-"} element_at(q, ${i + 1})"
+        }.mkString(" ")).as(s"p$j")
+      }
+      Similarity.prepare(emb(s, d), "embedding")
+        .select(col("vec_id") +: col("n2") +: proj: _*)
+        .withColumn("n2p",
+          expr((0 until 16).map(j => s"p$j * p$j").mkString(" + ")))
+        .select(col("vec_id") +: (0 until 16).map(j => col(s"p$j")) :+
+          expr("n2p * 1000000 DIV greatest(16 * n2, 1)")
+            .as("jl_n2_ppm"): _*)
+    }),
+
     // ---- q213: PQ recall@5 self-evaluation ----
     // The eval that decides whether q211's compression is usable: per
     // query, how many of the ADC top-5 (ranked from codes alone) are
@@ -576,6 +602,20 @@ object Vectors {
           expr("CAST(SUM(n2) AS BIGINT)").as("sum_n2"))
     })
   )
+
+  /** Deterministic Rademacher sign matrix for the JL projection:
+    * sign(j, i) = +1 iff the first md5 byte of "jl:j:i" is even. Java
+    * md5 here is the SAME function both engines would compute — the
+    * signs are rendered as literals into the Spark expression AND the
+    * DuckDB oracle, so no hashing happens at row time at all. */
+  private[queries] def jlSigns(outDim: Int, inDim: Int): Seq[Seq[Int]] =
+    (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
 
   // ---- DuckDB oracle: same scaled-integer algorithm ----
 
@@ -984,6 +1024,26 @@ object Vectors {
         |SELECT n.vec_id, n.label, $codes,
         | CAST($errs AS BIGINT) AS qerr
         |FROM n $joins""".stripMargin
+    },
+
+    // identical sign literals (built once in Scala), identical
+    // scaled-integer grid — the projection replays term-for-term
+    "q220_jl_project" -> {
+      val signs = jlSigns(16, 64)
+      val projCols = signs.zipWithIndex.map { case (sv, j) =>
+        sv.zipWithIndex.map { case (sgn, i) =>
+          s"${if (sgn > 0) "+" else "-"} q[${i + 1}]"
+        }.mkString(" ") + s" AS p$j"
+      }.mkString(",\n   ")
+      val n2p = (0 until 16).map(j => s"p$j * p$j").mkString(" + ")
+      val ps = (0 until 16).map(j => s"p$j").mkString(", ")
+      s"""WITH $prepCte,
+        | pr AS (SELECT vec_id, n2,
+        |   $projCols
+        |  FROM n)
+        |SELECT vec_id, $ps,
+        | (($n2p) * 1000000) // greatest(16 * n2, 1) AS jl_n2_ppm
+        |FROM pr""".stripMargin
     },
 
     // label centroids over ALL vectors (q129's integer-mean spelling),

@@ -1092,6 +1092,20 @@ class OperatorSpec extends SparkTestBase {
       w = 4, minShared = 1).count())
   }
 
+  test("JL projection preserves norms in expectation (ratio concentrates at 1e6)") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q220_jl_project")(spark, sf)
+    val ratios = out.select("jl_n2_ppm").as[Long].collect()
+    assert(ratios.length > 0)
+    val mean = ratios.sum / ratios.length
+    // Rademacher JL: E[|Px|^2] = 16|x|^2 exactly; with 16 output dims
+    // the per-vector ratio is noisy but the corpus mean is tight
+    assert(mean > 900000 && mean < 1100000,
+      s"mean norm-preservation ratio $mean ppm is off the JL guarantee")
+    // no degenerate rows: every projection carries signal
+    assert(ratios.count(_ == 0L) == 0)
+  }
+
   test("gopherRules: each rule rejects its crafted violator, keep is the AND") {
     import spark.implicits._
     val docs = Seq(
