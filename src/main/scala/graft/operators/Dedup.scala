@@ -307,6 +307,53 @@ object Dedup {
     verifyJaccard(cand, verifySource, idCol, textCol, threshold)
   }
 
+  /** LSH band-configuration tuning audit: for each candidate (bands ×
+    * rows) split of the k-component MinHash signature, measure the
+    * config's candidate count, recall, and precision against EXACT
+    * ground truth — the numbers that decide how a 100 TB dedup run
+    * spends its shuffle budget (more bands = higher recall, more
+    * candidate volume). Everything is bounded:
+    *   - the audit runs on a deterministic md5 doc sample
+    *     (`sampleNibbles`/16 of the corpus, pushdown-able filter);
+    *   - ground truth comes from [[prefixJaccardPairs]] — the
+    *     exact-RECALL prefix-filter join, so no all-pairs scan exists
+    *     even inside the audit;
+    *   - per config, candidates are the same band equi-join
+    *     [[minhashPairs]] runs.
+    * Output: one row per config — n_bands, band_rows, n_cand, n_truth,
+    * n_hit, recall_ppm, prec_ppm (exact integer ppm). The three
+    * one-row aggregates combine via 1-row broadcast joins (benign
+    * BNLJ, allow-listed in the plan audit). */
+  def lshTuningAudit(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, rowConfigs: Seq[Int] = Seq(1, 2, 4),
+      tNum: Int = 1, tDen: Int = 2, sampleNibbles: Int = 8): DataFrame = {
+    graft.functions.TextNative.register(df.sparkSession)
+    val sample = Sampling.hashSample(df, idCol, sampleNibbles)
+    val truth = prefixJaccardPairs(sample, idCol, textCol, tNum, tDen)
+      .select("ida", "idb")
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    val sig = sample.select(col(idCol),
+      expr(s"graft_minhash($textCol, $k)").as("_sig"))
+    rowConfigs.map { r =>
+      val bands = bandsOf(sig, idCol, k, r)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+        .distinct()
+      val candN = cand.agg(count(lit(1)).as("n_cand"))
+      val hitN = cand.join(truth, Seq("ida", "idb"))
+        .agg(count(lit(1)).as("n_hit"))
+      candN.crossJoin(hitN).crossJoin(truthN)
+        .select(lit(k / r).as("n_bands"), lit(r).as("band_rows"),
+          col("n_cand"), col("n_truth"), col("n_hit"),
+          expr("n_hit * 1000000 DIV greatest(n_truth, 1)")
+            .as("recall_ppm"),
+          expr("n_hit * 1000000 DIV greatest(n_cand, 1)")
+            .as("prec_ppm"))
+    }.reduce(_ union _)
+  }
+
   /** MOSS-style robust-winnowing fingerprints (Schleimer et al. 2003):
     * per doc, hash the in-order word 3-grams (md5 hex — lexicographic
     * min == 128-bit numeric min) and keep the MINIMUM hash of every

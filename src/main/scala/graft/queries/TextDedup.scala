@@ -292,6 +292,14 @@ object TextDedup {
     "q193_stream_admission" -> ((s, d) =>
       graft.streaming.EventStreams.streamingAdmissionStream(s, d)),
 
+    // ---- q221: LSH band-configuration tuning audit ----
+    // The measurement that picks (bands, rows) before a corpus-wide
+    // dedup run: per config, candidate volume vs recall/precision
+    // against exact prefix-filter ground truth, on a deterministic md5
+    // doc sample. See Dedup.lshTuningAudit for the bounded-work story.
+    "q221_lsh_tuning" -> ((s, d) =>
+      Dedup.lshTuningAudit(docs(s, d), "doc_id", "text")),
+
     // ---- q218: Gopher-rules composite quality gate ----
     // The pre-training filter suite as ONE operator: five integer-exact
     // rule flags plus their conjunction, per document, so the audit
@@ -648,6 +656,47 @@ object TextDedup {
         |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
         |SELECT ida, idb, inter / uni AS jac FROM j
         |WHERE inter / uni >= 0.3""".stripMargin,
+
+    "q221_lsh_tuning" -> {
+      val configs = Seq(1, 2, 4)
+      val bandCtes = configs.map { r =>
+        val nBands = 8 / r
+        val bands = (0 until nBands).map { b =>
+          val parts = (b * r until (b + 1) * r).map(i => s"s$i")
+            .mkString(" || ")
+          s"SELECT doc_id, $b AS bi, md5($parts) AS bv FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""bands$r AS ($bands),
+          | cand$r AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+          |  FROM bands$r x JOIN bands$r y
+          |  ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+          | cn$r AS (SELECT count(*) AS n_cand FROM cand$r),
+          | h$r AS (SELECT count(*) AS n_hit
+          |  FROM cand$r JOIN truth USING (ida, idb))""".stripMargin
+      }.mkString(",\n ")
+      val rows = configs.map { r =>
+        s"""SELECT CAST(${8 / r} AS INT) AS n_bands,
+          | CAST($r AS INT) AS band_rows, cn$r.n_cand, tn.n_truth,
+          | h$r.n_hit,
+          | (h$r.n_hit * 1000000) // greatest(tn.n_truth, 1) AS recall_ppm,
+          | (h$r.n_hit * 1000000) // greatest(cn$r.n_cand, 1) AS prec_ppm
+          |FROM cn$r, tn, h$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $toksCte, ${shCte()},
+        | smp AS (SELECT doc_id, sg, shset FROM sh
+        |  WHERE ${nibbleDuck("md5(CAST(doc_id AS VARCHAR))", 0)} < 8),
+        | tr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |   len(list_intersect(a.shset, b.shset)) AS inter,
+        |   len(a.shset) + len(b.shset)
+        |     - len(list_intersect(a.shset, b.shset)) AS uni
+        |  FROM smp a JOIN smp b ON a.doc_id < b.doc_id),
+        | truth AS (SELECT ida, idb FROM tr
+        |  WHERE uni > 0 AND inter * 2 >= uni),
+        | tn AS (SELECT count(*) AS n_truth FROM truth),
+        | sig AS (SELECT doc_id, ${sigSelect(8)} FROM smp),
+        | $bandCtes
+        |$rows""".stripMargin
+    },
 
     "q218_gopher_rules" ->
       s"""WITH $toksCte,

@@ -36,7 +36,9 @@ object ExplainAudit {
         "q191_sketch_set_ops" -> "BNLJ crossJoins of three 1-row estimate frames (by design, as q80)",
         "q192_semdedup" -> "BNLJ broadcasts the k trained centroids (by design, as q62)",
         "q206_embed_quantize" -> "BNLJ broadcasts the 1-row packed lo/hi dimension-stats arrays (by design, as q189)",
-        "q213_pq_recall" -> "BNLJ from l2TopK's tiny query-set broadcast (by design, as q43/q152)")
+        "q213_pq_recall" -> "BNLJ from l2TopK's tiny query-set broadcast (by design, as q43/q152)",
+        "q217_mixture_apply" -> "BNLJ broadcasts the 1-row sqrt-weight total aggregate (by design, as q80/q170)",
+        "q221_lsh_tuning" -> "BNLJ crossJoins of three 1-row count frames per config (by design, as q191)")
       // single-partition windows — the OTHER classic scale-killer a
       // string grep can't see reliably; detected on the optimized plan
       // (empty partitionSpec) and allow-listed only where the window's

@@ -1092,6 +1092,23 @@ class OperatorSpec extends SparkTestBase {
       w = 4, minShared = 1).count())
   }
 
+  test("LSH tuning audit: stricter bands shrink candidates, never grow recall") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q221_lsh_tuning")(spark, sf)
+      .orderBy("band_rows")
+      .select("band_rows", "n_cand", "n_hit", "n_truth")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1, 2, 4))
+    // a (b, r) candidate pair also collides under any finer split of
+    // the same signature: candidates and hits are monotone in r
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._3 >= b._3 })
+    // truth is config-independent
+    assert(out.map(_._4).distinct.length == 1)
+    // hits can never exceed either side
+    out.foreach { r => assert(r._3 <= r._2 && r._3 <= r._4) }
+  }
+
   test("JL projection preserves norms in expectation (ratio concentrates at 1e6)") {
     import spark.implicits._
     val out = SparkEntry.queries("q220_jl_project")(spark, sf)
