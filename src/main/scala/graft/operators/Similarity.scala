@@ -514,6 +514,68 @@ object Similarity {
       .dropDuplicates("qid", "vid")
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    * per query, greedily select `selectK` results from the brute-force
+    * cosine top-`poolK` pool maximizing
+    * `lam10/10 · rel − (10−lam10)/10 · max-sim-to-already-selected` —
+    * the diversification step a retrieval pipeline runs so near-dup
+    * results don't crowd the answer set. All scoring is ppm fixed
+    * point (rel and pairwise sims via [[DetMath.fixed]]); ties break
+    * on id, so selection is bit-deterministic. Work is bounded by
+    * construction: poolK² pairwise sims per query and `selectK`
+    * dataframe iterations — per-query cost is CONSTANT, total scales
+    * linearly with the query count at any corpus size (the corpus
+    * only participates through the top-k pool). Output: (qid, vec_id,
+    * sel_rank, rel_ppm, obj10 = the scaled objective the pick won on).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, poolK: Int = 10, selectK: Int = 3,
+      lam10: Int = 7): DataFrame = {
+    require(lam10 >= 0 && lam10 <= 10 && selectK >= 1)
+    val cand = bruteForceTopK(corpus, queries, idCol, embCol, poolK)
+      .withColumn("rel_ppm", graft.functions.DetMath.fixed(col("cos"), 6))
+      .select(col("qid"), col("vec_id"), col("rel_ppm"))
+    val prep = prepare(corpus, embCol)
+      .select(col(idCol).as("vec_id"), col("q"), col("n2"))
+    val pa = cand.select(col("qid"), col("vec_id").as("va"))
+      .join(prep.select(col("vec_id").as("va"), col("q").as("qa"),
+        col("n2").as("na")), "va")
+    val pb = cand.select(col("qid"), col("vec_id").as("vb"))
+      .join(prep.select(col("vec_id").as("vb"), col("q").as("qb"),
+        col("n2").as("nb")), "vb")
+    val sims = pa.join(pb, "qid").filter(col("va") =!= col("vb"))
+      .withColumn("sim_ppm", graft.functions.DetMath.fixed(
+        cosine(dotQ("qa", "qb"), col("na"), col("nb")), 6))
+      .select("qid", "va", "vb", "sim_ppm")
+    val w = Window.partitionBy("qid")
+    var selected = cand
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("rel_ppm").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), lit(1).as("sel_rank"),
+        col("rel_ppm"), (col("rel_ppm") * lam10).as("obj10"))
+    for (step <- 2 to selectK) {
+      val rem = cand.join(selected.select("qid", "vec_id"),
+        Seq("qid", "vec_id"), "left_anti")
+      val msel = sims
+        .join(selected.select(col("qid"), col("vec_id").as("vb")),
+          Seq("qid", "vb"))
+        .groupBy("qid", "va").agg(max("sim_ppm").as("maxsim_ppm"))
+      val pick = rem
+        .join(msel.select(col("qid"), col("va").as("vec_id"),
+          col("maxsim_ppm")), Seq("qid", "vec_id"))
+        .withColumn("obj10",
+          col("rel_ppm") * lam10 - col("maxsim_ppm") * (10 - lam10))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("obj10").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), lit(step).as("sel_rank"),
+          col("rel_ppm"), col("obj10"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor
     * vector, the `k` most-similar vectors carrying a DIFFERENT label —
     * the pairs a triplet / InfoNCE loss learns the most from, mined

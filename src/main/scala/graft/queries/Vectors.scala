@@ -338,6 +338,18 @@ object Vectors {
         m = 8, subLen = 8, "graft_pq_codebook", keep = Seq("label"))
     }),
 
+    // ---- q222: maximal-marginal-relevance diversified rerank ----
+    // The retrieval diversification step: greedy MMR selection of 3
+    // results from each query's brute-force top-10 pool at λ=0.7, all
+    // ppm fixed point so both engines replay the greedy chain
+    // bit-for-bit. Per-query work is constant (poolK² sims, selectK
+    // picks) — linear in query count at any corpus size.
+    "q222_mmr_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", poolK = 10, selectK = 3, lam10 = 7)
+    }),
+
     // ---- q220: Johnson–Lindenstrauss ±1 random projection 64 → 16 ----
     // The cheap dimensionality reduction an ANN/clustering pipeline
     // runs before the expensive index: a Rademacher (±1) projection
@@ -1024,6 +1036,54 @@ object Vectors {
         |SELECT n.vec_id, n.label, $codes,
         | CAST($errs AS BIGINT) AS qerr
         |FROM n $joins""".stripMargin
+    },
+
+    // greedy MMR chain replayed step by step: each pick k is one
+    // (max-sim vs selected) agg + one argmax CTE, exactly the Spark
+    // iteration's shape
+    "q222_mmr_rerank" -> {
+      val (lam10, poolK, selectK) = (7, 10, 3)
+      val steps = (2 to selectK).map { k =>
+        val prev = if (k == 2) "sel1" else s"sel${k - 1}"
+        s"""ms$k AS (SELECT s.qid, s.va, MAX(s.sim_ppm) AS maxsim
+          |  FROM sims s JOIN $prev t ON s.qid = t.qid AND s.vb = t.vec_id
+          |  GROUP BY 1, 2),
+          | sc$k AS (SELECT p.qid, p.vec_id, p.rel_ppm,
+          |   p.rel_ppm * $lam10 - m.maxsim * ${10 - lam10} AS obj10
+          |  FROM pool p JOIN ms$k m ON m.qid = p.qid AND m.va = p.vec_id
+          |  LEFT JOIN $prev t ON t.qid = p.qid AND t.vec_id = p.vec_id
+          |  WHERE t.vec_id IS NULL),
+          | pick$k AS (SELECT qid, vec_id, $k AS sel_rank, rel_ppm, obj10
+          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          |    ORDER BY obj10 DESC, vec_id) AS rn FROM sc$k) WHERE rn = 1),
+          | sel$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$k)"""
+          .stripMargin
+      }.mkString(",\n ")
+      s"""WITH $prepCte,
+        | qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n
+        |  WHERE vec_id < 5),
+        | scored AS (SELECT qs.qid, n.vec_id,
+        |   ${cosDuck(dotDuck("n.q", "qs.qq"), "n.n2", "qs.qn2")} AS cos
+        |  FROM n CROSS JOIN qs WHERE n.vec_id <> qs.qid),
+        | pool AS (SELECT qid, vec_id,
+        |   CAST(FLOOR(cos * 1000000 + 0.5) AS BIGINT) AS rel_ppm
+        |  FROM (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |   FROM scored) WHERE rk <= $poolK),
+        | sims AS (SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+        |   CAST(FLOOR(${cosDuck(dotDuck("na.q", "nb.q"), "na.n2", "nb.n2")}
+        |     * 1000000 + 0.5) AS BIGINT) AS sim_ppm
+        |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id),
+        | sel1 AS (SELECT qid, vec_id, 1 AS sel_rank, rel_ppm,
+        |   rel_ppm * $lam10 AS obj10
+        |  FROM (SELECT qid, vec_id, rel_ppm, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY rel_ppm DESC, vec_id) AS rn
+        |   FROM pool) WHERE rn = 1),
+        | $steps
+        |SELECT qid, vec_id, sel_rank, rel_ppm, obj10 FROM sel$selectK"""
+        .stripMargin
     },
 
     // identical sign literals (built once in Scala), identical

@@ -1092,6 +1092,35 @@ class OperatorSpec extends SparkTestBase {
       w = 4, minShared = 1).count())
   }
 
+  test("MMR rerank: pick 1 is the relevance argmax; later picks pay the penalty") {
+    import spark.implicits._
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val qs = e.filter(col("vec_id") < 5)
+    val mmr = Similarity.mmrRerank(e, qs, "vec_id", "embedding",
+      poolK = 10, selectK = 3, lam10 = 7)
+    val top = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 1)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toMap
+    val sel1 = mmr.filter($"sel_rank" === 1)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toMap
+    assert(sel1 == top, "with an empty selected set MMR is pure relevance")
+    // every query selects exactly selectK distinct results
+    val counts = mmr.groupBy("qid").count().as[(Long, Long)].collect()
+    assert(counts.forall(_._2 == 3))
+    val distinctSel = mmr.select("qid", "vec_id").distinct().count()
+    assert(distinctSel == counts.length * 3)
+    // the greedy objective never increases along the chain: pick k's
+    // obj10 <= pick (k-1)'s (a later pick had strictly fewer options
+    // and at least as much penalty)
+    val objs = mmr.select($"qid", $"sel_rank", $"obj10")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).values
+    objs.foreach { ch =>
+      val sorted = ch.sortBy(_._2).map(_._3)
+      assert(sorted.sliding(2).forall(p => p(0) >= p(1)),
+        s"objective must be non-increasing: ${sorted.mkString(",")}")
+    }
+  }
+
   test("LSH tuning audit: stricter bands shrink candidates, never grow recall") {
     import spark.implicits._
     val out = SparkEntry.queries("q221_lsh_tuning")(spark, sf)
