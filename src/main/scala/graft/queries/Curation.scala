@@ -652,6 +652,50 @@ object Curation {
     // the source-cardinality allocation, then ONE narrow filter over
     // the corpus — the resample itself never shuffles. Output: the
     // per-source audit (targets vs what the draws actually kept).
+    // ---- q223: DSIR-style hashed-feature importance scoring ----
+    // Data Selection via Importance Resampling (Xie et al. 2023),
+    // log-free so the replay is exact: tokens hash into 64 buckets
+    // (md5 first byte % 64); the target distribution (here: lang='en'
+    // docs, the "domain" proxy) and the raw corpus distribution become
+    // Laplace-smoothed ppm tables (64 rows each, broadcast); a doc's
+    // importance is the sum over its token INSTANCES of
+    // (pt_ppm − pr_ppm) at the token's bucket — the linear contrast
+    // that ranks docs by target-likeness — normalized per token.
+    // keep = spt_ppm > 0 ("more target-like than corpus average").
+    // Plan: two 64-row broadcast dists, one (doc, bucket) explode, one
+    // doc-keyed sum — linear, no global sort, no driver state.
+    "q223_dsir_score" -> ((s, d) => {
+      val bkt = s"(${nibbleSpark("h", 0)} * 16 + ${nibbleSpark("h", 1)}) % 64"
+      val tb = docs(s, d)
+        .select(col("doc_id"), col("lang"), explode(expr(toksNat)).as("tok"))
+        .withColumn("h", expr("md5(tok)"))
+        .select(col("doc_id"), col("lang"),
+          expr(bkt).cast("long").as("b"))
+      // full 64-bucket frame so ABSENT buckets get the +1 smoothing
+      // mass too (a dist built only from present buckets would silently
+      // drop the Laplace prior exactly where it matters most)
+      def dist(src: DataFrame, p: String) = {
+        val cnt = src.groupBy("b").agg(count(lit(1)).as("c"))
+        val tot = src.agg(count(lit(1)).as("t"))
+        s.range(64).toDF("b")
+          .join(cnt, Seq("b"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("b"),
+            expr(s"(coalesce(c, 0) + 1) * 1000000 DIV (t + 64)")
+              .as(s"${p}_ppm"))
+      }
+      val pt = dist(tb.filter(col("lang") === "en"), "pt")
+      val pr = dist(tb, "pr")
+      tb.join(broadcast(pt), Seq("b"))
+        .join(broadcast(pr), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("pt_ppm") - col("pr_ppm")).as("score"))
+        .select(col("doc_id"), col("n_toks"), col("score"),
+          expr("score DIV greatest(n_toks, 1)").as("spt_ppm"),
+          (col("score") > 0).cast("int").as("keep"))
+    }),
+
     "q217_mixture_apply" -> ((s, d) => {
       val per = docs(s, d).select(col("doc_id"), col("source"),
         expr(s"size($toksNat)").as("nt"))
@@ -733,6 +777,32 @@ object Curation {
        | FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q223_dsir_score" ->
+      s"""WITH tk AS (SELECT doc_id, lang, md5(unnest(${toksDuck("text")}))
+        |    AS h FROM documents),
+        | tb AS (SELECT doc_id, lang,
+        |   (${nibbleDuck("h", 0)} * 16 + ${nibbleDuck("h", 1)}) % 64 AS b
+        |  FROM tk),
+        | buckets AS (SELECT range AS b FROM range(0, 64)),
+        | ptc AS (SELECT b, count(*) AS c FROM tb WHERE lang = 'en'
+        |  GROUP BY 1),
+        | ptt AS (SELECT count(*) AS t FROM tb WHERE lang = 'en'),
+        | pt AS (SELECT bu.b, (COALESCE(ptc.c, 0) + 1) * 1000000
+        |    // (ptt.t + 64) AS pt_ppm
+        |  FROM buckets bu LEFT JOIN ptc USING (b), ptt),
+        | prc AS (SELECT b, count(*) AS c FROM tb GROUP BY 1),
+        | prt AS (SELECT count(*) AS t FROM tb),
+        | pr AS (SELECT bu.b, (COALESCE(prc.c, 0) + 1) * 1000000
+        |    // (prt.t + 64) AS pr_ppm
+        |  FROM buckets bu LEFT JOIN prc USING (b), prt),
+        | sc AS (SELECT tb.doc_id, count(*) AS n_toks,
+        |   CAST(SUM(pt_ppm - pr_ppm) AS BIGINT) AS score
+        |  FROM tb JOIN pt USING (b) JOIN pr USING (b) GROUP BY 1)
+        |SELECT doc_id, n_toks, score,
+        | score // greatest(n_toks, 1) AS spt_ppm,
+        | CAST(score > 0 AS INT) AS keep
+        |FROM sc""".stripMargin,
 
     "q116_decontaminate" ->
       s"""WITH pairs AS (SELECT DISTINCT * FROM (${gramsDuck(DecontN)})),

@@ -38,7 +38,9 @@ object ExplainAudit {
         "q206_embed_quantize" -> "BNLJ broadcasts the 1-row packed lo/hi dimension-stats arrays (by design, as q189)",
         "q213_pq_recall" -> "BNLJ from l2TopK's tiny query-set broadcast (by design, as q43/q152)",
         "q217_mixture_apply" -> "BNLJ broadcasts the 1-row sqrt-weight total aggregate (by design, as q80/q170)",
-        "q221_lsh_tuning" -> "BNLJ crossJoins of three 1-row count frames per config (by design, as q191)")
+        "q221_lsh_tuning" -> "BNLJ crossJoins of three 1-row count frames per config (by design, as q191)",
+        "q222_mmr_rerank" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)",
+        "q223_dsir_score" -> "BNLJ broadcasts the 1-row token-total onto the 64-bucket dist (by design, as q80)")
       // single-partition windows — the OTHER classic scale-killer a
       // string grep can't see reliably; detected on the optimized plan
       // (empty partitionSpec) and allow-listed only where the window's

@@ -1092,6 +1092,20 @@ class OperatorSpec extends SparkTestBase {
       w = 4, minShared = 1).count())
   }
 
+  test("DSIR scoring ranks the target domain above every other language") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q223_dsir_score")(spark, sf)
+    val byLang = out
+      .join(sources.Tables.read(spark, sf, "documents")
+        .select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("spt_ppm").as("m"))
+      .as[(String, Double)].collect().toMap
+    val others = byLang.filter(_._1 != "en").values
+    assert(others.nonEmpty && byLang.contains("en"))
+    assert(others.forall(_ < byLang("en")),
+      s"target-domain (en) docs must outscore every other language: $byLang")
+  }
+
   test("MMR rerank: pick 1 is the relevance argmax; later picks pay the penalty") {
     import spark.implicits._
     val e = sources.Tables.read(spark, sf, "embeddings")
