@@ -444,6 +444,111 @@ object Analytics {
           expr("(rt * ct * 1000000) DIV n").as("e_ppm"),
           expr("(((obs * n - rt * ct) * (obs * n - rt * ct)) DIV (rt * ct))" +
             " * 1000000 DIV n").as("term_ppm"))
+    }),
+
+    // ---- q227: ABC revenue segmentation per market ----
+    // Within each nation, rank customers by lifetime revenue and split
+    // at 50% / 80% cumulative share — class A customers carry the
+    // first half of the market's revenue, B the next 30%, C the tail
+    // (the inventory-management ABC cut, the cumulative-share
+    // complement of q181's skyline). All comparisons are integer
+    // cross-multiplications of exact cents (cum·100 ≤ tot·50), the
+    // report is |nation|×3 rows, and — unlike a global Pareto curve —
+    // the running-sum window partitions by nation, so no single
+    // reducer ever sees more than one market's customers. The
+    // orders→customer join shuffles on the customer key both sides;
+    // revenue is pre-aggregated to customer grain BEFORE the window,
+    // so the sort input is customers, not orders.
+    "q227_abc_segmentation" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val rev = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(fixed(col("o_totalprice"), 2)).as("cents"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val wOrd = W.partitionBy("c_nationkey")
+        .orderBy(col("cents").desc, col("c_custkey"))
+      val wAll = W.partitionBy("c_nationkey")
+      rev.join(cust, col("o_custkey") === col("c_custkey"))
+        .withColumn("cum", sum("cents").over(wOrd))
+        .withColumn("tot", sum("cents").over(wAll))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("tot") * 50, "A")
+            .when(col("cum") * 100 <= col("tot") * 80, "B")
+            .otherwise("C"))
+        .groupBy("c_nationkey", "cls")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"),
+          max("tot").as("tot"))
+        .select(col("c_nationkey"), col("cls"), col("n_customers"),
+          col("cents"), expr("cents * 1000000 DIV tot").as("share_ppm"))
+    }),
+
+    // ---- q230: market-basket association rules over order baskets ----
+    // Brand pairs bought together in one order: support, directional
+    // confidence, and lift, all in exact ppm — the q144 association
+    // read on the RELATIONAL side, with the full rule triple instead
+    // of lift alone. The basket stream dedups to (order, brand) first;
+    // the pair join is a self-join CO-PARTITIONED on l_orderkey (both
+    // sides shuffle once on the same key, intra-order pairing is
+    // local), and everything after is bounded by |brands|²: per-brand
+    // basket counts broadcast, the 1-row basket total crossJoins (the
+    // allow-listed q80/q144 shape). Same ppm integer bound as q144:
+    // n_ab·N·1e6 needs N ≤ ~3e6 baskets; beyond that divide by n_a
+    // before scaling.
+    "q230_basket_rules" -> ((s, d) => {
+      val ob = t(s, d, "lineitem")
+        .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val nb = ob.groupBy("brand").agg(count(lit(1)).as("n_b"))
+      val n = ob.agg(countDistinct("ok").as("n"))
+      val pairs = ob.as("x")
+        .join(ob.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.brand") < col("y.brand"))
+        .select(col("x.brand").as("a"), col("y.brand").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 10)
+      pairs
+        .join(broadcast(nb.select(col("brand").as("a"),
+          col("n_b").as("na"))), "a")
+        .join(broadcast(nb.select(col("brand").as("b"),
+          col("n_b").as("nb"))), "b")
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("n_ab"),
+          expr("n_ab * 1000000 DIV n").as("support_ppm"),
+          expr("n_ab * 1000000 DIV na").as("conf_ab_ppm"),
+          expr("n_ab * 1000000 DIV nb").as("conf_ba_ppm"),
+          expr("(n_ab * n * 1000000) DIV (na * nb)").as("lift_ppm"))
+    }),
+
+    // ---- q231: Gini concentration of revenue per market ----
+    // How unequal is each nation's customer revenue? The Lorenz-order
+    // Gini in exact ppm via the rank form
+    // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), ranks ascending by
+    // (cents, custkey) — the distribution-shape complement of q227's
+    // ABC classes, same customer-aggregate grain, same
+    // partitioned-by-nation window (no global sort). Equal incomes
+    // give exactly 0. Integer bound: Σ rank·cents ~ n²·avg fits BIGINT
+    // to ~1e6 customers/market at cents scale; shard hotter markets
+    // before the window if a single market outgrows that.
+    "q231_gini_concentration" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val rev = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(fixed(col("o_totalprice"), 2)).as("cents"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val wRk = W.partitionBy("c_nationkey")
+        .orderBy(col("cents"), col("c_custkey"))
+      rev.join(cust, col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(wRk).cast("long"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"),
+          sum(expr("rk * cents")).as("ws"))
+        .select(col("c_nationkey"), col("n_customers"), col("cents"),
+          expr("(2 * ws - (n_customers + 1) * cents) * 1000000" +
+            " DIV (n_customers * cents)").as("gini_ppm"))
     })
   )
 
@@ -693,6 +798,61 @@ object Analytics {
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE p_type LIKE '%ECO%'
-        |GROUP BY p_brand, s_name""".stripMargin
+        |GROUP BY p_brand, s_name""".stripMargin,
+
+    "q227_abc_segmentation" ->
+      s"""WITH rev AS (SELECT o_custkey,
+        |   CAST(SUM(${fixedSql("o_totalprice", 2)}) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        | j AS (SELECT c_nationkey, c_custkey, cents
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        | w AS (SELECT c_nationkey, cents,
+        |   SUM(cents) OVER (PARTITION BY c_nationkey
+        |     ORDER BY cents DESC, c_custkey) AS cum,
+        |   SUM(cents) OVER (PARTITION BY c_nationkey) AS tot FROM j),
+        | cl AS (SELECT c_nationkey,
+        |   CASE WHEN cum * 100 <= tot * 50 THEN 'A'
+        |     WHEN cum * 100 <= tot * 80 THEN 'B' ELSE 'C' END AS cls,
+        |   cents, tot FROM w)
+        |SELECT c_nationkey, cls, count(*) AS n_customers,
+        | CAST(SUM(cents) AS BIGINT) AS cents,
+        | CAST(SUM(cents) * 1000000 // MAX(tot) AS BIGINT) AS share_ppm
+        |FROM cl GROUP BY 1, 2""".stripMargin,
+
+    "q230_basket_rules" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        | nb AS (SELECT brand, count(*) AS n_b FROM ob GROUP BY 1),
+        | nn AS (SELECT count(DISTINCT ok) AS n FROM ob),
+        | p AS (SELECT x.brand AS a, y.brand AS b, count(*) AS n_ab
+        |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT a, b, n_ab,
+        | CAST(n_ab * 1000000 // nn.n AS BIGINT) AS support_ppm,
+        | CAST(n_ab * 1000000 // na.n_b AS BIGINT) AS conf_ab_ppm,
+        | CAST(n_ab * 1000000 // nb2.n_b AS BIGINT) AS conf_ba_ppm,
+        | CAST((n_ab * nn.n * 1000000) // (na.n_b * nb2.n_b) AS BIGINT)
+        |   AS lift_ppm
+        |FROM p
+        |JOIN nb na ON p.a = na.brand
+        |JOIN nb nb2 ON p.b = nb2.brand
+        |CROSS JOIN nn""".stripMargin,
+
+    "q231_gini_concentration" ->
+      s"""WITH rev AS (SELECT o_custkey,
+        |   CAST(SUM(${fixedSql("o_totalprice", 2)}) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        | j AS (SELECT c_nationkey, c_custkey, cents
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        | r AS (SELECT c_nationkey, cents,
+        |   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |     ORDER BY cents, c_custkey) AS rk FROM j),
+        | g AS (SELECT c_nationkey, count(*) AS n_customers,
+        |   CAST(SUM(cents) AS BIGINT) AS cents,
+        |   CAST(SUM(rk * cents) AS BIGINT) AS ws FROM r GROUP BY 1)
+        |SELECT c_nationkey, n_customers, cents,
+        | CAST((2 * ws - (n_customers + 1) * cents) * 1000000
+        |   // (n_customers * cents) AS BIGINT) AS gini_ppm
+        |FROM g""".stripMargin
   )
 }

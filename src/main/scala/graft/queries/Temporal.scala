@@ -265,6 +265,138 @@ object Temporal {
           direction = "forward",
           toleranceMicros = Some(7L * 24 * 3600 * 1000000L))
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    }),
+
+    // ---- q224: event-type transition matrix (Markov estimation) ----
+    // Per-user event sequences -> (prev, next) transition counts and
+    // row-normalized probabilities in exact ppm (n·1e6 DIV row_total),
+    // the first-order Markov chain behind session modeling and
+    // next-event prediction features. One shuffle keyed on user_id for
+    // the lag window (ordered by (ts, event_id) — event_id breaks
+    // equal-timestamp ties so both engines see the identical
+    // successor); the transition matrix itself is bounded by
+    // |event_type|² rows, so the final agg and the per-prev row-total
+    // window are tiny at any corpus size.
+    "q224_event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val tw = org.apache.spark.sql.expressions.Window.partitionBy("prev")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumnRenamed("event_type", "next")
+        .groupBy("prev", "next")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum("n").over(tw))
+        .select(col("prev"), col("next"), col("n"),
+          expr("n * 1000000 DIV tot").as("p_ppm"))
+    }),
+
+    // ---- q225: CUSUM changepoint over the hourly event rate ----
+    // Where did each event type's rate SHIFT? q156 flags outlier hours
+    // (2σ point anomalies); this finds the level change: the hour
+    // maximizing |Σ_{j≤i}(cnt_j·H − T)| — the classic CUSUM statistic
+    // with the mean spelled as the exact cross-multiplication
+    // cnt·H − T (no float mean), so both engines agree bit-for-bit and
+    // ties resolve to the earliest hour. Work is bounded by the hourly
+    // rollup (|types| × hours rows): the raw scan reduces map-side,
+    // every window partitions by event_type, and the argmax is a
+    // row_number over the same tiny frame — nothing here grows with
+    // corpus size except the first agg, which is the q29 rollup shape.
+    "q225_cusum_changepoint" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val wAll = W.partitionBy("event_type")
+      val wOrd = W.partitionBy("event_type").orderBy("hr")
+      val wPick = W.partitionBy("event_type")
+        .orderBy(col("acs").desc, col("hr"))
+      hourly
+        .withColumn("hn", count(lit(1)).over(wAll))
+        .withColumn("tot", sum("cnt").over(wAll))
+        .withColumn("acs",
+          abs(sum(col("cnt") * col("hn") - col("tot")).over(wOrd)))
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("hr").as("cp_hour"),
+          col("acs").as("max_abs_cusum"), col("hn").as("n_hours"))
+    }),
+
+    // ---- q226: rolling 7-day distinct users per day (DAU/WAU) ----
+    // Distinct users active on each day and in the trailing 7-day
+    // window — the engagement read every event pipeline serves.
+    // Windowed COUNT(DISTINCT) doesn't compose as a running frame, so
+    // the scalable spelling is: dedup to (day, user) FIRST (the big
+    // map-side shrink — raw events collapse to at most users×days
+    // rows), then fan each compact row out to the ≤7 window days it
+    // serves and count distinct per day. The 7× fanout runs on the
+    // deduped set, never the raw log; both aggs are two-phase
+    // (partial distinct map-side). Days with no events drop out of
+    // the join, matching the oracle.
+    "q226_rolling_distinct" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val u1 = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val roll = du
+        .withColumn("rday", explode(expr("sequence(day, date_add(day, 6))")))
+        .groupBy("rday").agg(countDistinct("user_id").as("wau"))
+      u1.join(roll, col("day") === col("rday"))
+        // gate as midnight timestamps (the q29/q200 convention: DATE
+        // round-trips with engine-specific pandas dtypes, TIMESTAMP
+        // compares identically)
+        .select(col("day").cast("timestamp").as("day"),
+          col("dau"), col("wau"))
+    }),
+
+    // ---- q228: diurnal (hour-of-day) load profile per event type ----
+    // Is the rate flat or peaked across the 24-hour clock? Per type:
+    // the peak hour-of-day, its traffic share, and a uniformity
+    // statistic Σ_hod (share_ppm·24 − 1e6)² — deviation is computed on
+    // ppm SHARES, not raw counts, so the squared terms stay ≤ ~5e14
+    // at ANY corpus size (squaring raw counts overflows BIGINT once a
+    // type passes ~2e9 events). Observed hods only, both engines
+    // alike. Work: one map-side-reducible agg to ≤ |types|×24 rows;
+    // every window partitions by event_type on that tiny frame.
+    "q228_diurnal_profile" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wAll = W.partitionBy("event_type")
+      val wPick = W.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("hod"))
+      t(s, d, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum("cnt").over(wAll))
+        .withColumn("share_ppm", expr("cnt * 1000000 DIV n"))
+        .withColumn("rk", row_number().over(wPick))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max(when(col("rk") === 1, col("hod"))).as("peak_hod"),
+          max(when(col("rk") === 1, col("share_ppm")))
+            .as("peak_share_ppm"),
+          sum(expr("(share_ppm * 24 - 1000000)" +
+            " * (share_ppm * 24 - 1000000)")).as("uniformity_dev2"))
+    }),
+
+    // ---- q229: week-over-week growth per event type ----
+    // The trend read on the weekly rollup: each ISO week's count next
+    // to the previous observed week's, with growth in exact ppm
+    // ((cnt − prev)·1e6 DIV prev). date_trunc('week') starts Monday in
+    // both engines; the lag window partitions by type over the
+    // |types|×weeks rollup — corpus-size work is only the first agg,
+    // which reduces map-side.
+    "q229_wow_growth" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("wk")
+      t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prev", lag("cnt", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("wk"), col("cnt"), col("prev"),
+          expr("(cnt - prev) * 1000000 DIV prev").as("growth_ppm"))
     })
   )
 
@@ -419,6 +551,75 @@ object Temporal {
         | CASE WHEN o.o_orderdate <= CAST(e.ts AS TIMESTAMP) + INTERVAL 7 DAY
         |   THEN o.o_orderdate END AS o_orderdate
         |FROM events e ASOF LEFT JOIN o
-        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin,
+
+    "q224_event_transitions" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        | c AS (SELECT prev, event_type AS next, count(*) AS n
+        |  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        | CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev) AS BIGINT)
+        |   AS p_ppm
+        |FROM c""".stripMargin,
+
+    "q225_cusum_changepoint" ->
+      """WITH h AS (SELECT event_type,
+        |   CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr,
+        |   count(*) AS cnt FROM events GROUP BY 1, 2),
+        | w AS (SELECT event_type, hr, cnt,
+        |   count(*) OVER (PARTITION BY event_type) AS hn,
+        |   SUM(cnt) OVER (PARTITION BY event_type) AS tot FROM h),
+        | c AS (SELECT event_type, hr, hn,
+        |   ABS(SUM(cnt * hn - tot) OVER (PARTITION BY event_type
+        |     ORDER BY hr)) AS acs FROM w),
+        | r AS (SELECT event_type, hr, hn, acs,
+        |   ROW_NUMBER() OVER (PARTITION BY event_type
+        |     ORDER BY acs DESC, hr) AS rk FROM c)
+        |SELECT event_type, hr AS cp_hour,
+        | CAST(acs AS BIGINT) AS max_abs_cusum,
+        | CAST(hn AS BIGINT) AS n_hours
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    "q226_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        | u1 AS (SELECT day, count(DISTINCT user_id) AS dau FROM du
+        |  GROUP BY 1),
+        | fan AS (SELECT day + CAST(x AS INTEGER) AS rday, user_id
+        |  FROM du CROSS JOIN generate_series(0, 6) AS t(x)),
+        | r AS (SELECT rday, count(DISTINCT user_id) AS wau FROM fan
+        |  GROUP BY 1)
+        |SELECT CAST(u1.day AS TIMESTAMP) AS day, u1.dau, r.wau
+        |FROM u1 JOIN r ON u1.day = r.rday""".stripMargin,
+
+    "q228_diurnal_profile" ->
+      """WITH h AS (SELECT event_type, hour(ts) AS hod, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | w AS (SELECT event_type, hod, cnt,
+        |   SUM(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+        | s AS (SELECT event_type, hod, n,
+        |   CAST(cnt * 1000000 // n AS BIGINT) AS share_ppm,
+        |   ROW_NUMBER() OVER (PARTITION BY event_type
+        |     ORDER BY cnt DESC, hod) AS rk FROM w)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        | MAX(CASE WHEN rk = 1 THEN hod END) AS peak_hod,
+        | MAX(CASE WHEN rk = 1 THEN share_ppm END) AS peak_share_ppm,
+        | CAST(SUM((share_ppm * 24 - 1000000)
+        |   * (share_ppm * 24 - 1000000)) AS BIGINT) AS uniformity_dev2
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q229_wow_growth" ->
+      """WITH wk AS (SELECT event_type,
+        |   CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk,
+        |   count(*) AS cnt FROM events GROUP BY 1, 2),
+        | l AS (SELECT event_type, wk, cnt,
+        |   lag(cnt) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+        |  FROM wk)
+        |SELECT event_type, wk, cnt, prev,
+        | CAST((cnt - prev) * 1000000 // prev AS BIGINT) AS growth_ppm
+        |FROM l WHERE prev IS NOT NULL""".stripMargin
   )
 }

@@ -40,7 +40,8 @@ object ExplainAudit {
         "q217_mixture_apply" -> "BNLJ broadcasts the 1-row sqrt-weight total aggregate (by design, as q80/q170)",
         "q221_lsh_tuning" -> "BNLJ crossJoins of three 1-row count frames per config (by design, as q191)",
         "q222_mmr_rerank" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)",
-        "q223_dsir_score" -> "BNLJ broadcasts the 1-row token-total onto the 64-bucket dist (by design, as q80)")
+        "q223_dsir_score" -> "BNLJ broadcasts the 1-row token-total onto the 64-bucket dist (by design, as q80)",
+        "q230_basket_rules" -> "BNLJ broadcasts the 1-row basket-count aggregate (by design, as q144)")
       // single-partition windows — the OTHER classic scale-killer a
       // string grep can't see reliably; detected on the optimized plan
       // (empty partitionSpec) and allow-listed only where the window's
