@@ -549,6 +549,109 @@ object Analytics {
         .select(col("c_nationkey"), col("n_customers"), col("cents"),
           expr("(2 * ws - (n_customers + 1) * cents) * 1000000" +
             " DIV (n_customers * cents)").as("gini_ppm"))
+    }),
+
+    // ---- q232: RFM segmentation per market ----
+    // Customers cut into recency/frequency/monetary terciles WITHIN
+    // their nation (1 = bottom third, 3 = top third on each axis:
+    // 3/3/3 = recent + frequent + big spender), reported as the 27-cell
+    // segment grid per market. Terciles are pure rank arithmetic —
+    // (rn − 1)·3 DIV n + 1 with (value, custkey) orderings so ties
+    // break identically in both engines; no percentile interpolation
+    // anywhere. Like q227/q231 the grain is the customer AGGREGATE and
+    // every window partitions by nation, so there is no global sort
+    // and no reducer sees more than one market.
+    "q232_rfm_segments" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      def terc(out: String, ord: Seq[org.apache.spark.sql.Column])(
+          df: DataFrame): DataFrame =
+        df.withColumn("rn", row_number()
+            .over(W.partitionBy("c_nationkey").orderBy(ord: _*))
+            .cast("long"))
+          .withColumn(out, expr("(rn - 1) * 3 DIV nn + 1"))
+          .drop("rn")
+      val g = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max("o_orderdate").as("last_d"),
+          count(lit(1)).as("n_orders"),
+          sum(fixed(col("o_totalprice"), 2)).as("cents"))
+        .join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("nn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("c_nationkey")))
+      val scored = Seq(
+        ("r_score", Seq(col("last_d"), col("c_custkey"))),
+        ("f_score", Seq(col("n_orders"), col("c_custkey"))),
+        ("m_score", Seq(col("cents"), col("c_custkey"))))
+        .foldLeft(g) { case (df, (out, ord)) => terc(out, ord)(df) }
+      scored.groupBy("c_nationkey", "r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+    }),
+
+    // ---- q236: functional-dependency audit (FD discovery) ----
+    // Does column A determine column B? For each audited (det → dep)
+    // pair: distinct determinant values, how many have MORE than one
+    // dependent variant (FD violations), and the worst variant count —
+    // the data-profiling pass behind key discovery and normalization
+    // checks (q182's profile tells you cardinality; this tells you
+    // STRUCTURE). o_orderkey → o_custkey is the deliberate positive
+    // control (a real key, 0 violations). Each audit is one two-phase
+    // agg shuffled on its determinant, the report is one row per
+    // audit, and audits union — nothing scales past the widest
+    // determinant cardinality.
+    "q236_fd_audit" -> ((s, d) => {
+      def fd(df: DataFrame, tbl: String, det: String,
+          dep: String): DataFrame =
+        df.groupBy(col(det))
+          .agg(countDistinct(col(dep)).as("v"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("v") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max("v").as("max_variants"))
+          .select(lit(tbl).as("tbl"), lit(det).as("det"),
+            lit(dep).as("dep"), col("n_keys"), col("n_violating"),
+            col("max_variants"))
+      fd(t(s, d, "orders"), "orders", "o_orderkey", "o_custkey")
+        .unionAll(fd(t(s, d, "orders"), "orders", "o_custkey",
+          "o_orderpriority"))
+        .unionAll(fd(t(s, d, "customer"), "customer", "c_nationkey",
+          "c_mktsegment"))
+        .unionAll(fd(t(s, d, "lineitem"), "lineitem", "l_orderkey",
+          "l_suppkey"))
+        .unionAll(fd(t(s, d, "part"), "part", "p_brand", "p_type"))
+    }),
+
+    // ---- q237: order-fulfillment accumulating snapshot ----
+    // The warehouse accumulating-snapshot read: per order, first and
+    // last line shipment collapse out of lineitem (one agg on
+    // l_orderkey), then per (priority, order month): order count, mean
+    // order→first-ship lag and first→last-ship span in exact
+    // centi-days (sum·100 DIV n — no float mean), and the worst span.
+    // Both shuffles key on the order: lineitem reduces BEFORE the join
+    // so the join carries order-grain rows, and the report is
+    // |priorities|×months rows.
+    "q237_fulfillment_snapshot" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min("l_shipdate").as("first_ship"),
+          max("l_shipdate").as("last_ship"))
+      t(s, d, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("mon"),
+          datediff(col("first_ship"), col("o_orderdate")).cast("long")
+            .as("lag_d"),
+          datediff(col("last_ship"), col("first_ship")).cast("long")
+            .as("span_d"))
+        .groupBy("o_orderpriority", "mon")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("lag_d").as("sl"), sum("span_d").as("ss"),
+          max("span_d").as("max_span_d"))
+        .select(col("o_orderpriority"), col("mon"), col("n_orders"),
+          expr("sl * 100 DIV n_orders").as("lag_cdays"),
+          expr("ss * 100 DIV n_orders").as("span_cdays"),
+          col("max_span_d"))
     })
   )
 
@@ -853,6 +956,59 @@ object Analytics {
         |SELECT c_nationkey, n_customers, cents,
         | CAST((2 * ws - (n_customers + 1) * cents) * 1000000
         |   // (n_customers * cents) AS BIGINT) AS gini_ppm
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q232_rfm_segments" ->
+      s"""WITH g AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+        |   count(*) AS n_orders,
+        |   CAST(SUM(${fixedSql("o_totalprice", 2)}) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        | j AS (SELECT c_nationkey, c_custkey, last_d, n_orders, cents,
+        |   count(*) OVER (PARTITION BY c_nationkey) AS nn
+        |  FROM g JOIN customer ON o_custkey = c_custkey),
+        | sc AS (SELECT c_nationkey, cents, nn,
+        |   (ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |     ORDER BY last_d, c_custkey) - 1) * 3 // nn + 1 AS r_score,
+        |   (ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |     ORDER BY n_orders, c_custkey) - 1) * 3 // nn + 1 AS f_score,
+        |   (ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |     ORDER BY cents, c_custkey) - 1) * 3 // nn + 1 AS m_score
+        |  FROM j)
+        |SELECT c_nationkey, r_score, f_score, m_score,
+        | count(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM sc GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q236_fd_audit" -> {
+      def fd(tbl: String, det: String, dep: String) =
+        s"""SELECT '$tbl' AS tbl, '$det' AS det, '$dep' AS dep,
+          | count(*) AS n_keys,
+          | CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_violating,
+          | CAST(MAX(v) AS BIGINT) AS max_variants
+          |FROM (SELECT $det, count(DISTINCT $dep) AS v FROM $tbl
+          |  GROUP BY 1)""".stripMargin
+      Seq(
+        fd("orders", "o_orderkey", "o_custkey"),
+        fd("orders", "o_custkey", "o_orderpriority"),
+        fd("customer", "c_nationkey", "c_mktsegment"),
+        fd("lineitem", "l_orderkey", "l_suppkey"),
+        fd("part", "p_brand", "p_type")).mkString("\nUNION ALL\n")
+    },
+
+    "q237_fulfillment_snapshot" ->
+      """WITH li AS (SELECT l_orderkey, min(l_shipdate) AS first_ship,
+        |   max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1),
+        | j AS (SELECT o_orderpriority,
+        |   CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |   date_diff('day', CAST(o_orderdate AS DATE),
+        |     CAST(first_ship AS DATE)) AS lag_d,
+        |   date_diff('day', CAST(first_ship AS DATE),
+        |     CAST(last_ship AS DATE)) AS span_d
+        |  FROM orders JOIN li ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, mon, count(*) AS n_orders,
+        | CAST(SUM(lag_d) * 100 // count(*) AS BIGINT) AS lag_cdays,
+        | CAST(SUM(span_d) * 100 // count(*) AS BIGINT) AS span_cdays,
+        | CAST(MAX(span_d) AS BIGINT) AS max_span_d
+        |FROM j GROUP BY 1, 2""".stripMargin
   )
 }

@@ -60,6 +60,10 @@ object Curation {
   // q208's conjunctive query: three mid-frequency terms, so the AND
   // intersection is a strict subset of every single term's postings.
   private val BoolTerms = Seq("vector", "merge", "stream")
+  // q235's skip-gram context window (tokens to the right of the
+  // center) and report threshold.
+  private val SkipW = 3
+  private val SkipMin = 20L
 
   /** Exploded (doc_id, gram) pairs of word n-grams — NOT deduplicated:
     * a caller that needs "docs containing" semantics must place its own
@@ -619,6 +623,25 @@ object Curation {
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_docs"))),
 
+    // ---- q235: skip-gram (windowed) co-occurrence counts ----
+    // q121 counts doc-level co-presence; this counts POSITIONAL
+    // (center, context) pairs within a ±3-token window — the corpus
+    // statistic word2vec/GloVe trains on. Pairs are generated IN-ROW
+    // (posexplode + a 3-token slice per position): no self-join, one
+    // narrow explode, fan-out a constant 3× the token stream, and the
+    // final agg is vocabulary²-bounded. Directed left→right pairs so
+    // each co-occurrence is counted once at its left endpoint, same in
+    // both engines.
+    "q235_skipgram_cooc" -> ((s, d) =>
+      docs(s, d)
+        .select(expr(toksNat).as("ts"))
+        .select(posexplode(col("ts")).as(Seq("i", "a")), col("ts"))
+        .select(col("a"),
+          explode(expr(s"slice(ts, i + 2, $SkipW)")).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .filter(col("n_pairs") >= SkipMin)),
+
     // ---- q170: temperature-scaled source mixture weights ----
     // The training-mixture allocator: per-source sampling weights
     // proportional to (token share)^alpha with alpha = 0.5 — the
@@ -1103,6 +1126,14 @@ object Curation {
         | p AS (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM t),
         | pr AS (SELECT ts[i] AS a, unnest(ts[i+1:len(ts)]) AS b FROM p)
         |SELECT a, b, count(*) AS n_docs FROM pr GROUP BY 1, 2""".stripMargin,
+
+    "q235_skipgram_cooc" ->
+      s"""WITH t AS (SELECT ${toksDuck("text")} AS ts FROM documents),
+        | p AS (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM t),
+        | pr AS (SELECT ts[i] AS a,
+        |   unnest(ts[i+1:i+$SkipW]) AS b FROM p)
+        |SELECT a, b, count(*) AS n_pairs FROM pr
+        |GROUP BY 1, 2 HAVING count(*) >= $SkipMin""".stripMargin,
 
     "q170_mixture_weights" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs,

@@ -533,6 +533,36 @@ object Pipelines {
           count(lit(1)).as("users")))
     }),
 
+    // ---- q233: signup→purchase conversion curve by day offset ----
+    // q111 counts WHO converts; this shows WHEN: for each whole-day
+    // offset since first signup, how many users made their first
+    // post-signup purchase at that lag, cumulatively, and as ppm of
+    // ALL signups (non-converters thin the ppm but add no row). Day
+    // offsets are exact integer µs arithmetic. Both user-grain aggs
+    // shuffle on user_id; the curve itself lives on the day-offset
+    // table (bounded by the corpus time span), so its cumulative
+    // global window and the 1-row signup-total broadcast are the
+    // allow-listed bounded shapes (q147/q80 precedents).
+    "q233_conversion_curve" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("ts0"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("ts") > col("ts0"))
+        .groupBy("user_id")
+        .agg(min("ts").as("ts1"), min("ts0").as("t0"))
+      val conv = pu.withColumn("off_d",
+          expr("(unix_micros(ts1) - unix_micros(t0)) DIV 86400000000"))
+        .groupBy("off_d").agg(count(lit(1)).as("n_conv"))
+      val tot = su.agg(count(lit(1)).as("n_signups"))
+      val wc = Window.orderBy("off_d")
+      conv.withColumn("cum_conv", sum("n_conv").over(wc))
+        .crossJoin(broadcast(tot))
+        .select(col("off_d"), col("n_conv"), col("cum_conv"),
+          expr("cum_conv * 1000000 DIV n_signups").as("cum_ppm"))
+    }),
+
     // ---- q105: stream-stream join, run to completion ----
     // purchasesAfterSignup as an actual streaming run (q65/q68 pattern):
     // both sides watermarked, state bounded by the 1-hour interval; the
@@ -811,6 +841,22 @@ object Pipelines {
         |SELECT 'signup' AS stage, count(*) AS users FROM su
         |UNION ALL SELECT 'click_after_signup', count(*) FROM cl
         |UNION ALL SELECT 'purchase_after_click', count(*) FROM pu""".stripMargin,
+
+    "q233_conversion_curve" ->
+      """WITH su AS (SELECT user_id, min(ts) AS ts0 FROM events
+        |   WHERE event_type = 'signup' GROUP BY 1),
+        | pu AS (SELECT e.user_id, min(e.ts) AS ts1, min(su.ts0) AS t0
+        |   FROM events e JOIN su ON e.user_id = su.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > su.ts0
+        |   GROUP BY 1),
+        | conv AS (SELECT (epoch_us(ts1) - epoch_us(t0)) // 86400000000
+        |     AS off_d, count(*) AS n_conv FROM pu GROUP BY 1),
+        | tot AS (SELECT count(*) AS n_signups FROM su)
+        |SELECT off_d, n_conv,
+        | CAST(SUM(n_conv) OVER (ORDER BY off_d) AS BIGINT) AS cum_conv,
+        | CAST(SUM(n_conv) OVER (ORDER BY off_d) * 1000000 // n_signups
+        |   AS BIGINT) AS cum_ppm
+        |FROM conv CROSS JOIN tot""".stripMargin,
 
     "q105_stream_join" ->
       """WITH base AS (SELECT event_id, event_type, user_id, value,

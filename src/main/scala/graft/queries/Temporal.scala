@@ -397,7 +397,19 @@ object Temporal {
         .filter(col("prev").isNotNull)
         .select(col("event_type"), col("wk"), col("cnt"), col("prev"),
           expr("(cnt - prev) * 1000000 DIV prev").as("growth_ppm"))
-    })
+    }),
+
+    // ---- q234: STREAMING DAU/WAU maintenance (foreachBatch) ----
+    // q226's engagement rollup kept current from the event stream:
+    // history (day, user) presence pairs land once, the delta slice
+    // streams in with each micro-batch appending only its own deduped
+    // pairs, and the query-time rollup runs on the merged presence
+    // set. Set union is idempotent, so the result equals the one-shot
+    // q226 regardless of batch boundaries — the SAME oracle gates
+    // both (shared SQL below). NOTE: executing this entry RUNS the
+    // stream (an action).
+    "q234_stream_dau" -> ((s, d) =>
+      graft.streaming.EventStreams.dauStream(s, d))
   )
 
   /** One oracle, two gates: q29 (batch) and q68 (streaming twin) must
@@ -407,6 +419,20 @@ object Temporal {
     s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type,
       | COUNT(*) AS cnt, ${sumFixedSql("value", 2)} AS sum_val
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** One oracle, two gates: q226 (batch) and q234 (streaming
+    * maintenance) must stay in lockstep by construction. */
+  private val rollingDistinctOracle: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      |  FROM events),
+      | u1 AS (SELECT day, count(DISTINCT user_id) AS dau FROM du
+      |  GROUP BY 1),
+      | fan AS (SELECT day + CAST(x AS INTEGER) AS rday, user_id
+      |  FROM du CROSS JOIN generate_series(0, 6) AS t(x)),
+      | r AS (SELECT rday, count(DISTINCT user_id) AS wau FROM fan
+      |  GROUP BY 1)
+      |SELECT CAST(u1.day AS TIMESTAMP) AS day, u1.dau, r.wau
+      |FROM u1 JOIN r ON u1.day = r.rday""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q28_align_positional" ->
@@ -583,17 +609,10 @@ object Temporal {
         | CAST(hn AS BIGINT) AS n_hours
         |FROM r WHERE rk = 1""".stripMargin,
 
-    "q226_rolling_distinct" ->
-      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-        |  FROM events),
-        | u1 AS (SELECT day, count(DISTINCT user_id) AS dau FROM du
-        |  GROUP BY 1),
-        | fan AS (SELECT day + CAST(x AS INTEGER) AS rday, user_id
-        |  FROM du CROSS JOIN generate_series(0, 6) AS t(x)),
-        | r AS (SELECT rday, count(DISTINCT user_id) AS wau FROM fan
-        |  GROUP BY 1)
-        |SELECT CAST(u1.day AS TIMESTAMP) AS day, u1.dau, r.wau
-        |FROM u1 JOIN r ON u1.day = r.rday""".stripMargin,
+    "q226_rolling_distinct" -> rollingDistinctOracle,
+    // streaming maintenance must land on the identical one-shot rollup
+    // (set-union idempotence of the presence pairs)
+    "q234_stream_dau" -> rollingDistinctOracle,
 
     "q228_diurnal_profile" ->
       """WITH h AS (SELECT event_type, hour(ts) AS hod, count(*) AS cnt

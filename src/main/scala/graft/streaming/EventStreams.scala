@@ -375,6 +375,39 @@ object EventStreams {
       Seq("event_type"), "approx_users")
   }
 
+  /** STREAMING DAU/WAU maintenance (q234 — the streaming face of
+    * q226's rolling distinct users; the q186 : q94 relationship
+    * applied to engagement reporting): the (day, user) presence SET is
+    * the persisted summary. Set union is associative, commutative and
+    * IDEMPOTENT — each micro-batch appends its own deduped pairs and
+    * the query-time distinct collapses any overlap, so the merged
+    * table equals a one-shot dedup of all events REGARDLESS of
+    * micro-batch boundaries (and, like q186's register MAX, a replayed
+    * batch is harmless). Appended state per trigger is bounded by the
+    * batch's own (day, user) pairs; the DAU/WAU rollup reads presence
+    * rows only — never raw history — and q226's DuckDB oracle gates
+    * the result hash-exactly. */
+  def dauStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 1): DataFrame = {
+    def dayUser(df: DataFrame) =
+      df.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    runDeltaStream(spark, sfDir, "graft_q234", maxFilesPerTrigger,
+      deltaFiles,
+      seed = hist => graft.sources.Tables.writeTable(
+        dayUser(hist), "graft_stream_dau"),
+      onBatch = batch => dayUser(batch).write.mode("append")
+        .format("parquet").saveAsTable("graft_stream_dau"))
+    val du = spark.table("graft_stream_dau").distinct()
+    val u1 = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val roll = du
+      .withColumn("rday", explode(expr("sequence(day, date_add(day, 6))")))
+      .groupBy("rday").agg(countDistinct("user_id").as("wau"))
+    u1.join(roll, col("day") === col("rday"))
+      .select(col("day").cast("timestamp").as("day"), col("dau"),
+        col("wau"))
+  }
+
   /** q210: STREAMING shard-manifest maintenance — q207's integrity
     * manifest kept current from a document stream (the q186 : q94
     * relationship applied to data versioning). Seed: the history

@@ -41,7 +41,8 @@ object ExplainAudit {
         "q221_lsh_tuning" -> "BNLJ crossJoins of three 1-row count frames per config (by design, as q191)",
         "q222_mmr_rerank" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)",
         "q223_dsir_score" -> "BNLJ broadcasts the 1-row token-total onto the 64-bucket dist (by design, as q80)",
-        "q230_basket_rules" -> "BNLJ broadcasts the 1-row basket-count aggregate (by design, as q144)")
+        "q230_basket_rules" -> "BNLJ broadcasts the 1-row basket-count aggregate (by design, as q144)",
+        "q233_conversion_curve" -> "BNLJ broadcasts the 1-row signup-total aggregate (by design, as q80)")
       // single-partition windows — the OTHER classic scale-killer a
       // string grep can't see reliably; detected on the optimized plan
       // (empty partitionSpec) and allow-listed only where the window's
@@ -49,7 +50,8 @@ object ExplainAudit {
       val globalWinOk = Map(
         "q147_quality_sweep" -> "cumulative window over the BUCKET table (~range/10 rows), not the corpus",
         "q148_token_budget" -> "phase-1 cumulative window over the q_milli bucket table (<=1001 rows)",
-        "q189_equidepth_hist" -> "global rank over the deterministic half-sample, not the full scan")
+        "q189_equidepth_hist" -> "global rank over the deterministic half-sample, not the full scan",
+        "q233_conversion_curve" -> "cumulative window over the day-offset table (<= corpus span in days), not the corpus")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
           val df = fn(spark, d)

@@ -313,6 +313,20 @@ class StreamingSpec extends SparkTestBase {
       "shredded streaming register merge diverged from one-shot sketch")
   }
 
+  test("streaming DAU maintenance is micro-batch-boundary independent") {
+    // q234: shred the event delta into one micro-batch PER FILE — the
+    // (day, user) presence pairs form a set lattice (union is
+    // associative, commutative, idempotent), so the merged rollup must
+    // equal the one-shot q226 result however the files were chopped,
+    // even though the same pair may be appended by several batches.
+    val merged = EventStreams.dauStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 8)
+    val oneShot = SparkEntry.queries("q226_rolling_distinct")(spark, sf)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "shredded streaming DAU merge diverged from one-shot q226")
+  }
+
   test("streaming manifest maintenance is micro-batch-boundary independent") {
     // q210: shred the document delta into one micro-batch PER FILE —
     // per-shard (sum, xor) partials are associative and commutative
