@@ -18,10 +18,11 @@ object Bench {
     * corpus-wide LSH knn join), text stats, time bucketing, as-of,
     * iterative graph (PageRank), duplicated-span detection (positional
     * grams), co-bucketed join (index build + zero-exchange join),
-    * iterative label propagation, LSH hard-negative mining, and PQ
-    * train+encode. q85 times the full incremental cycle (index build +
-    * batch probe + verify); q211 times codebook training AND corpus
-    * encoding. */
+    * iterative label propagation, LSH hard-negative mining, PQ
+    * train+encode, rolling distinct users (dedup-then-fanout), and
+    * multi-window RFM segmentation. q85 times the full incremental
+    * cycle (index build + batch probe + verify); q211 times codebook
+    * training AND corpus encoding. */
   val headline: Seq[String] = Seq(
     "q05_groupby_sum", "q07_join_inner", "q16_sort_topk", "q22_window",
     "q27_demo_pipeline", "q29_events_hourly", "q31_asof_join",
@@ -30,7 +31,8 @@ object Bench {
     "q64_window_highcard", "q67_corpus_filter", "q85_incremental_dedup",
     "q116_decontaminate", "q119_latest_order", "q130_pagerank",
     "q135_ann_knn_join", "q195_dup_spans", "q198_bucketed_join",
-    "q199_label_prop", "q205_hard_negatives", "q211_pq_encode")
+    "q199_label_prop", "q205_hard_negatives", "q211_pq_encode",
+    "q226_rolling_distinct", "q232_rfm_segments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

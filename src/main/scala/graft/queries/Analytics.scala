@@ -652,6 +652,38 @@ object Analytics {
           expr("sl * 100 DIV n_orders").as("lag_cdays"),
           expr("ss * 100 DIV n_orders").as("span_cdays"),
           col("max_span_d"))
+    }),
+
+    // ---- q241: hierarchical revenue shares (nation within region) ----
+    // Percent-of-parent contribution analytics over the geo hierarchy:
+    // each nation's revenue as ppm of its REGION and of the WORLD.
+    // Orders pre-aggregate to customer grain before touching the
+    // (tiny, broadcast) nation/region dims; the region subtotal is a
+    // window over the |nations| rollup partitioned by region, and only
+    // the 1-row grand total crossJoins (allow-listed q80 shape).
+    "q241_geo_rollup_shares" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cents = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(fixed(col("o_totalprice"), 2)).as("cents"))
+      val geo = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+      val perNation = cents
+        .join(geo, col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name", "n_name").agg(sum("cents").as("cents"))
+      val tot = perNation.agg(sum("cents").as("gt"))
+      perNation
+        .withColumn("rt", sum("cents").over(W.partitionBy("r_name")))
+        .crossJoin(broadcast(tot))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("cents * 1000000 DIV rt").as("share_region_ppm"),
+          expr("cents * 1000000 DIV gt").as("share_global_ppm"))
     })
   )
 
@@ -1009,6 +1041,25 @@ object Analytics {
         | CAST(SUM(lag_d) * 100 // count(*) AS BIGINT) AS lag_cdays,
         | CAST(SUM(span_d) * 100 // count(*) AS BIGINT) AS span_cdays,
         | CAST(MAX(span_d) AS BIGINT) AS max_span_d
-        |FROM j GROUP BY 1, 2""".stripMargin
+        |FROM j GROUP BY 1, 2""".stripMargin,
+
+    "q241_geo_rollup_shares" ->
+      s"""WITH cc AS (SELECT o_custkey,
+        |   CAST(SUM(${fixedSql("o_totalprice", 2)}) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        | pn AS (SELECT r_name, n_name,
+        |   CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM cc
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        | w AS (SELECT r_name, n_name, cents,
+        |   CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS rt,
+        |   CAST(SUM(cents) OVER () AS BIGINT) AS gt FROM pn)
+        |SELECT r_name, n_name, cents,
+        | CAST(cents * 1000000 // rt AS BIGINT) AS share_region_ppm,
+        | CAST(cents * 1000000 // gt AS BIGINT) AS share_global_ppm
+        |FROM w""".stripMargin
   )
 }

@@ -79,6 +79,35 @@ object Shapes {
           rnd(expr("percentile(l_extendedprice, 0.75)"), 2).as("q75"),
           rnd(expr("percentile(l_extendedprice, 0.99)"), 2).as("q99"))),
 
+    // ---- q242: session bounce rate per day ----
+    // Engagement health over q58's gaps-and-islands sessions: per day
+    // (of session start), session count, single-event "bounce"
+    // sessions, and the bounce rate in exact ppm. Same one-shuffle
+    // sessionization (windows keyed on user_id); the daily report is
+    // span-bounded. Day is gated as a midnight timestamp (the q226
+    // convention).
+    "q242_bounce_rate" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+              1800L * 1000000L).cast("int"))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start"))
+        .select(to_date(col("start")).cast("timestamp").as("day"),
+          when(col("n_events") === 1, 1L).otherwise(0L).as("bounce"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_sessions"), sum("bounce").as("n_bounce"))
+        .select(col("day"), col("n_sessions"), col("n_bounce"),
+          expr("n_bounce * 1000000 DIV n_sessions").as("bounce_ppm"))
+    }),
+
     // ---- q141: session path mining ----
     // Sessionize (q58's gaps-and-islands), then mine the event-type
     // PATH of each session ("signup>click>purchase") and count how
@@ -296,6 +325,28 @@ object Shapes {
         | MIN(ts) AS sess_start, MAX(ts) AS sess_end,
         | ${sumFixedSql("value", 2)} AS sum_val
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q242_bounce_rate" ->
+      """WITH base AS (SELECT event_id, user_id,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_ts FROM base),
+        | flagged AS (SELECT *, CAST(prev_ts IS NULL
+        |     OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000 AS INT)
+        |   AS new_sess FROM lagged),
+        | sess AS (SELECT *, CAST(SUM(new_sess) OVER (
+        |     PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS sess_id FROM flagged),
+        | sf AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |   MIN(ts) AS start FROM sess GROUP BY 1, 2),
+        | dy AS (SELECT CAST(CAST(start AS DATE) AS TIMESTAMP) AS day,
+        |   CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS bounce FROM sf)
+        |SELECT day, count(*) AS n_sessions,
+        | CAST(SUM(bounce) AS BIGINT) AS n_bounce,
+        | CAST(SUM(bounce) * 1000000 // count(*) AS BIGINT)
+        |   AS bounce_ppm
+        |FROM dy GROUP BY 1""".stripMargin,
 
     "q65_sessions_stream" ->
       s"""WITH base AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -399,6 +399,69 @@ object Temporal {
           expr("(cnt - prev) * 1000000 DIV prev").as("growth_ppm"))
     }),
 
+    // ---- q244: linear multi-touch attribution ----
+    // q178 gives the purchase to the LAST click; this splits it
+    // equally across EVERY click in the trailing 24 h — per-pair
+    // credit cents·1e6 DIV n in exact micro-cents, rolled up per user.
+    // The pair join is an equi-join on user_id with the interval
+    // predicate applied in-join (candidates bounded by one user's
+    // 24 h click activity — never cross-user); the per-purchase click
+    // count is a window over those bounded pairs. Purchases with no
+    // in-window click contribute nothing here (q178's tolerance-null
+    // is the report that surfaces them).
+    "q244_linear_attribution" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ts").as("pts"), fixed(col("value"), 2).as("cents"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"),
+          col("ts").as("cts"))
+      p.join(c, Seq("user_id"))
+        .filter(col("cts") <= col("pts") &&
+          unix_micros(col("pts")) - unix_micros(col("cts")) <
+            24L * 3600 * 1000000L)
+        .withColumn("n", count(lit(1)).over(W.partitionBy("pid")))
+        .select(col("user_id"), col("cid"),
+          expr("cents * 1000000 DIV n").as("ucents"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("cid").as("n_clicks"),
+          sum("ucents").as("credited_ucents"))
+    }),
+
+    // ---- q243: cohort lifetime-value (LTV) curve ----
+    // q160 counts RETAINED users; this accumulates their REVENUE: per
+    // signup-week cohort and week offset, purchase cents that week,
+    // cumulative cents, and cumulative ARPU (cum DIV cohort size) —
+    // the payback read every growth team charts. Purchases join the
+    // user→cohort map (one shuffle on user_id), the curve windows
+    // partition by cohort week over the |cohorts|×weeks rollup, and
+    // all money stays exact integer cents.
+    "q243_cohort_ltv" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_wk"))
+      val cs = cohort.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .filter(col("ts") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"),
+          expr("datediff(date_trunc('week', ts), cohort_wk) DIV 7")
+            .as("week_offset"))
+        .agg(sum(fixed(col("value"), 2)).as("cents"))
+      rev.withColumn("cum_cents", sum("cents").over(
+          W.partitionBy("cohort_wk").orderBy("week_offset")))
+        .join(cs, "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("cents"),
+          col("cum_cents"), col("cohort_users"),
+          expr("cum_cents DIV cohort_users").as("arpu_cents"))
+    }),
+
     // ---- q234: STREAMING DAU/WAU maintenance (foreachBatch) ----
     // q226's engagement rollup kept current from the event stream:
     // history (day, user) presence pairs land once, the delta slice
@@ -629,6 +692,49 @@ object Temporal {
         | CAST(SUM((share_ppm * 24 - 1000000)
         |   * (share_ppm * 24 - 1000000)) AS BIGINT) AS uniformity_dev2
         |FROM s GROUP BY 1""".stripMargin,
+
+    "q244_linear_attribution" ->
+      s"""WITH base AS (SELECT event_id, event_type, user_id, value,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | p AS (SELECT event_id AS pid, user_id, ts AS pts,
+        |   ${fixedSql("value", 2)} AS cents
+        |  FROM base WHERE event_type = 'purchase'),
+        | c AS (SELECT event_id AS cid, user_id, ts AS cts
+        |  FROM base WHERE event_type = 'click'),
+        | pairs AS (SELECT p.pid, p.user_id, c.cid, p.cents
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.cts <= p.pts
+        |   AND EPOCH_US(p.pts) - EPOCH_US(c.cts) < 86400000000),
+        | w AS (SELECT user_id, cid,
+        |   cents * 1000000 // count(*) OVER (PARTITION BY pid)
+        |     AS ucents FROM pairs)
+        |SELECT user_id, count(*) AS n_pairs,
+        | count(DISTINCT cid) AS n_clicks,
+        | CAST(SUM(ucents) AS BIGINT) AS credited_ucents
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "q243_cohort_ltv" ->
+      s"""WITH base AS (SELECT user_id, event_type, value,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | cohort AS (SELECT user_id,
+        |   CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_wk
+        |  FROM base WHERE event_type = 'signup' GROUP BY 1),
+        | cs AS (SELECT cohort_wk, count(*) AS cohort_users FROM cohort
+        |  GROUP BY 1),
+        | rev AS (SELECT c.cohort_wk,
+        |   date_diff('day', CAST(c.cohort_wk AS DATE),
+        |     CAST(DATE_TRUNC('week', e.ts) AS DATE)) // 7 AS week_offset,
+        |   CAST(SUM(${fixedSql("e.value", 2)}) AS BIGINT) AS cents
+        |  FROM base e JOIN cohort c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.cohort_wk
+        |  GROUP BY 1, 2),
+        | cum AS (SELECT cohort_wk, week_offset, cents,
+        |   CAST(SUM(cents) OVER (PARTITION BY cohort_wk
+        |     ORDER BY week_offset) AS BIGINT) AS cum_cents FROM rev)
+        |SELECT cohort_wk, week_offset, cents, cum_cents,
+        | cs.cohort_users,
+        | CAST(cum_cents // cs.cohort_users AS BIGINT) AS arpu_cents
+        |FROM cum JOIN cs USING (cohort_wk)""".stripMargin,
 
     "q229_wow_growth" ->
       """WITH wk AS (SELECT event_type,

@@ -505,6 +505,69 @@ object Vectors {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // ---- q238: classifier evaluation metrics (per-label P/R/F1) ----
+    // The eval report on q157's confusion matrix: per true label,
+    // support, true positives, precision, recall and F1 in exact ppm
+    // (F1 = 2PR DIV (P+R) on the ppm values — no floats). Reuses the
+    // q157 pipeline verbatim, so the oracle derives from the IDENTICAL
+    // confusion SQL and the two gates cannot drift. The matrix is
+    // |labels|² rows; everything here is driver-negligible arithmetic
+    // on that tiny frame — the corpus-scale work is q157's candidate
+    // generation, unchanged.
+    "q238_classifier_metrics" -> ((s, d) => {
+      val cm = queries("q157_knn_classify")(s, d)
+      val bt = cm.select(col("true_label").as("label"), col("cnt"))
+        .groupBy("label").agg(sum("cnt").as("n_true"))
+      val bp = cm.select(col("pred").as("label"), col("cnt"))
+        .groupBy("label").agg(sum("cnt").as("n_pred"))
+      val tp = cm.filter(col("true_label") === col("pred"))
+        .select(col("true_label").as("label"), col("cnt").as("tp0"))
+      bt.join(tp, Seq("label"), "left").join(bp, Seq("label"), "left")
+        .select(col("label"), col("n_true"),
+          coalesce(col("tp0"), lit(0L)).as("tp"),
+          coalesce(expr("tp0 * 1000000 DIV n_pred"), lit(0L))
+            .as("precision_ppm"),
+          coalesce(expr("tp0 * 1000000 DIV n_true"), lit(0L))
+            .as("recall_ppm"))
+        .withColumn("f1_ppm",
+          when(col("precision_ppm") + col("recall_ppm") === 0, 0L)
+            .otherwise(expr("2 * precision_ppm * recall_ppm" +
+              " DIV (precision_ppm + recall_ppm)")))
+    }),
+
+    // ---- q239: balanced class weights (inverse frequency) ----
+    // The sklearn "balanced" formula in exact ppm: w = total DIV
+    // (n_classes · n_label) — the label-imbalance correction a
+    // training pipeline feeds its loss. One label-cardinality agg +
+    // the 1-row totals broadcast (the allow-listed q80 shape).
+    "q239_class_weights" -> ((s, d) => {
+      val per = emb(s, d).groupBy("label").agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum("n").as("total"),
+        count(lit(1)).as("n_labels"))
+      per.crossJoin(broadcast(tot))
+        .select(col("label"), col("n"),
+          expr("total * 1000000 DIV (n_labels * n)").as("w_ppm"))
+    }),
+
+    // ---- q240: embedding-quality audit per label ----
+    // The data-quality gate before any vector workload: per label,
+    // vector count, zero-norm count (unusable for cosine), exact
+    // min/max/mean quantized squared norms, and distinct dimension
+    // count (n_dims > 1 = schema break). Norms are the exact BIGINT
+    // n2 the similarity stack already computes (Similarity.prepare),
+    // so the audit is one two-phase agg over the prepared frame and
+    // every statistic replays bit-for-bit in the oracle.
+    "q240_embedding_audit" -> ((s, d) =>
+      Similarity.prepare(emb(s, d), "embedding")
+        .select(col("label"), col("n2"),
+          size(col("embedding")).as("dim"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+          min("n2").as("min_n2"), max("n2").as("max_n2"),
+          expr("sum(n2) DIV count(1)").as("avg_n2"),
+          countDistinct("dim").as("n_dims"))),
+
     // ---- q152: ANN recall@5 self-evaluation ----
     // The engine measures its own index quality: q62's trained-IVF
     // top-5 against the exact brute-force top-5 for the same queries,
@@ -642,6 +705,31 @@ object Vectors {
 
   private def dotDuck(a: String, b: String): String =
     s"list_aggregate([($a)[i] * ($b)[i] FOR i IN range(1, len($a)+1)], 'sum')"
+
+  /** q157's full confusion-matrix SQL (test×train band collisions →
+    * exact-cosine top-3 → majority vote → matrix) — shared verbatim by
+    * the q157 gate and q238's derived metrics so they cannot drift. */
+  private lazy val knnClassifySql: String =
+    s"""WITH $prepCte,
+      | $lshBandCtes,
+      | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+      |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+      |    AND x.vec_id % 5 = 0 AND y.vec_id % 5 <> 0),
+      | sc AS (SELECT kc.qid, kc.vid, c.label,
+      |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+      |  FROM kc JOIN n a ON a.vec_id = kc.qid
+      |   JOIN n c ON c.vec_id = kc.vid),
+      | rk AS (SELECT qid, vid, label,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos DESC, vid) AS rank FROM sc),
+      | votes AS (SELECT qid, label, count(*) AS c FROM rk
+      |  WHERE rank <= 3 GROUP BY 1, 2),
+      | pred AS (SELECT qid, label AS pred FROM (
+      |   SELECT qid, label, ROW_NUMBER() OVER (PARTITION BY qid
+      |     ORDER BY c DESC, label) AS r FROM votes) WHERE r = 1)
+      |SELECT t.label AS true_label, p.pred, count(*) AS cnt
+      |FROM pred p JOIN n t ON t.vec_id = p.qid
+      |GROUP BY 1, 2""".stripMargin
 
   private def cosDuck(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / SQRT(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
@@ -1195,27 +1283,51 @@ object Vectors {
 
     // test x train band collisions -> exact-cosine top-3 -> majority
     // vote -> confusion matrix, over the shared band CTEs
-    "q157_knn_classify" ->
-      s"""WITH $prepCte,
-        | $lshBandCtes,
-        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
-        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
-        |    AND x.vec_id % 5 = 0 AND y.vec_id % 5 <> 0),
-        | sc AS (SELECT kc.qid, kc.vid, c.label,
-        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
-        |  FROM kc JOIN n a ON a.vec_id = kc.qid
-        |   JOIN n c ON c.vec_id = kc.vid),
-        | rk AS (SELECT qid, vid, label,
-        |    ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY cos DESC, vid) AS rank FROM sc),
-        | votes AS (SELECT qid, label, count(*) AS c FROM rk
-        |  WHERE rank <= 3 GROUP BY 1, 2),
-        | pred AS (SELECT qid, label AS pred FROM (
-        |   SELECT qid, label, ROW_NUMBER() OVER (PARTITION BY qid
-        |     ORDER BY c DESC, label) AS r FROM votes) WHERE r = 1)
-        |SELECT t.label AS true_label, p.pred, count(*) AS cnt
-        |FROM pred p JOIN n t ON t.vec_id = p.qid
-        |GROUP BY 1, 2""".stripMargin,
+    "q157_knn_classify" -> knnClassifySql,
+
+    // one oracle chain, two gates: q238's metrics are derived from the
+    // IDENTICAL confusion-matrix SQL as q157, so the two cannot drift
+    "q238_classifier_metrics" ->
+      s"""WITH cm AS ($knnClassifySql),
+        | bt AS (SELECT true_label AS label,
+        |   CAST(SUM(cnt) AS BIGINT) AS n_true FROM cm GROUP BY 1),
+        | bp AS (SELECT pred AS label,
+        |   CAST(SUM(cnt) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+        | tp AS (SELECT true_label AS label, cnt AS tp0 FROM cm
+        |  WHERE true_label = pred),
+        | m AS (SELECT bt.label, bt.n_true,
+        |   CAST(COALESCE(tp.tp0, 0) AS BIGINT) AS tp,
+        |   CAST(COALESCE(tp.tp0 * 1000000 // bp.n_pred, 0) AS BIGINT)
+        |     AS precision_ppm,
+        |   CAST(COALESCE(tp.tp0 * 1000000 // bt.n_true, 0) AS BIGINT)
+        |     AS recall_ppm
+        |  FROM bt LEFT JOIN tp USING (label)
+        |   LEFT JOIN bp USING (label))
+        |SELECT label, n_true, tp, precision_ppm, recall_ppm,
+        | CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+        |   ELSE 2 * precision_ppm * recall_ppm
+        |     // (precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
+        |FROM m""".stripMargin,
+
+    "q239_class_weights" ->
+      """WITH per AS (SELECT label, count(*) AS n FROM embeddings
+        |  GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |   count(*) AS n_labels FROM per)
+        |SELECT label, n,
+        | CAST(total * 1000000 // (n_labels * n) AS BIGINT) AS w_ppm
+        |FROM per CROSS JOIN tot""".stripMargin,
+
+    "q240_embedding_audit" ->
+      s"""WITH $prepCte
+        |SELECT label, count(*) AS n_vecs,
+        | CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_zero,
+        | CAST(MIN(n2) AS BIGINT) AS min_n2,
+        | CAST(MAX(n2) AS BIGINT) AS max_n2,
+        | CAST(SUM(n2) // count(*) AS BIGINT) AS avg_n2,
+        | CAST(count(DISTINCT dim) AS BIGINT) AS n_dims
+        |FROM n GROUP BY 1""".stripMargin,
 
     // q62's full trained-IVF replay and an exact brute-force top-5,
     // each as a nested-WITH CTE, joined into the recall metric

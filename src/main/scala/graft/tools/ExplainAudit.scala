@@ -42,7 +42,9 @@ object ExplainAudit {
         "q222_mmr_rerank" -> "BNLJ from bruteForceTopK's tiny query-set broadcast (by design, as q43)",
         "q223_dsir_score" -> "BNLJ broadcasts the 1-row token-total onto the 64-bucket dist (by design, as q80)",
         "q230_basket_rules" -> "BNLJ broadcasts the 1-row basket-count aggregate (by design, as q144)",
-        "q233_conversion_curve" -> "BNLJ broadcasts the 1-row signup-total aggregate (by design, as q80)")
+        "q233_conversion_curve" -> "BNLJ broadcasts the 1-row signup-total aggregate (by design, as q80)",
+        "q239_class_weights" -> "BNLJ broadcasts the 1-row label-total aggregate (by design, as q80)",
+        "q241_geo_rollup_shares" -> "BNLJ broadcasts the 1-row grand-total aggregate (by design, as q80)")
       // single-partition windows — the OTHER classic scale-killer a
       // string grep can't see reliably; detected on the optimized plan
       // (empty partitionSpec) and allow-listed only where the window's

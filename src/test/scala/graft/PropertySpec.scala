@@ -140,4 +140,49 @@ class PropertySpec extends SparkTestBase {
         s"$p-way manifest partial merge diverged from one-shot")
     }
   }
+
+  test("market segmentation laws: ABC partitions, Gini bounds, RFM terciles") {
+    // q227/q231/q232 share customer-revenue grain; their invariants
+    // hold per market by construction and must survive any replan:
+    //  - ABC classes partition each nation's customers exactly and
+    //    their share_ppm sums to <= 1e6 (integer floor per class);
+    //  - Gini lands in [0, 1e6) — the rank form cannot go negative on
+    //    sorted ascending ranks, nor reach 1 on finite data;
+    //  - RFM terciles per (nation, axis) differ in size by at most 2
+    //    ((rn-1)*3 DIV n + 1 splits n into thirds off by rounding).
+    val d = sf
+    val custTotal = sources.Tables.read(spark, d, "orders")
+      .join(sources.Tables.read(spark, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(countDistinct("o_custkey").as("n_cust"))
+    val abc = SparkEntry.queries("q227_abc_segmentation")(spark, d)
+    val abcPerNation = abc.groupBy("c_nationkey")
+      .agg(sum("n_customers").as("n_abc"), sum("share_ppm").as("sp"))
+    val joined = abcPerNation.join(custTotal, "c_nationkey")
+    assert(joined.filter(col("n_abc") =!= col("n_cust")).count() == 0,
+      "ABC classes do not partition the nation's customers")
+    assert(joined.filter(col("sp") > 1000000L).count() == 0,
+      "ABC share_ppm exceeds 1e6 within a nation")
+
+    val gini = SparkEntry.queries("q231_gini_concentration")(spark, d)
+    assert(gini.filter(col("gini_ppm") < 0 ||
+      col("gini_ppm") >= 1000000L).count() == 0,
+      "Gini ppm out of [0, 1e6)")
+
+    val rfm = SparkEntry.queries("q232_rfm_segments")(spark, d)
+    for (axis <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = rfm.groupBy(col("c_nationkey"), col(axis))
+        .agg(sum("n_customers").as("n"))
+        .groupBy("c_nationkey")
+        .agg((max("n") - min("n")).as("spread"), count(lit(1)).as("k"))
+      assert(sizes.filter(col("k") > 3).count() == 0,
+        s"$axis produced more than 3 terciles")
+      // nations with >= 3 customers must split near-evenly
+      val big = sizes.join(custTotal, "c_nationkey")
+        .filter(col("n_cust") >= 3)
+      assert(big.filter(col("spread") > 2).count() == 0,
+        s"$axis tercile sizes differ by more than 2 in a market")
+    }
+  }
 }
