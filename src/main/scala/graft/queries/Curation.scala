@@ -642,6 +642,31 @@ object Curation {
         .agg(count(lit(1)).as("n_pairs"))
         .filter(col("n_pairs") >= SkipMin)),
 
+    // ---- q245: Zipf vocabulary-coverage curve ----
+    // How few token TYPES cover how much of the corpus: vocab ranked
+    // by frequency, cumulative token share in exact ppm, reported for
+    // the top-50 ranks — the curve that sizes a tokenizer vocabulary
+    // (q71 lists the heavy hitters; this gives the coverage each rank
+    // buys). The ranking window is global but runs on the
+    // VOCABULARY-bounded agg, never the token stream (the q147
+    // bounded-global-window shape), and the 1-row token total is the
+    // allow-listed q80 broadcast.
+    "q245_zipf_coverage" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val vocab = docs(s, d)
+        .select(explode(expr(toksNat)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val wOrd = W.orderBy(col("n").desc, col("tok"))
+      val tot = vocab.agg(sum("n").as("tt"))
+      vocab
+        .withColumn("rank", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum("n").over(wOrd))
+        .crossJoin(broadcast(tot))
+        .filter(col("rank") <= 50)
+        .select(col("rank"), col("tok"), col("n"),
+          expr("cum * 1000000 DIV tt").as("cum_share_ppm"))
+    }),
+
     // ---- q170: temperature-scaled source mixture weights ----
     // The training-mixture allocator: per-source sampling weights
     // proportional to (token share)^alpha with alpha = 0.5 — the
@@ -1134,6 +1159,19 @@ object Curation {
         |   unnest(ts[i+1:i+$SkipW]) AS b FROM p)
         |SELECT a, b, count(*) AS n_pairs FROM pr
         |GROUP BY 1, 2 HAVING count(*) >= $SkipMin""".stripMargin,
+
+    "q245_zipf_coverage" ->
+      s"""WITH v AS (SELECT unnest(${toksDuck("text")}) AS tok
+        |  FROM documents),
+        | g AS (SELECT tok, count(*) AS n FROM v GROUP BY 1),
+        | t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM g),
+        | r AS (SELECT tok, n,
+        |   ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+        |   CAST(SUM(n) OVER (ORDER BY n DESC, tok) AS BIGINT) AS cum
+        |  FROM g)
+        |SELECT rank, tok, n,
+        | CAST(cum * 1000000 // tt AS BIGINT) AS cum_share_ppm
+        |FROM r CROSS JOIN t WHERE rank <= 50""".stripMargin,
 
     "q170_mixture_weights" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs,

@@ -533,6 +533,34 @@ object Pipelines {
           count(lit(1)).as("users")))
     }),
 
+    // ---- q246: deadline-bounded funnel (conversion windows) ----
+    // q111's strictly-ordered funnel with DEADLINES: the click must
+    // land within 7 days of first signup, the purchase within 7 days
+    // of that click — stage users who convert too late fall out,
+    // which is how growth funnels are actually scored. Same one-key
+    // join chain (every shuffle on user_id co-locates); the bound is
+    // exact µs arithmetic inside the stage filter.
+    "q246_windowed_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val week = 7L * 24 * 3600 * 1000000L
+      def firstWithin(tpe: String, prev: DataFrame, prevTs: String,
+          outTs: String): DataFrame =
+        ev.filter(col("event_type") === tpe)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevTs) &&
+            unix_micros(col("ts")) - unix_micros(col(prevTs)) <= week)
+          .groupBy("user_id").agg(min(col("ts")).as(outTs))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("ts0"))
+      val cl = firstWithin("click", su, "ts0", "ts1")
+      val pu = firstWithin("purchase", cl, "ts1", "ts2")
+      su.agg(lit("signup").as("stage"), count(lit(1)).as("users"))
+        .unionAll(cl.agg(lit("click_7d").as("stage"),
+          count(lit(1)).as("users")))
+        .unionAll(pu.agg(lit("purchase_7d").as("stage"),
+          count(lit(1)).as("users")))
+    }),
+
     // ---- q233: signup→purchase conversion curve by day offset ----
     // q111 counts WHO converts; this shows WHEN: for each whole-day
     // offset since first signup, how many users made their first
@@ -841,6 +869,23 @@ object Pipelines {
         |SELECT 'signup' AS stage, count(*) AS users FROM su
         |UNION ALL SELECT 'click_after_signup', count(*) FROM cl
         |UNION ALL SELECT 'purchase_after_click', count(*) FROM pu""".stripMargin,
+
+    "q246_windowed_funnel" ->
+      """WITH base AS (SELECT user_id, event_type,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | su AS (SELECT user_id, MIN(ts) AS ts0 FROM base
+        |   WHERE event_type = 'signup' GROUP BY 1),
+        | cl AS (SELECT e.user_id, MIN(e.ts) AS ts1 FROM base e
+        |   JOIN su ON e.user_id = su.user_id AND e.ts > su.ts0
+        |    AND EPOCH_US(e.ts) - EPOCH_US(su.ts0) <= 604800000000
+        |   WHERE e.event_type = 'click' GROUP BY 1),
+        | pu AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM base e
+        |   JOIN cl ON e.user_id = cl.user_id AND e.ts > cl.ts1
+        |    AND EPOCH_US(e.ts) - EPOCH_US(cl.ts1) <= 604800000000
+        |   WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 'signup' AS stage, count(*) AS users FROM su
+        |UNION ALL SELECT 'click_7d', count(*) FROM cl
+        |UNION ALL SELECT 'purchase_7d', count(*) FROM pu""".stripMargin,
 
     "q233_conversion_curve" ->
       """WITH su AS (SELECT user_id, min(ts) AS ts0 FROM events

@@ -44,7 +44,8 @@ object ExplainAudit {
         "q230_basket_rules" -> "BNLJ broadcasts the 1-row basket-count aggregate (by design, as q144)",
         "q233_conversion_curve" -> "BNLJ broadcasts the 1-row signup-total aggregate (by design, as q80)",
         "q239_class_weights" -> "BNLJ broadcasts the 1-row label-total aggregate (by design, as q80)",
-        "q241_geo_rollup_shares" -> "BNLJ broadcasts the 1-row grand-total aggregate (by design, as q80)")
+        "q241_geo_rollup_shares" -> "BNLJ broadcasts the 1-row grand-total aggregate (by design, as q80)",
+        "q245_zipf_coverage" -> "BNLJ broadcasts the 1-row token-total aggregate (by design, as q80)")
       // single-partition windows — the OTHER classic scale-killer a
       // string grep can't see reliably; detected on the optimized plan
       // (empty partitionSpec) and allow-listed only where the window's
@@ -53,7 +54,8 @@ object ExplainAudit {
         "q147_quality_sweep" -> "cumulative window over the BUCKET table (~range/10 rows), not the corpus",
         "q148_token_budget" -> "phase-1 cumulative window over the q_milli bucket table (<=1001 rows)",
         "q189_equidepth_hist" -> "global rank over the deterministic half-sample, not the full scan",
-        "q233_conversion_curve" -> "cumulative window over the day-offset table (<= corpus span in days), not the corpus")
+        "q233_conversion_curve" -> "cumulative window over the day-offset table (<= corpus span in days), not the corpus",
+        "q245_zipf_coverage" -> "rank/cumulative windows over the VOCABULARY-bounded agg, not the token stream")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
           val df = fn(spark, d)

@@ -437,4 +437,36 @@ class ScaleSpec extends SparkTestBase {
       shuf.exceptAll(bcast).count() == 0,
       "shuffle-path BFS diverged from broadcast-path BFS")
   }
+
+  test("round-7 analytics windows all partition (no global sorts)") {
+    // the market/temporal analytics family promises every running-sum
+    // or rank window partitions (by nation, type, user, cohort …) so
+    // no reducer ever sorts more than one partition's slice — pin it
+    // on the optimized plan, where an empty partitionSpec is the
+    // single-partition scale-killer ExplainAudit also scans for
+    // (q233's day-offset cumulative window is the one deliberate,
+    // bounded exception)
+    val names = Seq("q224_event_transitions", "q225_cusum_changepoint",
+      "q227_abc_segmentation", "q228_diurnal_profile", "q229_wow_growth",
+      "q231_gini_concentration", "q232_rfm_segments", "q242_bounce_rate",
+      "q243_cohort_ltv", "q244_linear_attribution")
+    for (n <- names) {
+      val globals = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+      assert(globals.isEmpty, s"$n plans a global (unpartitioned) window")
+    }
+  }
+
+  test("fulfillment snapshot reduces lineitem to order grain before the join") {
+    // q237's scale property: the per-order min/max ship dates combine
+    // map-side (partial_min/partial_max BEFORE the exchange), so the
+    // join input is order-grain — the shuffle never carries raw lines
+    val plan = SparkEntry.queries("q237_fulfillment_snapshot")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"expected map-side partial min/max under the join:\n$plan")
+  }
 }
