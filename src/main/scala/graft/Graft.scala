@@ -100,6 +100,12 @@ object Graft {
       // sources.Tables normalize to us TimestampType (SURVEY.md §7.3's
       // ns→us truncation rule).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Parquet timestamp[us] without a zone annotation would otherwise
+      // infer as TIMESTAMP_NTZ; pin plain-TimestampType inference so every
+      // corpus vintage lands the ONE canonical ts type (session zone is
+      // UTC above, so NTZ wall-clock values are preserved bit-for-bit —
+      // sources.Tables.canonicalTs covers sessions lacking this config).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Bucketed scans report their sortBy ordering (safe: only applies
       // when a bucket is ONE file, which sources.Tables.writeBucketed
       // guarantees by pre-repartitioning on the bucket key) — merge
@@ -115,7 +121,9 @@ object Graft {
     // both depend on them, so surface the mismatch instead of diverging
     // quietly.
     if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC" ||
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" ||
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled",
+          "true") != "false")
       System.err.println("[graft] WARNING: existing SparkSession lacks " +
         "graft's required configs (UTC session timeZone, parquet " +
         "nanosAsLong) — events reads and datetime results may misbehave. " +

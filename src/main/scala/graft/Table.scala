@@ -129,6 +129,31 @@ final case class Table(df: DataFrame) {
     * driver-side show here. */
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
 
+  /** print, reference-parity form: EACH partition pretty-prints its own
+    * shard executor-side, prefixed `[partitionId]` — exactly the
+    * reference's `operation_print`, where every chare PrettyPrints its
+    * Arrow shard to its own stdout (`src/partition.cpp:385-403`). On a
+    * cluster the output lands in each executor's stdout log (the same
+    * place CkPrintf lands per PE); in local mode it interleaves on the
+    * driver console. `maxRowsPerShard` bounds the per-task formatting
+    * work so a 100 TB shard can't try to stringify itself. */
+  def printShards(maxRowsPerShard: Int = 20): Unit = {
+    val names = df.columns
+    df.foreachPartition {
+      (rows: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val head = rows.take(maxRowsPerShard).toSeq
+        val body = head.map(r => names.indices
+          .map(i => String.valueOf(r.get(i))).mkString(" | "))
+        // one println per shard: concurrent tasks interleave BLOCKS,
+        // not lines. System.out (re-read per call), not Scala's cached
+        // Console.out — executor stdout redirection sees it.
+        System.out.println((s"[$pid] shard rows=${head.size}${
+          if (head.size == maxRowsPerShard) "+" else ""}" +:
+          names.mkString(" | ") +: body).mkString("\n"))
+    }
+  }
+
   /** fetch_size (op=10). */
   def count(): Long = df.count()
 

@@ -23,6 +23,12 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // Failures are DATA, not just stderr: a throwing query writes a 1-row
+    // error-marker parquet under its own output name (the downstream
+    // compare then reports a red row instead of silent absence — the r7
+    // lesson, where 9 analysis-time errors showed up as missing rows) and
+    // lands in errors.json for the gate to print verbatim.
+    val errs = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -34,6 +40,12 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errs.put(name, String.valueOf(e.toString).take(800))
+          try {
+            import spark.implicits._
+            Seq(String.valueOf(e.toString).take(800)).toDF("graft_error")
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
       }
     }
@@ -59,6 +71,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    import scala.jdk.CollectionConverters._
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errs.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -33,11 +33,17 @@ import org.apache.spark.sql.expressions.Window
 object AsOfJoin {
 
   /** `direction`: "backward" (latest right with rightTime <= leftTime,
-    * the default) or "forward" (earliest right with rightTime >=
-    * leftTime) — pandas merge_asof's direction parameter. The forward
+    * the default), "forward" (earliest right with rightTime >=
+    * leftTime), or "nearest" (whichever of the two is closer in
+    * absolute time; equidistant ties go BACKWARD, pandas merge_asof's
+    * `<=` rule) — pandas merge_asof's direction parameter. The forward
     * pass is the same one-shuffle carry pattern traversed in reverse
     * time order (right still before left at equal timestamps, so an
-    * exactly-equal right row matches either way).
+    * exactly-equal right row matches either way). "nearest" computes
+    * BOTH carries inside the one unioned pass — two window orderings
+    * over the same key partitioning, so still ONE Exchange (two
+    * per-partition sorts) — then picks per-row by gap; time columns
+    * must be timestamps (the gap compare needs µs arithmetic).
     *
     * `toleranceMicros`: maximum |leftTime - matched rightTime|; a
     * nearest match farther away yields null payloads instead (pandas
@@ -50,8 +56,11 @@ object AsOfJoin {
       right: DataFrame, rightKey: String, rightTime: String,
       payloadCols: Seq[String], direction: String = "backward",
       toleranceMicros: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    if (direction == "nearest")
+      return leftAsOfNearest(left, leftKey, leftTime, right, rightKey,
+        rightTime, payloadCols, toleranceMicros)
 
     // the carried struct also records the matched right TIME so a
     // tolerance can invalidate far-away matches after the carry
@@ -98,6 +107,63 @@ object AsOfJoin {
         val (lt, rt) = (unix_micros(col("_t").cast("timestamp")),
           unix_micros(col("_match._rt").cast("timestamp")))
         val gap = if (direction == "backward") lt - rt else rt - lt
+        timeKnown && col("_match").isNotNull && gap <= tol
+    }
+    matched.select(left.columns.map(col) ++
+      payloadCols.map(c => when(valid, col(s"_match.$c")).as(c)): _*)
+  }
+
+  /** direction="nearest": both carries in the one unioned pass. The
+    * backward window orders (time asc, right-before-left) and carries
+    * the last payload; the forward window orders (time asc,
+    * LEFT-before-right) and takes the first payload in the FOLLOWING
+    * frame — at equal timestamps the right row lands inside each
+    * frame, so an exact-time match is found from either side. Same key
+    * partitioning for both windows → one Exchange, two sorts. */
+  private def leftAsOfNearest(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      payloadCols: Seq[String],
+      toleranceMicros: Option[Long]): DataFrame = {
+    val payload = struct(
+      payloadCols.map(right(_)) :+ right(rightTime).as("_rt"): _*)
+    val r = right.select(
+      right(rightKey).as("_k"), right(rightTime).as("_t"),
+      payload.as("_p"), lit(0).as("_side"))
+    val payloadType = r.schema("_p").dataType
+
+    val leftCols = left.columns.map(left(_))
+    val l = left.select(leftCols :+ left(leftKey).as("_k") :+
+      left(leftTime).as("_t") :+ lit(null).cast(payloadType).as("_p") :+
+      lit(1).as("_side"): _*)
+    val rAligned = left.columns.foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .filter(col("_t").isNotNull)
+      .select(l.columns.map(col): _*)
+
+    val wB = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val lt = unix_micros(col("_t").cast("timestamp"))
+    val gapB = lt - unix_micros(col("_mb._rt").cast("timestamp"))
+    val gapF = unix_micros(col("_mf._rt").cast("timestamp")) - lt
+    // pandas nearest: backward wins when gapB <= gapF (merge.py's `<=`)
+    val pickB = col("_mb").isNotNull &&
+      (col("_mf").isNull || gapB <= gapF)
+    val matched = l.unionByName(rAligned)
+      .withColumn("_mb", last(col("_p"), ignoreNulls = true).over(wB))
+      .withColumn("_mf", first(col("_p"), ignoreNulls = true).over(wF))
+      .filter(col("_side") === 1)
+      .withColumn("_match", when(pickB, col("_mb")).otherwise(col("_mf")))
+    val gap = when(pickB, gapB).otherwise(gapF)
+    val timeKnown = col("_t").isNotNull
+    val valid = toleranceMicros match {
+      case None => timeKnown && col("_match").isNotNull
+      case Some(tol) =>
         timeKnown && col("_match").isNotNull && gap <= tol
     }
     matched.select(left.columns.map(col) ++

@@ -58,6 +58,25 @@ object Analytics {
             .cast("long")))
     }),
 
+    // ---- q247: PIVOT (long→wide), the inverse of q97's melt ----
+    // Event counts by type × day-of-week, pivoted into one column per
+    // weekday through Spark's native pivot with an EXPLICIT value list
+    // (no extra distinct-values job, stable column order — the form
+    // that scales, since an inferred pivot must first collect the
+    // value domain to the driver). Spark's dayofweek is 1-based
+    // Sunday=1; DuckDB's dayofweek is Sunday=0 — the −1 aligns them.
+    // Absent (type, day) combos surface as 0 like the oracle's FILTER
+    // counts. One shuffle on event_type; the pivot is map-side
+    // conditional aggregation, exactly the oracle's FILTER spelling.
+    "q247_pivot_dow" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
+        .groupBy("event_type")
+        .pivot("dow", Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .toDF("event_type", "d0", "d1", "d2", "d3", "d4", "d5", "d6")),
+
     // Rolling time-series frame (trailing mean over the last 3 OBSERVED
     // months of revenue per nation): the sliding ROWS frame q22/q64
     // don't cover. NOTE ROWS frames slide over existing rows — a month
@@ -720,6 +739,17 @@ object Analytics {
         | (dmax < TIMESTAMP '$PruneLo' OR dmin >= TIMESTAMP '$PruneHi')
         |   AS can_skip
         |FROM g""".stripMargin,
+
+    "q247_pivot_dow" ->
+      """SELECT event_type,
+        | count(*) FILTER (WHERE dayofweek(ts) = 0) AS d0,
+        | count(*) FILTER (WHERE dayofweek(ts) = 1) AS d1,
+        | count(*) FILTER (WHERE dayofweek(ts) = 2) AS d2,
+        | count(*) FILTER (WHERE dayofweek(ts) = 3) AS d3,
+        | count(*) FILTER (WHERE dayofweek(ts) = 4) AS d4,
+        | count(*) FILTER (WHERE dayofweek(ts) = 5) AS d5,
+        | count(*) FILTER (WHERE dayofweek(ts) = 6) AS d6
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q201_dist_drift" ->
       """WITH bins AS (SELECT event_type,

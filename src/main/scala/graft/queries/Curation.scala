@@ -51,6 +51,12 @@ object Curation {
   private val Shards = 8
   // Per-stratum hard cap for the quota sample.
   private val QuotaK = 40
+  // q252: floor(log2(p_ppm)) as a 20-branch CASE cascade over powers of
+  // two — the SAME text runs in Spark and DuckDB, so no libm log enters
+  // either engine (p_ppm ∈ [0, 1e6]; 0 falls to the ELSE, capping the
+  // pair's surprisal at 20 bits).
+  private val Log2Case: String = "CASE " + (19 to 0 by -1).map(k =>
+    s"WHEN p_ppm >= ${1L << k} THEN $k").mkString(" ") + " ELSE 0 END"
   // q148's token budget — selects a strict subset at every SF.
   private val TokenBudget = 10000L
   // q164's retrieval query terms: two common tokens plus the one rare
@@ -359,6 +365,58 @@ object Curation {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_pairs"),
           expr("sum(p_ppm) DIV count(1)").as("score_ppm"))
+    }),
+
+    // ---- q252: bigram log2-surprisal scoring (exact-integer bits) ----
+    // The ACTUAL log-prob shape q204's rational proxy sidesteps: per-doc
+    // total surprisal Σ −log2(p) in whole bits, with floor(log2(p_ppm))
+    // computed by a 20-branch CASE cascade over powers of two — pure
+    // integer compares, so no libm call exists in either engine and the
+    // score hash-matches bit-for-bit (same move as DetSketch's
+    // compile-time ln table). Surprisal per pair = 20 − floor(log2
+    // (p_ppm)) ≈ −log2(c_ab/c_a) since 2^20 ≈ 1e6 ppm. Same broadcast
+    // LM + map-side per-doc collapse as q204; p_ppm = 0 (conditional
+    // prob under 1 ppm) caps at the ELSE branch, 20 bits.
+    "q252_surprisal" -> ((s, d) => {
+      val pairs = docs(s, d)
+        .select(col("doc_id"), explode(expr("graft_ngrams(text, 2)")).as("g"))
+        .select(col("doc_id"), split(col("g"), " ")(0).as("a"),
+          split(col("g"), " ")(1).as("b"))
+      val c = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val tot = c.groupBy("a").agg(sum("c_ab").as("c_a"))
+      val lm = broadcast(c.join(tot, "a")
+        .select(col("a"), col("b"),
+          expr("c_ab * 1000000 DIV c_a").as("p_ppm")))
+      pairs.join(lm, Seq("a", "b"))
+        .withColumn("l2", expr(Log2Case))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(lit(20L) - col("l2")).as("bits"))
+        .withColumn("bits_cb_per_pair", expr("bits * 100 DIV n_pairs"))
+    }),
+
+    // ---- q253: integer TF-IDF top terms per document ----
+    // Each doc's 3 most characteristic terms by tf × idf with idf as
+    // the exact rational (n_docs·1e6) DIV df — no log, so the ranking
+    // is bit-stable across engines (idf's monotone-in-1/df core is
+    // what the ranking uses; ties break on term asc). Scale shape: the
+    // df table and the 1-row corpus count both BROADCAST (vocabulary-
+    // bounded / scalar), so the per-doc term stream never reshuffles
+    // for the lookup; the top-3 is a doc-partitioned window.
+    "q253_tfidf_terms" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(expr(toksNat)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfTab), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", expr("tf * ((n_docs * 1000000) DIV df)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
     }),
 
     // ---- q139: cross-source vocabulary overlap (Jaccard matrix) ----
@@ -985,6 +1043,39 @@ object Curation {
         | CAST(CAST(SUM(lm.p_ppm) AS BIGINT) // count(*) AS BIGINT)
         |   AS score_ppm
         |FROM ab JOIN lm USING (a, b) GROUP BY 1""".stripMargin,
+
+    "q252_surprisal" ->
+      s"""WITH pr AS (SELECT doc_id,
+        |   unnest(${ngramsDuck(s"(${toksDuck("text")})", 2)}) AS g
+        |  FROM documents),
+        | ab AS (SELECT doc_id, string_split(g, ' ')[1] AS a,
+        |   string_split(g, ' ')[2] AS b FROM pr),
+        | c AS (SELECT a, b, count(*) AS c_ab FROM ab GROUP BY 1, 2),
+        | t AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c
+        |   GROUP BY 1),
+        | lm AS (SELECT c.a, c.b, (c.c_ab * 1000000) // t.c_a AS p_ppm
+        |  FROM c JOIN t USING (a)),
+        | sc AS (SELECT ab.doc_id, ($Log2Case) AS l2
+        |  FROM ab JOIN lm USING (a, b))
+        |SELECT doc_id, count(*) AS n_pairs,
+        | CAST(SUM(20 - l2) AS BIGINT) AS bits,
+        | CAST(CAST(SUM(20 - l2) AS BIGINT) * 100 // count(*) AS BIGINT)
+        |   AS bits_cb_per_pair
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    "q253_tfidf_terms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${toksDuck("text")}) AS term
+        |   FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |   tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        | rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY score DESC, term) AS rk FROM sc)
+        |SELECT doc_id, term, tf, df, score, rk FROM rk
+        |WHERE rk <= 3""".stripMargin,
 
     "q139_source_overlap" ->
       s"""WITH st AS (SELECT DISTINCT source,

@@ -548,7 +548,8 @@ object Pipelines {
         ev.filter(col("event_type") === tpe)
           .join(prev, Seq("user_id"))
           .filter(col("ts") > col(prevTs) &&
-            unix_micros(col("ts")) - unix_micros(col(prevTs)) <= week)
+            unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col(prevTs).cast("timestamp")) <= week)
           .groupBy("user_id").agg(min(col("ts")).as(outTs))
       val su = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(col("ts")).as("ts0"))
@@ -581,7 +582,7 @@ object Pipelines {
         .groupBy("user_id")
         .agg(min("ts").as("ts1"), min("ts0").as("t0"))
       val conv = pu.withColumn("off_d",
-          expr("(unix_micros(ts1) - unix_micros(t0)) DIV 86400000000"))
+          expr("(unix_micros(CAST(ts1 AS TIMESTAMP)) - unix_micros(CAST(t0 AS TIMESTAMP))) DIV 86400000000"))
         .groupBy("off_d").agg(count(lit(1)).as("n_conv"))
       val tot = su.agg(count(lit(1)).as("n_signups"))
       val wc = Window.orderBy("off_d")
@@ -608,6 +609,16 @@ object Pipelines {
     // EventStreams.signupConversions). NOTE: RUNS the stream.
     "q169_stream_left_join" -> ((s, d) =>
       graft.streaming.EventStreams.conversionsBatchEquivalent(s, d)),
+
+    // ---- q254: FULL OUTER stream-stream join (reconciliation) ----
+    // q105 shows converters, q169 adds non-converting signups; this
+    // also surfaces ORPHAN purchases (no signup in the preceding hour)
+    // — the two-sided reconciliation report that closes the streaming
+    // join-type surface. Unmatched rows from BOTH sides flush on
+    // watermark eviction via the q169 sentinel machinery. NOTE: RUNS
+    // the stream.
+    "q254_stream_full_outer" -> ((s, d) =>
+      graft.streaming.EventStreams.reconciliationBatchEquivalent(s, d)),
 
     // ---- q180: stream-static enrichment join, run to completion ----
     // The dimension-lookup pattern every streaming pipeline starts
@@ -956,6 +967,19 @@ object Pipelines {
         |   FROM base WHERE event_type = 'purchase')
         |SELECT s.signup_id, s.user_id AS user_id, p.purchase_id, p.value
         |FROM s LEFT JOIN p
+        | ON p.user_id = s.user_id AND p.ts >= s.ts
+        |  AND p.ts < s.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "q254_stream_full_outer" ->
+      """WITH base AS (SELECT event_id, event_type, user_id, value,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | s AS (SELECT event_id AS signup_id, user_id, ts
+        |   FROM base WHERE event_type = 'signup'),
+        | p AS (SELECT event_id AS purchase_id, user_id, ts, value
+        |   FROM base WHERE event_type = 'purchase')
+        |SELECT s.signup_id, COALESCE(s.user_id, p.user_id) AS user_id,
+        | p.purchase_id, p.value
+        |FROM s FULL OUTER JOIN p
         | ON p.user_id = s.user_id AND p.ts >= s.ts
         |  AND p.ts < s.ts + INTERVAL 1 HOUR""".stripMargin
   )

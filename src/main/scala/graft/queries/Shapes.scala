@@ -46,7 +46,8 @@ object Shapes {
           // and would disagree with a fractional-second oracle on
           // boundary gaps
           (col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L)
+            unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L)
             .cast("int"))
         .withColumn("sess_id", sum(col("new_sess")).over(run))
         .groupBy(col("user_id"), col("sess_id"))
@@ -95,7 +96,8 @@ object Shapes {
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_sess",
           (col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) >
               1800L * 1000000L).cast("int"))
         .withColumn("sess_id", sum(col("new_sess")).over(run))
         .groupBy(col("user_id"), col("sess_id"))
@@ -126,7 +128,8 @@ object Shapes {
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_sess",
           (col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L)
+            unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L)
             .cast("int"))
         .withColumn("sess_id", sum(col("new_sess")).over(run))
         .groupBy(col("user_id"), col("sess_id"))

@@ -74,7 +74,7 @@ object Temporal {
     "q200_hourly_gaps" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_type"),
-          expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000")
+          expr("unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP)) DIV 3600000000")
             .as("eh"))
         .groupBy("event_type")
         .agg(min("eh").as("h0"), max("eh").as("h1"),
@@ -267,6 +267,53 @@ object Temporal {
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
     }),
 
+    // ---- q250: NEAREST as-of join (pandas direction='nearest') ----
+    // Each click attaches the user's closest purchase IN EITHER time
+    // direction, within a 6h tolerance; equidistant ties go backward
+    // (pandas merge_asof's `<=` rule). Completes the as-of direction
+    // surface (q31 backward, q90 forward). Plan shape: both carries
+    // computed inside ONE unioned pass — two window orderings over the
+    // same user_id partitioning, so one Exchange and two sorts, never a
+    // per-key nested loop (AsOfJoin.leftAsOfNearest). The right side is
+    // pre-deduped per (user, ts) so the carry pick is deterministic.
+    "q250_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("pts"))
+        .agg(max("event_id").as("purchase_id"))
+      AsOfJoin.leftAsOf(clicks, "user_id", "ts",
+          purchases, "p_user", "pts", Seq("purchase_id", "pts"),
+          direction = "nearest",
+          toleranceMicros = Some(6L * 3600 * 1000000L))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          col("pts").as("purchase_ts"))
+    }),
+
+    // ---- q249: gap-and-island activity streaks ----
+    // Longest run of CONSECUTIVE active days per user — the classic
+    // gaps-and-islands shape: distinct (user, day), then
+    // day_number − row_number is constant within a consecutive run, so
+    // one groupBy on that difference measures every streak with no
+    // self-join and no iteration. Two shuffles total (distinct on
+    // (user, day), window+agg on user); the per-user day list is
+    // bounded by the calendar, so no partition outgrows memory at any
+    // corpus size.
+    "q249_active_streaks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("grp",
+          expr("datediff(day, DATE '1970-01-01')") -
+            row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("max_streak"), count(lit(1)).as("n_streaks"))
+    }),
+
     // ---- q224: event-type transition matrix (Markov estimation) ----
     // Per-user event sequences -> (prev, next) transition counts and
     // row-normalized probabilities in exact ppm (n·1e6 DIV row_total),
@@ -420,7 +467,8 @@ object Temporal {
           col("ts").as("cts"))
       p.join(c, Seq("user_id"))
         .filter(col("cts") <= col("pts") &&
-          unix_micros(col("pts")) - unix_micros(col("cts")) <
+          unix_micros(col("pts").cast("timestamp")) -
+            unix_micros(col("cts").cast("timestamp")) <
             24L * 3600 * 1000000L)
         .withColumn("n", count(lit(1)).over(W.partitionBy("pid")))
         .select(col("user_id"), col("cid"),
@@ -641,6 +689,42 @@ object Temporal {
         |   THEN o.o_orderdate END AS o_orderdate
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin,
+
+    // nearest = rank all same-user candidates by (|gap|, backward-first)
+    // — tractable for the oracle because DuckDB's ASOF join has no
+    // 'nearest' direction; tolerance applied post-pick like the engine.
+    "q250_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |   WHERE event_type = 'click'),
+        | p AS (SELECT user_id, ts AS pts, MAX(event_id) AS purchase_id
+        |   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        | cand AS (SELECT c.event_id, c.user_id, p.purchase_id, p.pts,
+        |   abs(epoch_us(CAST(p.pts AS TIMESTAMP))
+        |     - epoch_us(CAST(c.ts AS TIMESTAMP))) AS gap,
+        |   CASE WHEN p.pts <= c.ts THEN 0 ELSE 1 END AS fwd
+        |  FROM c JOIN p USING (user_id)),
+        | best AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |     ORDER BY gap, fwd) AS rn
+        |  FROM cand)
+        |SELECT c.event_id, c.user_id,
+        | CASE WHEN b.gap <= 21600000000 THEN b.purchase_id END
+        |   AS purchase_id,
+        | CASE WHEN b.gap <= 21600000000 THEN b.pts END AS purchase_ts
+        |FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  USING (event_id)""".stripMargin,
+
+    "q249_active_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |   FROM events),
+        | g AS (SELECT user_id, day,
+        |   datediff('day', DATE '1970-01-01', day)
+        |     - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |     AS grp
+        |  FROM days),
+        | s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS max_streak,
+        | CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q224_event_transitions" ->
       """WITH o AS (SELECT user_id, event_id, event_type,

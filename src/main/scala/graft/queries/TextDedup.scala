@@ -17,6 +17,33 @@ object TextDedup {
     Tables.read(s, dir, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q248: blocked edit-distance record linkage ----
+    // Near-identical part names found by BLOCKED Levenshtein — the
+    // record-linkage primitive (Fellegi-Sunter blocking stage): an
+    // equi-join on the cheap blocking key (p_brand, p_size) generates
+    // candidates, and the quadratic edit-distance verifier runs on
+    // in-block pairs ONLY — never all-pairs, the same
+    // candidates-then-verify discipline as the MinHash/prefix-filter
+    // dedup family. At 100 TB the block key is the partition key, so
+    // the verify stage is shuffle-local. Both engines run the identical
+    // Levenshtein (exact integers).
+    "q248_name_linkage" -> ((s, d) => {
+      val p = Tables.read(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"))
+      val a = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("id1"), col("p_name").as("name1"))
+      val b = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("id2"), col("p_name").as("name2"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("dist",
+          levenshtein(col("name1"), col("name2")).cast("long"))
+        .filter(col("dist") <= 12)
+        .select("id1", "id2", "dist")
+    }),
+
     "q32_text_stats" -> ((s, d) =>
       TextAnalysis.stats(docs(s, d), "doc_id", "text")),
 
@@ -371,6 +398,16 @@ object TextDedup {
       |  AND doc_id NOT IN (SELECT doc_id FROM rej)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q248_name_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
+        |SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 12""".stripMargin,
+
     "q32_text_stats" ->
       s"""WITH $toksCte,
         | u AS (SELECT doc_id, len, len(t) AS n_toks,

@@ -20,25 +20,53 @@ object Tables {
 
   /** Read one table of the driver corpus: `{dir}/{name}.parquet`.
     *
-    * The `events` table carries ns-precision timestamps, which Spark's
-    * parquet reader only accepts as long (see Graft.session's
-    * `nanosAsLong`); normalize any ns-long time column back to Spark's
-    * us TimestampType here so downstream operators see real timestamps.
-    * ns→us is floor-truncation (reference stores ns, Arrow TimeUnit::NANO
-    * — /root/reference/src/partition.cpp:703-708; Spark is us-precision,
-    * SURVEY.md §1.2).
+    * The `events.ts` column's PHYSICAL storage varies by corpus vintage
+    * (the reference reads whatever Arrow type the parquet holds and
+    * dispatches per type — `/root/reference/src/partition.cpp:1387-1393`);
+    * [[canonicalTs]] folds every vintage to one engine-side type so
+    * downstream operators never see the storage difference.
     */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType) {
-      // integer DIV, not floor(x/1000): long/int promotes to DOUBLE
-      // division in Spark SQL, and ~1.7e18 ns exceeds a double's 2^53
-      // integer range — the lost bits showed up as +-1us timestamps.
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    } else df
+    if (name == "events") canonicalTs(df) else df
   }
+
+  /** Canonicalize an events frame's `ts` to session-zone TimestampType
+    * (us precision, UTC session — Graft.session pins the zone) no matter
+    * how the source stored it:
+    *
+    *  - int64 ns-since-epoch (Arrow TimeUnit::NANO, read as long under
+    *    Graft.session's `nanosAsLong`) → `timestamp_micros(ts DIV 1000)`.
+    *    Integer DIV, not floor(x/1000): long/int promotes to DOUBLE
+    *    division in Spark SQL, and ~1.7e18 ns exceeds a double's 2^53
+    *    integer range — the lost bits showed up as ±1us timestamps.
+    *    ns→us is floor-truncation (reference stores ns,
+    *    `/root/reference/src/partition.cpp:703-708`; SURVEY.md §1.2).
+    *  - timestamp[us] / TIMESTAMP_NTZ → plain cast, no division (the
+    *    session zone is UTC, so NTZ wall-clock values are preserved).
+    *  - already TimestampType → no-op.
+    */
+  def canonicalTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** True when `path`'s events parquet stores `ts` as int64 ns (the
+    * `nanosAsLong` vintage); false for native timestamp storage. Used by
+    * streaming readers, which must DECLARE a schema up front and so need
+    * the storage class before opening the stream. One driver-side footer
+    * read; negligible against stream startup. */
+  def tsStoredAsLong(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
 
   /** Reference-parity reader: the path's last component is a REGEX
     * fully matched against the parent directory's entry names — the

@@ -22,21 +22,36 @@ import graft.functions.DetMath._
   */
 object EventStreams {
 
-  /** events schema as stored (ts is ns-since-epoch int64 in parquet —
-    * see sources.Tables; streaming readers must declare it as long). */
+  /** events schema for the ns-long storage vintage (ts int64
+    * ns-since-epoch, read as long under Graft.session's `nanosAsLong`). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Open a streaming source over a directory of events parquet, with ts
-    * normalized ns→us TimestampType exactly like the batch reader. */
+  /** events schema for the native-timestamp storage vintage
+    * (timestamp[us]; the session zone is UTC so zoneless wall-clock
+    * values read identically to zoned ones). */
+  val tsSchema: StructType = StructType(rawSchema.map(f =>
+    if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
+  /** Open a streaming source over a directory of events parquet with ts
+    * canonicalized to TimestampType exactly like the batch reader
+    * (sources.Tables.canonicalTs). A streaming reader must DECLARE its
+    * schema before starting, so the storage vintage is sniffed from the
+    * directory's parquet footers first (one driver-side read) — the
+    * reference's read-what-the-file-holds dispatch
+    * (`/root/reference/src/partition.cpp:1387-1393`), moved to stream
+    * open time. */
   def fromDirectory(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
-      .parquet(dir)
-      // integer DIV — see sources.Tables.read (double division loses
-      // sub-us bits at ns magnitudes)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    if (graft.sources.Tables.tsStoredAsLong(spark, dir))
+      spark.readStream.schema(rawSchema)
+        .parquet(dir)
+        // integer DIV — see sources.Tables.canonicalTs (double division
+        // loses sub-us bits at ns magnitudes)
+        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    else
+      spark.readStream.schema(tsSchema).parquet(dir)
 
   /** Unbounded synthetic source: Spark's `rate-micro-batch` generator
     * shaped into the events schema (deterministic rows per batch, ids
@@ -186,6 +201,42 @@ object EventStreams {
       signupConversions(_), OutputMode.Append, sentinel = true)
       .filter(col("signup_id") >= 0)
 
+  /** q254: FULL OUTER stream-stream join — the complete
+    * reconciliation view: converting signups matched to their in-window
+    * purchases, non-converting signups with NULL purchase columns, AND
+    * orphan purchases (no signup in the preceding hour) with NULL
+    * signup columns. Completes the streaming join-type surface (q105
+    * inner, q169 left outer). Both sides' unmatched rows emit only on
+    * watermark-driven eviction, so the gate rides the same sentinel
+    * machinery as q169 — the sentinel pair advances BOTH per-side
+    * watermarks past every join window. */
+  def fullReconciliation(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    signups.join(purchases,
+        col("p_user") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(col("signup_id"),
+        coalesce(col("s_user"), col("p_user")).as("user_id"),
+        col("purchase_id"), col("value"))
+  }
+
+  /** Oracle-gated face of [[fullReconciliation]] (q254). Both sentinel
+    * rows carry negative user ids; in a full outer join either can
+    * surface as an unmatched row, so the guard strips on user_id. */
+  def reconciliationBatchEquivalent(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark, sfDir, "graft_q254_recon",
+      fullReconciliation(_), OutputMode.Append, sentinel = true)
+      .filter(col("user_id") >= 0)
+
   // Far-future sentinel event time (2035-01-01 UTC, ns): past every
   // corpus timestamp by decades, so watermark = sentinel - delay clears
   // every real join window; lexicographic ISO floor the waiter polls
@@ -265,9 +316,20 @@ object EventStreams {
       // the sentinel to a scratch dir and move its part file up as a
       // sibling FILE of the staged events
       val scratch = Files.createTempDirectory(s"$name-sentinel")
-      Seq((-1L, SentinelNs, -1L, "signup", 0.0, "{}"),
-          (-2L, SentinelNs, -2L, "purchase", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // the sentinel file must carry the SAME ts dtype as the staged
+      // corpus file — the stream reader declares one schema for the
+      // whole directory, so a vintage mismatch between the two files
+      // would misread one of them
+      val sentinelBase =
+        Seq((-1L, SentinelNs, -1L, "signup", 0.0, "{}"),
+            (-2L, SentinelNs, -2L, "purchase", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val sentinelShaped =
+        if (graft.sources.Tables.tsStoredAsLong(spark, src.toString))
+          sentinelBase
+        else sentinelBase.withColumn("ts",
+          expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      sentinelShaped
         .coalesce(1)
         .write.mode("overwrite").parquet(scratch.toString)
       val listing = Files.list(scratch)
@@ -464,13 +526,22 @@ object EventStreams {
     val ev = graft.sources.Tables.read(spark, sfDir, "events")
       .withColumn("b", pmod(col("event_id"), lit(4)))
     seed(ev.filter(col("b") < 3))
-    val delta = ev.filter(col("b") === 3)
-      .select(col("event_id"),
-        expr("unix_micros(ts) * CAST(1000 AS BIGINT)").as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
-    runStagedStream(spark, tmpPrefix, delta, rawSchema, maxFilesPerTrigger,
-      deltaFiles, onBatch, postRead =
-        _.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")))
+    val deltaCanon = ev.filter(col("b") === 3)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    // re-stage the delta in the SAME physical shape the corpus vintage
+    // uses (ns longs vs native timestamp) — the landed files a
+    // production ingest loop would actually see
+    if (graft.sources.Tables.tsStoredAsLong(spark, s"$sfDir/events.parquet"))
+      runStagedStream(spark, tmpPrefix,
+        deltaCanon.withColumn("ts",
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")),
+        rawSchema, maxFilesPerTrigger, deltaFiles, onBatch, postRead =
+          _.withColumn("ts",
+            expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")))
+    else
+      runStagedStream(spark, tmpPrefix, deltaCanon, tsSchema,
+        maxFilesPerTrigger, deltaFiles, onBatch)
   }
 
   /** Stage `delta` as landed parquet files and stream them back with
@@ -579,7 +650,7 @@ object EventStreams {
   /** Register a directory tree for recursive deletion at JVM exit —
     * covers files Spark creates AFTER registration, which
     * File.deleteOnExit cannot. */
-  private def registerTreeCleanup(dir: java.io.File): Unit = {
+  private[graft] def registerTreeCleanup(dir: java.io.File): Unit = {
     cleanupHook
     cleanupDirs.add(dir)
     ()

@@ -45,7 +45,8 @@ object ExplainAudit {
         "q233_conversion_curve" -> "BNLJ broadcasts the 1-row signup-total aggregate (by design, as q80)",
         "q239_class_weights" -> "BNLJ broadcasts the 1-row label-total aggregate (by design, as q80)",
         "q241_geo_rollup_shares" -> "BNLJ broadcasts the 1-row grand-total aggregate (by design, as q80)",
-        "q245_zipf_coverage" -> "BNLJ broadcasts the 1-row token-total aggregate (by design, as q80)")
+        "q245_zipf_coverage" -> "BNLJ broadcasts the 1-row token-total aggregate (by design, as q80)",
+        "q253_tfidf_terms" -> "BNLJ broadcasts the 1-row corpus-count aggregate (by design, as q80)")
       // single-partition windows — the OTHER classic scale-killer a
       // string grep can't see reliably; detected on the optimized plan
       // (empty partitionSpec) and allow-listed only where the window's

@@ -107,8 +107,7 @@ class StreamingSpec extends SparkTestBase {
 
   test("replayed feed dedups back to the single-delivery table") {
     val got = EventStreams.replayedDedupStream(spark, sf)
-    val batch = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val batch = sources.Tables.read(spark, sf, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
     // the stream saw every row twice; the output must equal one copy
     assert(got.count() == batch.count())

@@ -178,4 +178,20 @@ class TableSpec extends SparkTestBase {
     assert(vc == Seq(("x", 2L), ("y", 1L)))
     assert(t.nunique("g") == 2L)
   }
+
+  test("printShards pretty-prints every shard executor-side (print parity)") {
+    // local mode: task println lands on this JVM's stdout — capture it.
+    // On a cluster the same lines land in each executor's stdout log,
+    // exactly where the reference's per-PE CkPrintf output goes.
+    val t = Table(sources.Tables.read(spark, sf, "nation").repartition(3))
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.out
+    System.setOut(new java.io.PrintStream(buf, true, "UTF-8"))
+    try { t.printShards(maxRowsPerShard = 5); Console.out.flush() }
+    finally System.setOut(old)
+    val out = new String(buf.toByteArray, "UTF-8")
+    val headers = "\\[\\d+\\] shard rows=".r.findAllIn(out).size
+    assert(headers == 3, s"expected 3 shard blocks, got $headers:\n$out")
+    assert(out.contains("n_nationkey"), "schema header missing")
+  }
 }

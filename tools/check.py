@@ -81,6 +81,11 @@ def main():
             print(f"  {name:28s} MISSING OUTPUT (query failed in Verify)")
             continue
         got = pd.read_parquet(os.path.join(out_dir, name))
+        if list(got.columns) == ["graft_error"]:
+            failures.append(name)
+            msg = got["graft_error"].iloc[0] if len(got) else "?"
+            print(f"  {name:28s} QUERY ERROR: {msg[:120]}")
+            continue
         if name not in oracle:
             print(f"  {name:28s} rows={len(got):7d}  (no oracle — rows-only)")
             continue
