@@ -241,6 +241,46 @@ object Multimodal {
     }
   }
 
+  case class AudioClipStats(doc_id: Long, n_samples: Long, n_rail: Long,
+    peak_dev: Long)
+
+  /** Clipping/level audit over truly decoded PCM: per doc, the count
+    * of samples pinned to the 8-bit rails (0 or 255 — the signature of
+    * clipped or corrupted audio) and the peak deviation from the 128
+    * midpoint. The curation gate that drops distorted audio before
+    * feature extraction. Same mapPartitions decode discipline as
+    * [[audioFrameEnergy]] (codec state amortized per partition, one
+    * output row per doc, undecodable inputs skipped). */
+  def audioClipStats(media: DataFrame): Dataset[AudioClipStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val frames = in.readAllBytes()
+            var rail = 0L
+            var peak = 0L
+            var i = 0
+            while (i < frames.length) {
+              val s = frames(i) & 0xff
+              if (s == 0 || s == 255) rail += 1
+              val dev = math.abs(s - 128).toLong
+              if (dev > peak) peak = dev
+              i += 1
+            }
+            Seq(AudioClipStats(r.doc_id, frames.length.toLong, rail, peak))
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException | _: RuntimeException => Seq.empty
+        }
+      }
+    }
+  }
+
   /** Synthesized audio fixture: one real 8-bit PCM mono WAV per id,
     * length and samples pure functions of the id so a SQL oracle can
     * replay them: n_samples = 256 + id % 256, sample(i) =

@@ -58,6 +58,30 @@ object Analytics {
             .cast("long")))
     }),
 
+    // ---- q255: EXISTS-shaped semi-join report (TPC-H Q4 shape) ----
+    // Orders in one quarter counted per priority when AT LEAST ONE of
+    // their lineitems shipped more than 90 days after the order date —
+    // the late-fulfillment audit. The EXISTS spells as a LEFT SEMI join
+    // with the date predicate inside the join condition, so each order
+    // emits at most once with NO post-join dedup and the lineitem side
+    // never materializes payload columns (Spark prunes it to the join
+    // keys). One key-partitioned shuffle; the quarter filter prunes the
+    // probe side at the scan. (TPC-H Q4 proper tests commit<receipt;
+    // this corpus ships only l_shipdate, so lateness is vs order date.)
+    "q255_late_orders" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-07-01") &&
+          col("o_orderdate") < lit("1997-10-01"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
     // ---- q247: PIVOT (long→wide), the inverse of q97's melt ----
     // Event counts by type × day-of-week, pivoted into one column per
     // weekday through Spark's native pivot with an EXPLICIT value list
@@ -739,6 +763,16 @@ object Analytics {
         | (dmax < TIMESTAMP '$PruneLo' OR dmin >= TIMESTAMP '$PruneHi')
         |   AS can_skip
         |FROM g""".stripMargin,
+
+    "q255_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
 
     "q247_pivot_dow" ->
       """SELECT event_type,

@@ -68,6 +68,27 @@ object Ingest {
       .unionAll(orders.filter(col("o_orderkey") % 7 === 2)
         .withColumn("op", lit("delete")))
 
+  /** q131/q257's deterministic version event stream: the base snapshot
+    * plus a change log — a re-priced upsert at +30 days and another at
+    * +90 for keys ≡ 1 (mod 7), a delete at +60 for keys ≡ 2. */
+  private def scd2Events(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"), col("o_orderdate").as("ts"), lit("base").as("op"))
+    val k = col("o_orderkey") % 7
+    def ch(filterK: Int, prio: Option[String], days: Int, op: String) = {
+      val f = orders.filter(k === filterK)
+      val p = prio.map(lit(_)).getOrElse(col("o_orderpriority"))
+      f.select(col("o_orderkey"), p.as("o_orderpriority"),
+        col("o_totalprice"),
+        (col("o_orderdate") + expr(s"INTERVAL $days DAYS")).as("ts"),
+        lit(op).as("op"))
+    }
+    base
+      .unionByName(ch(1, Some("9-CHANGED"), 30, "upsert"))
+      .unionByName(ch(1, Some("9-AGAIN"), 90, "upsert"))
+      .unionByName(ch(2, None, 60, "delete"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q112: CDC merge (SCD-1 upsert/delete batch) ----
@@ -111,25 +132,32 @@ object Ingest {
     // only shuffle is on o_orderkey, and the oracle replays the exact
     // window.
     "q131_scd2_history" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
-        col("o_totalprice"), col("o_orderdate").as("ts"), lit("base").as("op"))
-      val k = col("o_orderkey") % 7
-      def ch(filterK: Int, prio: Option[String], days: Int, op: String) = {
-        val f = orders.filter(k === filterK)
-        val p = prio.map(lit(_)).getOrElse(col("o_orderpriority"))
-        f.select(col("o_orderkey"), p.as("o_orderpriority"),
-          col("o_totalprice"),
-          (col("o_orderdate") + expr(s"INTERVAL $days DAYS")).as("ts"),
-          lit(op).as("op"))
-      }
-      val events = base
-        .unionByName(ch(1, Some("9-CHANGED"), 30, "upsert"))
-        .unionByName(ch(1, Some("9-AGAIN"), 90, "upsert"))
-        .unionByName(ch(2, None, 60, "delete"))
-      Merge.scd2History(events, "o_orderkey", "ts")
+      Merge.scd2History(scd2Events(t(s, d, "orders")), "o_orderkey", "ts")
         .select("o_orderkey", "o_orderpriority", "o_totalprice",
           "valid_from", "valid_to", "is_current")
+    }),
+
+    // ---- q257: SCD-2 point-in-time (time-travel) read ----
+    // The read the q131 history exists FOR: each probe (a key at an
+    // as-of instant — here the twice-changed keys at +45 days) joins
+    // to exactly the version whose [valid_from, valid_to) interval
+    // covers it. Equi-join on the key with the interval predicate as a
+    // residual filter — per-key version counts are small by
+    // construction (a dimension's change rate), so the fan-out is
+    // bounded and the one shuffle keys on o_orderkey; no range-join
+    // machinery needed. Every probe lands in exactly one version
+    // (versions partition the timeline).
+    "q257_scd2_pit" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val hist = Merge.scd2History(scd2Events(orders), "o_orderkey", "ts")
+      val probes = orders.filter(col("o_orderkey") % 7 === 1)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 45 DAYS")).as("pt"))
+      probes.join(hist, Seq("o_orderkey"))
+        .filter(col("valid_from") <= col("pt") &&
+          (col("valid_to").isNull || col("pt") < col("valid_to")))
+        .select(col("o_orderkey"), col("pt"), col("o_orderpriority"),
+          col("valid_from"), col("valid_to"))
     }),
 
     // ---- q161: snapshot diff (change-feed generation) ----
@@ -337,6 +365,31 @@ object Ingest {
         |SELECT o_orderkey, o_orderpriority, o_totalprice,
         | ts AS valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM v WHERE op <> 'delete'""".stripMargin,
+
+    "q257_scd2_pit" ->
+      """WITH ev AS (
+        | SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |   o_orderdate AS ts, 'base' AS op FROM orders
+        | UNION ALL SELECT o_orderkey, '9-CHANGED', o_totalprice,
+        |   o_orderdate + INTERVAL 30 DAY, 'upsert' FROM orders
+        |   WHERE o_orderkey % 7 = 1
+        | UNION ALL SELECT o_orderkey, '9-AGAIN', o_totalprice,
+        |   o_orderdate + INTERVAL 90 DAY, 'upsert' FROM orders
+        |   WHERE o_orderkey % 7 = 1
+        | UNION ALL SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |   o_orderdate + INTERVAL 60 DAY, 'delete' FROM orders
+        |   WHERE o_orderkey % 7 = 2),
+        | v AS (SELECT *, lead(ts) OVER (PARTITION BY o_orderkey
+        |   ORDER BY ts) AS valid_to FROM ev),
+        | h AS (SELECT o_orderkey, o_orderpriority, ts AS valid_from,
+        |   valid_to FROM v WHERE op <> 'delete'),
+        | pb AS (SELECT o_orderkey, o_orderdate + INTERVAL 45 DAY AS pt
+        |  FROM orders WHERE o_orderkey % 7 = 1)
+        |SELECT pb.o_orderkey, pb.pt, h.o_orderpriority, h.valid_from,
+        | h.valid_to
+        |FROM pb JOIN h USING (o_orderkey)
+        |WHERE h.valid_from <= pb.pt
+        |  AND (h.valid_to IS NULL OR pb.pt < h.valid_to)""".stripMargin,
 
     "q161_snapshot_diff" ->
       """SELECT o_orderkey, 'upsert' AS op,

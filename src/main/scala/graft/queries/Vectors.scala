@@ -92,6 +92,18 @@ object Vectors {
         Multimodal.synthesizeWavs(Tables.read(s, d, "documents"), "doc_id"))
         .toDF),
 
+    // ---- q251: audio clipping / level audit from decoded PCM ----
+    // Rail-pinned sample counts (0/255 — clipped or corrupted audio)
+    // and peak deviation from the 8-bit midpoint, per doc, over the
+    // REAL decoded stream — the curation gate run before any audio
+    // feature extraction. Oracle replays the synthesized sample
+    // function, so hash-green proves true decode + exact counting.
+    "q251_audio_clipping" -> ((s, d) =>
+      Multimodal.audioClipStats(
+        Multimodal.synthesizeWavs(Tables.read(s, d, "documents"), "doc_id"))
+        .toDF
+        .withColumn("clip_ppm", expr("n_rail * 1000000 DIV n_samples"))),
+
     // ---- q163: pixel-value histogram from decoded images ----
     // Brightness distribution (16 equal-width bins) of each synthesized
     // PNG's REAL decoded pixels, accumulated in-row — the
@@ -234,6 +246,25 @@ object Vectors {
     // rows at once — the semantic-dedup / retrieval-curation join.
     "q135_ann_knn_join" -> ((s, d) =>
       Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)),
+
+    // ---- q256: k-NN graph hubness audit (in-degree distribution) ----
+    // How often does each vector appear in OTHER vectors' top-3 — the
+    // hubness diagnostic for ANN quality (high-dimensional hubs absorb
+    // neighbor slots and poison retrieval; Radovanović et al. 2010).
+    // Reuses q135's LSH-bounded k-NN join verbatim, then one in-degree
+    // agg + a left join filling never-retrieved vectors at 0 — the
+    // histogram is degree-bounded, so the report is tiny at any corpus
+    // size.
+    "q256_knn_hubness" -> ((s, d) => {
+      val knn = Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding",
+        k = 3)
+      val indeg = knn.groupBy(col("vec_id").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      emb(s, d).select(col("vec_id").as("node"))
+        .join(indeg, Seq("node"), "left")
+        .withColumn("in_deg", coalesce(col("deg"), lit(0L)))
+        .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+    }),
 
     // ---- q205: hard-negative mining (contrastive training pairs) ----
     // For every anchor, the top-3 most-similar vectors with a DIFFERENT
@@ -1059,6 +1090,27 @@ object Vectors {
         |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
         |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
 
+    // q135's ranked top-3 reduced to per-node in-degrees, zero-filled
+    // from the full vector table
+    "q256_knn_hubness" ->
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id <> y.vec_id),
+        | sc AS (SELECT kc.qid, kc.vid AS vec_id,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM kc JOIN n a ON a.vec_id = kc.qid
+        |   JOIN n c ON c.vec_id = kc.vid),
+        | rk AS (SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rank FROM sc),
+        | indeg AS (SELECT vec_id AS node, count(*) AS deg
+        |  FROM rk WHERE rank <= 3 GROUP BY 1)
+        |SELECT COALESCE(indeg.deg, 0) AS in_deg, count(*) AS n_nodes
+        |FROM n LEFT JOIN indeg ON indeg.node = n.vec_id
+        |GROUP BY 1""".stripMargin,
+
     // q135's band-collision CTEs with a label-mismatch filter on the
     // candidate pairs before scoring — only true negatives rank.
     "q205_hard_negatives" ->
@@ -1435,6 +1487,21 @@ object Vectors {
         |    FOR i IN range(fi * 64, least(ns, fi * 64 + 64))],
         |   'sum') AS BIGINT) AS energy
         |FROM f""".stripMargin,
+
+    // sample function (id*17 + i*5) % 256 over ns = 256 + id % 256
+    "q251_audio_clipping" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(256 + doc_id % 256 AS BIGINT) AS ns FROM documents),
+        | s AS (SELECT doc_id, ns,
+        |   unnest([(doc_id*17 + i*5) % 256 FOR i IN range(0, ns)]) AS v
+        |  FROM d)
+        |SELECT doc_id, CAST(MAX(ns) AS BIGINT) AS n_samples,
+        | CAST(SUM(CASE WHEN v IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_rail,
+        | CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak_dev,
+        | CAST(SUM(CASE WHEN v IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT)
+        |   * 1000000 // CAST(MAX(ns) AS BIGINT) AS clip_ppm
+        |FROM s GROUP BY 1""".stripMargin,
 
     // pixel function (id*31 + x*7 + y) % 256 bucketed into 16 bins
     "q163_pixel_histogram" ->

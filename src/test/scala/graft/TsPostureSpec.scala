@@ -49,7 +49,10 @@ class TsPostureSpec extends SparkTestBase {
       assert(b.exceptAll(canon).isEmpty && canon.exceptAll(b).isEmpty,
         s"$dir batch read diverges from canonical")
 
-      val stream = streaming.EventStreams.fromDirectory(spark, dir)
+      // the stream source reads a directory OF parquet files — the
+      // Spark-written events.parquet dir itself, not its parent
+      val stream = streaming.EventStreams.fromDirectory(spark,
+        s"$dir/events.parquet")
       assert(stream.schema("ts").dataType == TimestampType, s"$dir stream type")
       val name = s"vintage_${dir.split('/').last}"
       val q = streaming.EventStreams.hourlyCounts(stream)
