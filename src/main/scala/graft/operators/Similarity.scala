@@ -122,6 +122,14 @@ object Similarity {
       .drop("cq", "cn2", "ccos", "crank")
   }
 
+  /** Final-cell assignment of every vector against TRAINED centroids
+    * (max cosine, tie → min cent_id): vecs (idCol, q, n2) × cent
+    * (cent_id, cq, cn2) via the broadcast probe — the blocking index
+    * [[semDedup]] uses internally, exposed for cluster-level analytics
+    * (e.g. c-TF-IDF cluster labeling, q263). */
+  def cellAssignments(vecs: DataFrame, cent: DataFrame, idCol: String)
+      : DataFrame = probe(vecs, cent, idCol, nprobe = 1)
+
   /** Deterministic k-means over quantized vectors: init = the k
     * lowest-id vectors; each iteration reassigns by max cosine and
     * recomputes centroids as the element-wise integer mean (`SUM DIV

@@ -82,6 +82,24 @@ object Analytics {
         .agg(count(lit(1)).as("order_count"))
     }),
 
+    // ---- q260: top-k per group WITH TIES (dense_rank semantics) ----
+    // The two best supplier balance TIERS per nation — dense_rank keeps
+    // every supplier on a tied balance, the semantics row_number-based
+    // top-k (q16/q77) silently truncates. No arithmetic on the double
+    // key (raw parquet values order identically in both engines);
+    // window partitions by nation.
+    "q260_topk_ties" -> ((s, d) => {
+      t(s, d, "supplier")
+        .join(t(s, d, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .withColumn("rk",
+          dense_rank().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("n_name").orderBy(col("s_acctbal").desc))
+            .cast("long"))
+        .filter(col("rk") <= 2)
+        .select("n_name", "s_name", "s_acctbal", "rk")
+    }),
+
     // ---- q247: PIVOT (long→wide), the inverse of q97's melt ----
     // Event counts by type × day-of-week, pivoted into one column per
     // weekday through Spark's native pivot with an EXPLICIT value list
@@ -763,6 +781,13 @@ object Analytics {
         | (dmax < TIMESTAMP '$PruneLo' OR dmin >= TIMESTAMP '$PruneHi')
         |   AS can_skip
         |FROM g""".stripMargin,
+
+    "q260_topk_ties" ->
+      """WITH r AS (SELECT n_name, s_name, s_acctbal,
+        |   CAST(dense_rank() OVER (PARTITION BY n_name
+        |     ORDER BY s_acctbal DESC) AS BIGINT) AS rk
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, s_name, s_acctbal, rk FROM r WHERE rk <= 2""".stripMargin,
 
     "q255_late_orders" ->
       """SELECT o_orderpriority, count(*) AS order_count

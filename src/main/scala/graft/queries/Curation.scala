@@ -395,6 +395,37 @@ object Curation {
         .withColumn("bits_cb_per_pair", expr("bits * 100 DIV n_pairs"))
     }),
 
+    // ---- q262: span-corruption masking plan (T5/BERT-style) ----
+    // The masked-LM data-prep pass, fully deterministic: token i of doc
+    // d masks when the first md5("d:i") nibble < 2 (12.5% rate), and
+    // the per-doc report counts masked tokens, contiguous mask SPANS
+    // (flag-and-its-left-neighbor in-row — the islands count without a
+    // window), mask rate ppm and mean span length in centitokens. All
+    // IN-ROW over the token array: a narrow map-side pass at any
+    // corpus size, no shuffle until the final per-doc projection
+    // (which is the row itself).
+    "q262_span_corruption" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("toks", expr(toksNat))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+        .withColumn("flags", expr(
+          "transform(sequence(1, CAST(n AS INT)), i -> " +
+            "CASE WHEN (instr('0123456789abcdef', substr(" +
+            "md5(concat(CAST(doc_id AS STRING), ':', CAST(i AS STRING)))" +
+            ", 1, 1)) - 1) < 2 THEN 1 ELSE 0 END)"))
+        .withColumn("n_masked", expr(
+          "aggregate(flags, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("n_spans", expr(
+          "aggregate(sequence(1, CAST(n AS INT)), CAST(0 AS BIGINT), " +
+            "(a, i) -> a + CASE WHEN element_at(flags, i) = 1 AND " +
+            "(i = 1 OR element_at(flags, i - 1) = 0) THEN 1 ELSE 0 END)"))
+        .select(col("doc_id"), col("n").as("n_toks"), col("n_masked"),
+          col("n_spans"),
+          expr("n_masked * 1000000 DIV n").as("mask_ppm"),
+          when(col("n_spans") > 0,
+            expr("n_masked * 100 DIV n_spans")).as("mean_span_cb"))),
+
     // ---- q253: integer TF-IDF top terms per document ----
     // Each doc's 3 most characteristic terms by tf × idf with idf as
     // the exact rational (n_docs·1e6) DIV df — no log, so the ranking
@@ -1062,6 +1093,31 @@ object Curation {
         | CAST(CAST(SUM(20 - l2) AS BIGINT) * 100 // count(*) AS BIGINT)
         |   AS bits_cb_per_pair
         |FROM sc GROUP BY 1""".stripMargin,
+
+    "q262_span_corruption" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksDuck("text")} AS t
+        |   FROM documents),
+        | base AS (SELECT doc_id, len(t) AS n FROM tk WHERE len(t) > 0),
+        | pos AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i
+        |  FROM base),
+        | fl AS (SELECT doc_id, n, i,
+        |   CASE WHEN (instr('0123456789abcdef',
+        |     substr(md5(doc_id || ':' || i), 1, 1)) - 1) < 2
+        |    THEN 1 ELSE 0 END AS f
+        |  FROM pos),
+        | sp AS (SELECT doc_id, n, i, f,
+        |   lag(f, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS pf
+        |  FROM fl),
+        | agg AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_toks,
+        |   CAST(SUM(f) AS BIGINT) AS n_masked,
+        |   CAST(SUM(CASE WHEN f = 1 AND pf = 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_spans
+        |  FROM sp GROUP BY 1)
+        |SELECT doc_id, n_toks, n_masked, n_spans,
+        | n_masked * 1000000 // n_toks AS mask_ppm,
+        | CASE WHEN n_spans > 0 THEN n_masked * 100 // n_spans END
+        |   AS mean_span_cb
+        |FROM agg""".stripMargin,
 
     "q253_tfidf_terms" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${toksDuck("text")}) AS term

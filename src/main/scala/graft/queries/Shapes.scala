@@ -110,6 +110,65 @@ object Shapes {
           expr("n_bounce * 1000000 DIV n_sessions").as("bounce_ppm"))
     }),
 
+    // ---- q259: sessionized purchase-conversion rate per day ----
+    // The revenue-side twin of q242's bounce rate: per day (of session
+    // start), how many q58 sessions contained at least one purchase,
+    // in exact ppm. Same one-shuffle sessionization; the flag is a
+    // per-session max over a 0/1, so the report never rescans events.
+    "q259_session_conversion" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) >
+              1800L * 1000000L).cast("int"))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("start"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(to_date(col("start")).cast("timestamp").as("day"),
+          col("conv"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_sessions"), sum("conv").as("n_conv"))
+        .select(col("day"), col("n_sessions"), col("n_conv"),
+          expr("n_conv * 1000000 DIV n_sessions").as("conv_ppm"))
+    }),
+
+    // ---- q261: concurrent sessions per hour (peak-load profile) ----
+    // How many q58 sessions were LIVE in each hour — the capacity-
+    // planning read: each session explodes to the hours its
+    // [start, end] span touches (sequence() of hour-truncated bounds —
+    // fan-out bounded by session length, which the 30-minute gap rule
+    // keeps small), then one count per hour. No self-join, no
+    // sweep-line global sort; the hourly report is span-bounded.
+    "q261_concurrent_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) >
+              1800L * 1000000L).cast("int"))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("start"), max(col("ts")).as("end"))
+        .select(explode(expr(
+          "sequence(date_trunc('hour', start), date_trunc('hour', end), " +
+            "interval 1 hour)")).as("hr"))
+        .groupBy("hr")
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
     // ---- q141: session path mining ----
     // Sessionize (q58's gaps-and-islands), then mine the event-type
     // PATH of each session ("signup>click>purchase") and count how
@@ -350,6 +409,48 @@ object Shapes {
         | CAST(SUM(bounce) * 1000000 // count(*) AS BIGINT)
         |   AS bounce_ppm
         |FROM dy GROUP BY 1""".stripMargin,
+
+    "q259_session_conversion" ->
+      """WITH base AS (SELECT event_id, user_id, event_type,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_ts FROM base),
+        | flagged AS (SELECT *, CAST(prev_ts IS NULL
+        |     OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000 AS INT)
+        |   AS new_sess FROM lagged),
+        | sess AS (SELECT *, CAST(SUM(new_sess) OVER (
+        |     PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS sess_id FROM flagged),
+        | sf AS (SELECT user_id, sess_id, MIN(ts) AS start,
+        |   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS conv
+        |  FROM sess GROUP BY 1, 2),
+        | dy AS (SELECT CAST(CAST(start AS DATE) AS TIMESTAMP) AS day,
+        |   conv FROM sf)
+        |SELECT day, count(*) AS n_sessions,
+        | CAST(SUM(conv) AS BIGINT) AS n_conv,
+        | CAST(SUM(conv) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+        |FROM dy GROUP BY 1""".stripMargin,
+
+    "q261_concurrent_sessions" ->
+      """WITH base AS (SELECT event_id, user_id,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | lagged AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_ts FROM base),
+        | flagged AS (SELECT *, CAST(prev_ts IS NULL
+        |     OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000 AS INT)
+        |   AS new_sess FROM lagged),
+        | sess AS (SELECT *, CAST(SUM(new_sess) OVER (
+        |     PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS sess_id FROM flagged),
+        | sp AS (SELECT user_id, sess_id, MIN(ts) AS s0, MAX(ts) AS s1
+        |  FROM sess GROUP BY 1, 2),
+        | hrs AS (SELECT unnest(generate_series(
+        |    date_trunc('hour', s0), date_trunc('hour', s1),
+        |    INTERVAL 1 HOUR)) AS hr FROM sp)
+        |SELECT hr, count(*) AS n_active FROM hrs GROUP BY 1""".stripMargin,
 
     "q65_sessions_stream" ->
       s"""WITH base AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -291,6 +291,24 @@ object Temporal {
           col("pts").as("purchase_ts"))
     }),
 
+    // ---- q258: weekday seasonality index per event type ----
+    // cnt(dow)·7 / cnt(type) in exact ppm — 1e6 means a perfectly flat
+    // week, 2e6 a day carrying twice its uniform share; the weekly
+    // complement of q228's diurnal (hour-of-day) profile. One shuffle
+    // on event_type; the per-type total is a window over the ≤7-row
+    // group, so the report is |types|×7 at any corpus size.
+    "q258_weekday_seasonality" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      t(s, d, "events")
+        .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("tot", sum("cnt").over(w))
+        .select(col("event_type"), col("dow"), col("cnt"),
+          expr("cnt * 7 * 1000000 DIV tot").as("idx_ppm"))
+    }),
+
     // ---- q249: gap-and-island activity streaks ----
     // Longest run of CONSECUTIVE active days per user — the classic
     // gaps-and-islands shape: distinct (user, day), then
@@ -712,6 +730,15 @@ object Temporal {
         | CASE WHEN b.gap <= 21600000000 THEN b.pts END AS purchase_ts
         |FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
         |  USING (event_id)""".stripMargin,
+
+    "q258_weekday_seasonality" ->
+      """WITH c AS (SELECT event_type, dayofweek(ts) AS dow,
+        |   count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, cnt,
+        | CAST(cnt * 7 * 1000000 //
+        |   SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS idx_ppm
+        |FROM c""".stripMargin,
 
     "q249_active_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -696,6 +696,39 @@ object Vectors {
       Similarity.semDedup(emb(s, d), "vec_id", "embedding",
         k = 8, iters = 2, threshold = 0.35)),
 
+    // ---- q263: c-TF-IDF cluster labeling (BERTopic-style) ----
+    // The 3 most DISTINCTIVE terms of each semantic cluster: q62's
+    // deterministic k-means cells (the SemDedup blocking index) joined
+    // to the documents' tokens, term scores = cluster-tf × the exact
+    // rational idf (k·1e6) DIV cluster-df — the label a topic browser
+    // shows per cluster. Scale shape: the cell assignment is the
+    // broadcast probe (no corpus shuffle), the per-cluster term table
+    // is vocabulary-bounded and its df table broadcasts, and the top-3
+    // window partitions on cent_id.
+    "q263_cluster_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val prep = Similarity.prepare(emb(s, d), "embedding")
+        .select(col("vec_id"), col("q"), col("n2"))
+      val cents = Similarity.kmeansCentroids(prep, "vec_id", k = 8,
+        iters = 2)
+      val cells = Similarity.cellAssignments(prep, cents, "vec_id")
+        .select(col("vec_id").as("doc_id"), col("cent_id"))
+      val toks = Tables.read(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr(graft.functions.TextExpr.toksSpark("text")))
+            .as("term"))
+      val ct = toks.join(cells, "doc_id")
+        .groupBy("cent_id", "term").agg(count(lit(1)).as("ctf"))
+      val dfc = ct.groupBy("term").agg(count(lit(1)).as("dfc"))
+      val w = Window.partitionBy("cent_id")
+        .orderBy(col("score").desc, col("term"))
+      ct.join(broadcast(dfc), "term")
+        .withColumn("score", expr("ctf * ((8 * 1000000) DIV dfc)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("cent_id", "term", "ctf", "dfc", "score", "rk")
+    }),
+
     "q69_doc_embed_join" -> ((s, d) => {
       val docsQ = Tables.read(s, d, "documents")
         .filter(col("n_chars").between(150, 450))
@@ -1442,8 +1475,33 @@ object Vectors {
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
         | < CASE WHEN lang = 'en' THEN 4 ELSE 16 END""".stripMargin,
 
+    // q62's k-means CTE chain to final cells, then the c-TF-IDF scoring
+    "q263_cluster_terms" ->
+      s"""WITH $prepCte,
+        | c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cent_id,
+        |   q AS cq, n2 AS cn2 FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)),
+        | ${assignDuck("c0", "a1", 1)},
+        | ${recomputeDuck("a1", "c1")},
+        | ${assignDuck("c1", "a2", 1)},
+        | ${recomputeDuck("a2", "c2")},
+        | ${assignDuck("c2", "cells", 1)},
+        | cd AS (SELECT vec_id AS doc_id, cent_id FROM cells),
+        | tk AS (SELECT doc_id,
+        |   unnest(${graft.functions.TextExpr.toksDuck("text")}) AS term
+        |  FROM documents),
+        | ct AS (SELECT cent_id, term, count(*) AS ctf
+        |  FROM tk JOIN cd USING (doc_id) GROUP BY 1, 2),
+        | dfc AS (SELECT term, count(*) AS dfc FROM ct GROUP BY 1),
+        | sc AS (SELECT ct.cent_id, ct.term, ct.ctf, dfc.dfc,
+        |   ct.ctf * ((8 * 1000000) // dfc.dfc) AS score
+        |  FROM ct JOIN dfc USING (term)),
+        | rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY cent_id
+        |     ORDER BY score DESC, term) AS BIGINT) AS rk FROM sc)
+        |SELECT cent_id, term, ctf, dfc, score, rk FROM rk
+        |WHERE rk <= 3""".stripMargin,
+
     "q69_doc_embed_join" ->
-      s"""WITH $prepCte
+s"""WITH $prepCte
         |SELECT d.lang, n.label, COUNT(*) AS n,
         | CAST(SUM(n.n2) AS BIGINT) AS sum_n2
         |FROM n JOIN documents d ON d.doc_id = n.vec_id
