@@ -460,6 +460,41 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("round-8 analytics windows all partition (no global sorts)") {
+    // same pin for the round-8 family: session KPIs partition on
+    // user_id, seasonality on event_type, tie-aware top-k on n_name,
+    // tf-idf/cluster top-k on doc_id/cent_id, SCD-2 on o_orderkey
+    val names = Seq("q249_active_streaks", "q250_asof_nearest",
+      "q253_tfidf_terms", "q257_scd2_pit", "q258_weekday_seasonality",
+      "q259_session_conversion", "q260_topk_ties",
+      "q261_concurrent_sessions", "q263_cluster_terms")
+    for (n <- names) {
+      val globals = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+      assert(globals.isEmpty, s"$n plans a global (unpartitioned) window")
+    }
+  }
+
+  test("nearest as-of computes both carries under ONE exchange") {
+    // q250's scale promise: the backward and forward carry windows
+    // share the _k hash partitioning — two Sorts, one Exchange; a
+    // second exchange would mean the union is reshuffled between the
+    // carries
+    val plan = SparkEntry.queries("q250_asof_nearest")(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one exchange for the union's window partitioning + one for the
+    // right side's (user, ts) dedup agg — nothing between the windows
+    assert(exchanges.size <= 2,
+      s"expected <=2 shuffles (dedup agg + ONE window partitioning), " +
+        s"got ${exchanges.size}:\n$plan")
+  }
+
   test("fulfillment snapshot reduces lineitem to order grain before the join") {
     // q237's scale property: the per-order min/max ship dates combine
     // map-side (partial_min/partial_max BEFORE the exchange), so the
