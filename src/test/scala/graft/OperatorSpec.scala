@@ -98,6 +98,42 @@ class OperatorSpec extends SparkTestBase {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
+  test("nearest as-of equals brute-force argmin with backward ties") {
+    // deterministic pseudo-random probe set: every (key, left-time)
+    // shape against a right side with before/after/equal candidates
+    val left = (1L to 60L).map(i =>
+      (i, i % 5, ts(i * 37 % 300))).toDF("lid", "k", "t")
+    val right = (1L to 40L).map(j =>
+      (j % 5, ts(j * 53 % 300), 1000L + j)).toDF("rk", "rt", "payload")
+      // dedup per (key, time): the carry pick must be deterministic
+      .groupBy("rk", "rt").agg(max("payload").as("payload"))
+    val got = AsOfJoin.leftAsOf(left, "k", "t",
+        right, "rk", "rt", Seq("payload"), direction = "nearest")
+      .select("lid", "payload").as[(Long, Option[Long])].collect().toMap
+    // brute force: argmin |gap|, ties -> backward (pandas `<=` rule)
+    val rs = right.select("rk", "rt", "payload")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    val ls = left.select("lid", "k", "t")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    for ((lid, k, t) <- ls) {
+      val cands = rs.filter(_._1 == k)
+      val expect =
+        if (cands.isEmpty) None
+        else {
+          val withGap = cands.map { case (_, rt, p) =>
+            val gap = math.abs(rt.getTime - t.getTime)
+            val fwd = if (rt.getTime <= t.getTime) 0 else 1
+            (gap, fwd, p)
+          }
+          // min by (gap, backward-first); payload max on exact dup is
+          // already collapsed by the pre-dedup
+          Some(withGap.min._3)
+        }
+      assert(got(lid) == expect,
+        s"lid=$lid k=$k t=$t: got ${got(lid)}, brute force $expect")
+    }
+  }
+
   test("label propagation: two triangles + bridge evolve exactly as hand-computed") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} bridged by 3-4; synchronous
