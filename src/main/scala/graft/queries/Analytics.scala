@@ -82,6 +82,35 @@ object Analytics {
         .agg(count(lit(1)).as("order_count"))
     }),
 
+    // ---- q265: A/B test two-proportion z-test (exact integers) ----
+    // Purchase-rate difference between deterministic arms (event_id
+    // parity) with the pooled two-proportion z-test decided by pure
+    // integer cross-multiplication: z² > 3.8415 (95%) ⇔
+    // (x1·n2 − x2·n1)²·N·10⁴ > 38415·n1·n2·X·(N−X) — the same
+    // no-float-no-sqrt move as q156's 2σ test, but the products reach
+    // ~1e26, so both engines compute them in exact wide arithmetic
+    // (DECIMAL(38,0) here, HUGEINT in the oracle). One scan, one 1-row
+    // conditional aggregate; the verdict is a boolean both engines
+    // derive identically.
+    "q265_ab_test" -> ((s, d) =>
+      t(s, d, "events")
+        .select(pmod(col("event_id"), lit(2)).as("arm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("conv"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x2"))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          expr("x1 * 1000000 DIV n1 - x2 * 1000000 DIV n2")
+            .as("diff_ppm"),
+          expr(
+            "CAST((x1*n2 - x2*n1) AS DECIMAL(38,0)) * (x1*n2 - x2*n1) " +
+              "* (n1 + n2) * 10000 > CAST(38415 AS DECIMAL(38,0)) " +
+              "* n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)")
+            .as("significant"))),
+
     // ---- q260: top-k per group WITH TIES (dense_rank semantics) ----
     // The two best supplier balance TIERS per nation — dense_rank keeps
     // every supplier on a tied balance, the semantics row_number-based
@@ -781,6 +810,23 @@ object Analytics {
         | (dmax < TIMESTAMP '$PruneLo' OR dmin >= TIMESTAMP '$PruneHi')
         |   AS can_skip
         |FROM g""".stripMargin,
+
+    "q265_ab_test" ->
+      """WITH e AS (SELECT event_id % 2 AS arm,
+        |   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        | a AS (SELECT
+        |   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+        |   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |   CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x2
+        |  FROM e)
+        |SELECT n1, x1, n2, x2,
+        | x1 * 1000000 // n1 - x2 * 1000000 // n2 AS diff_ppm,
+        | CAST((x1*n2 - x2*n1) AS HUGEINT) * (x1*n2 - x2*n1)
+        |   * (n1 + n2) * 10000 > CAST(38415 AS HUGEINT)
+        |   * n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2) AS significant
+        |FROM a""".stripMargin,
 
     "q260_topk_ties" ->
       """WITH r AS (SELECT n_name, s_name, s_acctbal,

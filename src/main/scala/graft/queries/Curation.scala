@@ -886,7 +886,12 @@ object Curation {
     // agg), df and the 1-row corpus stats broadcast, and the top-k
     // window partitions by term — per-term state only, never a global
     // sort.
-    "q164_bm25" -> ((s, d) => {
+    "q164_bm25" -> ((s, d) => bm25Ranks(s, d))
+  )
+
+  /** q164's BM25 top-k per query term — also the text leg of q264's
+    * reciprocal-rank fusion (shared so the two cannot drift). */
+  private[queries] def bm25Ranks(s: SparkSession, d: String): DataFrame = {
       val tk = docs(s, d).select(col("doc_id"), expr(toksNat).as("t"))
       val dl = tk.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
       val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
@@ -906,8 +911,7 @@ object Curation {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= Bm25K)
         .select("tok", "doc_id", "rank", "score")
-    })
-  )
+  }
 
   private def gramsDuck(n: Int): String =
     s"""SELECT doc_id, unnest(${ngramsDuck(s"(${toksDuck("text")})", n)}) AS g

@@ -696,6 +696,29 @@ object Vectors {
       Similarity.semDedup(emb(s, d), "vec_id", "embedding",
         k = 8, iters = 2, threshold = 0.35)),
 
+    // ---- q264: reciprocal-rank fusion (hybrid retrieval) ----
+    // THE hybrid-search move: fuse keyword rankings (q164's BM25 top-5
+    // per query term) with a vector ranking (brute-force cosine top-20
+    // for query vec 100) by RRF — score(doc) = Σ_lists 1e6 DIV
+    // (60 + rank), exact integers, so the fused order hash-matches
+    // (Cormack et al. 2009's k=60). Each input list is already
+    // top-k-bounded, so the fusion agg and global top-10 run on a few
+    // dozen rows no matter the corpus size; doc_id and vec_id share
+    // the id space (q69's cross-modal join relation).
+    "q264_rrf_fusion" -> ((s, d) => {
+      val bm = graft.queries.Curation.bm25Ranks(s, d)
+        .select(col("doc_id"), col("rank"))
+      val e = emb(s, d)
+      val vr = Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") === 100), "vec_id", "embedding", k = 20)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      bm.unionByName(vr)
+        .groupBy("doc_id")
+        .agg(sum(expr("CAST(1000000 AS BIGINT) DIV (60 + rank)"))
+          .as("rrf"), count(lit(1)).as("n_lists"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
     // ---- q263: c-TF-IDF cluster labeling (BERTopic-style) ----
     // The 3 most DISTINCTIVE terms of each semantic cluster: q62's
     // deterministic k-means cells (the SemDedup blocking index) joined
@@ -1474,6 +1497,27 @@ object Vectors {
         |WHERE (strpos('0123456789abcdef',
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
         | < CASE WHEN lang = 'en' THEN 4 ELSE 16 END""".stripMargin,
+
+    // q164's full oracle embedded as a derived table (zero drift) +
+    // the q43-shaped vector leg, fused by integer RRF
+    "q264_rrf_fusion" ->
+      s"""WITH $prepCte,
+        | bm AS (SELECT doc_id, rank FROM
+        |   (${graft.queries.Curation.oracles("q164_bm25")})),
+        | vq AS (SELECT q AS qq, n2 AS qn2 FROM n WHERE vec_id = 100),
+        | vs AS (SELECT n.vec_id AS doc_id,
+        |    ${cosDuck(dotDuck("n.q", "vq.qq"), "n.n2", "vq.qn2")} AS cos
+        |  FROM n CROSS JOIN vq WHERE n.vec_id <> 100),
+        | vr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC,
+        |    doc_id) AS rank FROM vs),
+        | lists AS (SELECT doc_id, rank FROM bm
+        |  UNION ALL SELECT doc_id, rank FROM vr WHERE rank <= 20),
+        | f AS (SELECT doc_id,
+        |   CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf,
+        |   count(*) AS n_lists
+        |  FROM lists GROUP BY 1)
+        |SELECT doc_id, rrf, n_lists FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // q62's k-means CTE chain to final cells, then the c-TF-IDF scoring
     "q263_cluster_terms" ->
