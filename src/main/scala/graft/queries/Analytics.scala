@@ -82,6 +82,37 @@ object Analytics {
         .agg(count(lit(1)).as("order_count"))
     }),
 
+    // ---- q266: market share (TPC-H Q8 shape, 5-way star join) ----
+    // Each ASIA nation's share of the region's yearly revenue — the
+    // query shape that exercises Catalyst's join reordering across the
+    // full star (lineitem⋈orders⋈customer⋈nation⋈region, dims
+    // broadcast, region filter pruned into the build side). Revenue is
+    // exact integer cents×(100−disc%); the share divides both sides by
+    // 100 BEFORE the ppm cross-multiply so the product stays far from
+    // BIGINT overflow at any corpus size — the identical truncation
+    // runs in both engines, so the ppm hash-matches. Share window
+    // partitions by year over the |nations|-bounded rollup.
+    "q266_market_share" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("yr")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .withColumn("rev_u", fixed(col("l_extendedprice"), 2) *
+          (lit(100L) - fixed(col("l_discount"), 2)))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          col("n_name"))
+        .agg(sum("rev_u").as("rev_u"))
+        .withColumn("tot", sum("rev_u").over(w))
+        .select(col("yr"), col("n_name"), col("rev_u"),
+          expr("(rev_u DIV 100) * 1000000 DIV (tot DIV 100)")
+            .as("share_ppm"))
+    }),
+
     // ---- q265: A/B test two-proportion z-test (exact integers) ----
     // Purchase-rate difference between deterministic arms (event_id
     // parity) with the pooled two-proportion z-test decided by pure
@@ -810,6 +841,25 @@ object Analytics {
         | (dmax < TIMESTAMP '$PruneLo' OR dmin >= TIMESTAMP '$PruneHi')
         |   AS can_skip
         |FROM g""".stripMargin,
+
+    "q266_market_share" ->
+      s"""WITH j AS (SELECT year(o_orderdate) AS yr, n_name,
+        |   ${fixedSql("l_extendedprice", 2)}
+        |     * (100 - ${fixedSql("l_discount", 2)}) AS rev_u
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        | g AS (SELECT CAST(yr AS BIGINT) AS yr, n_name,
+        |   CAST(SUM(rev_u) AS BIGINT) AS rev_u
+        |  FROM j GROUP BY 1, 2),
+        | t AS (SELECT *, CAST(SUM(rev_u) OVER (PARTITION BY yr)
+        |   AS BIGINT) AS tot FROM g)
+        |SELECT yr, n_name, rev_u,
+        | (rev_u // 100) * 1000000 // (tot // 100) AS share_ppm
+        |FROM t""".stripMargin,
 
     "q265_ab_test" ->
       """WITH e AS (SELECT event_id % 2 AS arm,

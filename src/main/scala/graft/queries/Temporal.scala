@@ -291,6 +291,34 @@ object Temporal {
           col("pts").as("purchase_ts"))
     }),
 
+    // ---- q267: repeat-purchase rate (commerce retention KPI) ----
+    // Of users who purchased at all: how many purchased AGAIN, and how
+    // many did so within 30 days of their first purchase — the
+    // repeat-rate pair every commerce dashboard tracks. First/second
+    // purchase via two user-keyed aggs (min ts, then min ts after the
+    // first — no window over raw events needed); the report is one
+    // row of exact ppm integers.
+    "q267_repeat_purchase" -> ((s, d) => {
+      val p = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val first = p.groupBy("user_id")
+        .agg(min(col("ts")).as("t1"), count(lit(1)).as("np"))
+      val second = p.join(first, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      first.join(second, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("np") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+          sum(when(
+            unix_micros(col("t2").cast("timestamp")) -
+              unix_micros(col("t1").cast("timestamp")) <=
+              30L * 86400 * 1000000L, 1L).otherwise(0L)).as("n_repeat_30d"))
+        .select(col("n_buyers"), col("n_repeat"), col("n_repeat_30d"),
+          expr("n_repeat * 1000000 DIV n_buyers").as("repeat_ppm"),
+          expr("n_repeat_30d * 1000000 DIV n_buyers").as("repeat30_ppm"))
+    }),
+
     // ---- q258: weekday seasonality index per event type ----
     // cnt(dow)·7 / cnt(type) in exact ppm — 1e6 means a perfectly flat
     // week, 2e6 a day carrying twice its uniform share; the weekly
@@ -730,6 +758,25 @@ object Temporal {
         | CASE WHEN b.gap <= 21600000000 THEN b.pts END AS purchase_ts
         |FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
         |  USING (event_id)""".stripMargin,
+
+    "q267_repeat_purchase" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |   FROM events WHERE event_type = 'purchase'),
+        | f AS (SELECT user_id, MIN(ts) AS t1, count(*) AS np
+        |  FROM p GROUP BY 1),
+        | s2 AS (SELECT p.user_id, MIN(p.ts) AS t2
+        |  FROM p JOIN f USING (user_id) WHERE p.ts > f.t1 GROUP BY 1),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS n_buyers,
+        |   CAST(SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_repeat,
+        |   CAST(SUM(CASE WHEN epoch_us(t2) - epoch_us(t1)
+        |       <= 2592000000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_repeat_30d
+        |  FROM f LEFT JOIN s2 USING (user_id))
+        |SELECT n_buyers, n_repeat, n_repeat_30d,
+        | n_repeat * 1000000 // n_buyers AS repeat_ppm,
+        | n_repeat_30d * 1000000 // n_buyers AS repeat30_ppm
+        |FROM a""".stripMargin,
 
     "q258_weekday_seasonality" ->
       """WITH c AS (SELECT event_type, dayofweek(ts) AS dow,
