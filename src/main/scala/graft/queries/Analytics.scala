@@ -668,8 +668,14 @@ object Analytics {
         .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"),
           sum(expr("rk * cents")).as("ws"))
         .select(col("c_nationkey"), col("n_customers"), col("cents"),
-          expr("(2 * ws - (n_customers + 1) * cents) * 1000000" +
-            " DIV (n_customers * cents)").as("gini_ppm"))
+          // DECIMAL(38,0) cross-multiply: 2*ws*1e6 passes 9.2e18 (the
+          // BIGINT rail) already at sf0.1 — the r8 scale sweep caught
+          // the long overflow. IntegralDivide on decimals is exact and
+          // returns BIGINT; the oracle mirrors in HUGEINT (q265's move)
+          expr("(CAST(2 AS DECIMAL(38,0)) * ws" +
+            " - CAST(n_customers + 1 AS DECIMAL(38,0)) * cents)" +
+            " * 1000000 DIV (CAST(n_customers AS DECIMAL(38,0)) * cents)")
+            .as("gini_ppm"))
     }),
 
     // ---- q232: RFM segmentation per market ----
@@ -1171,8 +1177,10 @@ object Analytics {
         |   CAST(SUM(cents) AS BIGINT) AS cents,
         |   CAST(SUM(rk * cents) AS BIGINT) AS ws FROM r GROUP BY 1)
         |SELECT c_nationkey, n_customers, cents,
-        | CAST((2 * ws - (n_customers + 1) * cents) * 1000000
-        |   // (n_customers * cents) AS BIGINT) AS gini_ppm
+        | CAST((CAST(2 AS HUGEINT) * ws
+        |     - CAST(n_customers + 1 AS HUGEINT) * cents) * 1000000
+        |   // (CAST(n_customers AS HUGEINT) * cents) AS BIGINT)
+        |   AS gini_ppm
         |FROM g""".stripMargin,
 
     "q232_rfm_segments" ->
