@@ -50,10 +50,26 @@ object Bench {
     def materialize(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // Cumulative stop-the-world GC millis across all collectors: diffed
+    // around each query so a regression can be attributed to GC pressure
+    // (the 8 GiB driver-heap pin makes GC the likeliest in-JVM
+    // confounder across a 26-query suite) in one read of the artifact.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    def heapUsedMb(): Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+    }
+
     // warmup: session + whole-stage-codegen init
     materialize(SparkEntry.queries("q05_groupby_sum")(spark, sfDir))
 
+    val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val heapByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
     val results = headline.map { name =>
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -61,6 +77,8 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+      gcByQuery(name) = gcMillis() - g0
+      heapByQuery(name) = heapUsedMb()
       // -1 marks a failure so a fast crash can't masquerade as a fast run
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
@@ -121,24 +139,43 @@ object Bench {
     // neighbors — a loaded sandbox can only inflate a run, never
     // deflate it, so min is the least-contended observation.
     // per-REP guarding: a crash in rep N must not discard the N-1
-    // successful observations the demo_runs artifact exists to preserve
-    def timedRuns(label: String, reps: Int)(f: => Double): Seq[Double] = {
-      val runs = (1 to reps).map(_ => guarded(label)(f))
+    // successful observations the demo_runs artifact exists to preserve.
+    // A triple whose spread exceeds 2x is retried ONCE: contention is
+    // transient, so a second quiet triple usually replaces the warning
+    // with a trustworthy number — all runs (both triples) go into the
+    // artifact, and the warning is only kept if the RETRY is also
+    // spread-y (then it is real, or the machine is loaded all round).
+    def spreadOf(runs: Seq[Double]): Double = {
       val ok = runs.filter(_ >= 0)
-      if (ok.size >= 2 && ok.max / ok.min > 2.0)
-        System.err.println(f"[bench] WARNING: $label spread ${ok.max / ok.min}%.1fx " +
+      if (ok.size >= 2) ok.max / ok.min else 1.0
+    }
+    def timedRuns(label: String, reps: Int)(f: => Double): Seq[Double] = {
+      val first = (1 to reps).map(_ => guarded(label)(f))
+      val runs =
+        if (spreadOf(first) > 2.0) {
+          System.err.println(f"[bench] $label spread ${spreadOf(first)}%.1fx " +
+            s"(runs: ${first.mkString(", ")}) — retrying the triple once")
+          first ++ (1 to reps).map(_ => guarded(label)(f))
+        } else first
+      val retry = runs.drop(reps)
+      if (spreadOf(first) > 2.0 && (retry.isEmpty || spreadOf(retry) > 2.0))
+        System.err.println(f"[bench] WARNING: $label spread ${spreadOf(runs)}%.1fx " +
           s"(runs: ${runs.mkString(", ")}) — machine contention likely")
       runs
     }
 
     val demo2mRuns = {
       val n = sys.env.getOrElse("SPARK_GRAFT_DEMO2M_N", "2000000").toLong
-      guarded("demo_2m_setup") { writeDemoInputs(n, "2m"); 0.0 } match {
+      val g0 = gcMillis()
+      val runs = guarded("demo_2m_setup") { writeDemoInputs(n, "2m"); 0.0 } match {
         case x if x < 0 => Seq(-1.0)
         case _ => timedRuns("demo_2m", 3) {
           timedDemo(s"$demoDir/users_2m", s"$demoDir/ages_2m")
         }
       }
+      gcByQuery("demo_2m_join_groupby") = gcMillis() - g0
+      heapByQuery("demo_2m_join_groupby") = heapUsedMb()
+      runs
     }
     val demoSecs = if (demo2mRuns.exists(_ < 0)) -1.0 else demo2mRuns.min
 
@@ -148,7 +185,8 @@ object Bench {
     val demo20Runs = {
       val n = sys.env.getOrElse("SPARK_GRAFT_DEMO20_N", "20000000").toLong
       val width = sys.env.getOrElse("SPARK_GRAFT_DEMO20_SHUFFLE", "256")
-      guarded("demo_20m_setup") { writeDemoInputs(n, "20m"); 0.0 } match {
+      val g0 = gcMillis()
+      val runs = guarded("demo_20m_setup") { writeDemoInputs(n, "20m"); 0.0 } match {
         case x if x < 0 => Seq(-1.0)
         case _ =>
           val savedWidth = spark.conf.get("spark.sql.shuffle.partitions")
@@ -165,6 +203,9 @@ object Bench {
             spark.conf.set("spark.sql.shuffle.partitions", savedWidth)
           }
       }
+      gcByQuery("demo_20m_join_groupby") = gcMillis() - g0
+      heapByQuery("demo_20m_join_groupby") = heapUsedMb()
+      runs
     }
     val demo20Secs = if (demo20Runs.exists(_ < 0)) -1.0 else demo20Runs.min
 
@@ -182,7 +223,13 @@ object Bench {
     // runs) rather than silently poisoning the gated number.
     def runsJson(rs: Seq[Double]) = rs.mkString("[", ",", "]")
     val demoRuns = s"""{"demo_2m":${runsJson(demo2mRuns)},"demo_20m":${runsJson(demo20Runs)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","baseline_demo_2m_sec":10.718802}""")
+    // gc_ms / heap_mb per query: attributes a cross-round wall-time move
+    // to GC pressure (or rules it out) without a rerun — see VERDICT r8.
+    val gcJson = gcByQuery.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val heapJson = heapByQuery.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"baseline_demo_2m_sec":10.718802}""")
     spark.stop()
   }
 }

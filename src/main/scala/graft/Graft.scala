@@ -125,9 +125,11 @@ object Graft {
         spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled",
           "true") != "false")
       System.err.println("[graft] WARNING: existing SparkSession lacks " +
-        "graft's required configs (UTC session timeZone, parquet " +
-        "nanosAsLong) — events reads and datetime results may misbehave. " +
-        "Create the session via Graft.session first.")
+        "graft's required configs (spark.sql.session.timeZone=UTC, " +
+        "spark.sql.legacy.parquet.nanosAsLong=true, " +
+        "spark.sql.parquet.inferTimestampNTZ.enabled=false) — events " +
+        "reads and datetime results may misbehave. Create the session " +
+        "via Graft.session first.")
     spark
   }
 }

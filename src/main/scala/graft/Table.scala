@@ -142,14 +142,20 @@ final case class Table(df: DataFrame) {
     df.foreachPartition {
       (rows: Iterator[Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val head = rows.take(maxRowsPerShard).toSeq
+        // manual take: the original iterator is undefined after
+        // Iterator.take, and we need hasNext afterwards to decide the
+        // '+' marker — a shard holding exactly maxRowsPerShard rows is
+        // fully shown, not truncated
+        val head = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (rows.hasNext && head.size < maxRowsPerShard) head += rows.next()
+        val truncated = rows.hasNext
         val body = head.map(r => names.indices
           .map(i => String.valueOf(r.get(i))).mkString(" | "))
         // one println per shard: concurrent tasks interleave BLOCKS,
         // not lines. System.out (re-read per call), not Scala's cached
         // Console.out — executor stdout redirection sees it.
         System.out.println((s"[$pid] shard rows=${head.size}${
-          if (head.size == maxRowsPerShard) "+" else ""}" +:
+          if (truncated) "+" else ""}" +:
           names.mkString(" | ") +: body).mkString("\n"))
     }
   }

@@ -136,8 +136,13 @@ object Analytics {
         .select(col("n1"), col("x1"), col("n2"), col("x2"),
           expr("x1 * 1000000 DIV n1 - x2 * 1000000 DIV n2")
             .as("diff_ppm"),
+          // widen INSIDE the cross-products (not around them): x1·n2
+          // itself crosses 2^63 around 1e10 rows/arm, where non-ANSI
+          // Spark wraps silently while DuckDB raises — no intermediate
+          // may be computed in BIGINT.
           expr(
-            "CAST((x1*n2 - x2*n1) AS DECIMAL(38,0)) * (x1*n2 - x2*n1) " +
+            "(CAST(x1 AS DECIMAL(38,0)) * n2 - CAST(x2 AS DECIMAL(38,0)) * n1) " +
+              "* (CAST(x1 AS DECIMAL(38,0)) * n2 - CAST(x2 AS DECIMAL(38,0)) * n1) " +
               "* (n1 + n2) * 10000 > CAST(38415 AS DECIMAL(38,0)) " +
               "* n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)")
             .as("significant"))),
@@ -879,7 +884,8 @@ object Analytics {
         |  FROM e)
         |SELECT n1, x1, n2, x2,
         | x1 * 1000000 // n1 - x2 * 1000000 // n2 AS diff_ppm,
-        | CAST((x1*n2 - x2*n1) AS HUGEINT) * (x1*n2 - x2*n1)
+        | (CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+        |   * (CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
         |   * (n1 + n2) * 10000 > CAST(38415 AS HUGEINT)
         |   * n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2) AS significant
         |FROM a""".stripMargin,

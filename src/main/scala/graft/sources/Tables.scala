@@ -63,10 +63,23 @@ object Tables {
     * `nanosAsLong` vintage); false for native timestamp storage. Used by
     * streaming readers, which must DECLARE a schema up front and so need
     * the storage class before opening the stream. One driver-side footer
-    * read; negligible against stream startup. */
+    * read; negligible against stream startup.
+    *
+    * A directory with NO parquet footers yet (an empty landing dir a
+    * stream is opened on before the first file arrives — the normal
+    * streaming-source startup order) defaults to native timestamp
+    * storage: Spark's own writers produce timestamp[us], so a dir that
+    * will be populated by Spark jobs holds that vintage. A later
+    * ns-vintage producer on a pre-sniffed empty dir would need the
+    * stream reopened — sniffing is open-time, documented at
+    * [[graft.streaming.EventStreams.fromDirectory]]. */
   def tsStoredAsLong(spark: SparkSession, path: String): Boolean =
-    spark.read.parquet(path).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    try
+      spark.read.parquet(path).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+    }
 
   /** Reference-parity reader: the path's last component is a REGEX
     * fully matched against the parent directory's entry names — the
