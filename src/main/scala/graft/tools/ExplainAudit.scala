@@ -7,16 +7,11 @@ import graft.{Graft, SparkEntry}
   * want at 100 TB" gate. Dev utility: tools/run.sh graft.tools.ExplainAudit [sfDir]
   */
 object ExplainAudit {
-  def main(args: Array[String]): Unit = {
-    val spark = Graft.session(master = "local[8]", appName = "graft-explain",
-      shufflePartitions = 8)
-    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    if (args.length > 1 && args(1) == "--scan") {
       // red-flag scan over the whole inventory: quadratic join strategies
       // where a broadcast of a *large* side or a true cross product would
       // hide; queries that intentionally broadcast a small side are
       // allow-listed with the reason.
-      val intended = Map(
+      private val intended = Map(
         "q43_knn_brute" -> "BNLJ broadcasts the tiny query set (by design)",
         "q45_ivf_ann" -> "BNLJ broadcasts tiny centroids/queries (by design)",
         "q62_ivf_trained" -> "BNLJ broadcasts the k trained centroids (by design)",
@@ -53,31 +48,53 @@ object ExplainAudit {
       // string grep can't see reliably; detected on the optimized plan
       // (empty partitionSpec) and allow-listed only where the window's
       // input is provably bounded
-      val globalWinOk = Map(
+      private val globalWinOk = Map(
         "q147_quality_sweep" -> "cumulative window over the BUCKET table (~range/10 rows), not the corpus",
         "q148_token_budget" -> "phase-1 cumulative window over the q_milli bucket table (<=1001 rows)",
         "q189_equidepth_hist" -> "global rank over the deterministic half-sample, not the full scan",
         "q233_conversion_curve" -> "cumulative window over the day-offset table (<= corpus span in days), not the corpus",
         "q245_zipf_coverage" -> "rank/cumulative windows over the VOCABULARY-bounded agg, not the token stream")
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-        try {
-          val df = fn(spark, d)
-          val plan = df.queryExecution.executedPlan.toString
-          val flags = Seq(
-            "CartesianProduct", "BroadcastNestedLoopJoin")
-            .filter(plan.contains)
+  /** Scan every inventory query's plan for the two structural
+    * scale-killers (quadratic join strategies; single-partition
+    * windows) and return one line per finding, annotated `[OK: reason]`
+    * when allow-listed and `[REVIEW]` otherwise. A query whose
+    * CONSTRUCTION throws yields an `ERROR` line — a scan that silently
+    * skips queries would pass vacuously. Called by the main below AND
+    * by ScaleSpec, which asserts zero [REVIEW]/ERROR lines on every
+    * `sbt test` so allow-list drift fails CI loudly. */
+  def scan(spark: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      try {
+        val df = fn(spark, d)
+        val plan = df.queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains)
+        val joinLine =
           if (flags.nonEmpty)
-            println(s"$n: ${flags.mkString(",")}" +
+            Seq(s"$n: ${flags.mkString(",")}" +
               intended.get(n).map(r => s"  [OK: $r]").getOrElse("  [REVIEW]"))
-          val hasGlobalWin = df.queryExecution.optimizedPlan.collect {
-            case w: org.apache.spark.sql.catalyst.plans.logical.Window
-                if w.partitionSpec.isEmpty => w
-          }.nonEmpty
+          else Seq.empty
+        val hasGlobalWin = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        val winLine =
           if (hasGlobalWin)
-            println(s"$n: GlobalWindow" +
+            Seq(s"$n: GlobalWindow" +
               globalWinOk.get(n).map(r => s"  [OK: $r]").getOrElse("  [REVIEW]"))
-        } catch { case e: Throwable => println(s"$n: ERROR ${e.getMessage}") }
-      }
+          else Seq.empty
+        joinLine ++ winLine
+      } catch { case e: Throwable => Seq(s"$n: ERROR ${e.getMessage}") }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session(master = "local[8]", appName = "graft-explain",
+      shufflePartitions = 8)
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    if (args.length > 1 && args(1) == "--scan") {
+      scan(spark, d).foreach(println)
     } else {
       val names = if (args.length > 1) args.drop(1).toSeq else Seq(
         "q02_filter", "q05_groupby_sum", "q07_join_inner",

@@ -504,4 +504,18 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("partial_min") && plan.contains("partial_max"),
       s"expected map-side partial min/max under the join:\n$plan")
   }
+
+  test("plan audit: zero un-allow-listed scale-killers over the FULL inventory") {
+    // tools.ExplainAudit --scan, wired into CI (VERDICT r8 directive 5):
+    // every CartesianProduct/BroadcastNestedLoopJoin and every
+    // single-partition window in any of the 267 query plans must carry
+    // an allow-list reason — a stray broadcast or global sort added by
+    // a future change turns this test red instead of relying on a
+    // pre-commit habit. Construction errors fail too (a scan that skips
+    // queries would pass vacuously).
+    val findings = tools.ExplainAudit.scan(spark, sf)
+    val bad = findings.filter(l => l.contains("[REVIEW]") || l.contains("ERROR"))
+    assert(bad.isEmpty,
+      s"plan audit found un-allow-listed scale risks:\n${bad.mkString("\n")}")
+  }
 }
