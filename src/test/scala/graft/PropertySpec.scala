@@ -185,4 +185,67 @@ class PropertySpec extends SparkTestBase {
         s"$axis tercile sizes differ by more than 2 in a market")
     }
   }
+
+  test("overflow rail laws: max-accumulator bounds per wide-arithmetic family") {
+    // VERDICT r8 directive 3's codicil: each exact-integer family gets
+    // an executable rail law — the worst-case accumulator magnitude,
+    // computed symbolically in BigInt at that family's DOCUMENTED scale
+    // envelope, must clear the rail of the type the engine computes it
+    // in. Growing an envelope (or adding a family member with a bigger
+    // accumulator) without re-deriving the bound turns this test red.
+    // Corpus worst-case constants (TPC-H-ish): price <= 1e5 (1e7 cents),
+    // account balance <= 1e4 (1e6 cents), events value <= 1e4.
+    val bigintRail = BigInt(Long.MaxValue)          // 9.22e18
+    val decimalRail = BigInt(10).pow(38)            // DECIMAL(38,0)
+    val maxCents = BigInt(10000000)                 // 1e5 * 100
+
+    // Family 1 — linear cents sums + ppm shares (q47/q49/q241/q266...):
+    // engine sums BIGINT cents; the ppm cross-multiply divides cents by
+    // 100 first (q266's move). Envelope: 100 TB ~ TPC-H sf1e5 ~ 6e11
+    // lineitem rows.
+    val lineitems100TB = BigInt(6) * BigInt(10).pow(11)
+    val sumBound = lineitems100TB * maxCents
+    assert(sumBound < bigintRail,
+      s"linear cents sum $sumBound crosses the BIGINT rail at 100 TB")
+    assert(sumBound / 100 * 1000000 < decimalRail,
+      "ppm cross-multiply crosses DECIMAL(38,0) at 100 TB")
+
+    // Family 2 — rank-weighted Gini (q231): ws = sum(rank*cents) <=
+    // n^2 * maxBalCents per nation; engine computes 2*ws*1e6 in
+    // DECIMAL(38,0) after the r8 fix. Envelope: 100 TB ~ 1.5e10
+    // customers => ~6e8 per nation.
+    val custPerNation100TB = BigInt(6) * BigInt(10).pow(8)
+    val maxBalCents = BigInt(1000000)
+    val giniBound = 2 * custPerNation100TB.pow(2) * maxBalCents * 1000000
+    assert(giniBound < decimalRail,
+      s"Gini cross-multiply $giniBound crosses DECIMAL(38,0) at 100 TB")
+
+    // Family 3 — two-proportion z-test (q265): the decision product is
+    // degree FIVE in the arm sizes ((x1*n2 - x2*n1)^2 * N * 1e4), so its
+    // envelope is intrinsically narrower: N^5 * 1e4 < 1e38 holds to
+    // N ~ 1.2e7 events and NOT beyond. The documented envelope is sf1
+    // (1e6 events, proven green by the round-9 sweep) with ~10x
+    // headroom; past it the DECIMAL(38,0) product overflows to NULL —
+    // a LOUD red row, never a silent wrap (the r9 widening removed
+    // every BIGINT intermediate). A 100 TB deployment pre-aggregates
+    // arm counts (the agg is 4 scalars) and runs the decision off-line,
+    // or pre-scales counts by 1000 identically in engine and oracle.
+    val eventsSf1 = BigInt(10).pow(6)
+    val zBoundSf1 = eventsSf1.pow(5) * 10000
+    assert(zBoundSf1 < decimalRail,
+      s"z-test product $zBoundSf1 crosses DECIMAL(38,0) inside its sf1 envelope")
+    val zBoundSf100 = (BigInt(10).pow(8)).pow(5) * 10000
+    assert(zBoundSf100 > decimalRail,
+      "z-test envelope note is stale: sf100 now fits DECIMAL(38,0) — " +
+        "tighten the documented envelope instead of deleting this check")
+
+    // Family 4 — ns-timestamp arithmetic (canonicalTs): int64
+    // ns-since-epoch covers timestamps through 2262-04-11 (the Arrow/
+    // pandas ns ceiling); year-2100 event times sit at ~2.2x headroom,
+    // and the DIV-1000 (not double division) move is what keeps the
+    // low bits exact below 2^53-breaking magnitudes.
+    val ns2100 = BigInt("4102444800") * BigInt(10).pow(9)
+    assert(ns2100 * 2 < bigintRail,
+      "ns-since-epoch arithmetic loses its BIGINT headroom before 2100")
+  }
 }
