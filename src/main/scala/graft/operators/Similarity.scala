@@ -473,17 +473,74 @@ object Similarity {
     * OR-amplified buckets; candidates = pairs colliding in >=1 band;
     * exact cosine verify on candidates only. The equi-join on
     * (band, bucket) is the whole shuffle story — no all-pairs stage
-    * anywhere, which is what lets this run unblocked at 100 TB. */
+    * anywhere — and [[truncateBuckets]] caps the collision-side
+    * posting list per bucket, so candidate volume is
+    * `nBands × N × bucketCap` (linear in N) even when the hash is
+    * uninformative for a dense region. That cap is what lets the
+    * DEFAULT parameters run unblocked at 100 TB; tuning `bandBits`
+    * up (more, smaller buckets) remains the recall-preserving lever. */
   def lshDupPairs(df: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+      threshold: Double, nBits: Int = 16, bandBits: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val banded = lshBands(df, idCol, embCol, nBits, bandBits)
-    val cand = banded.as("x").join(banded.as("y"),
+    val cand = banded.as("x")
+      .join(truncateBuckets(banded, idCol, bucketCap).as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
       .dropDuplicates("ida", "idb")
     verifyCosine(cand, df, idCol, embCol, threshold)
+  }
+
+  /** Default collision-side posting cap for the LSH joins — chosen so
+    * the truncation is provably the IDENTITY at oracle-gate scale
+    * (sf0.01 has 500 vectors total; no bucket can reach 512) while
+    * bounding candidate volume linearly at any corpus size. The
+    * DuckDB oracles interpolate this same constant, so the two
+    * engines' truncation rules cannot drift. */
+  val DefaultBucketCap: Int = 512
+
+  /** Bound a band table's per-(band,bucket) posting list to ~`cap`
+    * deterministic representatives: buckets at or under `cap` pass
+    * through UNTOUCHED (so the operator is the identity at gated
+    * scale), while a bucket of size n > cap keeps only members whose
+    * id ≡ 0 (mod ⌈n/cap⌉) — for the corpus's dense 0-based ids that
+    * is ~cap evenly-spread survivors, chosen by pure arithmetic both
+    * engines spell identically. Used on the COLLISION side of every
+    * LSH self-join: each row still probes with its own full band set
+    * (coverage keeps every row), but no row can meet more than ~cap
+    * collision partners per bucket, turning the worst-case candidate
+    * volume from Σ n_b² (quadratic in a dense bucket) into
+    * `nBands × N × cap` (linear in N).
+    *
+    * Deliberately WINDOW-FREE: a rank-per-bucket spelling would put a
+    * 10M-row degenerate bucket in one window task — the exact skew
+    * this cap exists to survive. Instead the only added work is a
+    * tiny (band, bucket, count) aggregate — ≤ nBands·2^bandBits rows —
+    * broadcast back for a row-local modulo filter. */
+  private[graft] def truncateBuckets(banded: DataFrame, idCol: String,
+      cap: Int): DataFrame =
+    truncateBucketsWith(banded,
+      banded.groupBy("band", "bucket").agg(count(lit(1)).as("graft_bsz")),
+      idCol, cap)
+
+  /** [[truncateBuckets]] against a CALLER-SUPPLIED size table
+    * `sizes(band, bucket, graft_bsz)` — the variant the incremental
+    * path uses so both of its collision sides truncate by the
+    * COMBINED (corpus + batch) bucket sizes: keep(id) depends only on
+    * (id, bucket size), so truncating each side by the union's sizes
+    * reproduces exactly the union-table truncation — which is what
+    * makes `incrementalLshPairs == lshDupPairs(corpus ∪ batch)
+    * restricted to batch-touching pairs` an EXACT law in every
+    * regime, capped or not. */
+  private[graft] def truncateBucketsWith(banded: DataFrame,
+      sizes: DataFrame, idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, "bucketCap must be >= 1")
+    banded.join(broadcast(sizes), Seq("band", "bucket"))
+      .filter(col("graft_bsz") <= cap ||
+        col(idCol) % expr(s"(graft_bsz + ${cap - 1}) DIV $cap") === 0)
+      .drop("graft_bsz")
   }
 
   /** Approximate k-NN JOIN: every vector gets its top-`k` neighbors
@@ -495,14 +552,18 @@ object Similarity {
     * search or a brute cross join is off the table.
     *
     * Scale shape: candidates come only from the (band, bucket)
-    * equi-join — never an all-pairs stage — then one exact-cosine
-    * verify and one per-qid window on the candidate set. Vectors whose
+    * equi-join — never an all-pairs stage, and the collision side is
+    * [[truncateBuckets]]-capped so volume is `nBands × N × bucketCap`
+    * (linear in N) — then one exact-cosine verify and one per-qid
+    * window on the candidate set. Every row still queries with its
+    * full band set, so coverage is unchanged by the cap. Vectors whose
     * buckets contain no other member yield no row (an isolated vector
     * has no approximate neighbor — callers needing total coverage fall
     * back to [[bruteForceTopK]] on the leftover ids, which is tiny). */
   def lshKnnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
-      nBits: Int = 16, bandBits: Int = 4): DataFrame = {
-    val cand = lshCandidates(df, idCol, embCol, nBits, bandBits)
+      nBits: Int = 16, bandBits: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val cand = lshCandidates(df, idCol, embCol, nBits, bandBits, bucketCap)
     val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
     rankCandidates(cand, p, idCol, k)
       .withColumnRenamed("vid", "vec_id")
@@ -510,11 +571,13 @@ object Similarity {
 
   /** Directed (qid, vid) band-collision candidate pairs — ONE spelling
     * of the LSH candidate space for [[lshKnnJoin]] and
-    * [[hardNegatives]], so their semantics cannot drift apart. */
+    * [[hardNegatives]], so their semantics cannot drift apart. The
+    * vid side rides [[truncateBuckets]]; qid side is the full corpus. */
   private def lshCandidates(df: DataFrame, idCol: String, embCol: String,
-      nBits: Int, bandBits: Int): DataFrame = {
+      nBits: Int, bandBits: Int, bucketCap: Int): DataFrame = {
     val banded = lshBands(df, idCol, embCol, nBits, bandBits)
-    banded.as("x").join(banded.as("y"),
+    banded.as("x")
+      .join(truncateBuckets(banded, idCol, bucketCap).as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") =!= col(s"y.$idCol"))
@@ -601,9 +664,10 @@ object Similarity {
     * (qid, vec_id, rank, cos). */
   def hardNegatives(df: DataFrame, idCol: String, embCol: String,
       labelCol: String, k: Int,
-      nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+      nBits: Int = 16, bandBits: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val labels = df.select(col(idCol), col(labelCol))
-    val cand = lshCandidates(df, idCol, embCol, nBits, bandBits)
+    val cand = lshCandidates(df, idCol, embCol, nBits, bandBits, bucketCap)
       .join(labels.select(col(idCol).as("qid"),
         col(labelCol).as("ql")), "qid")
       .join(labels.select(col(idCol).as("vid"),
@@ -680,10 +744,17 @@ object Similarity {
     * parameters produce band keys that join but mean nothing. */
   def writeLshIndex(df: DataFrame, idCol: String, embCol: String,
       table: String, nBits: Int = 16, bandBits: Int = 4,
-      nBuckets: Int = 32): Unit =
-    graft.sources.Tables.writeBucketed(
-      lshBands(df, idCol, embCol, nBits, bandBits), table,
+      nBuckets: Int = 32): Unit = {
+    val bands = lshBands(df, idCol, embCol, nBits, bandBits)
+    graft.sources.Tables.writeBucketed(bands, table,
       Seq("band", "bucket"), nBuckets)
+    // bucket-size side table (≤ nBands·2^bandBits rows): lets the
+    // incremental probe truncate against COMBINED corpus+batch sizes
+    // without re-scanning the corpus index per batch
+    graft.sources.Tables.writeTable(
+      bands.groupBy("band", "bucket").agg(count(lit(1)).as("graft_bsz")),
+      s"${table}_sizes")
+  }
 
   /** Incremental embedding near-dup pairs touching a NEW batch, against
     * a [[writeLshIndex]]-persisted corpus: batch bands equi-join the
@@ -693,19 +764,57 @@ object Similarity {
     * with at least one batch member. */
   def incrementalLshPairs(batch: DataFrame, lshIndexTable: String,
       verifySource: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+      threshold: Double, nBits: Int = 16, bandBits: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val spark = batch.sparkSession
     val corpusBands = spark.table(lshIndexTable)
     val batchBands = lshBands(batch, idCol, embCol, nBits, bandBits).cache()
-    // x.id =!= y.id: a replayed batch already present in the index must
-    // not emit cos=1 self-pairs
-    val vsCorpus = batchBands.as("x").join(corpusBands.as("y"),
+    // BOTH collision sides truncate by the COMBINED corpus+batch bucket
+    // sizes: keep(id) is a pure function of (id, bucket size), so
+    // per-side truncation under the union's sizes equals truncating the
+    // union table — the exact-equivalence law with
+    // lshDupPairs(corpus ∪ batch) survives the capped regime (for a
+    // disjoint batch, the normal admission; a replayed batch only
+    // tightens the divisor). Corpus sizes come from the side table
+    // [[writeLshIndex]] persists (pre-r9 indexes: recompute once) —
+    // the per-batch cost stays O(batch), never an O(corpus) re-scan.
+    val corpusSizes =
+      (try spark.table(s"${lshIndexTable}_sizes")
+       catch {
+         case _: org.apache.spark.sql.AnalysisException =>
+           corpusBands.groupBy("band", "bucket")
+             .agg(count(lit(1)).as("graft_bsz"))
+       }).withColumnRenamed("graft_bsz", "graft_csz")
+    val batchSizes = batchBands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("graft_nsz"))
+    val unionSizes = corpusSizes
+      .join(batchSizes, Seq("band", "bucket"), "full_outer")
+      .select(col("band"), col("bucket"),
+        (coalesce(col("graft_csz"), lit(0L)) +
+          coalesce(col("graft_nsz"), lit(0L))).as("graft_bsz"))
+    val truncCorpus =
+      truncateBucketsWith(corpusBands, unionSizes, idCol, bucketCap)
+    val truncBatch =
+      truncateBucketsWith(batchBands, unionSizes, idCol, bucketCap)
+    // The one-shot law's x<y join always puts the LARGER id on the
+    // truncated side, so a pair survives iff its larger id is a
+    // representative — the corpus-vs-batch candidates therefore split
+    // by id order (corpus-larger probes the truncated corpus,
+    // batch-larger probes the truncated batch), each an equi-join the
+    // bucketed corpus table never moves for. x<y also guarantees a
+    // replayed batch already present in the index can't emit cos=1
+    // self-pairs.
+    val vsCorpus = batchBands.as("x").join(truncCorpus.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") =!= col(s"y.$idCol"))
-      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("ida"),
-        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("idb"))
-    val vsBatch = batchBands.as("x").join(batchBands.as("y"),
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+      .unionAll(corpusBands.as("x").join(truncBatch.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb")))
+    val vsBatch = batchBands.as("x").join(truncBatch.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

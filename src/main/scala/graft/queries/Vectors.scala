@@ -513,10 +513,15 @@ object Vectors {
     "q157_knn_classify" -> ((s, d) => {
       val e = emb(s, d)
       val bands = Similarity.lshBands(e, "vec_id", "embedding")
-      val cand = bands.as("x").join(bands.as("y"),
+      // train = collision side → posting-capped by TRAIN bucket sizes
+      // (same rule as every LSH join; identity at gate scale)
+      val train = Similarity.truncateBuckets(
+        bands.filter(col("vec_id") % 5 =!= 0), "vec_id",
+        Similarity.DefaultBucketCap)
+      val cand = bands.filter(col("vec_id") % 5 === 0).as("x")
+        .join(train.as("y"),
           col("x.band") === col("y.band") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") % 5 === 0 && col("y.vec_id") % 5 =!= 0)
+            col("x.bucket") === col("y.bucket"))
         .select(col("x.vec_id").as("qid"), col("y.vec_id").as("vid"))
         .dropDuplicates("qid", "vid")
       val p = Similarity.prepare(e, "embedding")
@@ -799,9 +804,15 @@ object Vectors {
   private lazy val knnClassifySql: String =
     s"""WITH $prepCte,
       | $lshBandCtes,
+      | bt AS (SELECT * FROM b WHERE vec_id % 5 <> 0),
+      | btsz AS (SELECT band, bucket, count(*) AS bn FROM bt GROUP BY 1, 2),
+      | btr AS (SELECT bt.vec_id, bt.band, bt.bucket
+      |  FROM bt JOIN btsz USING (band, bucket)
+      |  WHERE btsz.bn <= $lshCap
+      |     OR bt.vec_id % ((btsz.bn + ${lshCap - 1}) // $lshCap) = 0),
       | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
-      |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
-      |    AND x.vec_id % 5 = 0 AND y.vec_id % 5 <> 0),
+      |  FROM b x JOIN btr y ON x.band = y.band AND x.bucket = y.bucket
+      |    AND x.vec_id % 5 = 0),
       | sc AS (SELECT kc.qid, kc.vid, c.label,
       |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
       |  FROM kc JOIN n a ON a.vec_id = kc.qid
@@ -968,10 +979,17 @@ object Vectors {
     * (`range(1, 65)`), nBits=16, bandBits=4 — while the Scala operator
     * is parameterized; only that configuration is oracle-gated.
     * Non-default args are covered by OperatorSpec only. */
+  /** The collision-side posting cap — interpolated from the ONE Scala
+    * constant so operator and oracle truncation rules cannot drift. */
+  private val lshCap = graft.operators.Similarity.DefaultBucketCap
+
   /** Sign-bit signature + band/bucket CTEs alone (yields `b(vec_id,
-    * band, bucket)`) — shared by the pair queries (via [[lshCtes]])
-    * and the q135 knn join, which ranks directed collisions instead
-    * of thresholding undirected ones. */
+    * band, bucket)` plus its capped collision side `br`) — shared by
+    * the pair queries (via [[lshCtes]]) and the q135 knn join, which
+    * ranks directed collisions instead of thresholding undirected
+    * ones. `br` mirrors Similarity.truncateBuckets: a bucket of size
+    * bn > cap keeps only ids ≡ 0 (mod ⌈bn/cap⌉); at gate scale every
+    * bucket is under the cap so `br` = `b` exactly. */
   private val lshBandCtes: String =
     s"""s AS (SELECT vec_id, q, n2,
       |   [CASE WHEN CAST(list_aggregate(
@@ -982,12 +1000,18 @@ object Vectors {
       | b AS (SELECT vec_id, t.b AS band,
       |    8*sig[4*t.b+1] + 4*sig[4*t.b+2] + 2*sig[4*t.b+3] + sig[4*t.b+4]
       |      AS bucket
-      |  FROM s, range(0, 4) t(b))""".stripMargin
+      |  FROM s, range(0, 4) t(b)),
+      | bsz AS (SELECT band, bucket, count(*) AS bn FROM b GROUP BY 1, 2),
+      | br AS (SELECT b.vec_id, b.band, b.bucket
+      |  FROM b JOIN bsz USING (band, bucket)
+      |  WHERE bsz.bn <= $lshCap
+      |     OR b.vec_id % ((bsz.bn + ${lshCap - 1}) // $lshCap) = 0)"""
+      .stripMargin
 
   private val lshCtes: String =
     s"""$lshBandCtes,
       | cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
-      |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+      |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
       |    AND x.vec_id < y.vec_id),
       | scored AS (SELECT cand.ida, cand.idb,
       |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
@@ -1135,7 +1159,7 @@ object Vectors {
       s"""WITH $prepCte,
         | $lshBandCtes,
         | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
-        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
         |    AND x.vec_id <> y.vec_id),
         | sc AS (SELECT kc.qid, kc.vid AS vec_id,
         |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
@@ -1152,7 +1176,7 @@ object Vectors {
       s"""WITH $prepCte,
         | $lshBandCtes,
         | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
-        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
         |    AND x.vec_id <> y.vec_id),
         | sc AS (SELECT kc.qid, kc.vid AS vec_id,
         |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
@@ -1173,7 +1197,7 @@ object Vectors {
       s"""WITH $prepCte,
         | $lshBandCtes,
         | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
-        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
         |    AND x.vec_id <> y.vec_id),
         | neg AS (SELECT kc.qid, kc.vid FROM kc
         |  JOIN n a ON a.vec_id = kc.qid
@@ -1334,7 +1358,7 @@ object Vectors {
       s"""WITH $prepCte,
         | $lshBandCtes,
         | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
-        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
         |    AND x.vec_id <> y.vec_id),
         | sc AS (SELECT kc.qid, kc.vid,
         |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
@@ -1364,7 +1388,7 @@ object Vectors {
       s"""WITH $prepCte,
         | $lshBandCtes,
         | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
-        |  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+        |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
         |    AND x.vec_id <> y.vec_id),
         | sc AS (SELECT kc.qid, kc.vid,
         |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos

@@ -1228,4 +1228,55 @@ class OperatorSpec extends SparkTestBase {
     out.foreach { r =>
       assert(r._6 == r._1 * r._2 * r._3 * r._4 * r._5) }
   }
+
+  test("LSH bucket cap: identity under cap, exact modulo rule, capped incremental law") {
+    import spark.implicits._
+    val e = sources.Tables.read(spark, sf, "embeddings")
+
+    // 1) IDENTITY law: at spec scale no bucket reaches the default cap,
+    // so the capped default must equal an explicitly uncapped run.
+    val capped = Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3)
+    val open = Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3,
+      bucketCap = Int.MaxValue)
+    assert(capped.exceptAll(open).count() == 0 &&
+      open.exceptAll(capped).count() == 0)
+
+    // 2) truncation implements EXACTLY the documented modulo rule:
+    // bucket of size n > cap keeps ids ≡ 0 (mod ⌈n/cap⌉), others pass
+    val cap = 3
+    val bands = Similarity.lshBands(e, "vec_id", "embedding")
+    val got = Similarity.truncateBuckets(bands, "vec_id", cap)
+      .select($"band", $"bucket", $"vec_id").as[(Int, Int, Long)]
+      .collect().toSet
+    val raw = bands.select($"band", $"bucket", $"vec_id")
+      .as[(Int, Int, Long)].collect()
+    val want = raw.groupBy(r => (r._1, r._2)).iterator.flatMap {
+      case (_, rs) =>
+        val n = rs.length
+        if (n <= cap) rs
+        else { val k = (n + cap - 1) / cap; rs.filter(_._3 % k == 0) }
+    }.toSet
+    assert(got == want, "truncateBuckets diverged from the modulo rule")
+    // the cap is ACTIVE on this data — otherwise (3) proves nothing
+    assert(got.size < raw.length, "cap=3 must truncate at spec scale")
+
+    // 3) the incremental law SURVIVES the capped regime: with a cap
+    // small enough to truncate, incremental == one-shot over the union
+    // restricted to batch-touching pairs (both sides capped identically
+    // because keep(id) depends only on (id, union bucket size)).
+    val corpus = e.filter($"vec_id" % 5 =!= 0)
+    val batch = e.filter($"vec_id" % 5 === 0)
+    Similarity.writeLshIndex(corpus, "vec_id", "embedding",
+      "graft_lsh_capspec", nBuckets = 4)
+    val inc = Similarity.incrementalLshPairs(batch, "graft_lsh_capspec",
+        e, "vec_id", "embedding", threshold = -1.0, bucketCap = cap)
+      .select("ida", "idb", "cos")
+    val full = Similarity.lshDupPairs(e, "vec_id", "embedding",
+        threshold = -1.0, bucketCap = cap)
+      .filter($"ida" % 5 === 0 || $"idb" % 5 === 0)
+      .select("ida", "idb", "cos")
+    assert(inc.exceptAll(full).count() == 0 &&
+      full.exceptAll(inc).count() == 0,
+      "capped incremental != capped one-shot restricted to batch pairs")
+  }
 }
