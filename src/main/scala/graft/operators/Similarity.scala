@@ -493,21 +493,20 @@ object Similarity {
     verifyCosine(cand, df, idCol, embCol, threshold)
   }
 
-  /** Default collision-side posting cap for the LSH joins — chosen so
-    * the truncation is provably the IDENTITY at oracle-gate scale
-    * (sf0.01 has 500 vectors total; no bucket can reach 512) while
-    * bounding candidate volume linearly at any corpus size. The
-    * DuckDB oracles interpolate this same constant, so the two
-    * engines' truncation rules cannot drift. */
-  val DefaultBucketCap: Int = 512
+  /** Default collision-side posting cap for the LSH joins — see
+    * [[BucketCap.DefaultCap]]. The DuckDB oracles interpolate the same
+    * constant AND the same keep rule ([[BucketCap.keepDuck]]), so the
+    * two engines' truncation rules cannot drift. */
+  val DefaultBucketCap: Int = BucketCap.DefaultCap
 
   /** Bound a band table's per-(band,bucket) posting list to ~`cap`
     * deterministic representatives: buckets at or under `cap` pass
     * through UNTOUCHED (so the operator is the identity at gated
     * scale), while a bucket of size n > cap keeps only members whose
-    * id ≡ 0 (mod ⌈n/cap⌉) — for the corpus's dense 0-based ids that
-    * is ~cap evenly-spread survivors, chosen by pure arithmetic both
-    * engines spell identically. Used on the COLLISION side of every
+    * id-hash ≡ 0 (mod ⌈n/cap⌉) — the distribution-independent
+    * [[BucketCap]] rule, ~cap survivors for ANY id pattern, chosen by
+    * pure arithmetic both engines spell identically. Used on the
+    * COLLISION side of every
     * LSH self-join: each row still probes with its own full band set
     * (coverage keeps every row), but no row can meet more than ~cap
     * collision partners per bucket, turning the worst-case candidate
@@ -532,16 +531,19 @@ object Similarity {
     * (id, bucket size), so truncating each side by the union's sizes
     * reproduces exactly the union-table truncation — which is what
     * makes `incrementalLshPairs == lshDupPairs(corpus ∪ batch)
-    * restricted to batch-touching pairs` an EXACT law in every
-    * regime, capped or not. */
+    * restricted to batch-touching pairs` an EXACT law for DISJOINT
+    * batches (new ids — the admission workflow's regime, and the one
+    * the spec proves), capped or not. A REPLAYED batch double-counts
+    * its ids in the summed sizes, so its truncation can keep a
+    * different representative set than the one-shot over the deduped
+    * union; the x<y guards still forbid self-pairs, and because every
+    * emitted pair is exact-verified downstream, replay can only cost
+    * recall, never emit a wrong pair. */
   private[graft] def truncateBucketsWith(banded: DataFrame,
-      sizes: DataFrame, idCol: String, cap: Int): DataFrame = {
-    require(cap >= 1, "bucketCap must be >= 1")
+      sizes: DataFrame, idCol: String, cap: Int): DataFrame =
     banded.join(broadcast(sizes), Seq("band", "bucket"))
-      .filter(col("graft_bsz") <= cap ||
-        col(idCol) % expr(s"(graft_bsz + ${cap - 1}) DIV $cap") === 0)
+      .filter(expr(BucketCap.keepSql(s"`$idCol`", "graft_bsz", cap)))
       .drop("graft_bsz")
-  }
 
   /** Approximate k-NN JOIN: every vector gets its top-`k` neighbors
     * from among its LSH band collisions — the all-rows companion to the
@@ -746,14 +748,21 @@ object Similarity {
       table: String, nBits: Int = 16, bandBits: Int = 4,
       nBuckets: Int = 32): Unit = {
     val bands = lshBands(df, idCol, embCol, nBits, bandBits)
-    graft.sources.Tables.writeBucketed(bands, table,
-      Seq("band", "bucket"), nBuckets)
     // bucket-size side table (≤ nBands·2^bandBits rows): lets the
     // incremental probe truncate against COMBINED corpus+batch sizes
-    // without re-scanning the corpus index per batch
+    // without re-scanning the corpus index per batch. Written FIRST:
+    // a failure between the two writes then leaves sizes-without-bands
+    // (the probe fails loudly on the missing bands table) rather than
+    // bands-without-sizes (the probe would silently fall back to a
+    // per-batch corpus re-aggregation). writeLshIndex is the ONLY
+    // supported writer of `table` — rewriting the bands by any other
+    // path leaves `${table}_sizes` stale and voids the
+    // incremental/one-shot law.
     graft.sources.Tables.writeTable(
       bands.groupBy("band", "bucket").agg(count(lit(1)).as("graft_bsz")),
       s"${table}_sizes")
+    graft.sources.Tables.writeBucketed(bands, table,
+      Seq("band", "bucket"), nBuckets)
   }
 
   /** Incremental embedding near-dup pairs touching a NEW batch, against
@@ -773,9 +782,11 @@ object Similarity {
     // sizes: keep(id) is a pure function of (id, bucket size), so
     // per-side truncation under the union's sizes equals truncating the
     // union table — the exact-equivalence law with
-    // lshDupPairs(corpus ∪ batch) survives the capped regime (for a
-    // disjoint batch, the normal admission; a replayed batch only
-    // tightens the divisor). Corpus sizes come from the side table
+    // lshDupPairs(corpus ∪ batch) survives the capped regime for
+    // DISJOINT batches (the admission workflow; see
+    // truncateBucketsWith's scaladoc for why a replayed batch is
+    // outside the law — recall-only degradation, never a wrong pair).
+    // Corpus sizes come from the side table
     // [[writeLshIndex]] persists (pre-r9 indexes: recompute once) —
     // the per-batch cost stays O(batch), never an O(corpus) re-scan.
     val corpusSizes =

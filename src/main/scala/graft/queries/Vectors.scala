@@ -808,8 +808,8 @@ object Vectors {
       | btsz AS (SELECT band, bucket, count(*) AS bn FROM bt GROUP BY 1, 2),
       | btr AS (SELECT bt.vec_id, bt.band, bt.bucket
       |  FROM bt JOIN btsz USING (band, bucket)
-      |  WHERE btsz.bn <= $lshCap
-      |     OR bt.vec_id % ((btsz.bn + ${lshCap - 1}) // $lshCap) = 0),
+      |  WHERE ${graft.operators.BucketCap.keepDuck(
+                  "bt.vec_id", "btsz.bn", lshCap)}),
       | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
       |  FROM b x JOIN btr y ON x.band = y.band AND x.bucket = y.bucket
       |    AND x.vec_id % 5 = 0),
@@ -987,9 +987,10 @@ object Vectors {
     * band, bucket)` plus its capped collision side `br`) — shared by
     * the pair queries (via [[lshCtes]]) and the q135 knn join, which
     * ranks directed collisions instead of thresholding undirected
-    * ones. `br` mirrors Similarity.truncateBuckets: a bucket of size
-    * bn > cap keeps only ids ≡ 0 (mod ⌈bn/cap⌉); at gate scale every
-    * bucket is under the cap so `br` = `b` exactly. */
+    * ones. `br` mirrors Similarity.truncateBuckets via the shared
+    * BucketCap.keepDuck spelling (hash(id) ≡ 0 mod ⌈bn/cap⌉ when
+    * bn > cap); at gate scale every bucket is under the cap so
+    * `br` = `b` exactly. */
   private val lshBandCtes: String =
     s"""s AS (SELECT vec_id, q, n2,
       |   [CASE WHEN CAST(list_aggregate(
@@ -1004,8 +1005,8 @@ object Vectors {
       | bsz AS (SELECT band, bucket, count(*) AS bn FROM b GROUP BY 1, 2),
       | br AS (SELECT b.vec_id, b.band, b.bucket
       |  FROM b JOIN bsz USING (band, bucket)
-      |  WHERE bsz.bn <= $lshCap
-      |     OR b.vec_id % ((bsz.bn + ${lshCap - 1}) // $lshCap) = 0)"""
+      |  WHERE ${graft.operators.BucketCap.keepDuck(
+                  "b.vec_id", "bsz.bn", lshCap)})"""
       .stripMargin
 
   private val lshCtes: String =

@@ -1241,8 +1241,10 @@ class OperatorSpec extends SparkTestBase {
     assert(capped.exceptAll(open).count() == 0 &&
       open.exceptAll(capped).count() == 0)
 
-    // 2) truncation implements EXACTLY the documented modulo rule:
-    // bucket of size n > cap keeps ids ≡ 0 (mod ⌈n/cap⌉), others pass
+    // 2) truncation implements EXACTLY the documented hash rule:
+    // bucket of size n > cap keeps ids whose BucketCap hash ≡ 0
+    // (mod ⌈n/cap⌉), others pass (BucketCap.keeps is the Scala replay
+    // of the same arithmetic the Spark SQL and DuckDB spellings use)
     val cap = 3
     val bands = Similarity.lshBands(e, "vec_id", "embedding")
     val got = Similarity.truncateBuckets(bands, "vec_id", cap)
@@ -1251,12 +1253,10 @@ class OperatorSpec extends SparkTestBase {
     val raw = bands.select($"band", $"bucket", $"vec_id")
       .as[(Int, Int, Long)].collect()
     val want = raw.groupBy(r => (r._1, r._2)).iterator.flatMap {
-      case (_, rs) =>
-        val n = rs.length
-        if (n <= cap) rs
-        else { val k = (n + cap - 1) / cap; rs.filter(_._3 % k == 0) }
+      case (_, rs) => rs.filter(r =>
+        operators.BucketCap.keeps(r._3, rs.length, cap))
     }.toSet
-    assert(got == want, "truncateBuckets diverged from the modulo rule")
+    assert(got == want, "truncateBuckets diverged from the hash rule")
     // the cap is ACTIVE on this data — otherwise (3) proves nothing
     assert(got.size < raw.length, "cap=3 must truncate at spec scale")
 
@@ -1278,5 +1278,47 @@ class OperatorSpec extends SparkTestBase {
     assert(inc.exceptAll(full).count() == 0 &&
       full.exceptAll(inc).count() == 0,
       "capped incremental != capped one-shot restricted to batch pairs")
+
+    // 4) the _sizes side-table fallback: dropping the persisted size
+    // table must route the probe through the recompute branch and
+    // produce the IDENTICAL result (same sizes, same truncation).
+    spark.sql("DROP TABLE graft_lsh_capspec_sizes")
+    val incNoSizes = Similarity.incrementalLshPairs(batch,
+        "graft_lsh_capspec", e, "vec_id", "embedding",
+        threshold = -1.0, bucketCap = cap)
+      .select("ida", "idb", "cos")
+    assert(incNoSizes.exceptAll(full).count() == 0 &&
+      full.exceptAll(incNoSizes).count() == 0,
+      "sizes-table fallback diverged from the persisted-sizes result")
+  }
+
+  test("bucket-cap keep rule is id-distribution and divisor-structure independent") {
+    import spark.implicits._
+    // The r9 ADVICE scenario: every id ≡ 0 (mod 5) in one degenerate
+    // bucket, with a cap forcing divisor exactly 5. The naive
+    // `id % divisor == 0` rule keeps ALL 100 members (the quadratic
+    // blowup the cap exists to prevent); the hash rule must keep ~cap.
+    val n = 100
+    val cap = 20 // divisor = ceil(100/20) = 5, sharing the id stride
+    val bands = (0 until n).map(i => (i * 5L, 0, 0))
+      .toDF("vec_id", "band", "bucket")
+    val kept = Similarity.truncateBuckets(bands, "vec_id", cap)
+      .select($"vec_id").as[Long].collect().toSet
+    val want = (0 until n).map(_ * 5L)
+      .filter(id => operators.BucketCap.keeps(id, n, cap)).toSet
+    assert(kept == want, "Spark rule diverged from the Scala replay")
+    assert(kept.nonEmpty, "hash rule zeroed the bucket's recall")
+    assert(kept.size < n / 2,
+      s"stride-5 ids met divisor 5 and survived truncation: ${kept.size}/$n")
+
+    // Opposite failure: ids AVOIDING multiples of the divisor (all
+    // ≡ 3 mod 5) would keep ZERO members under the naive rule,
+    // silently zeroing recall in that bucket; the hash rule keeps some.
+    val bands2 = (0 until n).map(i => (i * 5L + 3L, 0, 0))
+      .toDF("vec_id", "band", "bucket")
+    val kept2 = Similarity.truncateBuckets(bands2, "vec_id", cap)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept2.nonEmpty, "hash rule zeroed the 3-mod-5 bucket")
+    assert(kept2.size < n / 2, s"3-mod-5 bucket kept ${kept2.size}/$n")
   }
 }
