@@ -178,9 +178,18 @@ object Dedup {
     * any band key become candidates (equi-join on the band hash — this is
     * the shuffle-bounded step); candidates are verified with exact
     * Jaccard over distinct shingle sets and filtered by `threshold`.
-    */
+    *
+    * The collision (y) side rides [[truncateBands]] with `bucketCap`
+    * (identity at gated scale; [[BucketCap]]'s hash rule above it), so
+    * a degenerate band value — the boilerplate-heavy near-dup-rich
+    * corpus this operator exists for — costs `nBands × N × cap`
+    * candidates (linear in N) instead of Σ n_b² before verify. Every
+    * doc still probes with its full band set, so the cap trades
+    * bounded recall inside an over-cap bucket, never precision (all
+    * emitted pairs are exact-verified). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+      k: Int = 8, rows: Int = 2, threshold: Double = 0.5,
+      bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
     require(k % rows == 0,
       s"band rows ($rows) must divide signature size ($k) — trailing " +
         "components would be silently dropped")
@@ -195,13 +204,55 @@ object Dedup {
     val sig = df.select(col(idCol),
       expr(s"graft_minhash($textCol, $k)").as("_sig")).cache()
     val bands = bandsOf(sig, idCol, k, rows)
-    val cand = bands.as("x").join(bands.as("y"),
+    val cand = bands.as("x")
+      .join(truncateBands(bands, idCol, bucketCap).as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
       .distinct()
     verifyJaccard(cand, df, idCol, textCol, threshold)
   }
+
+  /** Per-(bi, bv) band-bucket sizes of a band table — the text twin of
+    * the embedding side's (band, bucket) size aggregate. Unlike that
+    * side (≤ nBands·2^bandBits rows), md5 band values are
+    * unbounded-cardinality, so this table is O(distinct buckets) ~
+    * O(N) and must be JOINED on the band key, never broadcast
+    * corpus-wide. */
+  private[graft] def bandSizes(bands: DataFrame): DataFrame =
+    bands.groupBy("bi", "bv").agg(count(lit(1)).as("graft_bsz"))
+
+  /** Bound a MinHash band table's per-(bi, bv) posting list to ~`cap`
+    * deterministic representatives — the text twin of
+    * Similarity.truncateBuckets, sharing [[BucketCap]]'s
+    * distribution-independent hash keep rule (identity for buckets at
+    * or under `cap`; see that object's scaladoc). The size join rides
+    * the SAME (bi, bv) key as the collision join it feeds, so the only
+    * added shuffle is the tiny partial-agg exchange for the size
+    * table. */
+  private[graft] def truncateBands(bands: DataFrame, idCol: String,
+      cap: Int): DataFrame =
+    truncateBandsWith(bands, bandSizes(bands), idCol, cap)
+
+  /** [[truncateBands]] against a CALLER-SUPPLIED size table
+    * `sizes(bi, bv, graft_bsz)` — the incremental path's variant, so
+    * both of its collision sides truncate by the COMBINED
+    * (corpus + batch) bucket sizes: keep(id) is a pure function of
+    * (id, bucket size), so per-side truncation under the union's
+    * sizes equals truncating the union table, and
+    * `incrementalPairs == minhashPairs(corpus ∪ batch) restricted to
+    * batch-touching pairs` holds EXACTLY for DISJOINT batches, capped
+    * or not (a replayed batch double-counts in the sizes — recall-only
+    * degradation inside over-cap buckets, never a wrong pair; the
+    * x<y / =!= guards still strip self-pairs). Callers pass a
+    * broadcast()-hinted `sizes` only when it is provably batch-sized
+    * (the incremental path's batch-touched keys); the one-shot path's
+    * corpus-wide sizes stay join-distributed. */
+  private[graft] def truncateBandsWith(bands: DataFrame, sizes: DataFrame,
+      idCol: String, cap: Int): DataFrame =
+    bands.join(sizes, Seq("bi", "bv"))
+      .filter(expr(BucketCap.keepSql(s"`$idCol`", "graft_bsz", cap)))
+      .drop("graft_bsz")
 
   /** Band rows (id, bi, bv) from a signature frame (id, _sig). */
   private def bandsOf(sig: DataFrame, idCol: String, k: Int, rows: Int)
@@ -257,9 +308,20 @@ object Dedup {
     * (k, rows) used here — band keys from mismatched parameters join
     * silently but match nothing meaningful. */
   def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
-      table: String, k: Int = 8, rows: Int = 2, nBuckets: Int = 32): Unit =
-    graft.sources.Tables.writeBucketed(
-      bandTable(df, idCol, textCol, k, rows), table, Seq("bi", "bv"), nBuckets)
+      table: String, k: Int = 8, rows: Int = 2, nBuckets: Int = 32): Unit = {
+    val bands = bandTable(df, idCol, textCol, k, rows)
+    // `${table}_sizes` holds per-(bi, bv) posting-count PARTIALS:
+    // readers SUM per key, so index growers (IngestStream / q193's
+    // accumulator) append their batch's partial counts next to the
+    // band append and the sizes stay exact without rewriting. Written
+    // FIRST: a failure between the writes leaves sizes-without-bands
+    // (probe fails loudly on the missing band table), never
+    // bands-without-silent-stale-sizes. writeBandIndex + the
+    // append-partials convention are the ONLY supported writers.
+    graft.sources.Tables.writeTable(bandSizes(bands), s"${table}_sizes")
+    graft.sources.Tables.writeBucketed(bands, table, Seq("bi", "bv"),
+      nBuckets)
+  }
 
   /** Incremental near-dup dedup: pairs touching a NEW batch, against a
     * [[writeBandIndex]]-persisted corpus — the daily-ingest shape a
@@ -285,21 +347,60 @@ object Dedup {
   def incrementalPairs(batch: DataFrame, bandIndexTable: String,
       verifySource: DataFrame, idCol: String, textCol: String,
       k: Int = 8, rows: Int = 2, threshold: Double = 0.5,
-      reuseBands: Option[DataFrame] = None): DataFrame = {
+      reuseBands: Option[DataFrame] = None,
+      bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
     val spark = batch.sparkSession
     val corpusBands = spark.table(bandIndexTable)
     // batch bands: computed once, tiny relative to the corpus
     val batchBands = reuseBands.getOrElse(
       bandTable(batch, idCol, textCol, k, rows).cache())
-    // x.id =!= y.id: a replayed batch whose ids were already indexed
-    // must not emit self-pairs (jac=1 rows that would make admitBatch
-    // silently drop the whole replay)
-    val vsCorpus = batchBands.as("x").join(corpusBands.as("y"),
+    // Union (corpus + batch) bucket sizes, but ONLY for batch-touched
+    // buckets — untouched buckets can't produce a batch-touching pair,
+    // and restricting keeps the size table batch-sized (so it
+    // broadcasts; md5 band values make the corpus-wide size table
+    // O(N), see bandSizes). Corpus counts come from the persisted
+    // `_sizes` partials (summed per key — one columnar scan of the
+    // tiny side table per batch, never an O(corpus-index) re-scan);
+    // pre-r10 indexes without the side table fall back to one
+    // recompute over the index, restricted to touched keys.
+    val batchSizes = bandSizes(batchBands)
+      .withColumnRenamed("graft_bsz", "graft_nsz")
+    val touched = batchSizes.select("bi", "bv")
+    val corpusSizes =
+      (try spark.table(s"${bandIndexTable}_sizes")
+       catch {
+         case _: org.apache.spark.sql.AnalysisException =>
+           bandSizes(corpusBands)
+       })
+        .join(broadcast(touched), Seq("bi", "bv"), "left_semi")
+        .groupBy("bi", "bv").agg(sum("graft_bsz").as("graft_csz"))
+    val unionSizes = broadcast(batchSizes
+      .join(corpusSizes, Seq("bi", "bv"), "left_outer")
+      .select(col("bi"), col("bv"),
+        (col("graft_nsz") + coalesce(col("graft_csz"), lit(0L)))
+          .as("graft_bsz")))
+    val truncCorpus =
+      truncateBandsWith(corpusBands, unionSizes, idCol, bucketCap)
+    val truncBatch =
+      truncateBandsWith(batchBands, unionSizes, idCol, bucketCap)
+    // The one-shot law's x<y join truncates the LARGER-id side, so a
+    // pair survives iff its larger id is a representative — the
+    // corpus-vs-batch candidates split by id order (corpus-larger
+    // probes the truncated corpus, batch-larger probes the truncated
+    // batch), each an equi-join the bucketed corpus table never
+    // exchanges for (the truncated sides carry broadcast-size
+    // filters). x<y also keeps the replay guard: a replayed batch
+    // already present in the index can't emit jac=1 self-pairs that
+    // would make admitBatch silently drop the whole replay.
+    val vsCorpus = batchBands.as("x").join(truncCorpus.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col(s"x.$idCol") =!= col(s"y.$idCol"))
-      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("ida"),
-        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("idb"))
-    val vsBatch = batchBands.as("x").join(batchBands.as("y"),
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+      .unionAll(corpusBands.as("x").join(truncBatch.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb")))
+    val vsBatch = batchBands.as("x").join(truncBatch.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
@@ -319,14 +420,18 @@ object Dedup {
     *     exact-RECALL prefix-filter join, so no all-pairs scan exists
     *     even inside the audit;
     *   - per config, candidates are the same band equi-join
-    *     [[minhashPairs]] runs.
+    *     [[minhashPairs]] runs — INCLUDING its [[truncateBands]]
+    *     collision-side cap, so the audit measures the candidate
+    *     volume the production operator would actually generate (and
+    *     the audit's own self-join inherits the linear bound).
     * Output: one row per config — n_bands, band_rows, n_cand, n_truth,
     * n_hit, recall_ppm, prec_ppm (exact integer ppm). The three
     * one-row aggregates combine via 1-row broadcast joins (benign
     * BNLJ, allow-listed in the plan audit). */
   def lshTuningAudit(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, rowConfigs: Seq[Int] = Seq(1, 2, 4),
-      tNum: Int = 1, tDen: Int = 2, sampleNibbles: Int = 8): DataFrame = {
+      tNum: Int = 1, tDen: Int = 2, sampleNibbles: Int = 8,
+      bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
     graft.functions.TextNative.register(df.sparkSession)
     val sample = Sampling.hashSample(df, idCol, sampleNibbles)
     val truth = prefixJaccardPairs(sample, idCol, textCol, tNum, tDen)
@@ -336,7 +441,8 @@ object Dedup {
       expr(s"graft_minhash($textCol, $k)").as("_sig"))
     rowConfigs.map { r =>
       val bands = bandsOf(sig, idCol, k, r)
-      val cand = bands.as("x").join(bands.as("y"),
+      val cand = bands.as("x")
+        .join(truncateBands(bands, idCol, bucketCap).as("y"),
           col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
             col(s"x.$idCol") < col(s"y.$idCol"))
         .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))

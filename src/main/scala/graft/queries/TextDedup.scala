@@ -360,6 +360,23 @@ object TextDedup {
       |FROM tails JOIN heads ON tails.boundary = heads.boundary
       |WHERE tails.ida <> heads.idb""".stripMargin
 
+  /** The text collision-side posting cap — same shared constant and
+    * keepDuck rule as the embedding oracles, so the Spark operator
+    * (Dedup.truncateBands) and the oracle cannot drift. At gate scale
+    * every (bi, bv) bucket is far under the cap, so `bandsr` = `bands`
+    * exactly. */
+  private val mhCap = graft.operators.BucketCap.DefaultCap
+
+  /** The bsz + capped-collision-side CTE pair over a band CTE named
+    * `bands` — appended wherever the oracle joins bands against
+    * themselves, mirroring Dedup.minhashPairs' y-side truncation. */
+  private lazy val bandCapCtes: String =
+    s"""bsz AS (SELECT bi, bv, count(*) AS bn FROM bands GROUP BY 1, 2),
+      | bandsr AS (SELECT b.doc_id, b.bi, b.bv
+      |  FROM bands b JOIN bsz USING (bi, bv)
+      |  WHERE ${graft.operators.BucketCap.keepDuck(
+                  "b.doc_id", "bsz.bn", mhCap)})""".stripMargin
+
   /** One-shot MinHash-LSH pair pipeline CTEs (ends at `j`), shared by
     * q39/q85/q88 so the spellings cannot drift. */
   private lazy val minhashPairCtes: String =
@@ -368,8 +385,9 @@ object TextDedup {
       | bands AS (${(0 until 4).map(b =>
           s"SELECT doc_id, $b AS bi, md5(s${2 * b} || s${2 * b + 1}) AS bv FROM sig")
           .mkString("\n  UNION ALL ")}),
+      | $bandCapCtes,
       | cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-      |   FROM bands a JOIN bands b
+      |   FROM bands a JOIN bandsr b
       |   ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
       | j AS (SELECT c.ida, c.idb,
       |   len(list_intersect(x.shset, y.shset)) AS inter,
@@ -524,8 +542,9 @@ object TextDedup {
         | bands AS (${(0 until 4).map(b =>
             s"SELECT doc_id, $b AS bi, md5(s${2 * b} || s${2 * b + 1}) AS bv FROM sig")
             .mkString("\n  UNION ALL ")}),
+        | $bandCapCtes,
         | cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-        |   FROM bands a JOIN bands b
+        |   FROM bands a JOIN bandsr b
         |   ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
         | j AS (SELECT c.ida, c.idb,
         |   len(list_intersect(x.shset, y.shset)) AS inter,
@@ -704,8 +723,14 @@ object TextDedup {
           s"SELECT doc_id, $b AS bi, md5($parts) AS bv FROM sig"
         }.mkString("\n  UNION ALL ")
         s"""bands$r AS ($bands),
+          | bsz$r AS (SELECT bi, bv, count(*) AS bn
+          |  FROM bands$r GROUP BY 1, 2),
+          | bandsr$r AS (SELECT b.doc_id, b.bi, b.bv
+          |  FROM bands$r b JOIN bsz$r USING (bi, bv)
+          |  WHERE ${graft.operators.BucketCap.keepDuck(
+                      "b.doc_id", s"bsz$r.bn", mhCap)}),
           | cand$r AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
-          |  FROM bands$r x JOIN bands$r y
+          |  FROM bands$r x JOIN bandsr$r y
           |  ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
           | cn$r AS (SELECT count(*) AS n_cand FROM cand$r),
           | h$r AS (SELECT count(*) AS n_hit

@@ -74,16 +74,45 @@ object IngestStream {
         corpus.unionByName(b), idCol, textCol, k, rows, threshold,
         reuseBands = Some(bands))
       val admitted = Dedup.admitBatch(b, pairs, idCol).cache()
+      // MATERIALIZE the admission decision before touching the store:
+      // on a replayed batch the decision's verify stage reads the very
+      // `batch=<id>` partition the idempotent overwrite below is about
+      // to delete — lazily evaluated, that is a read-after-delete race
+      // (whether it bites depends on AQE's stage order). One count()
+      // pins the batch-sized result in the cache first.
+      admitted.count()
       // per-batch partition + overwrite = replay-idempotent store
       admitted.write.mode("overwrite")
         .parquet(s"$corpusPath/batch=$batchId")
+      // a REPLAY's overwrite replaces the partition's part files under
+      // a path other sessions' plans list through the shared
+      // FileStatusCache — refresh the store prefix so the NEXT
+      // corpusDocs read (or any reader of corpusPath) re-lists instead
+      // of failing on the replaced file names
+      spark.catalog.refreshByPath(corpusPath)
       // grow the index with the ADMITTED docs' bands (semi-join on
       // the already-computed batch bands — no second minhash pass)
       // so the NEXT micro-batch dedups against them; nBuckets MUST
       // match the writeBandIndex build so appended files keep the
       // bucket-pruned probe path
-      bands.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
-        .write.mode("append")
+      val admittedBands =
+        bands.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+      // maintain the `_sizes` partials alongside the band append
+      // (readers SUM per key — writeBandIndex's convention), sizes
+      // first so a crash between the appends over-counts (recall-only
+      // inside over-cap buckets) rather than under-counts; a replayed
+      // batch double-appends BOTH tables, so the sizes keep matching
+      // the physical index row counts the collision joins actually see.
+      // A pre-r10 index without the side table gets it seeded from the
+      // index ONCE here — appending partials alone would silently
+      // under-count the original corpus.
+      val sizesTable = s"${bandTable}_sizes"
+      if (!spark.catalog.tableExists(sizesTable))
+        graft.sources.Tables.writeTable(
+          Dedup.bandSizes(spark.table(bandTable)), sizesTable)
+      Dedup.bandSizes(admittedBands).write.mode("append")
+        .format("parquet").saveAsTable(sizesTable)
+      admittedBands.write.mode("append")
         .bucketBy(nBuckets, "bi", "bv").sortBy("bi", "bv")
         .format("parquet").saveAsTable(bandTable)
       admitted.unpersist()
