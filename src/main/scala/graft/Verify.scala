@@ -17,42 +17,6 @@ object Verify {
       appName = "graft-verify",
       shufflePartitions = cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    // Submit queries concurrently: most are small jobs, so overlapping
-    // them keeps the local cores busy instead of serializing 51 rounds
-    // of job-submission latency. Spark actions are thread-safe.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    // Failures are DATA, not just stderr: a throwing query writes a 1-row
-    // error-marker parquet under its own output name (the downstream
-    // compare then reports a red row instead of silent absence — the r7
-    // lesson, where 9 analysis-time errors showed up as missing rows) and
-    // lands in errors.json for the gate to print verbatim.
-    val errs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val futures = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      scala.concurrent.Future {
-        // Plain multi-file write: no coalesce(1) funnel — at sf0.1+ a
-        // single-task write serializes the whole result through one core;
-        // pyarrow/duckdb read part-file directories natively.
-        try fn(spark, sfDir).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          errs.put(name, String.valueOf(e.toString).take(800))
-          try {
-            import spark.implicits._
-            Seq(String.valueOf(e.toString).take(800)).toDF("graft_error")
-              .write.mode("overwrite").parquet(s"$outDir/$name")
-          } catch { case _: Throwable => () }
-        }
-      }
-    }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration.Inf)
-    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -65,17 +29,81 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json lands BEFORE any query runs: a sweep that dies
+    // mid-inventory still leaves a complete oracle map, so the partial
+    // outputs can be adjudicated (the r9 sf1 crash lost 26 minutes of
+    // finished work because nothing could be checked).
     // a filtered dev run dumps only the matching oracle entries so
     // tools/check.py gates exactly the subset that was produced
-    val json = SparkEntry.oracleSql
+    val oracleJson = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    // Submit queries concurrently: most are small jobs, so overlapping
+    // them keeps the local cores busy instead of serializing 51 rounds
+    // of job-submission latency. Spark actions are thread-safe.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // Failures are DATA, not just stderr: a throwing query writes a 1-row
+    // error-marker parquet under its own output name (the downstream
+    // compare then reports a red row instead of silent absence — the r7
+    // lesson, where 9 analysis-time errors showed up as missing rows) and
+    // lands in errors.json for the gate to print verbatim.
+    val errs = new java.util.concurrent.ConcurrentHashMap[String, String]()
     import scala.jdk.CollectionConverters._
-    Files.writeString(Paths.get(s"$outDir/errors.json"),
-      errs.asScala.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
-        .mkString("{", ",", "}"))
+    // errors.json is rewritten after EVERY failure (atomic tmp+move),
+    // not only at clean exit — a sweep killed mid-run keeps the real
+    // failures it saw instead of losing them behind the crash.
+    def dumpErrors(): Unit = errs.synchronized {
+      val tmp = Paths.get(s"$outDir/errors.json.tmp")
+      Files.writeString(tmp,
+        errs.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+          .mkString("{", ",", "}"))
+      Files.move(tmp, Paths.get(s"$outDir/errors.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    dumpErrors() // an untouched resume still yields a (empty) file
+    val futures = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      scala.concurrent.Future {
+        // RESUME: a query dir carrying the success marker is finished
+        // work from a previous (killed/crashed) sweep — skip it, so a
+        // rerun continues instead of restarting. The marker is ours,
+        // not Spark's _SUCCESS: the error-marker parquet below also
+        // gets a _SUCCESS, but must be retried on resume (the r9 sf1
+        // crash turned 1 real failure into 184 unretryable "stopped
+        // SparkContext" cascade rows).
+        val okMarker = Paths.get(s"$outDir/$name/_GRAFT_OK")
+        if (!Files.exists(okMarker)) {
+          // Plain multi-file write: no coalesce(1) funnel — at sf0.1+ a
+          // single-task write serializes the whole result through one
+          // core; pyarrow/duckdb read part-file directories natively.
+          try {
+            fn(spark, sfDir).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            Files.createFile(okMarker)
+            ()
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            errs.put(name, String.valueOf(e.toString).take(800))
+            dumpErrors()
+            try {
+              import spark.implicits._
+              Seq(String.valueOf(e.toString).take(800)).toDF("graft_error")
+                .write.mode("overwrite").parquet(s"$outDir/$name")
+            } catch { case _: Throwable => () }
+          }
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    dumpErrors()
     spark.stop()
   }
 }

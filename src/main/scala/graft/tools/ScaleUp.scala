@@ -59,11 +59,21 @@ object ScaleUp {
     def table(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
-    // dense 0-based keys: range size = max+1
+    // dense 0-based keys: range size = max+1. ASSERTED, not assumed —
+    // a future non-dense corpus (gaps, or a non-zero base) would make
+    // replica key ranges overlap and silently alias replicas into
+    // bogus duplicate keys; fail loudly instead.
     val ranges: Map[String, Long] = shifts.values.flatten
       .map { case (_, refTable, refKey) => (refTable, refKey) }.toSet
       .map { tk: (String, String) =>
-        tk._1 -> (table(tk._1).agg(max(col(tk._2))).head().getLong(0) + 1L)
+        val row = table(tk._1)
+          .agg(max(col(tk._2)), countDistinct(col(tk._2)), min(col(tk._2)))
+          .head()
+        val (mx, nd, mn) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        require(mn == 0L && mx + 1L == nd,
+          s"${tk._1}.${tk._2} is not dense 0-based (min=$mn, max=$mx, " +
+            s"distinct=$nd): replica shift by max+1 would alias keys")
+        tk._1 -> (mx + 1L)
       }.toMap
 
     for (name <- copyOnly) writeOne(table(name), s"$out/$name.parquet")
