@@ -18,6 +18,15 @@ object Graft {
   /** Default local core count; the driver overrides via SPARK_GRAFT_CPUS. */
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Session conf key selecting the `approximate_median` agg spelling:
+    * unset/"exact" → Spark's exact `median` (deterministic, at least
+    * as accurate as the reference's t-digest — the gated default);
+    * "approx" → `percentile_approx(c, 0.5)` (bounded-memory GK
+    * sketch — the 100 TB path, where an exact per-group median's sort
+    * is the costlier choice). Runtime-settable:
+    * `spark.conf.set(Graft.ApproxMedianConf, "approx")`. */
+  val ApproxMedianConf = "spark.graft.approximateMedian"
+
   /** Elasticity preset — the Spark spelling of the reference's
     * malleability/rescale surface (src/server.hpp:26-49 handles
     * shrink/expand requests; charmpandas/interface.py:415-540 drives

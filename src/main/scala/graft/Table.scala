@@ -301,8 +301,19 @@ final case class GroupedTable(df: DataFrame, keys: Seq[String]) {
         case "all"                => F.every(c)
         case "any"                => F.some(c)
         // Arrow's approximate_median is a t-digest; Spark's exact median
-        // is deterministic and at least as accurate — used deliberately.
-        case "approximate_median" => F.median(c)
+        // is deterministic and at least as accurate — the DEFAULT,
+        // used deliberately. At 100 TB an exact median per group sorts
+        // each group's values, so Graft.ApproxMedianConf = "approx"
+        // switches the spelling to percentile_approx (bounded-memory
+        // GK sketch, the scale path). Semantics divergence is pinned
+        // by spec: identical on odd-sized groups; on even sizes median
+        // interpolates while percentile_approx returns the lower
+        // middle element.
+        case "approximate_median" =>
+          if (df.sparkSession.conf
+              .getOption(Graft.ApproxMedianConf).contains("approx"))
+            F.percentile_approx(c, F.lit(0.5), F.lit(10000))
+          else F.median(c)
         case "count_distinct"     => F.countDistinct(c)
         case "distinct"           => F.sort_array(F.collect_set(c))
         case "first"              => F.first(c)

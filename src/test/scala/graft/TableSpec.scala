@@ -60,6 +60,29 @@ class TableSpec extends SparkTestBase {
     assert(a.getLong(out.columns.indexOf("count_distinct(v)")) == 2L)
   }
 
+  test("approximate_median: exact and approx spellings pinned against quantile semantics") {
+    // both spellings agree on ODD-sized groups (the true middle
+    // element); on EVEN sizes the exact path interpolates while the
+    // percentile_approx path returns the lower middle element — the
+    // documented divergence of the 100 TB spelling.
+    val t = Table(Seq(
+      ("odd", 1.0), ("odd", 7.0), ("odd", 3.0),            // median 3.0
+      ("even", 1.0), ("even", 2.0), ("even", 10.0), ("even", 20.0))
+      .toDF("g", "v"))
+    def medians(): Map[String, Double] =
+      t.groupby("g").agg("v" -> "approximate_median").df
+        .as[(String, Double)].collect().toMap
+    val exact = medians()
+    assert(exact == Map("odd" -> 3.0, "even" -> 6.0),
+      s"exact median path diverged: $exact") // (2+10)/2 interpolated
+    spark.conf.set(Graft.ApproxMedianConf, "approx")
+    try {
+      val approx = medians()
+      assert(approx == Map("odd" -> 3.0, "even" -> 2.0),
+        s"percentile_approx path diverged: $approx") // lower middle
+    } finally spark.conf.unset(Graft.ApproxMedianConf)
+  }
+
   test("sortValues matches reference asc/desc semantics") {
     val t = Table(Seq(3, 1, 2).toDF("x"))
     assert(t.sortValues(Seq("x")).df.as[Int].collect().toSeq == Seq(1, 2, 3))
