@@ -395,14 +395,16 @@ object EventStreams {
     * are the production shape for streaming view maintenance. */
   def incrementalRollupStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      deltaFiles: Int = 1): DataFrame = {
+      deltaFiles: Int = 1,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
     import graft.operators.Rollup.{hourlyPartials, mergePartials}
     runDeltaStream(spark, sfDir, "graft_q142", maxFilesPerTrigger,
       deltaFiles,
       seed = hist => graft.sources.Tables.writeTable(
         hourlyPartials(hist), "graft_stream_rollup"),
       onBatch = batch => hourlyPartials(batch).write.mode("append")
-        .format("parquet").saveAsTable("graft_stream_rollup"))
+        .format("parquet").saveAsTable("graft_stream_rollup"),
+      chaosKillAfter = chaosKillAfter)
     mergePartials(spark, "graft_stream_rollup")
   }
 
@@ -421,7 +423,8 @@ object EventStreams {
     * the merge reads register rows only — never raw history. */
   def incrementalDistinctStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      deltaFiles: Int = 1): DataFrame = {
+      deltaFiles: Int = 1,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
     import graft.operators.Sketches.{detRegisters, detEstimate}
     def regsOf(df: DataFrame) =
       detRegisters(df, Seq("event_type"), "user_id")
@@ -430,7 +433,8 @@ object EventStreams {
       seed = hist => graft.sources.Tables.writeTable(
         regsOf(hist), "graft_stream_distinct"),
       onBatch = batch => regsOf(batch).write.mode("append")
-        .format("parquet").saveAsTable("graft_stream_distinct"))
+        .format("parquet").saveAsTable("graft_stream_distinct"),
+      chaosKillAfter = chaosKillAfter)
     detEstimate(
       spark.table("graft_stream_distinct")
         .groupBy("event_type", "rb").agg(max("rv").as("rv")),
@@ -451,7 +455,8 @@ object EventStreams {
     * the result hash-exactly. */
   def dauStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      deltaFiles: Int = 1): DataFrame = {
+      deltaFiles: Int = 1,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
     def dayUser(df: DataFrame) =
       df.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     runDeltaStream(spark, sfDir, "graft_q234", maxFilesPerTrigger,
@@ -459,7 +464,8 @@ object EventStreams {
       seed = hist => graft.sources.Tables.writeTable(
         dayUser(hist), "graft_stream_dau"),
       onBatch = batch => dayUser(batch).write.mode("append")
-        .format("parquet").saveAsTable("graft_stream_dau"))
+        .format("parquet").saveAsTable("graft_stream_dau"),
+      chaosKillAfter = chaosKillAfter)
     val du = spark.table("graft_stream_dau").distinct()
     val u1 = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
     val roll = du
@@ -522,7 +528,8 @@ object EventStreams {
     * Ingest.stagingDir trap). */
   private def runDeltaStream(spark: SparkSession, sfDir: String,
       tmpPrefix: String, maxFilesPerTrigger: Option[Int], deltaFiles: Int,
-      seed: DataFrame => Unit, onBatch: DataFrame => Unit): Unit = {
+      seed: DataFrame => Unit, onBatch: DataFrame => Unit,
+      chaosKillAfter: Option[Int] = None): Unit = {
     val ev = graft.sources.Tables.read(spark, sfDir, "events")
       .withColumn("b", pmod(col("event_id"), lit(4)))
     seed(ev.filter(col("b") < 3))
@@ -538,10 +545,12 @@ object EventStreams {
           expr("unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)")),
         rawSchema, maxFilesPerTrigger, deltaFiles, onBatch, postRead =
           _.withColumn("ts",
-            expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")))
+            expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")),
+        chaosKillAfter = chaosKillAfter)
     else
       runStagedStream(spark, tmpPrefix, deltaCanon, tsSchema,
-        maxFilesPerTrigger, deltaFiles, onBatch)
+        maxFilesPerTrigger, deltaFiles, onBatch,
+        chaosKillAfter = chaosKillAfter)
   }
 
   /** Stage `delta` as landed parquet files and stream them back with
@@ -553,7 +562,8 @@ object EventStreams {
       delta: DataFrame, schema: StructType,
       maxFilesPerTrigger: Option[Int], deltaFiles: Int,
       onBatch: DataFrame => Unit,
-      postRead: DataFrame => DataFrame = identity): Unit = {
+      postRead: DataFrame => DataFrame = identity,
+      chaosKillAfter: Option[Int] = None): Unit = {
     import java.nio.file.Files
     val dir = Files.createTempDirectory(s"${tmpPrefix}_delta")
     registerTreeCleanup(dir.toFile)
@@ -561,17 +571,45 @@ object EventStreams {
     registerTreeCleanup(ckpt.toFile)
     (if (deltaFiles > 1) delta.repartition(deltaFiles) else delta)
       .write.mode("overwrite").parquet(dir.toString)
-    val reader = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(nf =>
-      reader.option("maxFilesPerTrigger", nf.toString))
-    val q = postRead(reader.parquet(dir.toString))
-      .writeStream
-      .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        onBatch(batch.toDF())
-        ()
-      }
-      .start()
+    // chaosKillAfter = Some(n): CRASH the query after n committed
+    // micro-batches (batch n+1 dies before any side effect — the
+    // kill-between-micro-batches shape), then restart from the SAME
+    // checkpoint and run to completion. StreamingSpec drives this to
+    // prove the maintenance lattices survive the 100 TB operational
+    // reality: a restart resumes at the first uncommitted batch, no
+    // batch is skipped, no committed batch replays.
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start(killAt: Option[Int]) = {
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(nf =>
+        reader.option("maxFilesPerTrigger", nf.toString))
+      postRead(reader.parquet(dir.toString))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (killAt.exists(done.get() >= _))
+            throw new RuntimeException("graft-chaos-kill")
+          onBatch(batch.toDF())
+          done.incrementAndGet()
+          ()
+        }
+        .start()
+    }
+    chaosKillAfter.foreach { n =>
+      val q1 = start(Some(n))
+      val died =
+        try { q1.processAllAvailable(); false }
+        catch { case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if String.valueOf(e.getMessage).contains("graft-chaos-kill") ||
+              Option(e.getCause).exists(c =>
+                String.valueOf(c.getMessage).contains("graft-chaos-kill")) =>
+          true
+        } finally q1.stop()
+      require(died && done.get() == n,
+        s"chaos kill did not fire after $n batches (committed=${done.get()})" +
+          " — raise deltaFiles or lower the kill point")
+    }
+    val q = start(None)
     try q.processAllAvailable() finally q.stop()
   }
 

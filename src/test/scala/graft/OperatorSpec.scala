@@ -1321,4 +1321,68 @@ class OperatorSpec extends SparkTestBase {
     assert(kept2.nonEmpty, "hash rule zeroed the 3-mod-5 bucket")
     assert(kept2.size < n / 2, s"3-mod-5 bucket kept ${kept2.size}/$n")
   }
+
+  test("text MinHash bucket cap: identity under cap, exact rule, capped incremental law") {
+    import spark.implicits._
+    val docs = sources.Tables.read(spark, sf, "documents")
+      .select("doc_id", "text")
+
+    // 1) IDENTITY law: at spec scale no md5-band bucket reaches the
+    // default cap, so the capped default equals an uncapped run.
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("ida", "idb", "jac")
+    val open = Dedup.minhashPairs(docs, "doc_id", "text",
+        bucketCap = Int.MaxValue)
+      .select("ida", "idb", "jac")
+    assert(capped.exceptAll(open).count() == 0 &&
+      open.exceptAll(capped).count() == 0)
+
+    // 2) truncation implements EXACTLY the shared BucketCap rule
+    // per (bi, bv) group, and cap=1 is ACTIVE on this data (every
+    // bucket of size >= 2 — i.e. every real collision — truncates).
+    val cap = 1
+    val bands = Dedup.bandTable(docs, "doc_id", "text")
+    val got = Dedup.truncateBands(bands, "doc_id", cap)
+      .select($"bi", $"bv", $"doc_id").as[(Int, String, Long)]
+      .collect().toSet
+    val raw = bands.select($"bi", $"bv", $"doc_id")
+      .as[(Int, String, Long)].collect()
+    val want = raw.groupBy(r => (r._1, r._2)).iterator.flatMap {
+      case (_, rs) => rs.filter(r =>
+        operators.BucketCap.keeps(r._3, rs.length, cap))
+    }.toSet
+    assert(got == want, "truncateBands diverged from the hash rule")
+    assert(got.size < raw.length, "cap=1 must truncate at spec scale")
+
+    // 3) the incremental law SURVIVES the capped regime for a
+    // disjoint batch: with a truncating cap, incremental == one-shot
+    // over the union restricted to batch-touching pairs (both sides
+    // capped identically because keep(id) depends only on
+    // (id, union bucket size)).
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    Dedup.writeBandIndex(corpus, "doc_id", "text",
+      "graft_band_capspec", nBuckets = 4)
+    val inc = Dedup.incrementalPairs(batch, "graft_band_capspec",
+        docs, "doc_id", "text", threshold = 0.0, bucketCap = cap)
+      .select("ida", "idb", "jac")
+    val full = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.0, bucketCap = cap)
+      .filter($"ida" % 5 === 0 || $"idb" % 5 === 0)
+      .select("ida", "idb", "jac")
+    assert(inc.exceptAll(full).count() == 0 &&
+      full.exceptAll(inc).count() == 0,
+      "capped incremental != capped one-shot restricted to batch pairs")
+
+    // 4) the _sizes partials fallback: dropping the persisted size
+    // table routes the probe through the recompute branch with the
+    // IDENTICAL result.
+    spark.sql("DROP TABLE graft_band_capspec_sizes")
+    val incNoSizes = Dedup.incrementalPairs(batch, "graft_band_capspec",
+        docs, "doc_id", "text", threshold = 0.0, bucketCap = cap)
+      .select("ida", "idb", "jac")
+    assert(incNoSizes.exceptAll(full).count() == 0 &&
+      full.exceptAll(incNoSizes).count() == 0,
+      "sizes-partials fallback diverged from the persisted-sizes result")
+  }
 }

@@ -369,6 +369,59 @@ class StreamingSpec extends SparkTestBase {
       "shredded streaming admission diverged from one-shot q88")
   }
 
+  test("rollup stream killed mid-sequence restarts from checkpoint to the exact batch result") {
+    // q142's count/scaled-cents partial lattice under the 100 TB
+    // operational reality: the stream CRASHES after 3 committed
+    // micro-batches (batch 4 dies before any side effect), restarts
+    // from the same checkpoint, and the merged rollup must STILL equal
+    // the one-shot batch recompute — restart resumes at the first
+    // uncommitted batch, skipping none and replaying none (additive
+    // partials are associative but NOT idempotent, so this is the
+    // lattice family with no tolerance for commit drift).
+    val merged = EventStreams.incrementalRollupStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 8,
+      chaosKillAfter = Some(3))
+    val ev = sources.Tables.read(spark, sf, "events")
+    val full = ev
+      .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        (sum(graft.functions.DetMath.fixed($"value", 2)) / lit(100.0))
+          .as("sum_val"))
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0,
+      "restarted rollup stream diverged from the one-shot recompute")
+  }
+
+  test("distinct-sketch stream killed mid-sequence restarts from checkpoint to the one-shot sketch") {
+    // q186's register-MAX lattice through the same crash/restart: MAX
+    // is idempotent, so even if a restart had replayed a batch the
+    // estimate must land exactly on the one-shot sketch.
+    val merged = EventStreams.incrementalDistinctStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 8,
+      chaosKillAfter = Some(3))
+    val oneShot = operators.Sketches.detEstimate(
+      operators.Sketches.detRegisters(
+        sources.Tables.read(spark, sf, "events"),
+        Seq("event_type"), "user_id"),
+      Seq("event_type"), "approx_users")
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "restarted distinct stream diverged from one-shot sketch")
+  }
+
+  test("DAU stream killed mid-sequence restarts from checkpoint to the one-shot result") {
+    // q234's (day, user) set-union lattice through the crash/restart —
+    // the third lattice type (union: associative, commutative,
+    // idempotent).
+    val merged = EventStreams.dauStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 8,
+      chaosKillAfter = Some(3))
+    val oneShot = SparkEntry.queries("q226_rolling_distinct")(spark, sf)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "restarted DAU stream diverged from one-shot q226")
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
