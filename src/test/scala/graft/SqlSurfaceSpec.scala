@@ -53,6 +53,109 @@ class SqlSurfaceSpec extends SparkTestBase {
         |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin)
   }
 
+  // ---- r9 optional directive: the TPC-H-shaped subset, where a SQL
+  // spelling is the natural user entry point ----
+
+  private def F(e: String, d: Int) = functions.DetMath.fixedSql(e, d)
+  private def SF(e: String, d: Int) = functions.DetMath.sumFixedSql(e, d)
+  private def AF(e: String, d: Int, o: Int) =
+    functions.DetMath.avgFixedSql(e, d, o)
+
+  test("q47_pricing_summary (TPC-H Q1): SQL and façade share one optimized plan") {
+    assertSamePlan("q47_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${SF("l_quantity", 2)} AS sum_qty,
+        |  ${SF("l_extendedprice", 2)} AS sum_base_price,
+        |  SUM(${F("l_extendedprice * (1 - l_discount)", 4)}) / 10000.0D
+        |    AS sum_disc_price,
+        |  SUM(${F("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)})
+        |    / 10000.0D AS sum_charge,
+        |  ${AF("l_quantity", 2, 4)} AS avg_qty,
+        |  ${AF("l_extendedprice", 2, 4)} AS avg_price,
+        |  ${AF("l_discount", 2, 4)} AS avg_disc,
+        |  COUNT(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  test("q49_local_supplier_volume (TPC-H Q5): SQL and façade share one optimized plan") {
+    assertSamePlan("q49_local_supplier_volume",
+      s"""SELECT n_name,
+        |  SUM(${F("l_extendedprice * (1 - l_discount)", 4)}) / 10000.0D
+        |    AS revenue,
+        |  COUNT(1) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin)
+  }
+
+  test("q255_late_orders (TPC-H Q4): SQL EXISTS decorrelates to the façade's semi join") {
+    assertSamePlan("q255_late_orders",
+      """SELECT o_orderpriority, COUNT(1) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  test("q266_market_share (TPC-H Q8): SQL and façade share one optimized plan") {
+    assertSamePlan("q266_market_share",
+      s"""WITH rev AS (
+        |  SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+        |    CAST(YEAR(o_orderdate) AS BIGINT) AS yr, n_name,
+        |    SUM(${F("l_extendedprice", 2)} * (100 - ${F("l_discount", 2)}))
+        |      AS rev_u
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY CAST(YEAR(o_orderdate) AS BIGINT), n_name)
+        |SELECT yr, n_name, rev_u,
+        |  (rev_u DIV 100) * 1000000
+        |    DIV (SUM(rev_u) OVER (PARTITION BY yr) DIV 100) AS share_ppm
+        |FROM rev""".stripMargin)
+  }
+
+  test("TPC-H-shaped SQL spellings return the façade's rows") {
+    ready
+    for ((name, sqlText) <- Seq(
+      "q255_late_orders" ->
+        """SELECT o_orderpriority, COUNT(1) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |    WHERE l_orderkey = o_orderkey
+          |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY o_orderpriority""".stripMargin,
+      "q49_local_supplier_volume" ->
+        s"""SELECT n_name,
+          |  SUM(${F("l_extendedprice * (1 - l_discount)", 4)}) / 10000.0D
+          |    AS revenue,
+          |  COUNT(1) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name""".stripMargin)) {
+      val facade = SparkEntry.queries(name)(spark, sf)
+      val viaSql = Sql.sql(spark, sqlText)
+      assert(facade.exceptAll(viaSql).isEmpty &&
+        viaSql.exceptAll(facade).isEmpty,
+        s"$name: SQL spelling returns different rows than the façade")
+    }
+  }
+
   test("SQL results hash-match the façade results, not just the plan") {
     ready
     // belt over the plan-equality braces: same rows out (q05's full
