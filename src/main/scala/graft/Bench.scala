@@ -47,6 +47,10 @@ object Bench {
     sys.env.get("SPARK_GRAFT_PREFER_SHJ").foreach(v =>
       spark.conf.set("spark.sql.join.preferSortMergeJoin", (v != "1").toString))
 
+    val startedAt = java.time.Instant.now().toString
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     def materialize(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
@@ -229,7 +233,26 @@ object Bench {
       .mkString("{", ",", "}")
     val heapJson = heapByQuery.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"baseline_demo_2m_sec":10.718802}""")
+    // OS 1/5/15-min load averages at run END (plus the start-of-run
+    // value captured before warmup): a contended window — the r9→r10
+    // "everything 1.4x slower" investigation — becomes one read of the
+    // artifact instead of a cross-round bisect. -1 if the platform
+    // bean can't report it.
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"baseline_demo_2m_sec":10.718802}"""
+    println(line)
+    // ALSO write the line to a file: the driver's artifact captures
+    // only the last 2000 chars of stdout, which truncated the first
+    // half of the per-query times in r9 and r10 (VERDICT r10 "What's
+    // missing" #4). target/bench.json survives whole.
+    try {
+      val p = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, line.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

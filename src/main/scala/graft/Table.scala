@@ -306,9 +306,12 @@ final case class GroupedTable(df: DataFrame, keys: Seq[String]) {
         // each group's values, so Graft.ApproxMedianConf = "approx"
         // switches the spelling to percentile_approx (bounded-memory
         // GK sketch, the scale path). Semantics divergence is pinned
-        // by spec: identical on odd-sized groups; on even sizes median
-        // interpolates while percentile_approx returns the lower
-        // middle element.
+        // by spec: identical on odd-sized groups UP TO the sketch's
+        // accuracy parameter (10000) — beyond ~10000 values per group
+        // the GK rank guarantee is ±n/10000, so large odd groups can
+        // return a near-median element rather than THE median; on even
+        // sizes median interpolates while percentile_approx returns
+        // the lower middle element.
         case "approximate_median" =>
           if (df.sparkSession.conf
               .getOption(Graft.ApproxMedianConf).contains("approx"))

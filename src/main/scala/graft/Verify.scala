@@ -5,6 +5,39 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Minimal parse of the flat {"name": "msg", ...} map errors.json
+    * always holds (it is written only by this object's own escaper, so
+    * keys/values never contain an unescaped quote). Package-visible so
+    * the resume-seeding behavior is spec-pinned: without seeding, the
+    * eager startup dump overwrites a prior crash's recorded failures
+    * with an empty map before the retried queries can re-fail. */
+  private[graft] def parseErrors(txt: String): Map[String, String] =
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(txt)
+      .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+
+  /** Inverse of the escaper in main — without it, each resume cycle
+    * would re-escape the seeded messages (\n → \\n → \\\\n ...). */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case o => sb += o; i += 2 // covers \" and \\
+        }
+      } else { sb += s(i); i += 1 }
+    }
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (dev iteration
@@ -64,6 +97,20 @@ object Verify {
       Files.move(tmp, Paths.get(s"$outDir/errors.json"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // RESUME SEEDING: a resume run must not erase the prior crash's
+    // recorded failures before the retried queries re-fail (or succeed)
+    // — the eager dump below would otherwise overwrite errors.json with
+    // an empty map, and a second early crash would lose the only record
+    // of them. Seed errs with every entry from the existing file whose
+    // query has NOT since finished (no _GRAFT_OK marker); a retried
+    // query that succeeds is removed on success below.
+    val existing = Paths.get(s"$outDir/errors.json")
+    if (Files.exists(existing)) {
+      parseErrors(Files.readString(existing)).foreach { case (name, msg) =>
+        if (!Files.exists(Paths.get(s"$outDir/$name/_GRAFT_OK")))
+          errs.put(name, msg)
+      }
+    }
     dumpErrors() // an untouched resume still yields a (empty) file
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -85,7 +132,9 @@ object Verify {
             fn(spark, sfDir).write.mode("overwrite")
               .parquet(s"$outDir/$name")
             Files.createFile(okMarker)
-            ()
+            // a retried query that now succeeds clears its seeded
+            // (resume) or earlier-attempt error record
+            if (errs.remove(name) != null) dumpErrors()
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             errs.put(name, String.valueOf(e.toString).take(800))

@@ -47,9 +47,17 @@ object DetMath {
     rnd(sumFixed(c, digits) / count(lit(1)), outDigits)
 
   // ---- SQL-string twins for the DuckDB oracle ----
+  // Scale literals are spelled `CAST(p AS DOUBLE)`, not `p` / `p.0`:
+  // bare `p.0` parses as DECIMAL in Spark SQL (and DuckDB), which under
+  // ANSI typing drags the whole expression into decimal arithmetic —
+  // a DIFFERENT optimized plan than the Column twins above (double
+  // literals), breaking the SqlSurfaceSpec plan-equality pin. The CAST
+  // is valid in both engines, constant-folds to the same double
+  // literal in Spark, and is value-identical in DuckDB (double ops
+  // either way), so the oracle hashes are unchanged.
   def rndSql(e: String, digits: Int): String = {
     val p = p10(digits).toLong
-    s"FLOOR(($e) * $p + 0.5) / $p"
+    s"FLOOR(($e) * CAST($p AS DOUBLE) + 0.5) / CAST($p AS DOUBLE)"
   }
   def fixedSql(e: String, digits: Int): String = {
     val p = p10(digits).toLong
@@ -57,7 +65,7 @@ object DetMath {
   }
   def sumFixedSql(e: String, digits: Int): String = {
     val p = p10(digits).toLong
-    s"SUM(${fixedSql(e, digits)}) / $p.0"
+    s"SUM(${fixedSql(e, digits)}) / CAST($p AS DOUBLE)"
   }
   def avgFixedSql(e: String, digits: Int, outDigits: Int): String =
     rndSql(s"(${sumFixedSql(e, digits)}) / COUNT(*)", outDigits)

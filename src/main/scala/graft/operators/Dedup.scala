@@ -20,6 +20,13 @@ import graft.functions.TextExpr._
   */
 object Dedup {
 
+  /** Largest batch band-key table (rows = nBands x |batch|) the
+    * incremental probe will still broadcast-hint: ~1M keys of
+    * (int, md5-string, long) ≈ 50 MB serialized — safely inside a
+    * multi-GB driver, far above any gated batch. Larger batches fall
+    * back to plain shuffle joins on the band key (same results). */
+  val MaxBroadcastBandKeys: Long = 1L << 20
+
   /** doc → normalized tokens + distinct 3-gram shingle set. Tokenization
     * uses the fused native expression (functions.TextNative), whose
     * output is spec-identical to TextExpr.toksSpark. */
@@ -313,11 +320,13 @@ object Dedup {
     // `${table}_sizes` holds per-(bi, bv) posting-count PARTIALS:
     // readers SUM per key, so index growers (IngestStream / q193's
     // accumulator) append their batch's partial counts next to the
-    // band append and the sizes stay exact without rewriting. Written
-    // FIRST: a failure between the writes leaves sizes-without-bands
-    // (probe fails loudly on the missing band table), never
-    // bands-without-silent-stale-sizes. writeBandIndex + the
-    // append-partials convention are the ONLY supported writers.
+    // band append and the sizes stay exact without rewriting. Rebuild
+    // order: drop the old bands FIRST, then sizes, then new bands — a
+    // crash anywhere leaves missing-bands (probe fails loudly), never
+    // NEW sizes beside OLD bands (silent over-cap truncation skew) nor
+    // bands-without-sizes. writeBandIndex + the append-partials
+    // convention are the ONLY supported writers.
+    graft.sources.Tables.dropTable(df.sparkSession, table)
     graft.sources.Tables.writeTable(bandSizes(bands), s"${table}_sizes")
     graft.sources.Tables.writeBucketed(bands, table, Seq("bi", "bv"),
       nBuckets)
@@ -366,15 +375,26 @@ object Dedup {
     val batchSizes = bandSizes(batchBands)
       .withColumnRenamed("graft_bsz", "graft_nsz")
     val touched = batchSizes.select("bi", "bv")
+    // The broadcast hints below are GATED on measured band-key volume:
+    // "batch-sized" is O(nBands x |batch|) distinct (bi, bv) keys —
+    // md5 band values, so a bulk-ingest batch in the millions would
+    // push a forced broadcast past the driver's memory. The count is
+    // ~free (it materializes the cache the probe joins need anyway);
+    // past the limit the same joins run as plain shuffles on the band
+    // key — identical results, just no longer exchange-free on the
+    // corpus side.
+    val smallBatch = batchBands.count() <= MaxBroadcastBandKeys
+    def hinted(df: DataFrame): DataFrame =
+      if (smallBatch) broadcast(df) else df
     val corpusSizes =
       (try spark.table(s"${bandIndexTable}_sizes")
        catch {
          case _: org.apache.spark.sql.AnalysisException =>
            bandSizes(corpusBands)
        })
-        .join(broadcast(touched), Seq("bi", "bv"), "left_semi")
+        .join(hinted(touched), Seq("bi", "bv"), "left_semi")
         .groupBy("bi", "bv").agg(sum("graft_bsz").as("graft_csz"))
-    val unionSizes = broadcast(batchSizes
+    val unionSizes = hinted(batchSizes
       .join(corpusSizes, Seq("bi", "bv"), "left_outer")
       .select(col("bi"), col("bv"),
         (col("graft_nsz") + coalesce(col("graft_csz"), lit(0L)))

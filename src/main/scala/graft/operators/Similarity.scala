@@ -750,14 +750,16 @@ object Similarity {
     val bands = lshBands(df, idCol, embCol, nBits, bandBits)
     // bucket-size side table (≤ nBands·2^bandBits rows): lets the
     // incremental probe truncate against COMBINED corpus+batch sizes
-    // without re-scanning the corpus index per batch. Written FIRST:
-    // a failure between the two writes then leaves sizes-without-bands
-    // (the probe fails loudly on the missing bands table) rather than
-    // bands-without-sizes (the probe would silently fall back to a
-    // per-batch corpus re-aggregation). writeLshIndex is the ONLY
-    // supported writer of `table` — rewriting the bands by any other
-    // path leaves `${table}_sizes` stale and voids the
-    // incremental/one-shot law.
+    // without re-scanning the corpus index per batch. Write order on a
+    // REBUILD: drop the old bands FIRST, then sizes, then new bands —
+    // a crash anywhere in the sequence leaves missing-bands (the probe
+    // fails loudly) and never new-sizes-beside-OLD-bands (a silent
+    // sizes/bands mismatch skewing over-cap truncation) nor
+    // bands-without-sizes (a silent per-batch corpus re-aggregation
+    // fallback). writeLshIndex is the ONLY supported writer of
+    // `table` — rewriting the bands by any other path leaves
+    // `${table}_sizes` stale and voids the incremental/one-shot law.
+    graft.sources.Tables.dropTable(df.sparkSession, table)
     graft.sources.Tables.writeTable(
       bands.groupBy("band", "bucket").agg(count(lit(1)).as("graft_bsz")),
       s"${table}_sizes")

@@ -102,11 +102,15 @@ object Analytics {
         .join(broadcast(t(s, d, "region")),
           col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
-        .withColumn("rev_u", fixed(col("l_extendedprice"), 2) *
-          (lit(100L) - fixed(col("l_discount"), 2)))
+        // revenue units summed INLINE in the agg (not via withColumn):
+        // a pre-projected product and an in-agg product optimize to
+        // different (if equivalent) plans, and the SQL spelling — whose
+        // plan SqlSurfaceSpec pins to this one — can only express the
+        // inline form.
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
           col("n_name"))
-        .agg(sum("rev_u").as("rev_u"))
+        .agg(sum(fixed(col("l_extendedprice"), 2) *
+          (lit(100L) - fixed(col("l_discount"), 2))).as("rev_u"))
         .withColumn("tot", sum("rev_u").over(w))
         .select(col("yr"), col("n_name"), col("rev_u"),
           expr("(rev_u DIV 100) * 1000000 DIV (tot DIV 100)")
@@ -228,22 +232,32 @@ object Analytics {
 
     // Fuzzy string matching: blocked levenshtein pairs (classic entity
     // resolution). The blocking key is COMPOSED — noun x 8-char length
-    // band — so block cardinality grows with N instead of being pinned
-    // at the ~90 noun values (whose blocks grow O(N/90) and pair work
-    // O(N²/90) at corpus scale). Recall stays EXACT: lev <= 2 bounds
-    // the length difference by 2 < 8, so a qualifying pair's bands
-    // differ by at most 1, and each left row probes its own band ± 1
-    // (a 3x fan-out on one side, still a plain equi-join shuffle).
-    // Each pair matches exactly once (only one probe band equals the
-    // right row's home band), and the oracle deliberately blocks on
-    // the noun ALONE — hash-green therefore proves the composed key
-    // drops no pairs. The edit-distance DP is integer-exact in both
-    // engines.
+    // band — but both dimensions are drawn from FIXED vocabularies
+    // (this corpus: 3 nouns x 3 bands = 9 blocks), so block size grows
+    // O(N/9) and uncapped pair work O(N²/9): measured 4.7e9 candidate
+    // pairs at sf1 — the query that could not finish the r10 sf1 sweep.
+    // Fix is the same discipline as every other dedup self-join in the
+    // tree: each HOME block (noun, band) is capped at BucketCap's 512
+    // representatives via the shared distribution-independent keep
+    // rule, bounding verify work to blocks x 3 x cap² regardless of N.
+    // The cap is the identity at gate scale (sf0.01 max block = 261 <
+    // 512), so hash-green still proves the ±1-band probe drops no
+    // pairs: lev <= 2 bounds the length difference by 2 < 8, a
+    // qualifying pair's bands differ by at most 1, and each left row
+    // probes its own band ± 1 (each surviving pair matches exactly
+    // once). The oracle mirrors the cap on the identical (noun, band)
+    // sizes but blocks on the noun ALONE. The edit-distance DP is
+    // integer-exact in both engines.
     "q78_fuzzy_pairs" -> ((s, d) => {
-      val b = t(s, d, "part")
+      val cap = graft.operators.BucketCap.DefaultCap
+      val b0 = t(s, d, "part")
         .select(col("p_partkey").as("id"), col("p_name").as("nm"))
         .withColumn("noun", expr("split_part(nm, ' ', 2)"))
         .withColumn("band", expr("length(nm) DIV 8"))
+      val sizes = b0.groupBy("noun", "band").agg(count(lit(1)).as("bsz"))
+      val b = b0.join(sizes, Seq("noun", "band"))
+        .filter(expr(graft.operators.BucketCap.keepSql("id", "bsz", cap)))
+        .drop("bsz")
       val probes = b.withColumn("pb",
         explode(array(col("band") - 1, col("band"), col("band") + 1)))
       probes.as("x").join(b.as("y"),
@@ -1023,8 +1037,14 @@ object Analytics {
     // result hash-for-hash proves the composed noun+band+neighbor-probe
     // plan recalls every within-noun lev<=2 pair.
     "q78_fuzzy_pairs" ->
-      """WITH b AS (SELECT p_partkey AS id, p_name AS nm,
-        |  split_part(p_name, ' ', 2) AS blk FROM part)
+      s"""WITH b0 AS (SELECT p_partkey AS id, p_name AS nm,
+        |  split_part(p_name, ' ', 2) AS blk,
+        |  length(p_name) // 8 AS band FROM part),
+        | sz AS (SELECT blk, band, count(*) AS bsz FROM b0 GROUP BY 1, 2),
+        | b AS (SELECT b0.id, b0.nm, b0.blk FROM b0
+        |  JOIN sz ON b0.blk = sz.blk AND b0.band = sz.band
+        |  WHERE ${graft.operators.BucketCap.keepDuck(
+                   "b0.id", "sz.bsz", graft.operators.BucketCap.DefaultCap)})
         |SELECT x.id AS ida, y.id AS idb, levenshtein(x.nm, y.nm) AS lev
         |FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
         |WHERE levenshtein(x.nm, y.nm) <= 2""".stripMargin,

@@ -23,15 +23,27 @@ object TextDedup {
     // record-linkage primitive (Fellegi-Sunter blocking stage): an
     // equi-join on the cheap blocking key (p_brand, p_size) generates
     // candidates, and the quadratic edit-distance verifier runs on
-    // in-block pairs ONLY — never all-pairs, the same
-    // candidates-then-verify discipline as the MinHash/prefix-filter
-    // dedup family. At 100 TB the block key is the partition key, so
-    // the verify stage is shuffle-local. Both engines run the identical
-    // Levenshtein (exact integers).
+    // in-block pairs ONLY — never all-pairs. (p_brand, p_size) is a
+    // FIXED ~1,250-value vocabulary, so uncapped block size grows
+    // O(N/1250) and pair work O(N²/1250); like q78, each block is
+    // therefore capped at BucketCap's 512 representatives via the
+    // shared keep rule (mirrored in the oracle) — the identity at
+    // every gated scale (sf1 max block = 280 < 512) that bounds
+    // verify work to blocks x cap² at any corpus size. At 100 TB the
+    // block key is the partition key, so the verify stage is
+    // shuffle-local. Both engines run the identical Levenshtein
+    // (exact integers).
     "q248_name_linkage" -> ((s, d) => {
-      val p = Tables.read(s, d, "part")
+      val cap = graft.operators.BucketCap.DefaultCap
+      val sized = Tables.read(s, d, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_size"),
           col("p_name"))
+        .withColumn("bsz", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("p_brand", "p_size")))
+      val p = sized
+        .filter(expr(graft.operators.BucketCap.keepSql("p_partkey", "bsz", cap)))
+        .drop("bsz")
       val a = p.select(col("p_brand"), col("p_size"),
         col("p_partkey").as("id1"), col("p_name").as("name1"))
       val b = p.select(col("p_brand"), col("p_size"),
@@ -418,7 +430,11 @@ object TextDedup {
   val oracles: Map[String, String] = Map(
 
     "q248_name_linkage" ->
-      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
+      s"""WITH p0 AS (SELECT p_partkey, p_brand, p_size, p_name,
+        |  count(*) OVER (PARTITION BY p_brand, p_size) AS bsz FROM part),
+        | p AS (SELECT p_partkey, p_brand, p_size, p_name FROM p0
+        |  WHERE ${graft.operators.BucketCap.keepDuck(
+                   "p_partkey", "bsz", graft.operators.BucketCap.DefaultCap)})
         |SELECT a.p_partkey AS id1, b.p_partkey AS id2,
         | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM p a JOIN p b
@@ -713,6 +729,15 @@ object TextDedup {
         |SELECT ida, idb, inter / uni AS jac FROM j
         |WHERE inter / uni >= 0.3""".stripMargin,
 
+    // q221's ground-truth CTE mirrors the façade's bounded-work shape
+    // (prefix-filter candidates, threshold 1/2, then exact verify) —
+    // NOT an all-pairs join over the md5 half-sample: the prefix
+    // filter has exact recall at the threshold (any pair with
+    // jac >= 1/2 shares a token in both docs' (n - ceil(n/2) + 1)-
+    // prefix of the sorted shingle list), so the truth SET is
+    // identical to the old O(sample²) spelling, but the oracle now
+    // terminates at sf1+ where the all-pairs join stalled the r10
+    // sweep adjudication (VERDICT r10 "What's wrong" #3).
     "q221_lsh_tuning" -> {
       val configs = Seq(1, 2, 4)
       val bandCtes = configs.map { r =>
@@ -747,13 +772,19 @@ object TextDedup {
       s"""WITH $toksCte, ${shCte()},
         | smp AS (SELECT doc_id, sg, shset FROM sh
         |  WHERE ${nibbleDuck("md5(CAST(doc_id AS VARCHAR))", 0)} < 8),
-        | tr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
-        |   len(list_intersect(a.shset, b.shset)) AS inter,
-        |   len(a.shset) + len(b.shset)
-        |     - len(list_intersect(a.shset, b.shset)) AS uni
-        |  FROM smp a JOIN smp b ON a.doc_id < b.doc_id),
-        | truth AS (SELECT ida, idb FROM tr
-        |  WHERE uni > 0 AND inter * 2 >= uni),
+        | ptss AS (SELECT doc_id, list_sort(shset) AS ss, len(shset) AS n
+        |  FROM smp WHERE len(shset) > 0),
+        | ptpl AS (SELECT doc_id, ss, n,
+        |   n - ((1 * n + 1) // 2) + 1 AS plen FROM ptss),
+        | ptpref AS (SELECT doc_id, unnest(ss[1:plen]) AS p FROM ptpl),
+        | ptcand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+        |  FROM ptpref x JOIN ptpref y
+        |  ON x.p = y.p AND x.doc_id < y.doc_id),
+        | truth AS (SELECT ptcand.ida, ptcand.idb
+        |  FROM ptcand JOIN ptpl a ON a.doc_id = ptcand.ida
+        |   JOIN ptpl b ON b.doc_id = ptcand.idb
+        |  WHERE len(list_intersect(a.ss, b.ss)) * 2
+        |    >= a.n + b.n - len(list_intersect(a.ss, b.ss))),
         | tn AS (SELECT count(*) AS n_truth FROM truth),
         | sig AS (SELECT doc_id, ${sigSelect(8)} FROM smp),
         | $bandCtes

@@ -204,6 +204,15 @@ object Tables {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Drop `table` (and its warehouse files) WITHOUT rewriting it —
+    * index writers call this on the main table before overwriting its
+    * `_sizes` side table so a crash anywhere in the rebuild leaves
+    * missing-bands (loud probe failure) and never NEW sizes beside OLD
+    * bands (a silent sizes/bands mismatch: over-cap buckets would
+    * truncate against the wrong counts — recall skew with no error). */
+  def dropTable(spark: SparkSession, table: String): Unit =
+    resetTable(spark, table)
+
   /** Drop `table` AND its warehouse location. saveAsTable(overwrite)
     * refuses to create a table whose location survives from a previous
     * JVM (dropped catalogs don't delete files on session teardown), so

@@ -73,14 +73,18 @@ object IngestStream {
       val pairs = Dedup.incrementalPairs(b, bandTable,
         corpus.unionByName(b), idCol, textCol, k, rows, threshold,
         reuseBands = Some(bands))
-      val admitted = Dedup.admitBatch(b, pairs, idCol).cache()
       // MATERIALIZE the admission decision before touching the store:
       // on a replayed batch the decision's verify stage reads the very
       // `batch=<id>` partition the idempotent overwrite below is about
       // to delete — lazily evaluated, that is a read-after-delete race
-      // (whether it bites depends on AQE's stage order). One count()
-      // pins the batch-sized result in the cache first.
-      admitted.count()
+      // (whether it bites depends on AQE's stage order). localCheckpoint
+      // (eager) CUTS THE LINEAGE, not just caches it: a MEMORY_ONLY
+      // cache() + count() narrows but does not close the race, because
+      // an evicted partition recomputes from the original plan AFTER
+      // the partition has been overwritten. Checkpointed partitions
+      // replicate to disk-backed storage and never re-read the source.
+      val admitted =
+        Dedup.admitBatch(b, pairs, idCol).localCheckpoint(eager = true)
       // per-batch partition + overwrite = replay-idempotent store
       admitted.write.mode("overwrite")
         .parquet(s"$corpusPath/batch=$batchId")

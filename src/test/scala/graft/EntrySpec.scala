@@ -31,4 +31,26 @@ class EntrySpec extends SparkTestBase {
       assert(df.count() >= 0, name)
     }
   }
+  test("Verify resume seeds prior errors back (round-trips its own escaper)") {
+    // the exact writer spelling from Verify.dumpErrors
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errs = Map(
+      "q01_project" -> "org.apache.spark.SparkException: boom",
+      "q99_cms_heavy" -> "path \"x\\y\"\nnot found\t(line 2)")
+    val json = errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val parsed = Verify.parseErrors(json)
+    assert(parsed == errs,
+      "resume seeding must round-trip the writer exactly " +
+        s"(got $parsed)")
+    assert(Verify.parseErrors("{}").isEmpty)
+  }
 }

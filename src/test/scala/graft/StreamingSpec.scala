@@ -254,6 +254,23 @@ class StreamingSpec extends SparkTestBase {
     assert(fin.count() == fin.distinct().count())
     assert(fin.count() > c1.size)
 
+    // replay-degradation law (VERDICT r10 directive 6): a replayed
+    // batch double-appends BOTH the band rows and the `_sizes`
+    // partials, so the summed sizes still equal the PHYSICAL per-key
+    // index row counts — the bucket cap's inputs stay consistent with
+    // the collision volume the probe join actually sees. (They
+    // over-count the LOGICAL corpus, so an over-cap bucket keeps
+    // fewer distinct representatives: recall-only degradation, never
+    // a wrong pair — the posture IngestStream documents.)
+    val szSum = spark.table("ingest_replay_idx_sizes")
+      .groupBy($"bi", $"bv").agg(sum($"graft_bsz").as("s"))
+    val phys = spark.table("ingest_replay_idx")
+      .groupBy($"bi", $"bv").agg(count(lit(1)).as("c"))
+    assert(szSum.join(phys, Seq("bi", "bv"), "full_outer")
+      .filter(!($"s" <=> $"c")).count() == 0,
+      "_sizes per-key sums must equal physical index row counts, " +
+        "replays included")
+
     // compaction rebuilds the index to exactly the corpus docs' bands
     streaming.IngestStream.compactBandIndex(spark, corpusPath,
       "ingest_replay_idx", "doc_id", "text", nBuckets = 8)
@@ -263,6 +280,16 @@ class StreamingSpec extends SparkTestBase {
       "doc_id", "text")
     assert(compacted.count() == expected.count())
     assert(compacted.exceptAll(expected).count() == 0)
+    // ...and compaction also squeezes the replay over-count back out
+    // of `_sizes`: fresh sizes == fresh physical counts, restoring
+    // full recall in previously over-counted buckets
+    val szSum2 = spark.table("ingest_replay_idx_sizes")
+      .groupBy($"bi", $"bv").agg(sum($"graft_bsz").as("s"))
+    val phys2 = compacted.groupBy($"bi", $"bv")
+      .agg(count(lit(1)).as("c"))
+    assert(szSum2.join(phys2, Seq("bi", "bv"), "full_outer")
+      .filter(!($"s" <=> $"c")).count() == 0,
+      "compaction must rebuild _sizes to the fresh physical counts")
   }
 
   test("streaming incremental rollup is micro-batch-boundary independent") {

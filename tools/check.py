@@ -1,13 +1,24 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [overrides.json]
 
 Reads each <verifyOutDir>/<name> parquet dir (Spark output) and runs the
 matching SQL from oracle_sql.json in DuckDB against the sfDir parquet
 tables, then compares: schema (column names sorted), row count, and values
 (rows sorted by all columns, exact + tolerant compare). Exit 1 on any
 mismatch so it can gate commits.
+
+The optional overrides.json supports BIG-SF adjudication of queries whose
+brute-force oracles don't terminate at sf1+ (VERDICT r10 "What's wrong"
+#3): {name: {"oracle": sql, "spark_sql": sql}}. "oracle" replaces the
+oracle SQL; "spark_sql" post-filters the SPARK output (the view
+`graft_out` is the query's parquet output) — e.g. restrict a pair table
+to a deterministic md5 doc-sample on BOTH endpoints while the override
+oracle computes pairs over the same sampled docs only. Sound whenever a
+result row depends only on its own endpoints (pairwise-decomposable
+outputs, which all four target queries are). Overridden rows print with
+an OK* marker so the artifact is honest about the weaker gate.
 """
 import json, math, os, sys
 import duckdb
@@ -61,6 +72,10 @@ def values_equal(a, b) -> bool:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    overrides = {}
+    if len(sys.argv) > 3:
+        with open(sys.argv[3]) as f:
+            overrides = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -68,6 +83,9 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    for name, o in overrides.items():
+        if "oracle" in o:
+            oracle[name] = o["oracle"]
 
     failures = []
     present = {d for d in os.listdir(out_dir)
@@ -81,6 +99,11 @@ def main():
             print(f"  {name:28s} MISSING OUTPUT (query failed in Verify)")
             continue
         got = pd.read_parquet(os.path.join(out_dir, name))
+        if name in overrides and "spark_sql" in overrides[name]:
+            con.execute(
+                "CREATE OR REPLACE VIEW graft_out AS SELECT * FROM "
+                f"read_parquet('{os.path.join(out_dir, name)}/*.parquet')")
+            got = con.execute(overrides[name]["spark_sql"]).df()
         if list(got.columns) == ["graft_error"]:
             failures.append(name)
             msg = got["graft_error"].iloc[0] if len(got) else "?"
@@ -126,7 +149,8 @@ def main():
             failures.append(name)
             print(f"  {name:28s} VALUE MISMATCH col={bad[0]} row={bad[1]} spark={bad[2]!r} duck={bad[3]!r}")
         else:
-            print(f"  {name:28s} OK rows={len(g)}")
+            star = "*" if name in overrides else ""
+            print(f"  {name:28s} OK{star} rows={len(g)}")
     print(f"\n{len(names) - len(failures)}/{len(names)} queries pass")
     if failures:
         print("FAILED:", ", ".join(failures))
