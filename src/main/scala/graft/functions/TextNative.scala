@@ -76,6 +76,9 @@ object TextNative {
     reg.createOrReplaceTempFunction("graft_ngrams",
       exprs => NgramsExpr(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => WinnowExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
   }
 }
 
@@ -246,6 +249,71 @@ case class MinHashSigExpr(child: Expression, k: Int)
       i += 1
     }
     false
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_winnow(text, w) → array<string>: MOSS robust-winnowing
+  * fingerprints in ONE fused pass — tokenize, 3-gram shingle, md5-hex
+  * each gram, take the lexicographic min of every w-wide sliding
+  * window, then distinct in first-occurrence order. Semantically
+  * identical to the declarative spelling in
+  * Dedup.winnowingFingerprints's history (array_distinct over
+  * transform(sequence, i -> array_min(slice(gh, i, w)))), but that
+  * spelling is an interpreter trap at corpus scale: higher-order
+  * functions are CodegenFallback, and CollapseProject inlines the gram
+  * expression into the window lambda, so tokenize+shingle+md5 re-ran
+  * PER WINDOW ELEMENT — O(tokens²) per document. The r10/r11 sf1
+  * sweeps measured it directly: q219 was the one query that could not
+  * finish (2h+ on a ~10M-row join whose DuckDB replay takes ~14 s).
+  * This expression is O(tokens × w) and evaluates each gram hash once. */
+case class WinnowExpr(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1, "winnow window must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_winnow expects a string")
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextNative.tokenize(input.asInstanceOf[UTF8String].toString)
+    val gh = TextNative.shingles(toks).map(s => TextNative.md5Hex(md, s))
+    val mins: Array[String] =
+      if (gh.length >= w) {
+        Array.tabulate(gh.length - w + 1) { i =>
+          var best = gh(i)
+          var j = i + 1
+          while (j < i + w) {
+            if (gh(j) < best) best = gh(j)
+            j += 1
+          }
+          best
+        }
+      } else if (gh.length > 0) {
+        var best = gh(0)
+        var j = 1
+        while (j < gh.length) {
+          if (gh(j) < best) best = gh(j)
+          j += 1
+        }
+        Array(best)
+      } else Array.empty[String]
+    // distinct, first-occurrence order == array_distinct
+    val seen = new java.util.LinkedHashSet[String]()
+    mins.foreach(seen.add)
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -493,16 +493,15 @@ object Dedup {
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       w: Int = 4): DataFrame = {
     graft.functions.TextNative.register(df.sparkSession)
-    df.withColumn("toks", expr(s"graft_tokens($textCol)"))
-      .withColumn("gh",
-        expr(s"transform(${shinglesSpark("toks")}, x -> md5(x))"))
-      .withColumn("fps", expr(
-        s"""array_distinct(CASE
-           | WHEN size(gh) >= $w THEN transform(
-           |   sequence(1, size(gh) - ${w - 1}),
-           |   i -> array_min(slice(gh, i, $w)))
-           | WHEN size(gh) > 0 THEN array(array_min(gh))
-           | ELSE array() END)""".stripMargin))
+    // ONE fused native pass (functions.WinnowExpr). The previous
+    // declarative spelling — array_distinct over transform(sequence,
+    // i -> array_min(slice(gh, i, w))) — was an interpreter trap:
+    // higher-order functions are CodegenFallback, and CollapseProject
+    // inlines the gram column into the window lambda, re-running
+    // tokenize+shingle+md5 PER WINDOW — O(tokens²) per doc. q219 was
+    // the one query the r10/r11 sf1 sweeps could not finish (2h+);
+    // the fused pass is O(tokens × w).
+    df.withColumn("fps", expr(s"graft_winnow($textCol, $w)"))
       .select(col(idCol), size(col("fps")).as("n_fp"),
         explode(col("fps")).as("fp"))
   }

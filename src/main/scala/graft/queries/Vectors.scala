@@ -795,8 +795,20 @@ object Vectors {
       |       AS BIGINT) AS n2
       | FROM p)""".stripMargin
 
+  /** Exact integer dot product of two scaled-int (|v| <= 10^4) BIGINT
+    * lists, via DuckDB's NATIVE list_dot_product rather than a
+    * `[a[i]*b[i] FOR i ...]` comprehension: the comprehension
+    * MATERIALIZES a 64-element intermediate list per row, which at sf1
+    * (~10^8 candidate pairs in the LSH oracles) is ~50 GB of transient
+    * lists — the allocation that filled the disk with DuckDB spill
+    * during the r11 sf1 adjudication and took every later oracle down
+    * with it. Exactness is unchanged: every product is <= 10^8 and
+    * every partial sum <= 64·10^8 < 2^53, so the native double
+    * accumulation is the exact integer in ANY summation order, and
+    * every caller routes the result through cosDuck's CAST(AS DOUBLE)
+    * anyway. */
   private def dotDuck(a: String, b: String): String =
-    s"list_aggregate([($a)[i] * ($b)[i] FOR i IN range(1, len($a)+1)], 'sum')"
+    s"list_dot_product($a, $b)"
 
   /** q157's full confusion-matrix SQL (test×train band collisions →
     * exact-cosine top-3 → majority vote → matrix) — shared verbatim by

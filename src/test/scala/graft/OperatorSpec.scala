@@ -1128,6 +1128,41 @@ class OperatorSpec extends SparkTestBase {
       w = 4, minShared = 1).count())
   }
 
+  test("graft_winnow equals the declarative window-min replay (incl. short docs)") {
+    // r11: winnowingFingerprints moved to the fused WinnowExpr because
+    // the declarative spelling re-evaluated the gram hashes per window
+    // under CollapseProject+CodegenFallback (the q219 sf1 stall). This
+    // pins that the fused pass IS the old semantics, on real corpus
+    // text plus the short-doc (< w grams, < 3 tokens, empty) edges.
+    graft.functions.TextNative.register(spark)
+    val docs = sources.Tables.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, "two words"), (900002L, "three brisk words"),
+        (900003L, "a b c d"), (900004L, ""), (900005L, "one"))
+        .toDF("doc_id", "text"))
+    val fused = docs.select(col("doc_id"),
+      expr("graft_winnow(text, 4)").as("fps"))
+    val declared = docs
+      .withColumn("toks", expr("graft_tokens(text)"))
+      .withColumn("gh", expr(
+        "transform(CASE WHEN size(toks) >= 3 THEN transform(" +
+          "sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+          "element_at(toks, i), element_at(toks, i+1), " +
+          "element_at(toks, i+2))) ELSE toks END, x -> md5(x))"))
+      .withColumn("fps", expr(
+        """array_distinct(CASE
+          | WHEN size(gh) >= 4 THEN transform(
+          |   sequence(1, size(gh) - 3),
+          |   i -> array_min(slice(gh, i, 4)))
+          | WHEN size(gh) > 0 THEN array(array_min(gh))
+          | ELSE array() END)""".stripMargin))
+      .select(col("doc_id"), col("fps"))
+    assert(fused.exceptAll(declared).count() == 0 &&
+      declared.exceptAll(fused).count() == 0,
+      "fused winnow must equal the declarative replay exactly")
+  }
+
   test("DSIR scoring ranks the target domain above every other language") {
     import spark.implicits._
     val out = SparkEntry.queries("q223_dsir_score")(spark, sf)

@@ -77,6 +77,23 @@ def main():
         with open(sys.argv[3]) as f:
             overrides = json.load(f)
     con = duckdb.connect()
+    # big-SF adjudication guards: an unbounded DuckDB can spill its
+    # temp storage until the DISK fills (the r11 q199-at-sf1 incident
+    # took every later oracle down with OOM/IO errors in the shared
+    # connection). Bound both knobs via env when sharding.
+    if os.environ.get("GRAFT_CHECK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_CHECK_MEM']}'")
+    if os.environ.get("GRAFT_CHECK_THREADS"):
+        con.execute(f"SET threads TO {int(os.environ['GRAFT_CHECK_THREADS'])}")
+    if os.environ.get("GRAFT_CHECK_TMPCAP"):
+        con.execute("SET max_temp_directory_size="
+                    f"'{os.environ['GRAFT_CHECK_TMPCAP']}'")
+    # concurrent shards MUST NOT share a spill dir: DuckDB's default
+    # relative .tmp collides across processes in one cwd (observed as a
+    # fatal IOException when one shard removed the other's temp file)
+    if os.environ.get("GRAFT_CHECK_TMPDIR"):
+        os.makedirs(os.environ["GRAFT_CHECK_TMPDIR"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_CHECK_TMPDIR']}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -93,6 +110,13 @@ def main():
     # union with oracle keys: a query that crashed in Verify has no output
     # dir and must FAIL the gate, not silently vanish from it
     names = sorted(present | set(oracle))
+    # GRAFT_CHECK_ONLY=a,b,c restricts to a subset — lets a big-SF
+    # adjudication shard across processes (DuckDB holds no cross-query
+    # state); the summary line then counts only the shard.
+    only = os.environ.get("GRAFT_CHECK_ONLY")
+    if only:
+        sel = set(only.split(","))
+        names = [n for n in names if n in sel]
     for name in names:
         if name not in present:
             failures.append(name)
