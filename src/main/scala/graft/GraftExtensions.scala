@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{LongArrayDot, LshSigExpr, MinHashSigExpr,
-  NgramsExpr, RollingHashExpr, TokensExpr}
+  NgramsExpr, RollingHashExpr, ShinglesExpr, SimHashExpr, TokensExpr,
+  WinnowExpr}
 
 /** SparkSessionExtensions installer for graft's native expressions, so a
   * plain-SQL user gets them without touching the Scala API:
@@ -43,6 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_ngrams"),
       info("graft_ngrams", "graft_ngrams(text, n) - space-joined token n-grams"),
       (exprs: Seq[Expression]) => NgramsExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(text) - word 3-gram shingles (token fallback)"),
+      (exprs: Seq[Expression]) => ShinglesExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(text, bits) - bits-wide simhash fingerprint, NULL on zero tokens"),
+      (exprs: Seq[Expression]) => SimHashExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "graft_winnow(text, w) - robust-winnowing fingerprints"),
+      (exprs: Seq[Expression]) => WinnowExpr(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("graft_lshsig"),
       info("graft_lshsig", "graft_lshsig(q, nBits) - sign-bit LSH signature of a bigint array"),

@@ -79,6 +79,11 @@ object TextNative {
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => WinnowExpr(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => ShinglesExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHashExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
   }
 }
 
@@ -314,6 +319,102 @@ case class WinnowExpr(child: Expression, w: Int)
     var i = 0
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_shingles(text) → array<string>: tokenize + word 3-gram
+  * shingles (short docs fall back to their tokens) in ONE fused pass —
+  * exactly TextExpr.shinglesSpark(toksSpark(text)). The declarative
+  * spelling is the same interpreter trap WinnowExpr documents:
+  * CollapseProject inlines the aliased token array into the shingle
+  * lambda, so `graft_tokens` re-ran 3× PER SHINGLE position —
+  * O(tokens × doc_len) per document. This was the scan cost of every
+  * withShingles consumer (n-gram Jaccard, prefix/containment join,
+  * MinHash verify); fused, the scan is O(doc_len). */
+case class ShinglesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_shingles expects a string")
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = TextNative.shingles(
+      TextNative.tokenize(input.asInstanceOf[UTF8String].toString))
+    val out = new Array[Any](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = UTF8String.fromString(sh(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_simhash(text, bits) → nullable BIGINT: the `bits`-wide SimHash
+  * fingerprint in ONE fused per-document pass; NULL when the document
+  * has zero tokens (the declarative explode+groupBy shape emits no row
+  * for those — callers filter the NULLs to keep that contract).
+  *
+  * Exactly the TextExpr spelling: per token OCCURRENCE h = md5 hex,
+  * nibble n_k = value of hex char k, bit j's vote is
+  * ((n_{j/4} >> (j%4)) & 1) * 2 - 1, and bit j of the fingerprint is
+  * set iff the vote sum is >= 0. Bit votes are order-free integer sums,
+  * so the fused per-doc accumulation equals the exploded
+  * SUM(bitSign) aggregation exactly.
+  *
+  * Why fused: the declarative shape paid twice — CollapseProject
+  * inlined the md5 alias into all `bits` SUM expressions (≥ bits md5
+  * evaluations per token row), and the explode shuffled a token-level
+  * row stream (~200× the corpus row count) into the per-doc
+  * aggregation. Fused, each token hashes once and the operator is a
+  * narrow map — no token-row shuffle exists at any corpus size. */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bits >= 1 && bits <= 62,
+    "bits must be in [1, 62] so the BIGINT stays positive")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_simhash expects a string")
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextNative.tokenize(input.asInstanceOf[UTF8String].toString)
+    if (toks.isEmpty) null
+    else {
+      val votes = new Array[Int](bits)
+      var t = 0
+      while (t < toks.length) {
+        val h = TextNative.md5Hex(md, toks(t))
+        var j = 0
+        while (j < bits) {
+          val nib = Character.digit(h.charAt(j >> 2), 16)
+          votes(j) += (((nib >> (j & 3)) & 1) << 1) - 1
+          j += 1
+        }
+        t += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < bits) {
+        if (votes(j) >= 0) fp |= 1L << j
+        j += 1
+      }
+      fp
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -32,8 +32,13 @@ object Dedup {
     * output is spec-identical to TextExpr.toksSpark. */
   def withShingles(df: DataFrame, textCol: String): DataFrame = {
     graft.functions.TextNative.register(df.sparkSession)
-    df.withColumn("toks", expr(s"graft_tokens($textCol)"))
-      .withColumn("sh", expr(shinglesSpark("toks")))
+    // ONE fused native pass (functions.ShinglesExpr). The stacked
+    // toks→sh declarative spelling collapsed into a single Project
+    // whose shingle lambda referenced the token alias 3× per position,
+    // re-running graft_tokens per shingle — O(tokens × doc_len)/doc
+    // (the r11 probe measured q41 at 88 s / q154 at 119 s at sf0.1;
+    // fused they are scan-speed again).
+    df.withColumn("sh", expr(s"graft_shingles($textCol)"))
       .withColumn("shset", array_distinct(col("sh")))
   }
 
@@ -535,13 +540,16 @@ object Dedup {
     * the oracle's unnest). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.TextNative.register(df.sparkSession)
-    val tok = df.withColumn("toks", expr(s"graft_tokens($textCol)"))
-      .select(col(idCol), explode(col("toks")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val nib = (0 until 8).foldLeft(tok)((d, kk) =>
-      d.withColumn(s"n$kk", expr(nibbleSpark("h", kk))))
-    nib.groupBy(col(idCol))
-      .agg(expr(simhashFromSums(j => s"SUM(${bitSignSpark(j)})")).as("simhash"))
+    // ONE fused per-doc pass (functions.SimHashExpr; NULL = zero-token
+    // doc = "no row", the explode+groupBy contract). The declarative
+    // explode shape paid twice at corpus scale: CollapseProject
+    // inlined the md5 alias into every per-bit SUM (≥ bits md5 evals
+    // per token) AND the explode shuffled a token-level row stream
+    // (~200× corpus rows) into the aggregation. Fused: each token
+    // hashes once, and the operator is a narrow map — no shuffle.
+    df.select(col(idCol),
+        expr(s"graft_simhash($textCol, 32)").as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** `bits`-wide simhash (Manku-style fingerprint; q40's 32-bit
@@ -550,14 +558,10 @@ object Dedup {
   def simhashWide(df: DataFrame, idCol: String, textCol: String,
       bits: Int): DataFrame = {
     graft.functions.TextNative.register(df.sparkSession)
-    val tok = df.withColumn("toks", expr(s"graft_tokens($textCol)"))
-      .select(col(idCol), explode(col("toks")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val nib = (0 until bits / 4).foldLeft(tok)((d, kk) =>
-      d.withColumn(s"n$kk", expr(nibbleSpark("h", kk))))
-    nib.groupBy(col(idCol))
-      .agg(expr(simhashBits(bits)(j => s"SUM(${bitSignSpark(j)})"))
-        .as("simhash"))
+    // same fused shape as [[simhash]] (see the rationale there)
+    df.select(col(idCol),
+        expr(s"graft_simhash($textCol, $bits)").as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`

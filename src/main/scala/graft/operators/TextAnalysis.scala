@@ -53,13 +53,15 @@ object TextAnalysis {
     * explode + one two-level hash-agg — the shuffle key is (doc, gram)
     * then doc, so parallelism grows with the corpus. The ratio is one
     * exact-integer division → deterministic double both engines. */
-  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    withTokens(df, textCol)
-      .select(col(idCol), posexplode_outer(expr(
-        "CASE WHEN size(toks) >= 2 THEN " +
-        " transform(sequence(0, size(toks) - 2)," +
-        "  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))" +
-        "ELSE array() END")).as(Seq("_p", "gram")))
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextNative.register(df.sparkSession)
+    // graft_ngrams(text, 2) is the fused twin of the old declarative
+    // bigram spelling (empty array below 2 tokens, identical join
+    // separator) — the declarative form re-tokenized per gram once
+    // CollapseProject inlined the token alias into the lambda
+    df.select(col(idCol),
+        posexplode_outer(expr(s"graft_ngrams($textCol, 2)"))
+          .as(Seq("_p", "gram")))
       .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
@@ -70,6 +72,7 @@ object TextAnalysis {
       .select(col(idCol), col("n_grams"), col("max_gram"),
         rnd(col("max_gram") / greatest(col("n_grams"), lit(1)), 4)
           .as("rep_ratio"))
+  }
 
   /** Stopword-list language ID with deterministic tie-break (first
     * language in TextExpr.langWords order wins). */

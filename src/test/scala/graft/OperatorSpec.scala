@@ -1163,6 +1163,47 @@ class OperatorSpec extends SparkTestBase {
       "fused winnow must equal the declarative replay exactly")
   }
 
+  test("graft_shingles and graft_simhash equal their declarative replays") {
+    // r11: withShingles and simhash/simhashWide moved to fused native
+    // expressions (the CollapseProject lambda-inlining trap measured at
+    // 88-119 s/query at sf0.1 — see ShinglesExpr/SimHashExpr docs).
+    // Pin both against the TextExpr spec spellings on corpus text plus
+    // the short-doc / zero-token edges.
+    graft.functions.TextNative.register(spark)
+    val docs = sources.Tables.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (910001L, "two words"), (910002L, "exactly three tokens"),
+        (910003L, ""), (910004L, "one"), (910005L, "...!!!"))
+        .toDF("doc_id", "text"))
+    val shCmp = docs.select(
+      expr("graft_shingles(text)").as("nat"),
+      expr(graft.functions.TextExpr.shinglesSpark(
+        graft.functions.TextExpr.toksSpark("text"))).as("dec"))
+    assert(shCmp.filter(not(col("nat") <=> col("dec"))).count() == 0,
+      "fused shingles must equal the declarative replay")
+    // simhash: fused per-doc pass vs the explode+groupBy aggregation
+    // (zero-token docs: no row either way — fused filters its NULLs)
+    for (bits <- Seq(32, 60)) {
+      val fused = graft.operators.Dedup.simhashWide(
+        docs, "doc_id", "text", bits)
+      val tok = docs
+        .withColumn("toks", expr("graft_tokens(text)"))
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val nib = (0 until bits / 4).foldLeft(tok)((d, kk) =>
+        d.withColumn(s"n$kk",
+          expr(graft.functions.TextExpr.nibbleSpark("h", kk))))
+      val declared = nib.groupBy(col("doc_id"))
+        .agg(expr(graft.functions.TextExpr.simhashBits(bits)(j =>
+          s"SUM(${graft.functions.TextExpr.bitSignSpark(j)})"))
+          .as("simhash"))
+      assert(fused.exceptAll(declared).count() == 0 &&
+        declared.exceptAll(fused).count() == 0,
+        s"fused simhash bits=$bits must equal the declarative replay")
+    }
+  }
+
   test("DSIR scoring ranks the target domain above every other language") {
     import spark.implicits._
     val out = SparkEntry.queries("q223_dsir_score")(spark, sf)
