@@ -267,13 +267,19 @@ case class MinHashSigExpr(child: Expression, k: Int)
   * identical to the declarative spelling in
   * Dedup.winnowingFingerprints's history (array_distinct over
   * transform(sequence, i -> array_min(slice(gh, i, w)))), but that
-  * spelling is an interpreter trap at corpus scale: higher-order
-  * functions are CodegenFallback, and CollapseProject inlines the gram
-  * expression into the window lambda, so tokenize+shingle+md5 re-ran
-  * PER WINDOW ELEMENT — O(tokens²) per document. The r10/r11 sf1
-  * sweeps measured it directly: q219 was the one query that could not
-  * finish (2h+ on a ~10M-row join whose DuckDB replay takes ~14 s).
-  * This expression is O(tokens × w) and evaluates each gram hash once. */
+  * spelling is an optimizer trap at corpus scale. The mechanism
+  * (established by plan read, pinned by ScaleSpec's detector
+  * regression): CollapseProject refuses to inline a non-cheap alias
+  * referenced more than once, but PushDownPredicates substitutes
+  * aliases into pushed filter predicates UNCONDITIONALLY — the
+  * downstream explode/join's inferred size/isnotnull filter lands
+  * below the projections with graft_tokens(text) textually inlined
+  * inside the window lambda bodies, re-tokenizing per window element
+  * per row: O(tokens²) per document, all CodegenFallback-interpreted.
+  * The r10/r11 sf1 sweeps measured it directly: q219 was the one
+  * query that could not finish (2h+ on a ~10M-row join whose DuckDB
+  * replay takes ~14 s; ~5 min fused). This expression is
+  * O(tokens × w) and evaluates each gram hash once. */
 case class WinnowExpr(child: Expression, w: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -328,12 +334,15 @@ case class WinnowExpr(child: Expression, w: Int)
 /** graft_shingles(text) → array<string>: tokenize + word 3-gram
   * shingles (short docs fall back to their tokens) in ONE fused pass —
   * exactly TextExpr.shinglesSpark(toksSpark(text)). The declarative
-  * spelling is the same interpreter trap WinnowExpr documents:
-  * CollapseProject inlines the aliased token array into the shingle
-  * lambda, so `graft_tokens` re-ran 3× PER SHINGLE position —
-  * O(tokens × doc_len) per document. This was the scan cost of every
+  * spelling keeps correct asymptotics (the token alias survives as its
+  * own Project), but the shingle HOF is CodegenFallback: every element
+  * pays interpreted lambda dispatch plus concat_ws/UTF8String churn,
+  * and — WinnowExpr's trap — any downstream pushed-down predicate on a
+  * derived column gets the whole alias chain substituted into its
+  * lambda bodies. Fusing removes both: one tight loop per row, and an
+  * opaque single expression nothing can inline into. Used by every
   * withShingles consumer (n-gram Jaccard, prefix/containment join,
-  * MinHash verify); fused, the scan is O(doc_len). */
+  * MinHash verify). */
 case class ShinglesExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -369,12 +378,13 @@ case class ShinglesExpr(child: Expression)
   * so the fused per-doc accumulation equals the exploded
   * SUM(bitSign) aggregation exactly.
   *
-  * Why fused: the declarative shape paid twice — CollapseProject
-  * inlined the md5 alias into all `bits` SUM expressions (≥ bits md5
-  * evaluations per token row), and the explode shuffled a token-level
-  * row stream (~200× the corpus row count) into the per-doc
-  * aggregation. Fused, each token hashes once and the operator is a
-  * narrow map — no token-row shuffle exists at any corpus size. */
+  * Why fused: the declarative shape exploded the corpus into a
+  * token-level row stream (~200× the corpus row count) and SHUFFLED it
+  * into the per-doc aggregation, paying an interpreted per-token-row
+  * projection (md5 + bits/4 nibble decodes) plus `bits` SUM aggregates
+  * on the way. Fused, each token hashes once inside one per-doc loop
+  * and the operator is a narrow map — no token-row shuffle exists at
+  * any corpus size. */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
 

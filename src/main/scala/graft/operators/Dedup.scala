@@ -32,12 +32,9 @@ object Dedup {
     * output is spec-identical to TextExpr.toksSpark. */
   def withShingles(df: DataFrame, textCol: String): DataFrame = {
     graft.functions.TextNative.register(df.sparkSession)
-    // ONE fused native pass (functions.ShinglesExpr). The stacked
-    // toks→sh declarative spelling collapsed into a single Project
-    // whose shingle lambda referenced the token alias 3× per position,
-    // re-running graft_tokens per shingle — O(tokens × doc_len)/doc
-    // (the r11 probe measured q41 at 88 s / q154 at 119 s at sf0.1;
-    // fused they are scan-speed again).
+    // ONE fused native pass (functions.ShinglesExpr — see its scaladoc
+    // for why the declarative stacked-alias spelling is both slower
+    // per element and exposed to pushed-predicate alias inlining).
     df.withColumn("sh", expr(s"graft_shingles($textCol)"))
       .withColumn("shset", array_distinct(col("sh")))
   }
@@ -500,12 +497,13 @@ object Dedup {
     graft.functions.TextNative.register(df.sparkSession)
     // ONE fused native pass (functions.WinnowExpr). The previous
     // declarative spelling — array_distinct over transform(sequence,
-    // i -> array_min(slice(gh, i, w))) — was an interpreter trap:
-    // higher-order functions are CodegenFallback, and CollapseProject
-    // inlines the gram column into the window lambda, re-running
-    // tokenize+shingle+md5 PER WINDOW — O(tokens²) per doc. q219 was
-    // the one query the r10/r11 sf1 sweeps could not finish (2h+);
-    // the fused pass is O(tokens × w).
+    // i -> array_min(slice(gh, i, w))) — was an optimizer trap:
+    // PushDownPredicates substitutes the aliased gram chain into the
+    // downstream explode/join's inferred filters, re-running
+    // tokenize+shingle+md5 PER WINDOW element — O(tokens²) per doc
+    // (see WinnowExpr's scaladoc and ScaleSpec's detector regression).
+    // q219 was the one query the r10/r11 sf1 sweeps could not finish
+    // (2h+); the fused pass is O(tokens × w).
     df.withColumn("fps", expr(s"graft_winnow($textCol, $w)"))
       .select(col(idCol), size(col("fps")).as("n_fp"),
         explode(col("fps")).as("fp"))
@@ -542,11 +540,11 @@ object Dedup {
     graft.functions.TextNative.register(df.sparkSession)
     // ONE fused per-doc pass (functions.SimHashExpr; NULL = zero-token
     // doc = "no row", the explode+groupBy contract). The declarative
-    // explode shape paid twice at corpus scale: CollapseProject
-    // inlined the md5 alias into every per-bit SUM (≥ bits md5 evals
-    // per token) AND the explode shuffled a token-level row stream
-    // (~200× corpus rows) into the aggregation. Fused: each token
-    // hashes once, and the operator is a narrow map — no shuffle.
+    // explode shape shuffled a token-level row stream (~200× corpus
+    // rows) into the per-doc aggregation, with an interpreted
+    // md5+nibble projection and `bits` SUMs per token row on the way.
+    // Fused: each token hashes once, and the operator is a narrow
+    // map — no shuffle.
     df.select(col(idCol),
         expr(s"graft_simhash($textCol, 32)").as("simhash"))
       .filter(col("simhash").isNotNull)

@@ -57,8 +57,8 @@ object TextAnalysis {
     graft.functions.TextNative.register(df.sparkSession)
     // graft_ngrams(text, 2) is the fused twin of the old declarative
     // bigram spelling (empty array below 2 tokens, identical join
-    // separator) — the declarative form re-tokenized per gram once
-    // CollapseProject inlined the token alias into the lambda
+    // separator) — one tight loop instead of interpreted per-element
+    // lambda dispatch in the generator expression
     df.select(col(idCol),
         posexplode_outer(expr(s"graft_ngrams($textCol, 2)"))
           .as(Seq("_p", "gram")))

@@ -54,9 +54,22 @@ object ExplainAudit {
         "q189_equidepth_hist" -> "global rank over the deterministic half-sample, not the full scan",
         "q233_conversion_curve" -> "cumulative window over the day-offset table (<= corpus span in days), not the corpus",
         "q245_zipf_coverage" -> "rank/cumulative windows over the VOCABULARY-bounded agg, not the token stream")
-  /** Scan every inventory query's plan for the two structural
+      // loop-invariant expensive computation inside a HOF lambda — the
+      // THIRD ungreppable scale-killer (r11): CollapseProject inlines a
+      // projected alias into a lambda body, so a tokenizer/digest that
+      // was written once-per-row re-evaluates once-per-ELEMENT (the
+      // q219 winnow stall: O(tokens²) per doc; q41/q72/q93/q154 paid
+      // the same tax). Detected on the optimized plan: an expensive
+      // expression under a LambdaFunction that references NO lambda
+      // variable is loop-invariant, i.e. re-computed per element for
+      // no reason. No allow-list entries exist — the fix is always to
+      // fuse (functions.TextNative) or project before the HOF.
+      private val invariantLambdaOk = Map.empty[String, String]
+
+  /** Scan every inventory query's plan for the three structural
     * scale-killers (quadratic join strategies; single-partition
-    * windows) and return one line per finding, annotated `[OK: reason]`
+    * windows; loop-invariant expensive lambda bodies) and return one
+    * line per finding, annotated `[OK: reason]`
     * when allow-listed and `[REVIEW]` otherwise. A query whose
     * CONSTRUCTION throws yields an `ERROR` line — a scan that silently
     * skips queries would pass vacuously. Called by the main below AND
@@ -85,9 +98,57 @@ object ExplainAudit {
             Seq(s"$n: GlobalWindow" +
               globalWinOk.get(n).map(r => s"  [OK: $r]").getOrElse("  [REVIEW]"))
           else Seq.empty
-        joinLine ++ winLine
+        val invariants = invariantLambdaExprs(df)
+        val invLine =
+          if (invariants.nonEmpty)
+            Seq(s"$n: InvariantLambdaExpr(${invariants.mkString(",")})" +
+              invariantLambdaOk.get(n).map(r => s"  [OK: $r]")
+                .getOrElse("  [REVIEW]"))
+          else Seq.empty
+        joinLine ++ winLine ++ invLine
       } catch { case e: Throwable => Seq(s"$n: ERROR ${e.getMessage}") }
     }
+
+  /** The loop-invariant-lambda detector, exposed for ScaleSpec's
+    * detector-regression case: distinct prettyNames of expensive
+    * expressions that sit inside a lambda body yet reference no lambda
+    * variable (so they re-evaluate per element) in `df`'s OPTIMIZED
+    * plan — i.e. after CollapseProject has had its chance to inline. */
+  def invariantLambdaExprs(df: org.apache.spark.sql.DataFrame)
+      : Seq[String] =
+    df.queryExecution.optimizedPlan.flatMap { node =>
+      node.expressions.flatMap(_.collect {
+        case lf: org.apache.spark.sql.catalyst.expressions.LambdaFunction =>
+          lf.function.collect {
+            case e if isExpensive(e) && e.collect {
+              case v: org.apache.spark.sql.catalyst.expressions
+                .NamedLambdaVariable => v
+            }.isEmpty => e.prettyName
+          }
+      }.flatten)
+    }.distinct
+
+  /** Per-element re-evaluation of one of these is never acceptable:
+    * each walks (at least) a whole row-level string/array input. Cheap
+    * per-element builtins (arithmetic, substr, element_at, md5 of a
+    * loop-variant scalar) are fine and not listed. */
+  private def isExpensive(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import graft.functions._
+    e match {
+      case _: TokensExpr | _: NgramsExpr | _: ShinglesExpr |
+           _: MinHashSigExpr | _: WinnowExpr | _: SimHashExpr |
+           _: RollingHashExpr | _: LshSigExpr | _: LongArrayDot => true
+      case m: org.apache.spark.sql.catalyst.expressions.Md5 =>
+        // md5 of a loop-invariant expression is expensive exactly when
+        // its input is non-trivial (an attribute-bearing subtree, e.g.
+        // the whole text column) — md5(lit) folds away anyway
+        m.references.nonEmpty
+      case hof: org.apache.spark.sql.catalyst.expressions
+        .HigherOrderFunction => hof.references.nonEmpty
+      case _ => false
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = Graft.session(master = "local[8]", appName = "graft-explain",

@@ -1131,7 +1131,8 @@ class OperatorSpec extends SparkTestBase {
   test("graft_winnow equals the declarative window-min replay (incl. short docs)") {
     // r11: winnowingFingerprints moved to the fused WinnowExpr because
     // the declarative spelling re-evaluated the gram hashes per window
-    // under CollapseProject+CodegenFallback (the q219 sf1 stall). This
+    // once pushed-down predicates inlined the alias chain (the q219
+    // sf1 stall — see WinnowExpr's scaladoc for the mechanism). This
     // pins that the fused pass IS the old semantics, on real corpus
     // text plus the short-doc (< w grams, < 3 tokens, empty) edges.
     graft.functions.TextNative.register(spark)
@@ -1165,8 +1166,8 @@ class OperatorSpec extends SparkTestBase {
 
   test("graft_shingles and graft_simhash equal their declarative replays") {
     // r11: withShingles and simhash/simhashWide moved to fused native
-    // expressions (the CollapseProject lambda-inlining trap measured at
-    // 88-119 s/query at sf0.1 — see ShinglesExpr/SimHashExpr docs).
+    // expressions (interpreted HOF dispatch / the token-row explode
+    // shuffle — see ShinglesExpr/SimHashExpr docs for the mechanisms).
     // Pin both against the TextExpr spec spellings on corpus text plus
     // the short-doc / zero-token edges.
     graft.functions.TextNative.register(spark)

@@ -518,4 +518,42 @@ class ScaleSpec extends SparkTestBase {
     assert(bad.isEmpty,
       s"plan audit found un-allow-listed scale risks:\n${bad.mkString("\n")}")
   }
+
+  test("plan audit: the invariant-lambda detector catches the inlining trap") {
+    // Detector regression (r11): the PRE-FIX q219 winnow spelling must
+    // be flagged. Mechanism (established by plan read, not folklore):
+    // CollapseProject actually REFUSES to inline a non-cheap alias
+    // referenced twice, but PushDownPredicates substitutes aliases
+    // into pushed filter predicates unconditionally — the explode's
+    // inferred size(fps)>0 / isnotnull filter lands below the
+    // projections with graft_tokens(text) textually inlined INSIDE the
+    // window lambda bodies, i.e. re-tokenizing per element per row
+    // (the O(tokens²) q219 sf1 stall). The fused spelling must be
+    // clean. Without this case the audit above could pass vacuously if
+    // a Spark upgrade changed the shapes it matches on.
+    graft.functions.TextNative.register(spark)
+    val docs = sources.Tables.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val trapped = docs
+      .withColumn("toksw", expr("graft_tokens(text)"))
+      .withColumn("gh", expr(
+        "transform(CASE WHEN size(toksw) >= 3 THEN " +
+          "transform(sequence(1, size(toksw) - 2), i -> concat_ws(' ', " +
+          "element_at(toksw, i), element_at(toksw, i+1), " +
+          "element_at(toksw, i+2))) ELSE toksw END, x -> md5(x))"))
+      .withColumn("fps", expr(
+        """array_distinct(CASE
+          | WHEN size(gh) >= 4 THEN transform(
+          |   sequence(1, size(gh) - 3),
+          |   i -> array_min(slice(gh, i, 4)))
+          | WHEN size(gh) > 0 THEN array(array_min(gh))
+          | ELSE array() END)""".stripMargin))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    assert(tools.ExplainAudit.invariantLambdaExprs(trapped).nonEmpty,
+      "the known-bad pushed-filter inlining must be flagged")
+    val fused = docs.select(col("doc_id"),
+      explode(expr("graft_winnow(text, 4)")).as("fp"))
+    assert(tools.ExplainAudit.invariantLambdaExprs(fused).isEmpty,
+      "the fused spelling must be clean")
+  }
 }
