@@ -20,10 +20,12 @@ result row depends only on its own endpoints (pairwise-decomposable
 outputs, which all four target queries are). Overridden rows print with
 an OK* marker so the artifact is honest about the weaker gate.
 """
+import glob as globmod
 import json, math, os, sys
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -69,6 +71,41 @@ def values_equal(a, b) -> bool:
     if type(a) is not type(b):
         return False
     return a == b
+
+# DuckDB-type → compare-kind, mirroring the pandas dtype.kind gate of the
+# row-by-row path (all int widths one class, floats one class, DECIMAL its
+# own class so a decimal-vs-double divergence still fails the digest path)
+def _kind(duck_type: str) -> str:
+    t = duck_type.upper()
+    if t.startswith("DECIMAL"):
+        return "d"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    if t in ("FLOAT", "DOUBLE"):
+        return "f"
+    if t == "BOOLEAN":
+        return "b"
+    return "O"
+
+
+def _digest_sql(cols, rel: str) -> str:
+    """count + sum + xor of a 48-bit md5 digest of the canonical row
+    string (sorted column order, NULL kept distinct via chr(1)) — an
+    ORDER-FREE exact multiset fingerprint, the q207 manifest precedent.
+    Two different row multisets must collide on BOTH the HUGEINT sum
+    and the xor of 48-bit digests to fool it. Both compare sides run
+    through THIS SAME DuckDB rendering (the engine side is read back
+    via read_parquet), so value formatting is identical by construction."""
+    row = "concat_ws('|', " + ", ".join(
+        f'COALESCE(CAST("{c}" AS VARCHAR), chr(1))' for c in cols) + ")"
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h_, {k + 1}, 1)) - 1) * "
+        f"{16 ** (11 - k)}" for k in range(12))
+    return (f"SELECT count(*) AS n, sum(hv) AS s, bit_xor(hv) AS x FROM "
+            f"(SELECT CAST({poly} AS BIGINT) AS hv FROM "
+            f"(SELECT md5({row}) AS h_ FROM {rel}))")
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -117,10 +154,59 @@ def main():
     if only:
         sel = set(only.split(","))
         names = [n for n in names if n in sel]
+    # GRAFT_CHECK_DIGEST_ROWS=N: outputs larger than N rows compare via
+    # the order-free digest instead of the row-by-row pandas path (which
+    # needs a str-keyed sort of the WHOLE frame — a 284M-row q53 output
+    # at sf1 can neither sort nor fit; the digest is exact and runs at
+    # DuckDB scan speed). 0/unset = always row-by-row.
+    digest_cap = int(os.environ.get("GRAFT_CHECK_DIGEST_ROWS", "0") or 0)
     for name in names:
         if name not in present:
             failures.append(name)
             print(f"  {name:28s} MISSING OUTPUT (query failed in Verify)")
+            continue
+        out_glob = os.path.join(out_dir, name, "*.parquet")
+        if (digest_cap and name in oracle
+                and not (name in overrides and "spark_sql" in overrides[name])
+                and sum(pq.ParquetFile(f).metadata.num_rows
+                        for f in globmod.glob(out_glob)) > digest_cap):
+            try:
+                con.execute(
+                    "CREATE OR REPLACE VIEW graft_out AS SELECT * FROM "
+                    f"read_parquet('{out_glob}')")
+                gtypes = {r[0]: _kind(r[1]) for r in con.execute(
+                    "DESCRIBE graft_out").fetchall()}
+                etypes = {r[0]: _kind(r[1]) for r in con.execute(
+                    f"DESCRIBE SELECT * FROM ({oracle[name]}) q_").fetchall()}
+                if sorted(gtypes) != sorted(etypes):
+                    failures.append(name)
+                    print(f"  {name:28s} SCHEMA MISMATCH spark="
+                          f"{sorted(gtypes)} duck={sorted(etypes)}")
+                    continue
+                if gtypes != etypes:
+                    badc = [c for c in gtypes if gtypes[c] != etypes[c]][0]
+                    failures.append(name)
+                    print(f"  {name:28s} DTYPE MISMATCH col={badc} "
+                          f"spark={gtypes[badc]} duck={etypes[badc]}")
+                    continue
+                cols = sorted(gtypes)
+                gd = con.execute(_digest_sql(cols, "graft_out")).fetchone()
+                ed = con.execute(_digest_sql(
+                    cols, f"({oracle[name]}) q_")).fetchone()
+                if gd[0] != ed[0]:
+                    failures.append(name)
+                    print(f"  {name:28s} ROWCOUNT MISMATCH "
+                          f"spark={gd[0]} duck={ed[0]}")
+                elif gd[1] != ed[1] or gd[2] != ed[2]:
+                    failures.append(name)
+                    print(f"  {name:28s} DIGEST MISMATCH "
+                          f"spark=(s={gd[1]},x={gd[2]}) "
+                          f"duck=(s={ed[1]},x={ed[2]})")
+                else:
+                    print(f"  {name:28s} OK# rows={gd[0]} (digest compare)")
+            except Exception as e:
+                failures.append(name)
+                print(f"  {name:28s} ORACLE SQL ERROR: {e}")
             continue
         got = pd.read_parquet(os.path.join(out_dir, name))
         if name in overrides and "spark_sql" in overrides[name]:
