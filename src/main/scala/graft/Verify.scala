@@ -67,9 +67,17 @@ object Verify {
     // outputs can be adjudicated (the r9 sf1 crash lost 26 minutes of
     // finished work because nothing could be checked).
     // a filtered dev run dumps only the matching oracle entries so
-    // tools/check.py gates exactly the subset that was produced
-    val oracleJson = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    // tools/check.py gates exactly the subset that was produced — but
+    // MERGED over any oracle map already in outDir: a filtered top-up
+    // into a finished sweep's directory (the r11 q268/q269 sf1 case)
+    // must extend the 267-entry map, not replace it with a 2-entry one
+    // and orphan every other output the directory still holds.
+    val prior: Map[String, String] =
+      if (only.isDefined && Files.exists(Paths.get(s"$outDir/oracle_sql.json")))
+        parseErrors(Files.readString(Paths.get(s"$outDir/oracle_sql.json")))
+      else Map.empty
+    val oracleJson = (prior ++ SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) })
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     // Submit queries concurrently: most are small jobs, so overlapping

@@ -5,7 +5,8 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -84,6 +85,41 @@ object TextNative {
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHashExpr(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe",
+      exprs => BpeApplyExpr(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** BPE merge application — the pinned semantics `graft_bpe` and the
+    * DuckDB oracle's recursive CTE both implement: start from the
+    * word's single characters; for each merge, IN RANK ORDER, run one
+    * left-to-right pass over the token list, fusing each adjacent pair
+    * whose concatenation equals the merge and continuing AFTER the
+    * fused token (so "aaa" + merge "aa" → [aa, a], and an earlier-rank
+    * merge claims its characters before a later one sees them:
+    * "abc" + merges [bc, ab] → [a, bc]). */
+  def bpeApply(word: String, merges: Array[String]): Array[String] = {
+    var toks: Array[String] = Array.tabulate(word.length)(i =>
+      String.valueOf(word.charAt(i)))
+    var m = 0
+    while (m < merges.length && toks.length > 1) {
+      val mg = merges(m)
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length &&
+            toks(i).length + toks(i + 1).length == mg.length &&
+            mg.startsWith(toks(i)) && mg.endsWith(toks(i + 1))) {
+          out += mg
+          i += 2
+        } else {
+          out += toks(i)
+          i += 1
+        }
+      }
+      toks = out.result()
+      m += 1
+    }
+    toks
   }
 }
 
@@ -429,4 +465,42 @@ case class SimHashExpr(child: Expression, bits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** graft_bpe(word, merges) → array<string>: apply an ordered BPE merge
+  * list to one (already-tokenized) word. Semantics and the rank-order /
+  * overlap edge cases are pinned in [[TextNative.bpeApply]]'s scaladoc;
+  * the DuckDB oracle replays them with a recursive CTE whose state is
+  * (stage, remaining tokens, emitted tokens). The merges argument is a
+  * COLUMN (the 1-row collect_list aggregate of the trained merge table,
+  * broadcast onto the vocabulary), not a literal — the per-row cost of
+  * re-reading the ~10-element array is noise next to the merge passes
+  * themselves, and it keeps the train→apply pipeline a pure dataframe
+  * with no driver-side collect. */
+case class BpeApplyExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_bpe expects (string, array<string>)")
+    }
+
+  override def nullSafeEval(word: Any, mergesArr: Any): Any = {
+    val w = word.asInstanceOf[UTF8String].toString
+    val arr = mergesArr.asInstanceOf[ArrayData]
+    val merges = Array.tabulate(arr.numElements())(i =>
+      arr.getUTF8String(i).toString)
+    new GenericArrayData(
+      TextNative.bpeApply(w, merges).map(UTF8String.fromString(_)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -886,8 +886,68 @@ object Curation {
     // agg), df and the 1-row corpus stats broadcast, and the top-k
     // window partitions by term — per-term state only, never a global
     // sort.
-    "q164_bm25" -> ((s, d) => bm25Ranks(s, d))
+    "q164_bm25" -> ((s, d) => bm25Ranks(s, d)),
+
+    // ---- q268/q269: BPE merge APPLICATION (train → apply) ----
+    // q203 scores the merge ranking; these two run the tokenizer it
+    // implies, completing the train→apply story. Scale shape is the
+    // textbook one: segmentation cost is VOCABULARY-bounded (graft_bpe
+    // runs once per distinct word, with the 1-row rank-ordered merge
+    // array cross-broadcast onto the vocab table), and the corpus pays
+    // only tokenize scans + a broadcast join of per-word piece counts —
+    // the reason industrial BPE tokenizers precompute a word→pieces
+    // cache instead of re-segmenting every occurrence. Rank-order and
+    // overlap edge semantics are pinned in TextNative.bpeApply; the
+    // oracle replays them with a recursive CTE state machine.
+    "q268_bpe_vocab" -> ((s, d) => {
+      val tf = wordFreq(s, d)
+      tf.crossJoin(broadcast(bpeMergeArr(tf)))
+        .select(col("w"), col("f"),
+          expr("graft_bpe(w, merges)").as("toks"))
+        .select(col("w"), col("f"),
+          array_join(col("toks"), "|").as("bpe"),
+          size(col("toks")).cast("long").as("n_bpe"))
+        .orderBy(col("f").desc, col("w")).limit(200)
+    }),
+
+    // Per-document BPE token counts through the vocab cache — the
+    // "how many tokens is this corpus" budgeting pass, exact-integer
+    // (pieces-per-word in ppm).
+    "q269_bpe_doc_tokens" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(expr(toksNat)).as("w"))
+      val wc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val tf = toks.groupBy("w").agg(count(lit(1)).as("f"))
+      val nb = tf.crossJoin(broadcast(bpeMergeArr(tf)))
+        .select(col("w"),
+          size(expr("graft_bpe(w, merges)")).cast("long").as("n_bpe"))
+      wc.join(broadcast(nb), "w")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"),
+          sum(expr("c * n_bpe")).as("n_bpe"),
+          expr("sum(c * n_bpe) * 1000000 DIV sum(c)").as("cpw_ppm"))
+    })
   )
+
+  /** (w, f): corpus word frequencies — q203's training input table. */
+  private def wordFreq(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(explode(expr(toksNat)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** The 1-row rank-ordered merge array from q203's scoring: top-10
+    * corpus-weighted adjacent char pairs, (cnt desc, pair asc).
+    * array_sort over (−cnt, pair) structs re-derives the rank order
+    * INSIDE the aggregate, so the array is deterministic without
+    * depending on collect_list's input order. */
+  private def bpeMergeArr(tf: DataFrame): DataFrame =
+    tf.filter(length(col("w")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("f").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(10)
+      .agg(expr("transform(array_sort(collect_list(struct(-cnt AS nc, " +
+        "pair))), x -> x.pair)").as("merges"))
 
   /** q164's BM25 top-k per query term — also the text leg of q264's
     * reciprocal-rank fusion (shared so the two cannot drift). */
@@ -1392,6 +1452,69 @@ object Curation {
         |      ORDER BY score DESC, doc_id) AS rank FROM scored)
         |SELECT tok, doc_id, rank, score FROM ranked
         |WHERE rank <= $Bm25K""".stripMargin
-    }
+    },
+
+    "q268_bpe_vocab" ->
+      s"""WITH RECURSIVE $bpeCtes
+        |SELECT tf.w, CAST(tf.f AS BIGINT) AS f,
+        | array_to_string(d.rest, '|') AS bpe,
+        | CAST(len(d.rest) AS BIGINT) AS n_bpe
+        |FROM done d JOIN tf USING (w)
+        |ORDER BY f DESC, w LIMIT 200""".stripMargin,
+
+    "q269_bpe_doc_tokens" ->
+      s"""WITH RECURSIVE $bpeCtes,
+        | nb AS (SELECT w, CAST(len(rest) AS BIGINT) AS n_bpe FROM done),
+        | wc AS (SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(${toksDuck("text")}) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT wc.doc_id, CAST(SUM(wc.c) AS BIGINT) AS n_words,
+        | CAST(SUM(wc.c * nb.n_bpe) AS BIGINT) AS n_bpe,
+        | (CAST(SUM(wc.c * nb.n_bpe) AS BIGINT) * 1000000)
+        |   // CAST(SUM(wc.c) AS BIGINT) AS cpw_ppm
+        |FROM wc JOIN nb USING (w) GROUP BY 1""".stripMargin
   )
+
+  /** The BPE apply oracle's shared scaffold: q203's merge scoring (tf →
+    * mg, rank-ordered as mr) feeding a recursive-CTE state machine that
+    * replays TextNative.bpeApply exactly — state = (stage, remaining
+    * token list, emitted token list); an empty remainder advances the
+    * stage and recycles the emitted list as the next pass's input; rows
+    * reaching stage n_merges+1 carry the final segmentation in `rest`.
+    * Validated against an independent imperative reference over the
+    * full sf0.01 vocabulary before landing. */
+  private lazy val bpeCtes: String =
+    s"""tf AS (SELECT w, count(*) AS f FROM (
+      |   SELECT unnest(${toksDuck("text")}) AS w FROM documents)
+      |  GROUP BY 1),
+      | pr AS (SELECT f, unnest([substr(w, i, 2)
+      |   FOR i IN range(1, len(w))]) AS pair
+      |  FROM tf WHERE len(w) >= 2),
+      | mg AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM pr
+      |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 10),
+      | mr AS (SELECT pair,
+      |   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rk
+      |  FROM mg),
+      | nm AS (SELECT CAST(count(*) AS INT) AS n FROM mr),
+      | seg AS (
+      |  SELECT w, 1 AS stage,
+      |    [substr(w, i, 1) FOR i IN range(1, len(w)+1)] AS rest,
+      |    CAST([] AS VARCHAR[]) AS acc
+      |  FROM tf
+      |  UNION ALL
+      |  SELECT s.w,
+      |   CASE WHEN len(s.rest) = 0 THEN s.stage + 1 ELSE s.stage END,
+      |   CASE WHEN len(s.rest) = 0 THEN s.acc
+      |        WHEN len(s.rest) >= 2 AND s.rest[1] || s.rest[2] = m.pair
+      |          THEN s.rest[3:]
+      |        ELSE s.rest[2:] END,
+      |   CASE WHEN len(s.rest) = 0 THEN CAST([] AS VARCHAR[])
+      |        WHEN len(s.rest) >= 2 AND s.rest[1] || s.rest[2] = m.pair
+      |          THEN list_append(s.acc, s.rest[1] || s.rest[2])
+      |        ELSE list_append(s.acc, s.rest[1]) END
+      |  FROM seg s JOIN mr m ON m.rk = s.stage CROSS JOIN nm
+      |  WHERE s.stage <= nm.n),
+      | done AS (SELECT s.w, s.rest FROM seg s CROSS JOIN nm
+      |  WHERE s.stage = nm.n + 1)""".stripMargin
 }

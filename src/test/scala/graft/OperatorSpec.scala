@@ -1205,6 +1205,50 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("BPE apply: rank order, overlap, cascade edges; q268/q269 internal laws") {
+    import graft.functions.TextNative.bpeApply
+    // rank order matters: the earlier merge claims its characters
+    assert(bpeApply("abc", Array("bc", "ab")).toSeq == Seq("a", "bc"))
+    assert(bpeApply("abc", Array("ab", "bc")).toSeq == Seq("ab", "c"))
+    // left-to-right single pass: the merged token is consumed, so the
+    // overlapping second occurrence cannot fire
+    assert(bpeApply("aaa", Array("aa")).toSeq == Seq("aa", "a"))
+    assert(bpeApply("aaaa", Array("aa")).toSeq == Seq("aa", "aa"))
+    // a LATER multi-char merge can fuse an earlier merge's output
+    assert(bpeApply("abc", Array("ab", "abc")).toSeq == Seq("abc"))
+    // no merges / 1-char word degenerate cases
+    assert(bpeApply("x", Array("xy")).toSeq == Seq("x"))
+    assert(bpeApply("xy", Array.empty[String]).toSeq == Seq("x", "y"))
+
+    // q268: pieces reassemble the word; the expression output equals an
+    // independent JVM replay driven by q203's (gate-green) merge order
+    val seg = SparkEntry.queries("q268_bpe_vocab")(spark, sf)
+      .select("w", "f", "bpe", "n_bpe").collect()
+    assert(seg.nonEmpty)
+    seg.foreach { r =>
+      val pieces = r.getString(2).split("\\|").toSeq
+      assert(pieces.mkString("") == r.getString(0),
+        s"pieces must reassemble the word: $r")
+      assert(pieces.length.toLong == r.getLong(3))
+    }
+    val merges = SparkEntry.queries("q203_bpe_merges")(spark, sf)
+      .orderBy(col("cnt").desc, col("pair")).select("pair")
+      .collect().map(_.getString(0))
+    seg.foreach { r =>
+      assert(bpeApply(r.getString(0), merges).mkString("|") ==
+        r.getString(2), s"expression vs JVM replay drift on ${r.getString(0)}")
+    }
+
+    // q269: every word is >= 1 piece and <= its length in pieces, and
+    // the ppm column is exactly the integer ratio of the other two
+    val doc = SparkEntry.queries("q269_bpe_doc_tokens")(spark, sf).collect()
+    assert(doc.nonEmpty)
+    doc.foreach { r =>
+      val (nw, nb, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nb >= nw && ppm == nb * 1000000L / nw, s"q269 law broken: $r")
+    }
+  }
+
   test("DSIR scoring ranks the target domain above every other language") {
     import spark.implicits._
     val out = SparkEntry.queries("q223_dsir_score")(spark, sf)
