@@ -170,4 +170,70 @@ object TextAnalysis {
         (col("len_ok") * col("mean_len_ok") * col("alpha_ok") *
           col("stop_ok") * col("rep_ok")).cast("int"))
   }
+
+  /** ITERATIVE BPE merge training (Sennrich et al. 2016) — the greedy
+    * loop q203's one-shot pair scoring approximates: K rounds, each
+    * counting adjacent-piece pairs over the CURRENT segmentation
+    * (weighted by word frequency), merging the argmax, and re-counting.
+    * Only the iterative loop can learn multi-character merges (round r
+    * can fuse a piece produced by round r-1 — e.g. "p"+"ar" → "par"),
+    * which is what makes real BPE vocabularies.
+    *
+    * Pinned semantics (shared with [[graft.functions.TextNative.bpeApply]]
+    * and the q270 DuckDB oracle): a pair is identified by the
+    * CONCATENATION of its two adjacent pieces — exactly the match rule
+    * bpeApply's fuse pass uses — counted once per occurrence weighted by
+    * the word's corpus frequency; argmax ties break lexicographically on
+    * the merged string; each round's segmentation is bpeApply(w,
+    * merges-so-far). Merge counts are provably non-increasing across
+    * rounds (a post-merge pair either existed before with ≥ its new
+    * count, or contains the new symbol and is bounded by the chosen
+    * pair's count) — PropertySpec pins the law.
+    *
+    * Scale shape: the corpus is scanned ONCE to build `tf` (w, f) —
+    * vocabulary-bounded, cached — and every round runs only on that
+    * table (segment via graft_bpe with the merges-so-far literal, one
+    * narrow explode + hash agg + top-1 heap). The per-round 1-row argmax
+    * collect is the q202 bounded-k driver-loop precedent; K is a small
+    * constant. This is exactly why industrial BPE trainers operate on
+    * word-frequency lists, never the raw corpus.
+    *
+    * @param tf vocabulary table (w: string, f: long) — word frequencies
+    * @param k  number of merges to learn
+    * @return (rk, merge, cnt): learned merges in training order with
+    *         their at-selection corpus-weighted pair counts
+    */
+  def bpeTrain(tf: DataFrame, k: Int): DataFrame = {
+    val spark = tf.sparkSession
+    graft.functions.TextNative.register(spark)
+    val vocab = tf.filter(length(col("w")) >= 2)
+      .select(col("w"), col("f").cast("long").as("f")).cache()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      var r = 1
+      var done = false
+      while (r <= k && !done) {
+        // Tokens are [a-z0-9]+ so merged strings are always literal-safe.
+        val arr =
+          if (merges.isEmpty) "CAST(array() AS array<string>)"
+          else merges.map(m => s"'${m._2}'").mkString("array(", ",", ")")
+        val top = vocab
+          .select(col("f"), expr(s"graft_bpe(w, $arr)").as("p"))
+          .filter(size(col("p")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, size(p) - 1), " +
+              "i -> concat(element_at(p, i), element_at(p, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("f").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          merges += ((r.toLong, top(0).getString(0), top(0).getLong(1)))
+          r += 1
+        }
+      }
+      import spark.implicits._
+      merges.toSeq.toDF("rk", "merge", "cnt")
+    } finally { vocab.unpersist(); () }
+  }
 }

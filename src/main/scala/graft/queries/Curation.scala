@@ -926,8 +926,64 @@ object Curation {
         .agg(sum("c").as("n_words"),
           sum(expr("c * n_bpe")).as("n_bpe"),
           expr("sum(c * n_bpe) * 1000000 DIV sum(c)").as("cpw_ppm"))
+    }),
+
+    // ---- q270: ITERATIVE BPE merge training (the real greedy loop) ----
+    // q203 scores ONE pair-count pass; this runs the actual Sennrich
+    // et al. training loop — K rounds of count-argmax-merge-recount —
+    // which is the only way multi-character merges arise (round r fuses
+    // pieces produced by earlier rounds; at the driver corpus round 6
+    // learns "mer" = "m"+"er"). Semantics, tie-breaks and the scale
+    // argument (one corpus scan to the cached vocab table, then K
+    // vocab-only rounds with 1-row argmax collects — the q202 bounded
+    // driver-loop precedent) are pinned in TextAnalysis.bpeTrain; the
+    // oracle replays all K rounds as chained MATERIALIZED CTE stages,
+    // each one a per-merge recursive-CTE fuse pass (bpeCtes' state
+    // machine specialized to a single stage).
+    "q270_bpe_train" -> ((s, d) =>
+      graft.operators.TextAnalysis.bpeTrain(wordFreq(s, d), BpeTrainK)),
+
+    // ---- q271: interpolated Kneser-Ney bigram LM (d = 3/4) ----
+    // The real LM estimator the q134 MLE counts feed: discounted bigram
+    // mass redistributed by CONTINUATION probability (how many distinct
+    // left-contexts a word follows, not how often it occurs) —
+    // P_KN(b|a) = max(c_ab − d, 0)/c_a + d·N1+(a·)/c_a · N1+(·b)/N1+(··)
+    // with d = 3/4 exact-rational so every term is pinned integer
+    // arithmetic: term1 = (4·c_ab−3)·1e6 DIV (4·c_a), cont_ppm =
+    // N1+(·b)·1e6 DIV types, term2 = 3·N1+(a·)·cont_ppm DIV (4·c_a) —
+    // two truncating DIVs, identical in both engines. (Wide-arithmetic
+    // note: 4·c_ab·1e6 crosses the BIGINT rail at c_ab ≈ 2.3e12; past
+    // that the q231/q265 DECIMAL(38,0) recipe applies unchanged.)
+    // Scale shape: one corpus gram scan collapses to the vocabulary²-
+    // bounded bigram table; every other table derives from IT (vocab-
+    // bounded) and broadcasts, so nothing after the first agg touches
+    // corpus-scale rows. Support floor c_ab >= 3 bounds the output,
+    // applied AFTER the aggregates so the distribution stays
+    // corpus-true.
+    "q271_kneser_ney" -> ((s, d) => {
+      val g2 = docs(s, d).select(
+        explode(expr("graft_ngrams(text, 2)")).as("g"))
+        .select(split(col("g"), " ")(0).as("a"),
+          split(col("g"), " ")(1).as("b"))
+      val c = g2.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val tot = c.groupBy("a")
+        .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1p_a"))
+      val contb = c.groupBy("b").agg(count(lit(1)).as("n1p_b"))
+      val types = c.agg(count(lit(1)).as("n_types"))
+      c.filter(col("c_ab") >= 3)
+        .join(broadcast(tot), "a")
+        .join(broadcast(contb), "b")
+        .crossJoin(broadcast(types))
+        .withColumn("cont_ppm", expr("n1p_b * 1000000 DIV n_types"))
+        .select(col("a"), col("b"), col("c_ab"),
+          expr("(4 * c_ab - 3) * 1000000 DIV (4 * c_a) + " +
+            "3 * n1p_a * cont_ppm DIV (4 * c_a)").as("pkn_ppm"))
     })
   )
+
+  /** q270's merge-count: rounds of training (small constant — the cost
+    * model is K vocab-bounded rounds, so K scales freely). */
+  private val BpeTrainK = 8
 
   /** (w, f): corpus word frequencies — q203's training input table. */
   private def wordFreq(s: SparkSession, d: String): DataFrame =
@@ -1473,8 +1529,74 @@ object Curation {
         | CAST(SUM(wc.c * nb.n_bpe) AS BIGINT) AS n_bpe,
         | (CAST(SUM(wc.c * nb.n_bpe) AS BIGINT) * 1000000)
         |   // CAST(SUM(wc.c) AS BIGINT) AS cpw_ppm
-        |FROM wc JOIN nb USING (w) GROUP BY 1""".stripMargin
+        |FROM wc JOIN nb USING (w) GROUP BY 1""".stripMargin,
+
+    "q270_bpe_train" -> bpeTrainOracle,
+
+    "q271_kneser_ney" ->
+      s"""WITH p AS (SELECT unnest(${ngramsDuck(s"(${toksDuck("text")})", 2)})
+        |   AS g FROM documents),
+        | ab AS (SELECT string_split(g, ' ')[1] AS a,
+        |   string_split(g, ' ')[2] AS b FROM p),
+        | c AS (SELECT a, b, count(*) AS c_ab FROM ab GROUP BY 1, 2),
+        | t AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+        |   CAST(COUNT(*) AS BIGINT) AS n1p_a FROM c GROUP BY 1),
+        | cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1p_b FROM c
+        |  GROUP BY 1),
+        | ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c)
+        |SELECT c.a, c.b, c.c_ab,
+        | (((4 * c.c_ab - 3) * 1000000) // (4 * t.c_a))
+        | + ((3 * t.n1p_a * ((cb.n1p_b * 1000000) // ty.n_types))
+        |     // (4 * t.c_a)) AS pkn_ppm
+        |FROM c JOIN t USING (a) JOIN cb USING (b) CROSS JOIN ty
+        |WHERE c.c_ab >= 3""".stripMargin
   )
+
+  /** q270's oracle: the K training rounds as chained MATERIALIZED CTE
+    * stages. Stage r counts adjacent-piece concatenations over the
+    * round-(r-1) segmentation (weighted by word frequency), takes the
+    * (cnt DESC, pair ASC) argmax as merge r, and fuses it with ONE
+    * left-to-right recursive-CTE pass — the single-stage form of
+    * bpeCtes' state machine; sequential per-merge passes are exactly
+    * bpeApply's semantics, so seg_r == bpeApply(w, merges[1..r]).
+    * MATERIALIZED is load-bearing: without it DuckDB re-inlines each
+    * stage into every consumer and the chain blows up exponentially. */
+  private lazy val bpeTrainOracle: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      s"""tf AS MATERIALIZED (SELECT w, count(*) AS f FROM (
+        |   SELECT unnest(${toksDuck("text")}) AS w FROM documents)
+        |  GROUP BY 1)""".stripMargin,
+      """seg0 AS MATERIALIZED (SELECT w, f,
+        |   [substr(w, i, 1) FOR i IN range(1, len(w)+1)] AS s
+        |  FROM tf WHERE len(w) >= 2)""".stripMargin)
+    for (r <- 1 to BpeTrainK) {
+      val p = r - 1
+      ctes += s"""pr$r AS MATERIALIZED (SELECT f,
+        |   unnest([s[i] || s[i+1] FOR i IN range(1, len(s))]) AS pair
+        |  FROM seg$p WHERE len(s) >= 2)""".stripMargin
+      ctes += s"""mg$r AS MATERIALIZED (SELECT pair,
+        |   CAST(SUM(f) AS BIGINT) AS cnt
+        |  FROM pr$r GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+      ctes += s"""fz$r AS (
+        |  SELECT w, f, s AS rest, CAST([] AS VARCHAR[]) AS acc FROM seg$p
+        |  UNION ALL
+        |  SELECT z.w, z.f,
+        |   CASE WHEN len(z.rest) >= 2 AND z.rest[1] || z.rest[2] = m.pair
+        |     THEN z.rest[3:] ELSE z.rest[2:] END,
+        |   CASE WHEN len(z.rest) >= 2 AND z.rest[1] || z.rest[2] = m.pair
+        |     THEN list_append(z.acc, z.rest[1] || z.rest[2])
+        |     ELSE list_append(z.acc, z.rest[1]) END
+        |  FROM fz$r z CROSS JOIN mg$r m
+        |  WHERE len(z.rest) > 0)""".stripMargin
+      ctes += s"""seg$r AS MATERIALIZED (
+        |  SELECT w, f, acc AS s FROM fz$r WHERE len(rest) = 0)""".stripMargin
+    }
+    val sel = (1 to BpeTrainK)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rk, pair AS merge, cnt FROM mg$r")
+      .mkString(" UNION ALL ")
+    "WITH RECURSIVE " + ctes.mkString(",\n ") +
+      s"\nSELECT * FROM ($sel) ORDER BY rk"
+  }
 
   /** The BPE apply oracle's shared scaffold: q203's merge scoring (tf →
     * mg, rank-ordered as mr) feeding a recursive-CTE state machine that

@@ -184,6 +184,40 @@ object Pipelines {
         .limit(20)
     }),
 
+    // ---- q272: INCREMENTAL CMS heavy hitters (the SUM lattice) ----
+    // The count-min sketch run as persisted maintenance, closing the
+    // sketch-lattice family's last open member: HLL registers merge by
+    // MAX (q94/q186), md5 half-samples by set union (q190), manifest
+    // digests by sum/xor (q207/q210) — CMS counters merge by SUM, and
+    // because per-batch cell counts are plain addends, the merged
+    // sketch is EXACTLY the one-shot sketch (not merely estimate-
+    // equal), so q99's oracle gates this query verbatim. History
+    // (batches 0-2) pays one scan into a persisted d×w-bounded partial
+    // table; the new batch appends only its own cells; query-time
+    // merge sums partials — raw history is never rescanned. Unlike the
+    // MAX/union lattices a REPLAYED batch double-counts here (the same
+    // caveat as q140's additive rollup), which is why admission (q88)
+    // sits in front of additive maintenance in the ingest story.
+    "q272_incr_cms" -> ((s, d) => {
+      val dk = docs(s, d).withColumn("b", pmod(col("doc_id"), lit(4)))
+      def toksOf(part: DataFrame) =
+        part.select(explode(expr(toksSpark("text"))).as("tok"))
+      Tables.writeTable(
+        Sketches.cmsBuild(toksOf(dk.filter(col("b") < 3)), "tok", CmsD, CmsW),
+        "graft_cms_hist")
+      Sketches.cmsBuild(toksOf(dk.filter(col("b") === 3)), "tok", CmsD, CmsW)
+        .write.mode("append").format("parquet")
+        .saveAsTable("graft_cms_hist")
+      val merged = s.table("graft_cms_hist")
+        .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+      val toks = toksOf(dk)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      Sketches.cmsEstimate(exact.select("tok"), "tok", merged, CmsD, CmsW)
+        .join(exact, "tok")
+        .orderBy(col("est").desc, col("tok"))
+        .limit(20)
+    }),
+
     // ---- q100: overlapping token-window chunking (RAG shape) ----
     // Each doc explodes into ceil-spaced C-token windows every S tokens;
     // pure per-row explode — embarrassingly parallel, no shuffle.
@@ -653,6 +687,29 @@ object Pipelines {
   private def posListDuck(v: String, k: Int, m: Int): String =
     (0 until k).map(posDuck(v, _, m)).mkString("[", ", ", "]")
 
+  /** q99's CMS heavy-hitters replay — shared verbatim by q272's
+    * incremental path (SUM-lattice exactness makes the two queries
+    * answer-identical by construction; the shared oracle pins it). */
+  private lazy val cmsHeavySql: String =
+    s"""WITH toks AS (SELECT unnest(${toksDuck("text")}) AS tok
+      |   FROM documents),
+      | cells AS (SELECT tok, g.r,
+      |   ${posDuckDyn("tok", "CAST(g.r AS VARCHAR)", CmsW)} AS cell
+      |   FROM toks CROSS JOIN generate_series(0, ${CmsD - 1}) AS g(r)),
+      | sketch AS (SELECT r, cell, count(*) AS cnt
+      |   FROM cells GROUP BY 1, 2),
+      | exact AS (SELECT tok, count(*) AS exact FROM toks GROUP BY 1),
+      | cand AS (SELECT e.tok, g.r,
+      |   ${posDuckDyn("e.tok", "CAST(g.r AS VARCHAR)", CmsW)} AS cell
+      |   FROM exact e CROSS JOIN generate_series(0, ${CmsD - 1}) AS g(r)),
+      | est AS (SELECT c.tok, min(coalesce(s.cnt, 0)) AS est
+      |   FROM cand c LEFT JOIN sketch s ON c.r = s.r AND c.cell = s.cell
+      |   GROUP BY 1)
+      |SELECT e.tok, est.est, e.exact
+      |FROM est JOIN exact e ON est.tok = e.tok
+      |ORDER BY est.est DESC, e.tok
+      |LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q97_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
@@ -681,25 +738,14 @@ object Pipelines {
         |LEFT JOIN hits h ON b.doc_id = h.doc_id
         |LEFT JOIN truth t ON b.doc_id = t.doc_id""".stripMargin,
 
-    "q99_cms_heavy" ->
-      s"""WITH toks AS (SELECT unnest(${toksDuck("text")}) AS tok
-        |   FROM documents),
-        | cells AS (SELECT tok, g.r,
-        |   ${posDuckDyn("tok", "CAST(g.r AS VARCHAR)", CmsW)} AS cell
-        |   FROM toks CROSS JOIN generate_series(0, ${CmsD - 1}) AS g(r)),
-        | sketch AS (SELECT r, cell, count(*) AS cnt
-        |   FROM cells GROUP BY 1, 2),
-        | exact AS (SELECT tok, count(*) AS exact FROM toks GROUP BY 1),
-        | cand AS (SELECT e.tok, g.r,
-        |   ${posDuckDyn("e.tok", "CAST(g.r AS VARCHAR)", CmsW)} AS cell
-        |   FROM exact e CROSS JOIN generate_series(0, ${CmsD - 1}) AS g(r)),
-        | est AS (SELECT c.tok, min(coalesce(s.cnt, 0)) AS est
-        |   FROM cand c LEFT JOIN sketch s ON c.r = s.r AND c.cell = s.cell
-        |   GROUP BY 1)
-        |SELECT e.tok, est.est, e.exact
-        |FROM est JOIN exact e ON est.tok = e.tok
-        |ORDER BY est.est DESC, e.tok
-        |LIMIT 20""".stripMargin,
+    "q99_cms_heavy" -> cmsHeavySql,
+
+    // Incremental == one-shot on the CMS SUM lattice (per-batch cell
+    // counts are addends of the one-shot counts), so the ORACLE IS
+    // q99's — hash equality proves the persisted maintenance path
+    // byte-equivalent to a full recompute, the q140 : fullRollupSql
+    // relationship applied to the count-min sketch.
+    "q272_incr_cms" -> cmsHeavySql,
 
     "q100_doc_chunks" ->
       s"""WITH $chunkCtes

@@ -1249,6 +1249,113 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("q270 iterative BPE training equals an independent JVM trainer; " +
+    "counts non-increasing; multi-char merges reachable") {
+    import graft.functions.TextNative.bpeApply
+
+    // Independent imperative trainer: same pinned semantics (pairs
+    // keyed by concatenation, argmax (cnt desc, pair asc), bpeApply's
+    // one-pass fuse), written against plain Scala collections.
+    def refTrain(freq: Map[String, Long], k: Int): Seq[(Long, String, Long)] = {
+      var segs: Map[String, Array[String]] =
+        freq.keys.map(w => w -> w.map(String.valueOf(_)).toArray).toMap
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      var r = 1
+      while (r <= k) {
+        val cnt = scala.collection.mutable.Map[String, Long]()
+        for ((w, f) <- freq; s = segs(w); i <- 0 until s.length - 1)
+          cnt(s(i) + s(i + 1)) = cnt.getOrElse(s(i) + s(i + 1), 0L) + f
+        if (cnt.isEmpty) r = k + 1
+        else {
+          val (mg, c) = cnt.toSeq.minBy { case (p, c) => (-c, p) }
+          out += ((r.toLong, mg, c))
+          segs = segs.map { case (w, s) => w -> fuseOnce(s, mg) }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    def fuseOnce(s: Array[String], mg: String): Array[String] = {
+      val b = Array.newBuilder[String]; var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) + s(i + 1) == mg) { b += mg; i += 2 }
+        else { b += s(i); i += 1 }
+      }
+      b.result()
+    }
+
+    // Tiny synthetic vocab where the interesting behaviors are forced:
+    // round 2 must fuse round 1's output ("ab"+"c"), and the tie at
+    // cnt=5 must break lexicographically.
+    import spark.implicits._
+    val tiny = Seq(("abc", 5L), ("abd", 3L), ("xyc", 5L), ("cab", 2L))
+      .toDF("w", "f")
+    val tinyGot = graft.operators.TextAnalysis.bpeTrain(tiny, 4)
+      .orderBy("rk").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tinyWant = refTrain(Map("abc" -> 5L, "abd" -> 3L, "xyc" -> 5L, "cab" -> 2L), 4)
+    assert(tinyGot.toSeq == tinyWant, s"tiny vocab: $tinyGot vs $tinyWant")
+
+    // Real corpus: the registered query equals the reference trainer on
+    // the identical (w, f) vocabulary, and the laws hold.
+    val vocab = graft.operators.TextAnalysis
+      .withTokens(graft.sources.Tables.read(spark, sf, "documents"), "text")
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q270_bpe_train")(spark, sf)
+      .orderBy("rk").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == refTrain(vocab, got.length),
+      "engine training drifted from the independent JVM trainer")
+    // merge counts non-increasing (greedy argmax law)
+    (1 until got.length).foreach { i =>
+      assert(got(i - 1)._3 >= got(i)._3,
+        s"counts must be non-increasing: ${got(i - 1)} then ${got(i)}")
+    }
+    assert(got.map(_._2).distinct.length == got.length, "merges must be distinct")
+    // applying the learned merges never increases piece count, and the
+    // reported cnt at round r is the pair count over the r-1 segmentation
+    val merges = got.map(_._2)
+    vocab.keys.filter(_.length >= 2).take(50).foreach { w =>
+      assert(bpeApply(w, merges).length <= w.length)
+    }
+  }
+
+  test("q271 Kneser-Ney equals an independent JVM replay; terms bounded") {
+    // Re-derive the bigram statistics in plain Scala collections from
+    // the corpus token stream and recompute every output row's pinned
+    // integer formula independently of both Spark and the oracle.
+    val toks = graft.operators.TextAnalysis
+      .withTokens(graft.sources.Tables.read(spark, sf, "documents"), "text")
+      .select("toks").collect().map(_.getSeq[String](0))
+    val cab = scala.collection.mutable.Map[(String, String), Long]()
+    toks.foreach { t =>
+      t.sliding(2).filter(_.length == 2).foreach { p =>
+        cab((p(0), p(1))) = cab.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val cA = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val n1pA = cab.groupBy(_._1._1).map { case (a, m) => a -> m.size.toLong }
+    val n1pB = cab.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+    val nTypes = cab.size.toLong
+    def pkn(a: String, b: String): Long = {
+      val contPpm = n1pB(b) * 1000000L / nTypes
+      (4 * cab((a, b)) - 3) * 1000000L / (4 * cA(a)) +
+        3 * n1pA(a) * contPpm / (4 * cA(a))
+    }
+    val out = SparkEntry.queries("q271_kneser_ney")(spark, sf)
+      .select("a", "b", "c_ab", "pkn_ppm").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, c, p) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(c == cab((a, b)), s"c_ab drift on ($a,$b)")
+      assert(p == pkn(a, b), s"pkn drift on ($a,$b): $p vs ${pkn(a, b)}")
+      assert(p >= 1 && p < 1000000L, s"pkn out of range: $r")
+    }
+    // every observed bigram survives the support floor iff c_ab >= 3
+    assert(out.length == cab.count(_._2 >= 3),
+      "support floor must keep exactly the c_ab >= 3 bigrams")
+  }
+
   test("DSIR scoring ranks the target domain above every other language") {
     import spark.implicits._
     val out = SparkEntry.queries("q223_dsir_score")(spark, sf)

@@ -141,6 +141,31 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("CMS partials SUM-merge to the one-shot sketch for any split") {
+    // the q272 maintenance law (the additive twin of the manifest law
+    // above): per-batch count-min cells over ANY disjoint partitioning
+    // of the corpus sum to the one-shot sketch EXACTLY — cell counts
+    // are plain addends, so this is equality of counters, not of
+    // estimates. Checked at several split grains.
+    import graft.operators.Sketches
+    val docs = sources.Tables.read(spark, sf, "documents")
+    def sketchOf(part: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsBuild(
+        part.select(explode(expr(
+          graft.functions.TextExpr.toksSpark("text"))).as("tok")),
+        "tok", 4, 1024)
+    val whole = sketchOf(docs)
+    for (p <- Seq(2, 4)) {
+      val merged = (0 until p)
+        .map(r => sketchOf(docs.filter(pmod($"doc_id", lit(p)) === r)))
+        .reduce(_ unionAll _)
+        .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+      assert(whole.exceptAll(merged).count() == 0 &&
+        merged.exceptAll(whole).count() == 0,
+        s"$p-way CMS partial merge diverged from one-shot")
+    }
+  }
+
   test("market segmentation laws: ABC partitions, Gini bounds, RFM terciles") {
     // q227/q231/q232 share customer-revenue grain; their invariants
     // hold per market by construction and must survive any replan:
