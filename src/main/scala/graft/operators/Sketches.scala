@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Default count-min dimensions — ONE source of truth shared by the
+    * one-shot (q99), incremental (q272) and streaming (q273) paths so
+    * their sketches stay cell-compatible (SUM-merging sketches of
+    * different d×w would be meaningless). */
+  val CmsDefD = 4
+  val CmsDefW = 1024
+
   /** Hash position `seed` of string column `v` in [0, m): the top 7 hex
     * digits of md5("seed:" ++ v) (28 bits, exactly what the oracle's
     * nibble polynomial decodes — see TextExpr.hexIntDuck) mod m. */

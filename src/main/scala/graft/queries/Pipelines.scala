@@ -33,8 +33,8 @@ object Pipelines {
   private val BloomM = 1 << 18
   // Count-min geometry: d independent rows × w cells; error ≤ N/w per
   // estimate with probability 1 - (1/2)^d.
-  private val CmsD = 4
-  private val CmsW = 1024
+  private val CmsD = Sketches.CmsDefD
+  private val CmsW = Sketches.CmsDefW
   // Chunking: C-token chunks every S tokens (overlap C-S), the RAG
   // retrieval shape; packing: B-token bins in doc_id order per source.
   private val ChunkC = 40
@@ -217,6 +217,17 @@ object Pipelines {
         .orderBy(col("est").desc, col("tok"))
         .limit(20)
     }),
+
+    // ---- q273: STREAMING incremental CMS maintenance ----
+    // q272's persisted count-min kept current by a document file
+    // stream: each micro-batch appends only its own d×w-bounded cell
+    // partials via foreachBatch, and SUM-lattice exactness makes the
+    // merge equal the one-shot sketch under any micro-batch boundaries
+    // — q99's oracle gates it verbatim (the q186 : q94 relationship
+    // applied to the additive sketch; semantics and the replayed-batch
+    // caveat pinned in EventStreams.incrementalCmsStream).
+    "q273_stream_cms" -> ((s, d) =>
+      graft.streaming.EventStreams.incrementalCmsStream(s, d)),
 
     // ---- q100: overlapping token-window chunking (RAG shape) ----
     // Each doc explodes into ceil-spaced C-token windows every S tokens;
@@ -746,6 +757,10 @@ object Pipelines {
     // byte-equivalent to a full recompute, the q140 : fullRollupSql
     // relationship applied to the count-min sketch.
     "q272_incr_cms" -> cmsHeavySql,
+
+    // The streaming face shares the same one-shot oracle: micro-batch
+    // boundaries are invisible to a SUM lattice.
+    "q273_stream_cms" -> cmsHeavySql,
 
     "q100_doc_chunks" ->
       s"""WITH $chunkCtes

@@ -678,6 +678,55 @@ object EventStreams {
       .select("doc_id")
   }
 
+  /** q273: STREAMING incremental count-min maintenance — the streaming
+    * face of q272's persisted CMS (exactly the q186 : q94 and
+    * q142 : q140 relationships, applied to the SUM lattice). History
+    * cells (doc_id % 4 < 3) land once via a batch write; the document
+    * delta (doc_id % 4 == 3) is staged as landed files and STREAMED,
+    * each micro-batch appending ONLY its own d×w-bounded cell partials
+    * through foreachBatch. Cell counts are plain addends, so the
+    * query-time SUM-merge equals the one-shot sketch EXACTLY no matter
+    * how the source chopped the delta into micro-batches — q99's
+    * DuckDB oracle gates the heavy-hitter output verbatim. The additive
+    * caveat carries over from q140/q272: a REPLAYED batch double-counts
+    * (SUM is not idempotent, unlike q186's register MAX), which is why
+    * checkpointed exactly-once foreachBatch — or q88-style admission —
+    * fronts additive maintenance in production. State per trigger:
+    * ≤ d×w cell rows; the merge reads cell partials only, never raw
+    * history. */
+  def incrementalCmsStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 1,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
+    import graft.operators.Sketches
+    import graft.operators.Sketches.{CmsDefD, CmsDefW}
+    val all = graft.sources.Tables.read(spark, sfDir, "documents")
+      .withColumn("b", pmod(col("doc_id"), lit(4)))
+    def cells(df: DataFrame) = Sketches.cmsBuild(
+      df.select(explode(expr(
+        graft.functions.TextExpr.toksSpark("text"))).as("tok")),
+      "tok", CmsDefD, CmsDefW)
+    graft.sources.Tables.writeTable(
+      cells(all.filter(col("b") < 3)), "graft_stream_cms")
+    runStagedStream(spark, "graft_q273",
+      all.filter(col("b") === 3)
+        .select("doc_id", "text", "lang", "source", "n_chars"),
+      docSchema, maxFilesPerTrigger, deltaFiles,
+      onBatch = batch => cells(batch).write.mode("append")
+        .format("parquet").saveAsTable("graft_stream_cms"),
+      chaosKillAfter = chaosKillAfter)
+    val merged = spark.table("graft_stream_cms")
+      .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+    val toks = all.select(explode(expr(
+      graft.functions.TextExpr.toksSpark("text"))).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    Sketches.cmsEstimate(exact.select("tok"), "tok", merged,
+        CmsDefD, CmsDefW)
+      .join(exact, "tok")
+      .orderBy(col("est").desc, col("tok"))
+      .limit(20)
+  }
+
   private val cleanupDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
 

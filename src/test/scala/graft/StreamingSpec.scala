@@ -339,6 +339,29 @@ class StreamingSpec extends SparkTestBase {
       "shredded streaming register merge diverged from one-shot sketch")
   }
 
+  test("streaming CMS maintenance is micro-batch-boundary independent") {
+    // q273: shred the document delta into one micro-batch PER FILE —
+    // CMS cells form a SUM lattice (counts are plain addends), so the
+    // merged sketch must equal the one-shot sketch EXACTLY, counter for
+    // counter, and therefore the heavy-hitter output too.
+    import graft.operators.Sketches
+    import graft.operators.Sketches.{CmsDefD, CmsDefW}
+    val merged = EventStreams.incrementalCmsStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6)
+    val toks = sources.Tables.read(spark, sf, "documents")
+      .select(explode(expr(
+        graft.functions.TextExpr.toksSpark("text"))).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val oneShot = Sketches.cmsEstimate(exact.select("tok"), "tok",
+        Sketches.cmsBuild(toks, "tok", CmsDefD, CmsDefW),
+        CmsDefD, CmsDefW)
+      .join(exact, "tok")
+      .orderBy(col("est").desc, col("tok")).limit(20)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "shredded streaming CMS merge diverged from one-shot sketch")
+  }
+
   test("streaming DAU maintenance is micro-batch-boundary independent") {
     // q234: shred the event delta into one micro-batch PER FILE — the
     // (day, user) presence pairs form a set lattice (union is
@@ -434,6 +457,31 @@ class StreamingSpec extends SparkTestBase {
     assert(merged.exceptAll(oneShot).count() == 0 &&
       oneShot.exceptAll(merged).count() == 0,
       "restarted distinct stream diverged from one-shot sketch")
+  }
+
+  test("CMS stream killed mid-sequence restarts from checkpoint to the one-shot sketch") {
+    // q273's SUM lattice through the crash/restart — the sharpest of
+    // the four: SUM is NOT idempotent, so this passing proves the
+    // checkpoint restart resumed at the first uncommitted batch with
+    // zero replays (a single replayed batch would inflate cells and
+    // move the heavy-hitter estimates).
+    import graft.operators.Sketches
+    import graft.operators.Sketches.{CmsDefD, CmsDefW}
+    val merged = EventStreams.incrementalCmsStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+      chaosKillAfter = Some(3))
+    val toks = sources.Tables.read(spark, sf, "documents")
+      .select(explode(expr(
+        graft.functions.TextExpr.toksSpark("text"))).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val oneShot = Sketches.cmsEstimate(exact.select("tok"), "tok",
+        Sketches.cmsBuild(toks, "tok", CmsDefD, CmsDefW),
+        CmsDefD, CmsDefW)
+      .join(exact, "tok")
+      .orderBy(col("est").desc, col("tok")).limit(20)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "restarted CMS stream diverged from one-shot sketch")
   }
 
   test("DAU stream killed mid-sequence restarts from checkpoint to the one-shot result") {
