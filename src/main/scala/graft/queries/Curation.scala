@@ -51,12 +51,13 @@ object Curation {
   private val Shards = 8
   // Per-stratum hard cap for the quota sample.
   private val QuotaK = 40
-  // q252: floor(log2(p_ppm)) as a 20-branch CASE cascade over powers of
-  // two — the SAME text runs in Spark and DuckDB, so no libm log enters
-  // either engine (p_ppm ∈ [0, 1e6]; 0 falls to the ELSE, capping the
-  // pair's surprisal at 20 bits).
-  private val Log2Case: String = "CASE " + (19 to 0 by -1).map(k =>
-    s"WHEN p_ppm >= ${1L << k} THEN $k").mkString(" ") + " ELSE 0 END"
+  // q252/q274: floor(log2(col)) as a 20-branch CASE cascade over powers
+  // of two — the SAME text runs in Spark and DuckDB, so no libm log
+  // enters either engine (values ∈ [0, 1e6]; 0 falls to the ELSE,
+  // capping a pair's surprisal at 20 bits).
+  private def log2CaseOn(c: String): String = "CASE " + (19 to 0 by -1)
+    .map(k => s"WHEN $c >= ${1L << k} THEN $k").mkString(" ") + " ELSE 0 END"
+  private val Log2Case: String = log2CaseOn("p_ppm")
   // q148's token budget — selects a strict subset at every SF.
   private val TokenBudget = 10000L
   // q164's retrieval query terms: two common tokens plus the one rare
@@ -978,6 +979,58 @@ object Curation {
         .select(col("a"), col("b"), col("c_ab"),
           expr("(4 * c_ab - 3) * 1000000 DIV (4 * c_a) + " +
             "3 * n1p_a * cont_ppm DIV (4 * c_a)").as("pkn_ppm"))
+    }),
+
+    // ---- q274: multinomial Naive Bayes language classifier ----
+    // The fastText/CCNet-style TRAINED text classifier the curation
+    // tier was missing (q129 classifies embeddings by centroid, q157
+    // by neighbors; nothing classified from token statistics): train
+    // Laplace-smoothed token likelihoods per language on the 80% split
+    // (doc_id % 5 != 0), score the held-out 20% by
+    // argmax_L [ log2 P(L) + Σ_tok log2 P(tok|L) ], output the
+    // confusion matrix. log2 is the q252 whole-bit CASE cascade on ppm
+    // values, so no libm log exists in either engine and the argmax is
+    // pinned (ties → lexicographically smaller language). Unseen
+    // (lang, tok) pairs get the Laplace floor (0+1)/(tot+V) via the
+    // left join's coalesce — the smoothing that makes NB usable at
+    // all. Scale shape: the model (vocab × |langs| counts + per-lang
+    // totals + priors) is vocabulary-bounded and BROADCASTS; the test
+    // corpus streams through a constant |langs|-way fan-out (the tiny
+    // (lang, tot, v) table cross-broadcast, q129's centroid move), a
+    // two-level per-(doc, lang) sum that partially aggregates
+    // map-side, and a windowless argmax — no corpus-side shuffle
+    // anywhere except the per-doc aggregate, and the confusion matrix
+    // is |langs|²-bounded. Docs whose text tokenizes to nothing score
+    // no rows and fall out in BOTH engines (documented, not hidden).
+    "q274_naive_bayes" -> ((s, d) => {
+      val dd = docs(s, d)
+      val train = dd.filter(col("doc_id") % 5 =!= 0)
+      val test = dd.filter(col("doc_id") % 5 === 0)
+      val trTok = train.select(col("lang"), explode(expr(toksNat)).as("tok"))
+      val tokc = trTok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val labt = tokc.groupBy("lang").agg(sum("c").as("tot"))
+      val vsz = trTok.agg(countDistinct("tok").as("v"))
+      val priorBits = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+        .crossJoin(train.agg(count(lit(1)).as("ndt")))
+        .withColumn("prior_ppm", expr("nd * 1000000 DIV ndt"))
+        .select(col("lang"),
+          expr(log2CaseOn("prior_ppm")).cast("long").as("pl2"))
+      val teTok = test.select(col("doc_id"), col("lang").as("label"),
+        explode(expr(toksNat)).as("tok"))
+      teTok
+        .crossJoin(broadcast(labt.crossJoin(vsz)))
+        .join(broadcast(tokc), Seq("lang", "tok"), "left")
+        .withColumn("p_ppm",
+          expr("(coalesce(c, 0) + 1) * 1000000 DIV (tot + v)"))
+        .withColumn("l2", expr(Log2Case))
+        .groupBy("doc_id", "label", "lang")
+        .agg(sum("l2").as("tok_bits"))
+        .join(broadcast(priorBits), "lang")
+        .withColumn("score", col("tok_bits") + col("pl2"))
+        .groupBy("doc_id", "label")
+        .agg(min(struct((-col("score")).as("ns"), col("lang"))).as("w"))
+        .select(col("label"), col("w.lang").as("pred"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -1549,7 +1602,42 @@ object Curation {
         | + ((3 * t.n1p_a * ((cb.n1p_b * 1000000) // ty.n_types))
         |     // (4 * t.c_a)) AS pkn_ppm
         |FROM c JOIN t USING (a) JOIN cb USING (b) CROSS JOIN ty
-        |WHERE c.c_ab >= 3""".stripMargin
+        |WHERE c.c_ab >= 3""".stripMargin,
+
+    "q274_naive_bayes" ->
+      s"""WITH tr AS (SELECT lang, unnest(${toksDuck("text")}) AS tok
+        |   FROM documents WHERE doc_id % 5 <> 0),
+        | tokc AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+        | labt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM tokc
+        |  GROUP BY 1),
+        | vs AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tr),
+        | pri AS (SELECT lang, count(*) AS nd FROM documents
+        |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+        | nt AS (SELECT count(*) AS ndt FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        | prip AS (SELECT lang, (nd * 1000000) // ndt AS prior_ppm
+        |  FROM pri CROSS JOIN nt),
+        | prib AS (SELECT lang,
+        |   CAST(${log2CaseOn("prior_ppm")} AS BIGINT) AS pl2 FROM prip),
+        | te AS (SELECT doc_id, lang AS label,
+        |   unnest(${toksDuck("text")}) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0),
+        | lv AS (SELECT labt.lang, labt.tot, vs.v FROM labt CROSS JOIN vs),
+        | cand AS (SELECT te.doc_id, te.label, l.lang,
+        |   ((coalesce(tc.c, 0) + 1) * 1000000) // (l.tot + l.v) AS p_ppm
+        |  FROM te CROSS JOIN lv l
+        |  LEFT JOIN tokc tc ON tc.lang = l.lang AND tc.tok = te.tok),
+        | sc AS (SELECT doc_id, label, lang,
+        |   CAST(SUM(${log2CaseOn("p_ppm")}) AS BIGINT) AS tok_bits
+        |  FROM cand GROUP BY 1, 2, 3),
+        | fin AS (SELECT sc.doc_id, sc.label, sc.lang,
+        |   sc.tok_bits + prib.pl2 AS score
+        |  FROM sc JOIN prib USING (lang)),
+        | best AS (SELECT doc_id, label, lang AS pred,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id
+        |     ORDER BY score DESC, lang) AS rk FROM fin)
+        |SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin
   )
 
   /** q270's oracle: the K training rounds as chained MATERIALIZED CTE

@@ -1356,6 +1356,47 @@ class OperatorSpec extends SparkTestBase {
       "support floor must keep exactly the c_ab >= 3 bigrams")
   }
 
+  test("q274 Naive Bayes equals an independent JVM classifier replay") {
+    // Train + score the multinomial NB in plain Scala collections with
+    // the identical pinned semantics (Laplace smoothing, whole-bit
+    // floor-log2 cascade, argmax ties -> smaller language) and compare
+    // the confusion matrix cell-for-cell.
+    def log2floor(ppm: Long): Long =
+      (19 to 0 by -1).find(k => ppm >= (1L << k)).getOrElse(0).toLong
+    val dd = graft.operators.TextAnalysis
+      .withTokens(graft.sources.Tables.read(spark, sf, "documents"), "text")
+      .select("doc_id", "lang", "toks")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val train = dd.filter(_._1 % 5 != 0)
+    val test = dd.filter(_._1 % 5 == 0)
+    val tokc = scala.collection.mutable.Map[(String, String), Long]()
+    train.foreach { case (_, l, ts) =>
+      ts.foreach(t => tokc((l, t)) = tokc.getOrElse((l, t), 0L) + 1)
+    }
+    val labt = tokc.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val v = tokc.keys.map(_._2).toSet.size.toLong
+    val ndt = train.length.toLong
+    val pl2 = train.groupBy(_._2).map { case (l, ds) =>
+      l -> log2floor(ds.length * 1000000L / ndt)
+    }
+    val langs = labt.keys.toSeq.sorted
+    val want = scala.collection.mutable.Map[(String, String), Long]()
+    test.filter(_._3.nonEmpty).foreach { case (_, label, ts) =>
+      val pred = langs.map { l =>
+        val bits = ts.map(t => log2floor(
+          (tokc.getOrElse((l, t), 0L) + 1) * 1000000L / (labt(l) + v))).sum
+        (l, bits + pl2(l))
+      }.minBy { case (l, s) => (-s, l) }._1
+      want((label, pred)) = want.getOrElse((label, pred), 0L) + 1
+    }
+    val got = SparkEntry.queries("q274_naive_bayes")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want.toMap,
+      s"confusion matrix drift: engine $got vs JVM replay $want")
+    // structural law: cells count every test doc with >= 1 token
+    assert(got.values.sum == test.count(_._3.nonEmpty))
+  }
+
   test("DSIR scoring ranks the target domain above every other language") {
     import spark.implicits._
     val out = SparkEntry.queries("q223_dsir_score")(spark, sf)
