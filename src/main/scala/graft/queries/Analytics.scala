@@ -662,6 +662,63 @@ object Analytics {
           expr("(n_ab * n * 1000000) DIV (na * nb)").as("lift_ppm"))
     }),
 
+    // ---- q275: Apriori frequent triples (itemset mining, k = 3) ----
+    // q230 stops at pairs; this runs the Apriori step up to 3-itemsets
+    // with BOTH of its scale disciplines visible in the plan:
+    // (1) candidate GENERATION is in-row — each basket collapses to
+    // its sorted distinct-brand array (one shuffle to order grain,
+    // basket size is the lineitem fan-in, single digits on this
+    // schema) and the C(B,3) combinations are produced by a nested
+    // transform/flatten INSIDE the row, so no third self-join and no
+    // second corpus shuffle exists; (2) candidate PRUNING is the
+    // Apriori downward-closure move — exploded triples are
+    // semi-joined against the broadcast frequent-PAIR table on all
+    // three sub-pairs BEFORE the counting aggregate, so the agg only
+    // ever sees candidates whose every subset is frequent (the prune
+    // is per-triple-identity, so it cannot change surviving counts —
+    // which is what lets the oracle apply the same filter after its
+    // count). Everything downstream of the basket agg is bounded by
+    // |brands|³. Output: support and the {a,b} → c confidence in
+    // exact ppm.
+    "q275_apriori_triples" -> ((s, d) => {
+      val ob = t(s, d, "lineitem")
+        .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val n = ob.agg(countDistinct("ok").as("n"))
+      val l2 = ob.as("x")
+        .join(ob.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.brand") < col("y.brand"))
+        .select(col("x.brand").as("a"), col("y.brand").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 10)
+      val triples = ob.groupBy("ok")
+        .agg(expr("array_sort(collect_list(brand))").as("bs"))
+        .filter(size(col("bs")) >= 3)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(bs) - 2), i -> " +
+            "flatten(transform(sequence(i + 1, size(bs) - 1), j -> " +
+            "transform(sequence(j + 1, size(bs)), k -> " +
+            "struct(element_at(bs, i) AS a, element_at(bs, j) AS b, " +
+            "element_at(bs, k) AS c))))))")).as("t"))
+        .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      triples
+        .join(broadcast(l2.select(col("a").as("a"), col("b").as("c"))),
+          Seq("a", "c"), "left_semi")
+        .join(broadcast(l2.select(col("a").as("b"), col("b").as("c"))),
+          Seq("b", "c"), "left_semi")
+        .join(broadcast(l2.select(col("a"), col("b"),
+          col("n_ab").as("nab"))), Seq("a", "b"))
+        .groupBy("a", "b", "c")
+        .agg(count(lit(1)).as("n_abc"), max("nab").as("nab"))
+        .filter(col("n_abc") >= 10)
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("c"), col("n_abc"),
+          expr("n_abc * 1000000 DIV n").as("support_ppm"),
+          expr("n_abc * 1000000 DIV nab").as("conf_ab_c_ppm"))
+    }),
+
     // ---- q231: Gini concentration of revenue per market ----
     // How unequal is each nation's customer revenue? The Lorenz-order
     // Gini in exact ppm via the rank form
@@ -1188,6 +1245,28 @@ object Analytics {
         |FROM p
         |JOIN nb na ON p.a = na.brand
         |JOIN nb nb2 ON p.b = nb2.brand
+        |CROSS JOIN nn""".stripMargin,
+
+    "q275_apriori_triples" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        | nn AS (SELECT count(DISTINCT ok) AS n FROM ob),
+        | p AS (SELECT x.brand AS a, y.brand AS b, count(*) AS n_ab
+        |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        | t AS (SELECT x.brand AS a, y.brand AS b, z.brand AS c,
+        |   count(*) AS n_abc
+        |  FROM ob x
+        |  JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+        |  JOIN ob z ON y.ok = z.ok AND y.brand < z.brand
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 10)
+        |SELECT t.a, t.b, t.c, t.n_abc,
+        | CAST(t.n_abc * 1000000 // nn.n AS BIGINT) AS support_ppm,
+        | CAST(t.n_abc * 1000000 // pab.n_ab AS BIGINT) AS conf_ab_c_ppm
+        |FROM t
+        |JOIN p pab ON t.a = pab.a AND t.b = pab.b
+        |JOIN p pac ON t.a = pac.a AND t.c = pac.b
+        |JOIN p pbc ON t.b = pbc.a AND t.c = pbc.b
         |CROSS JOIN nn""".stripMargin,
 
     "q231_gini_concentration" ->

@@ -1397,6 +1397,30 @@ class OperatorSpec extends SparkTestBase {
     assert(got.values.sum == test.count(_._3.nonEmpty))
   }
 
+  test("q275 Apriori laws: downward closure and support monotonicity vs q230") {
+    // Every reported triple's three sub-pairs must be frequent pairs
+    // (downward closure — the prune that makes Apriori scale), and a
+    // triple's support can never exceed any sub-pair's support
+    // (anti-monotonicity of support).
+    val pairs = SparkEntry.queries("q230_basket_rules")(spark, sf)
+      .select("a", "b", "n_ab").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val triples = SparkEntry.queries("q275_apriori_triples")(spark, sf)
+      .select("a", "b", "c", "n_abc", "conf_ab_c_ppm").collect()
+    assert(triples.nonEmpty)
+    triples.foreach { r =>
+      val (a, b, c, n) = (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))
+      for (sub <- Seq((a, b), (a, c), (b, c))) {
+        assert(pairs.contains(sub), s"sub-pair $sub of ($a,$b,$c) not frequent")
+        assert(n <= pairs(sub),
+          s"triple support $n exceeds sub-pair ${pairs(sub)} for $sub")
+      }
+      // confidence is exactly n_abc ppm of the (a,b) pair count
+      assert(r.getLong(4) == n * 1000000L / pairs((a, b)))
+    }
+  }
+
   test("DSIR scoring ranks the target domain above every other language") {
     import spark.implicits._
     val out = SparkEntry.queries("q223_dsir_score")(spark, sf)
