@@ -151,6 +151,34 @@ object Analytics {
               "* n1 * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)")
             .as("significant"))),
 
+    // ---- q276: sample-ratio-mismatch (SRM) check for A/B arms ----
+    // The guardrail every experimentation platform runs BEFORE reading
+    // q265's z-test: do the arm sizes match the designed 50/50 split?
+    // One-degree chi-square against N/2 expected, decided by the q265
+    // integer cross-multiplication recipe — χ² = (n1−n2)²/N > 3.8415
+    // ⇔ (n1−n2)²·10⁴ > 38415·N, widened in DECIMAL(38,0) so no
+    // intermediate can wrap at any N. Two assignment schemes in one
+    // report: the parity split (balanced by construction — SRM must
+    // stay false) and a deliberately biased mod-3 split (the broken
+    // randomizer SRM exists to catch — must flag). Unit = distinct
+    // user, the grain arms are assigned at; one dedup + two 1-row
+    // conditional aggregates, nothing grows with event volume.
+    "q276_srm_check" -> ((s, d) => {
+      val u = t(s, d, "events").select("user_id").distinct()
+      def row(scheme: String, arm: org.apache.spark.sql.Column) =
+        u.select(arm.as("arm"))
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("n2"))
+          .select(lit(scheme).as("scheme"), col("n1"), col("n2"),
+            expr("n1 * 1000000 DIV (n1 + n2)").as("share_ppm"),
+            expr("CAST(n1 - n2 AS DECIMAL(38,0)) * (n1 - n2) * 10000 " +
+              "> CAST(38415 AS DECIMAL(38,0)) * (n1 + n2)").as("srm"))
+      row("parity", pmod(col("user_id"), lit(2)))
+        .unionAll(row("mod3_biased",
+          when(pmod(col("user_id"), lit(3)) === 0, lit(0L))
+            .otherwise(lit(1L))))
+    }),
+
     // ---- q260: top-k per group WITH TIES (dense_rank semantics) ----
     // The two best supplier balance TIERS per nation — dense_rank keeps
     // every supplier on a tied balance, the semantics row_number-based
@@ -1268,6 +1296,28 @@ object Analytics {
         |JOIN p pac ON t.a = pac.a AND t.c = pac.b
         |JOIN p pbc ON t.b = pbc.a AND t.c = pbc.b
         |CROSS JOIN nn""".stripMargin,
+
+    "q276_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        | p AS (SELECT
+        |   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM u),
+        | m AS (SELECT
+        |   CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(SUM(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM u)
+        |SELECT 'parity' AS scheme, n1, n2,
+        |  n1 * 1000000 // (n1 + n2) AS share_ppm,
+        |  CAST(n1 - n2 AS HUGEINT) * (n1 - n2) * 10000
+        |    > CAST(38415 AS HUGEINT) * (n1 + n2) AS srm
+        |FROM p
+        |UNION ALL
+        |SELECT 'mod3_biased' AS scheme, n1, n2,
+        |  n1 * 1000000 // (n1 + n2) AS share_ppm,
+        |  CAST(n1 - n2 AS HUGEINT) * (n1 - n2) * 10000
+        |    > CAST(38415 AS HUGEINT) * (n1 + n2) AS srm
+        |FROM m""".stripMargin,
 
     "q231_gini_concentration" ->
       s"""WITH rev AS (SELECT o_custkey,

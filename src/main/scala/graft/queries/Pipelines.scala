@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -292,6 +292,49 @@ object Pipelines {
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n").as("tok_sum"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
+    // ---- q277: consistent-hash re-shard plan (8 -> 12 shards) ----
+    // The data-plane twin of the rescale façade (reference wire op
+    // `rescale`, /root/reference/src/utils.hpp:18-34): before moving a
+    // byte, quantify how much data a shard expansion relocates under
+    // the two classic placement schemes. Key position h = first 16 md5
+    // bits of the doc id; the 12 node positions are md5("node:i") —
+    // string-literal hashes Catalyst CONSTANT-FOLDS at plan time, so
+    // each ring assignment compiles to an array_min over 8/12 literal
+    // (clockwise-distance, node) structs: O(nodes) per row inside
+    // whole-stage codegen, ZERO shuffle, no node table to join or
+    // broadcast. The report is the textbook contrast made exact:
+    // mod placement (h % P) moves ~1-1/P' of ALL keys on any resize,
+    // ring-successor placement moves only the span the 4 new nodes
+    // claim (~34% of the 16-bit ring here; positions verified
+    // pairwise-distinct, so every argmin is unique and both engines
+    // agree). One narrow projection + one 1-row 3-counter aggregate;
+    // node count is the only growth axis. The oracle re-derives the
+    // same ring relationally (nodes CTE x distinct-h argmin join).
+    "q277_reshard_plan" -> ((s, d) => {
+      def posSql(i: Int): String =
+        s"CAST(conv(substring(md5('node:$i'), 1, 4), 16, 10) AS BIGINT)"
+      def ringNode(n: Int): Column = {
+        val entries = (0 until n).map(i =>
+          struct(expr(s"(${posSql(i)} - h + 65536) % 65536").as("dist"),
+            lit(i.toLong).as("node")))
+        array_min(array(entries: _*)).getField("node")
+      }
+      docs(s, d)
+        .select(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+          "1, 4), 16, 10) AS BIGINT)").as("h"))
+        .select((col("h") % 8).as("o_mod"), (col("h") % 12).as("n_mod"),
+          ringNode(8).as("o_ring"), ringNode(12).as("n_ring"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("o_mod") =!= col("n_mod"), 1L).otherwise(0L))
+            .as("mv_mod"),
+          sum(when(col("o_ring") =!= col("n_ring"), 1L).otherwise(0L))
+            .as("mv_ring"))
+        .select(expr("stack(2, " +
+          "'mod', n_keys, mv_mod, mv_mod * 1000000 DIV n_keys, " +
+          "'ring', n_keys, mv_ring, mv_ring * 1000000 DIV n_keys) " +
+          "AS (scheme, n_keys, n_moved, moved_ppm)"))
     }),
 
     // ---- q209: length-bucketed inference micro-batching ----
@@ -811,6 +854,34 @@ object Pipelines {
         | count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tok_sum,
         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q277_reshard_plan" ->
+      s"""WITH k AS (SELECT ${hexIntDuck("md5(CAST(doc_id AS VARCHAR))", 4)}
+        |   AS h FROM documents),
+        | kh AS (SELECT h, count(*) AS c FROM k GROUP BY 1),
+        | nodes AS (SELECT i,
+        |   ${hexIntDuck("md5('node:' || CAST(i AS VARCHAR))", 4)} AS p
+        |  FROM range(12) t(i)),
+        | a AS (SELECT kh.h, kh.c,
+        |   arg_min(n.i, (n.p - kh.h + 65536) % 65536) AS n_ring
+        |  FROM kh CROSS JOIN nodes n GROUP BY 1, 2),
+        | o AS (SELECT kh.h,
+        |   arg_min(n.i, (n.p - kh.h + 65536) % 65536) AS o_ring
+        |  FROM kh CROSS JOIN nodes n WHERE n.i < 8 GROUP BY 1),
+        | m AS (SELECT a.h, a.c, a.n_ring, o.o_ring,
+        |   a.h % 8 AS o_mod, a.h % 12 AS n_mod
+        |  FROM a JOIN o ON a.h = o.h),
+        | s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_keys,
+        |   CAST(SUM(CASE WHEN o_mod <> n_mod THEN c ELSE 0 END)
+        |     AS BIGINT) AS mv_mod,
+        |   CAST(SUM(CASE WHEN o_ring <> n_ring THEN c ELSE 0 END)
+        |     AS BIGINT) AS mv_ring
+        |  FROM m)
+        |SELECT 'mod' AS scheme, n_keys, mv_mod AS n_moved,
+        |  mv_mod * 1000000 // n_keys AS moved_ppm FROM s
+        |UNION ALL
+        |SELECT 'ring' AS scheme, n_keys, mv_ring AS n_moved,
+        |  mv_ring * 1000000 // n_keys AS moved_ppm FROM s""".stripMargin,
 
     "q209_length_batches" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.DetMath._
@@ -84,6 +84,39 @@ object TextDedup {
 
     "q40_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
+
+    // ---- q278: cross-split near-dup leakage (decontamination audit) ----
+    // The audit every train/valid/test split must pass before a
+    // training run: assign each doc a split by md5 range (90/5/5 — a
+    // pure function of the id, reproducible on any engine or cluster),
+    // then ask whether any MinHash near-dup pair (q39's capped LSH
+    // pipeline, identical thresholds) CROSSES splits — a near-duplicate
+    // of a training doc sitting in test silently inflates eval. Output
+    // is the split-pair matrix (canonically ordered by split rank so
+    // (train,test) counts once per pair) with a leaky flag on the
+    // off-diagonal rows. Scale: the pair table is the LSH-bounded
+    // candidate set; the split lookups are two id-keyed equi-joins
+    // against a narrow (id, split) projection — no new self-join.
+    "q278_split_leakage" -> ((s, d) => {
+      val pairs = Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+        k = 8, rows = 2, threshold = 0.5)
+      val h = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+        "1, 4), 16, 10) AS BIGINT)"
+      val sp = docs(s, d).select(col("doc_id"),
+        expr(s"CASE WHEN $h * 100 < 65536 * 90 THEN 0 " +
+          s"WHEN $h * 100 < 65536 * 95 THEN 1 ELSE 2 END").as("rk"))
+      def nm(c: Column): Column =
+        element_at(array(Seq("train", "valid", "test").map(lit): _*),
+          (c + 1).cast("int"))
+      pairs.join(sp.as("a"), col("ida") === col("a.doc_id"))
+        .join(sp.as("b"), col("idb") === col("b.doc_id"))
+        .select(least(col("a.rk"), col("b.rk")).as("rlo"),
+          greatest(col("a.rk"), col("b.rk")).as("rhi"))
+        .groupBy("rlo", "rhi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(nm(col("rlo")).as("split_lo"), nm(col("rhi")).as("split_hi"),
+          col("n_pairs"), (col("rlo") =!= col("rhi")).as("leaky"))
+    }),
 
     // ---- q168: shard-boundary overlap (suffix == prefix) ----
     // Detect document pairs where A's trailing k tokens equal B's
@@ -539,6 +572,27 @@ object TextDedup {
         |SELECT doc_id, ${sigSelect(8)} FROM sh""".stripMargin,
 
     "q39_minhash_pairs" -> minhashPairsSql(""),
+
+    "q278_split_leakage" ->
+      s"""WITH $minhashPairCtes,
+        | pr AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5),
+        | sp AS (SELECT doc_id,
+        |   CASE WHEN ${hexIntDuck("md5(CAST(doc_id AS VARCHAR))", 4)}
+        |       * 100 < 65536 * 90 THEN 0
+        |     WHEN ${hexIntDuck("md5(CAST(doc_id AS VARCHAR))", 4)}
+        |       * 100 < 65536 * 95 THEN 1 ELSE 2 END AS rk
+        |  FROM documents),
+        | x AS (SELECT least(a.rk, b.rk) AS rlo, greatest(a.rk, b.rk) AS rhi
+        |  FROM pr
+        |  JOIN sp a ON pr.ida = a.doc_id
+        |  JOIN sp b ON pr.idb = b.doc_id)
+        |SELECT
+        |  CASE rlo WHEN 0 THEN 'train' WHEN 1 THEN 'valid'
+        |    ELSE 'test' END AS split_lo,
+        |  CASE rhi WHEN 0 THEN 'train' WHEN 1 THEN 'valid'
+        |    ELSE 'test' END AS split_hi,
+        |  CAST(count(*) AS BIGINT) AS n_pairs, rlo <> rhi AS leaky
+        |FROM x GROUP BY rlo, rhi""".stripMargin,
 
     // Full-recompute pairs restricted to those touching the 20% batch:
     // the incremental path must find exactly these.
