@@ -240,19 +240,28 @@ object Bench {
     // bean can't report it.
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"baseline_demo_2m_sec":10.718802}"""
-    println(line)
-    // ALSO write the line to a file: the driver's artifact captures
-    // only the last 2000 chars of stdout, which truncated the first
-    // half of the per-query times in r9 and r10 (VERDICT r10 "What's
-    // missing" #4). target/bench.json survives whole.
+    // Full-diagnostics line: everything a cross-round investigation
+    // needs (per-run demo times, GC, heap, load averages). Written to
+    // target/bench.json AND printed FIRST on stdout.
+    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"baseline_demo_2m_sec":10.718802}"""
+    // Compact gate line, printed LAST: the driver keeps only the final
+    // ~2000 chars of stdout, and the full diagnostics line is ~2.6k —
+    // in r11 it was front-truncated past parseability ("parsed": null).
+    // Times rounded to ms (plenty for a seconds-scale gate) keep this
+    // line ~1.3k so it survives the tail window whole.
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qsCompact = allQs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val gate = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","failed":$failedJson,"load_avg":[$loadStart,$loadEnd],"baseline_demo_2m_sec":10.718802}"""
+    println(diag)
     try {
       val p = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, line.getBytes("UTF-8"))
+      java.nio.file.Files.write(p, diag.getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
+    println(gate)
     spark.stop()
   }
 }

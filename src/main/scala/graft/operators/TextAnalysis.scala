@@ -213,7 +213,15 @@ object TextAnalysis {
       var r = 1
       var done = false
       while (r <= k && !done) {
-        // Tokens are [a-z0-9]+ so merged strings are always literal-safe.
+        // Merged strings are interpolated into SQL text as bare-quoted
+        // array literals. That is safe only while every learned merge is
+        // [a-z0-9]+ — an invariant inherited from graft_tokens, which
+        // lives in a different file. Enforce it HERE so widening the
+        // tokenizer (e.g. keeping apostrophes) fails loudly instead of
+        // generating broken/injectable SQL.
+        require(merges.forall(_._2.matches("[a-z0-9]+")),
+          s"bpeTrain merges must be [a-z0-9]+ to embed as SQL literals: " +
+            merges.map(_._2).filterNot(_.matches("[a-z0-9]+")).take(3))
         val arr =
           if (merges.isEmpty) "CAST(array() AS array<string>)"
           else merges.map(m => s"'${m._2}'").mkString("array(", ",", ")")

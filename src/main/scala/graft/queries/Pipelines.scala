@@ -313,6 +313,20 @@ object Pipelines {
     // node count is the only growth axis. The oracle re-derives the
     // same ring relationally (nodes CTE x distinct-h argmin join).
     "q277_reshard_plan" -> ((s, d) => {
+      // The argmin-uniqueness claim above is load-bearing: on a position
+      // tie Spark's struct array_min tie-breaks by node id while DuckDB's
+      // arg_min is nondeterministic, so a node-count or label change
+      // could silently de-align the engines. Assert pairwise-distinct
+      // ring positions (12-node set covers the 8-node prefix) at build.
+      def ringPosJvm(i: Int): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"node:$i".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val ringPositions = (0 until 12).map(ringPosJvm)
+      require(ringPositions.distinct.size == ringPositions.size,
+        s"q277 ring positions must be pairwise distinct: $ringPositions")
       def posSql(i: Int): String =
         s"CAST(conv(substring(md5('node:$i'), 1, 4), 16, 10) AS BIGINT)"
       def ringNode(n: Int): Column = {
