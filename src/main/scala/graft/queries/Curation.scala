@@ -39,6 +39,11 @@ object Curation {
   // pipelines use 8-13-gram overlap on natural text; the width is a
   // parameter, the plan shape is what scales.
   private val DecontN = 4
+  // q280's cross-split contamination gram width: the 13-gram GPT-3
+  // standard scaled to this 10-99-token corpus — wide enough that a
+  // verbatim hit is quotation, narrow enough that most docs carry
+  // grams at all (docs under ContamN tokens have none and fall out).
+  private val ContamN = 8
   // Boilerplate: a 3-gram appearing in >= BoilDf distinct docs is
   // corpus-boilerplate (the C4 move, phrase-level since this corpus has
   // no newlines to split into lines).
@@ -110,6 +115,40 @@ object Curation {
         .select(col("doc_id"), col("source"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           col("n_hits").isNull.as("keep"))
+    }),
+
+    // ---- q280: cross-split exact n-gram contamination ----
+    // The GPT-3-style decontamination measurement, at the scale shape
+    // q116 deliberately avoids: there the "benchmark" gram set is tiny
+    // and BROADCAST; here BOTH sides are corpus-scale — train is 90% of
+    // the corpus and eval 10% (q278's md5-range split, computed IN-ROW
+    // on the gram stream since it is a pure function of doc_id — no
+    // split-table join at all). The contamination check is therefore a
+    // gram-keyed SHUFFLE semi-join (hash-partition both sides on g;
+    // AQE picks the physical join — never a broadcast), reported from
+    // the EVAL side: for each eval doc, how many of its distinct
+    // $ContamN-grams appear verbatim anywhere in train. The gram width
+    // is the 13-gram standard scaled to this 10-99-token corpus (same
+    // reasoning as DecontN); eval docs shorter than $ContamN tokens
+    // have no grams and fall out in BOTH engines (documented, not
+    // hidden). Per-doc aggregates combine map-side; nothing in the
+    // plan grows faster than the gram stream itself.
+    "q280_gram_contamination" -> ((s, d) => {
+      val g = gramPairs(docs(s, d), ContamN)
+        .withColumn("rk", expr(TextDedup.splitRkSpark("doc_id")))
+      val trainG = g.filter(col("rk") === 0).select("g").distinct()
+      val evalG = g.filter(col("rk") > 0)
+        .select("doc_id", "rk", "g").distinct()
+      val perDoc = evalG.groupBy("doc_id", "rk")
+        .agg(count(lit(1)).as("n_grams"))
+      val hits = evalG.join(trainG, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      perDoc.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          TextDedup.splitName(col("rk")).as("split"),
+          col("n_grams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
     }),
 
     // ---- q117: boilerplate-phrase score ----
@@ -993,8 +1032,10 @@ object Curation {
     // pinned (ties → lexicographically smaller language). Unseen
     // (lang, tok) pairs get the Laplace floor (0+1)/(tot+V) via the
     // left join's coalesce — the smoothing that makes NB usable at
-    // all. Scale shape: the model (vocab × |langs| counts + per-lang
-    // totals + priors) is vocabulary-bounded and BROADCASTS; the test
+    // all. Scale shape: the per-lang totals + priors are |langs|-row
+    // and force-broadcast; the (lang, tok) count model is vocabulary-
+    // bounded but GROWS under Heaps' law, so its join is left to AQE
+    // (broadcast while small, shuffle on (lang, tok) at scale); the test
     // corpus streams through a constant |langs|-way fan-out (the tiny
     // (lang, tot, v) table cross-broadcast, q129's centroid move), a
     // two-level per-(doc, lang) sum that partially aggregates
@@ -1017,9 +1058,14 @@ object Curation {
           expr(log2CaseOn("prior_ppm")).cast("long").as("pl2"))
       val teTok = test.select(col("doc_id"), col("lang").as("label"),
         explode(expr(toksNat)).as("tok"))
+      // tokc is the full (lang, tok) count table — vocabulary × |langs|
+      // sized, which grows with the corpus under Heaps' law, so it gets
+      // NO broadcast hint: AQE broadcasts it while it is small and falls
+      // back to a shuffle join on (lang, tok) when it is not. Only the
+      // |langs|-row header (labt × vsz) and priors stay force-broadcast.
       teTok
         .crossJoin(broadcast(labt.crossJoin(vsz)))
-        .join(broadcast(tokc), Seq("lang", "tok"), "left")
+        .join(tokc, Seq("lang", "tok"), "left")
         .withColumn("p_ppm",
           expr("(coalesce(c, 0) + 1) * 1000000 DIV (tot + v)"))
         .withColumn("l2", expr(Log2Case))
@@ -1123,6 +1169,21 @@ object Curation {
         |  COALESCE(h.n_hits, 0) AS n_hits, h.doc_id IS NULL AS keep
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 19 <> 0""".stripMargin,
+
+    "q280_gram_contamination" ->
+      s"""WITH g AS (SELECT doc_id,
+        |   ${TextDedup.splitRkDuck("doc_id")} AS rk, g
+        |  FROM (${gramsDuck(ContamN)})),
+        | tg AS (SELECT DISTINCT g FROM g WHERE rk = 0),
+        | eg AS (SELECT DISTINCT doc_id, rk, g FROM g WHERE rk > 0),
+        | pd AS (SELECT doc_id, rk, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM eg GROUP BY 1, 2),
+        | ht AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM eg JOIN tg USING (g) GROUP BY 1)
+        |SELECT pd.doc_id, ${TextDedup.splitNameDuck("pd.rk")} AS split,
+        | pd.n_grams, COALESCE(ht.n_hits, 0) AS n_hits,
+        | COALESCE(ht.n_hits, 0) > 0 AS contaminated
+        |FROM pd LEFT JOIN ht USING (doc_id)""".stripMargin,
 
     "q117_boilerplate_grams" ->
       s"""WITH pairs AS (SELECT DISTINCT * FROM (${gramsDuck(BoilN)})),

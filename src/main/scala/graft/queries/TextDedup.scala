@@ -100,14 +100,9 @@ object TextDedup {
     "q278_split_leakage" -> ((s, d) => {
       val pairs = Dedup.minhashPairs(docs(s, d), "doc_id", "text",
         k = 8, rows = 2, threshold = 0.5)
-      val h = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
-        "1, 4), 16, 10) AS BIGINT)"
       val sp = docs(s, d).select(col("doc_id"),
-        expr(s"CASE WHEN $h * 100 < 65536 * 90 THEN 0 " +
-          s"WHEN $h * 100 < 65536 * 95 THEN 1 ELSE 2 END").as("rk"))
-      def nm(c: Column): Column =
-        element_at(array(Seq("train", "valid", "test").map(lit): _*),
-          (c + 1).cast("int"))
+        expr(splitRkSpark("doc_id")).as("rk"))
+      def nm(c: Column): Column = splitName(c)
       pairs.join(sp.as("a"), col("ida") === col("a.doc_id"))
         .join(sp.as("b"), col("idb") === col("b.doc_id"))
         .select(least(col("a.rk"), col("b.rk")).as("rlo"),
@@ -116,6 +111,33 @@ object TextDedup {
         .agg(count(lit(1)).as("n_pairs"))
         .select(nm(col("rlo")).as("split_lo"), nm(col("rhi")).as("split_hi"),
           col("n_pairs"), (col("rlo") =!= col("rhi")).as("leaky"))
+    }),
+
+    // ---- q279: cluster-aware split repair ----
+    // The FIX for what q278 detects: every near-dup cluster moves
+    // wholesale to the split of its canonical member (md5 range of the
+    // canonical id — a pure function, so the repair is reproducible and
+    // needs no vote or tiebreak). After this reassignment the q278
+    // leakage matrix has zero off-diagonal mass BY CONSTRUCTION — both
+    // endpoints of any surviving near-dup pair share a canonical, hence
+    // a split (OperatorSpec pins that law end-to-end). Output is the
+    // full per-doc assignment with a moved flag, so the blast radius of
+    // the repair (how many docs change split, and in which direction)
+    // is the query result. Scale: the cluster table is q60's
+    // LSH-bounded pipeline; the repair itself is ONE id-keyed left join
+    // against the narrow (doc_id, canonical) table plus two in-row
+    // md5 evals — no new self-join, no window, no extra shuffle.
+    "q279_split_repair" -> ((s, d) => {
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+          k = 8, rows = 2, threshold = 0.5))
+      docs(s, d).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("canonical"), col("doc_id")))
+        .select(col("doc_id"), col("cl"),
+          splitName(expr(splitRkSpark("doc_id"))).as("split_old"),
+          splitName(expr(splitRkSpark("cl"))).as("split_new"))
+        .withColumn("moved", col("split_old") =!= col("split_new"))
     }),
 
     // ---- q168: shard-boundary overlap (suffix == prefix) ----
@@ -381,7 +403,37 @@ object TextDedup {
       TextAnalysis.gopherRules(docs(s, d), "doc_id", "text"))
   )
 
+  /** md5-range split rank of an id expression (90/5/5 train/valid/
+    * test): first 16 md5 bits of the decimal id string, banded by
+    * percentage of the 16-bit space. A pure function of the id, so any
+    * engine or cluster reproduces the same split (shared by q278/q279
+    * and their oracles via splitRkDuck — the two spellings cannot
+    * drift). */
+  private[queries] def splitRkSpark(idExpr: String): String = {
+    val h = s"CAST(conv(substring(md5(CAST($idExpr AS STRING)), " +
+      "1, 4), 16, 10) AS BIGINT)"
+    s"CASE WHEN $h * 100 < 65536 * 90 THEN 0 " +
+      s"WHEN $h * 100 < 65536 * 95 THEN 1 ELSE 2 END"
+  }
+
+  /** Split rank -> name, as a 1-indexed literal-array lookup. */
+  private[queries] def splitName(c: Column): Column =
+    element_at(array(Seq("train", "valid", "test").map(lit): _*),
+      (c + 1).cast("int"))
+
   // ---- oracle SQL (DuckDB dialect, same algorithms) ----
+
+  /** DuckDB twin of splitRkSpark. */
+  private[queries] def splitRkDuck(idExpr: String): String =
+    s"CASE WHEN ${hexIntDuck(s"md5(CAST($idExpr AS VARCHAR))", 4)}" +
+      s" * 100 < 65536 * 90 THEN 0" +
+      s" WHEN ${hexIntDuck(s"md5(CAST($idExpr AS VARCHAR))", 4)}" +
+      s" * 100 < 65536 * 95 THEN 1 ELSE 2 END"
+
+  /** DuckDB twin of splitName over a rank expression. */
+  private[queries] def splitNameDuck(rkExpr: String): String =
+    s"CASE $rkExpr WHEN 0 THEN 'train' WHEN 1 THEN 'valid' " +
+      "ELSE 'test' END"
 
   private val toksCte =
     s"toks AS (SELECT doc_id, lang, n_chars, LENGTH(text) AS len, " +
@@ -576,23 +628,35 @@ object TextDedup {
     "q278_split_leakage" ->
       s"""WITH $minhashPairCtes,
         | pr AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5),
-        | sp AS (SELECT doc_id,
-        |   CASE WHEN ${hexIntDuck("md5(CAST(doc_id AS VARCHAR))", 4)}
-        |       * 100 < 65536 * 90 THEN 0
-        |     WHEN ${hexIntDuck("md5(CAST(doc_id AS VARCHAR))", 4)}
-        |       * 100 < 65536 * 95 THEN 1 ELSE 2 END AS rk
+        | sp AS (SELECT doc_id, ${splitRkDuck("doc_id")} AS rk
         |  FROM documents),
         | x AS (SELECT least(a.rk, b.rk) AS rlo, greatest(a.rk, b.rk) AS rhi
         |  FROM pr
         |  JOIN sp a ON pr.ida = a.doc_id
         |  JOIN sp b ON pr.idb = b.doc_id)
         |SELECT
-        |  CASE rlo WHEN 0 THEN 'train' WHEN 1 THEN 'valid'
-        |    ELSE 'test' END AS split_lo,
-        |  CASE rhi WHEN 0 THEN 'train' WHEN 1 THEN 'valid'
-        |    ELSE 'test' END AS split_hi,
+        |  ${splitNameDuck("rlo")} AS split_lo,
+        |  ${splitNameDuck("rhi")} AS split_hi,
         |  CAST(count(*) AS BIGINT) AS n_pairs, rlo <> rhi AS leaky
         |FROM x GROUP BY rlo, rhi""".stripMargin,
+
+    // q60's cluster CTEs + the canonical-split reassignment
+    "q279_split_repair" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        | pairs AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5),
+        | ed AS (SELECT ida AS src, idb AS dst FROM pairs
+        |        UNION SELECT idb, ida FROM pairs),
+        | cc AS (SELECT src AS n, src AS m FROM ed
+        |        UNION SELECT e.dst, c.m FROM cc c JOIN ed e ON e.src = c.n),
+        | cl0 AS (SELECT n AS doc_id, MIN(m) AS canonical FROM cc GROUP BY n),
+        | asg AS (SELECT d.doc_id,
+        |   COALESCE(cl0.canonical, d.doc_id) AS cl
+        |  FROM documents d LEFT JOIN cl0 USING (doc_id))
+        |SELECT doc_id, cl,
+        |  ${splitNameDuck(splitRkDuck("doc_id"))} AS split_old,
+        |  ${splitNameDuck(splitRkDuck("cl"))} AS split_new,
+        |  ${splitRkDuck("doc_id")} <> ${splitRkDuck("cl")} AS moved
+        |FROM asg""".stripMargin,
 
     // Full-recompute pairs restricted to those touching the 20% batch:
     // the incremental path must find exactly these.

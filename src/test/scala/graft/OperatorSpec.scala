@@ -7,6 +7,25 @@ import graft.operators._
 class OperatorSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("q279 split repair: zero cross-split leakage on repaired splits") {
+    // one row per doc, repaired split totals preserved
+    val rep = SparkEntry.queries("q279_split_repair")(spark, sf)
+      .select("doc_id", "split_new").as[(Long, String)].collect().toMap
+    val nDocs = graft.sources.Tables.read(spark, sf, "documents").count()
+    assert(rep.size == nDocs, "repair must assign every doc exactly once")
+    // the law q279 exists for: every near-dup pair (same LSH params)
+    // lands in ONE repaired split, so q278's off-diagonal mass is zero
+    val docs = graft.sources.Tables.read(spark, sf, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      k = 8, rows = 2, threshold = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b),
+        s"pair ($a,$b) still crosses splits: ${rep(a)} vs ${rep(b)}")
+    }
+  }
+
   test("alignByOrder zips by position; unequal lengths truncate") {
     val a = Seq(10, 20, 30).toDF("x")
     val b = Seq(1, 2).toDF("y")
