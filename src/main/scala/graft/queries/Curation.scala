@@ -968,6 +968,37 @@ object Curation {
           expr("sum(c * n_bpe) * 1000000 DIV sum(c)").as("cpw_ppm"))
     }),
 
+    // ---- q282: tokenizer fertility per language ----
+    // The tokenizer-fairness audit: how many BPE pieces a word costs,
+    // and how many characters one piece buys, BY LANGUAGE — a
+    // tokenizer trained on an en-heavy corpus fragments the other
+    // languages, and this table is the evidence (fertility_ppm = BPE
+    // pieces per word; chars_per_tok_ppm = its compression-rate dual).
+    // Same trained merges as q268/q269 (bpeMergeArr over the corpus
+    // vocabulary, |merges| = 10 broadcast as one row), so the three
+    // BPE views cannot drift. Scale: the per-(lang, word) count table
+    // is vocabulary x |langs| under Heaps' law, so its join to the
+    // per-word piece counts carries NO broadcast hint (the q274
+    // posture — AQE decides); everything after is a |langs|-row
+    // aggregate. Exact-integer ppm everywhere, no libm.
+    "q282_tokenizer_fertility" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("lang"), explode(expr(toksNat)).as("w"))
+      val wc = toks.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val tf = toks.groupBy("w").agg(count(lit(1)).as("f"))
+      val nb = tf.crossJoin(broadcast(bpeMergeArr(tf)))
+        .select(col("w"), length(col("w")).cast("long").as("n_chars"),
+          size(expr("graft_bpe(w, merges)")).cast("long").as("n_bpe"))
+      wc.join(nb, "w")
+        .groupBy("lang")
+        .agg(sum("c").as("n_words"),
+          sum(expr("c * n_chars")).as("n_chars_tot"),
+          sum(expr("c * n_bpe")).as("n_bpe"))
+        .select(col("lang"), col("n_words"), col("n_bpe"),
+          expr("n_bpe * 1000000 DIV n_words").as("fertility_ppm"),
+          expr("n_chars_tot * 1000000 DIV n_bpe").as("chars_per_tok_ppm"))
+    }),
+
     // ---- q270: ITERATIVE BPE merge training (the real greedy loop) ----
     // q203 scores ONE pair-count pass; this runs the actual Sennrich
     // et al. training loop — K rounds of count-argmax-merge-recount —
@@ -1644,6 +1675,24 @@ object Curation {
         | (CAST(SUM(wc.c * nb.n_bpe) AS BIGINT) * 1000000)
         |   // CAST(SUM(wc.c) AS BIGINT) AS cpw_ppm
         |FROM wc JOIN nb USING (w) GROUP BY 1""".stripMargin,
+
+    "q282_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $bpeCtes,
+        | nb AS (SELECT w, CAST(len(w) AS BIGINT) AS n_chars,
+        |   CAST(len(rest) AS BIGINT) AS n_bpe FROM done),
+        | wc AS (SELECT lang, w, count(*) AS c FROM (
+        |    SELECT lang, unnest(${toksDuck("text")}) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        | g AS (SELECT lang,
+        |   CAST(SUM(c) AS BIGINT) AS n_words,
+        |   CAST(SUM(c * nb.n_chars) AS BIGINT) AS n_chars_tot,
+        |   CAST(SUM(c * nb.n_bpe) AS BIGINT) AS n_bpe
+        |  FROM wc JOIN nb USING (w) GROUP BY 1)
+        |SELECT lang, n_words, n_bpe,
+        | n_bpe * 1000000 // n_words AS fertility_ppm,
+        | n_chars_tot * 1000000 // n_bpe AS chars_per_tok_ppm
+        |FROM g""".stripMargin,
 
     "q270_bpe_train" -> bpeTrainOracle,
 

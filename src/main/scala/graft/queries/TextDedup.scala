@@ -140,6 +140,43 @@ object TextDedup {
         .withColumn("moved", col("split_old") =!= col("split_new"))
     }),
 
+    // ---- q281: dedup-aware token budget per source ----
+    // The number a data mixture is actually planned against: raw token
+    // counts per source versus the tokens that SURVIVE near-dup
+    // canonicalization (q145's keep rule — longest n_chars, ties to
+    // the smaller id — so the two queries cannot disagree about who
+    // survives). dup_tok_ppm is each source's token-level duplication
+    // tax; a mixture built on raw counts over-weights duplicated
+    // sources by exactly this factor. Scale: the cluster machinery is
+    // q60's LSH-bounded pipeline; on top of it this adds one id-keyed
+    // join, the per-cluster 1-row argmax (map-side partial, no
+    // window), and a |sources|-row aggregate — nothing new grows
+    // faster than the corpus scan.
+    "q281_dedup_token_budget" -> ((s, d) => {
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+          k = 8, rows = 2, threshold = 0.5))
+      val assigned = TextAnalysis.withTokens(docs(s, d), "text")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(col("toks")).cast("long").as("n_toks"))
+        .join(clusters.withColumnRenamed("canonical", "cl0"),
+          Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("cl0"), col("doc_id")))
+      val best = assigned.groupBy("cl")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("w"))
+        .select(col("cl"), (-col("w.nid")).as("keep_id"))
+      assigned.join(best, "cl")
+        .withColumn("keep", col("doc_id") === col("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum("n_toks").as("toks_raw"),
+          sum(when(col("keep"), col("n_toks")).otherwise(0L))
+            .as("toks_kept"))
+        .withColumn("dup_tok_ppm",
+          expr("(toks_raw - toks_kept) * 1000000 DIV toks_raw"))
+    }),
+
     // ---- q168: shard-boundary overlap (suffix == prefix) ----
     // Detect document pairs where A's trailing k tokens equal B's
     // leading k tokens — the signature of one source document split
@@ -639,6 +676,36 @@ object TextDedup {
         |  ${splitNameDuck("rhi")} AS split_hi,
         |  CAST(count(*) AS BIGINT) AS n_pairs, rlo <> rhi AS leaky
         |FROM x GROUP BY rlo, rhi""".stripMargin,
+
+    // q145's cluster + keep CTEs, rolled up to per-source token budgets
+    "q281_dedup_token_budget" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        | pairs AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5),
+        | ed AS (SELECT ida AS src, idb AS dst FROM pairs
+        |        UNION SELECT idb, ida FROM pairs),
+        | cc AS (SELECT src AS n, src AS m FROM ed
+        |        UNION SELECT e.dst, c.m FROM cc c JOIN ed e ON e.src = c.n),
+        | cl0 AS (SELECT n AS doc_id, MIN(m) AS canonical FROM cc GROUP BY n),
+        | tk AS (SELECT doc_id, len(t) AS n_toks FROM toks),
+        | asg AS (SELECT d.doc_id, d.source, d.n_chars, tk.n_toks,
+        |   COALESCE(cl0.canonical, d.doc_id) AS cl
+        |  FROM documents d
+        |  JOIN tk USING (doc_id)
+        |  LEFT JOIN cl0 USING (doc_id)),
+        | best AS (SELECT cl, doc_id AS keep_id FROM (
+        |   SELECT cl, doc_id, ROW_NUMBER() OVER (PARTITION BY cl
+        |     ORDER BY n_chars DESC, doc_id) AS rn FROM asg) WHERE rn = 1),
+        | g AS (SELECT source,
+        |   CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(CASE WHEN asg.doc_id = best.keep_id
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |   CAST(SUM(n_toks) AS BIGINT) AS toks_raw,
+        |   CAST(SUM(CASE WHEN asg.doc_id = best.keep_id
+        |     THEN n_toks ELSE 0 END) AS BIGINT) AS toks_kept
+        |  FROM asg JOIN best USING (cl) GROUP BY 1)
+        |SELECT source, n_docs, n_kept, toks_raw, toks_kept,
+        | (toks_raw - toks_kept) * 1000000 // toks_raw AS dup_tok_ppm
+        |FROM g""".stripMargin,
 
     // q60's cluster CTEs + the canonical-split reassignment
     "q279_split_repair" ->
