@@ -151,6 +151,45 @@ object Curation {
           (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
     }),
 
+    // ---- q284: longest contaminated span per eval doc ----
+    // q280 counts WHICH eval grams appear in train; this measures HOW
+    // LONG the verbatim overlap runs — the triage signal that
+    // separates a quoted sentence from a wholesale copy. Hit gram
+    // positions (posexplode over the same fused graft_ngrams pass, so
+    // position comes free) collapse to runs by the q195
+    // gaps-and-islands move (pos − row_number per doc); the longest
+    // run converts to tokens as run + N − 1. Scale: the train-gram
+    // semi-join is q280's gram-keyed shuffle; the windows partition by
+    // doc_id (per-doc state only — never a single-partition window);
+    // zero-hit eval docs surface with max_run = 0 via the left join,
+    // so clean docs are proven clean, not absent.
+    "q284_contam_spans" -> ((s, d) => {
+      val p = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(expr(s"graft_ngrams(text, $ContamN)"))
+            .as(Seq("i", "g")))
+        .select(col("doc_id"),
+          expr(TextDedup.splitRkSpark("doc_id")).as("rk"),
+          (col("i") + 1).cast("long").as("pos"), col("g"))
+      val trainG = p.filter(col("rk") === 0).select("g").distinct()
+      val evalP = p.filter(col("rk") > 0)
+      val hits = evalP.join(trainG, Seq("g"), "left_semi")
+        .select("doc_id", "pos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val rmax = hits.withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(max("run").as("mrun"))
+      evalP.groupBy("doc_id", "rk").agg(count(lit(1)).as("n_grams"))
+        .join(rmax, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          TextDedup.splitName(col("rk")).as("split"),
+          col("n_grams"),
+          coalesce(col("mrun"), lit(0L)).as("max_run"),
+          coalesce(col("mrun") + (ContamN - 1), lit(0L))
+            .as("max_span_toks"))
+    }),
+
     // ---- q117: boilerplate-phrase score ----
     // Corpus-frequent 3-grams (document frequency >= BoilDf) are
     // boilerplate; each doc reports how many of its distinct grams are
@@ -1215,6 +1254,29 @@ object Curation {
         | pd.n_grams, COALESCE(ht.n_hits, 0) AS n_hits,
         | COALESCE(ht.n_hits, 0) > 0 AS contaminated
         |FROM pd LEFT JOIN ht USING (doc_id)""".stripMargin,
+
+    "q284_contam_spans" ->
+      s"""WITH tk AS (SELECT doc_id,
+        |   ${TextDedup.splitRkDuck("doc_id")} AS rk,
+        |   ${toksDuck("text")} AS t FROM documents),
+        | pu AS (SELECT doc_id, rk, unnest([struct_pack(pos := i,
+        |     g := array_to_string(t[i:i+${ContamN - 1}], ' '))
+        |   FOR i IN range(1, len(t) - $ContamN + 2)]) AS u FROM tk),
+        | p AS (SELECT doc_id, rk, u.pos AS pos, u.g AS g FROM pu),
+        | tg AS (SELECT DISTINCT g FROM p WHERE rk = 0),
+        | ep AS (SELECT doc_id, rk, pos, g FROM p WHERE rk > 0),
+        | hits AS (SELECT doc_id, pos FROM ep JOIN tg USING (g)),
+        | runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run FROM (
+        |    SELECT doc_id, pos, pos - row_number()
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hits)
+        |   GROUP BY doc_id, grp),
+        | rmax AS (SELECT doc_id, max(run) AS mrun FROM runs GROUP BY 1),
+        | pd AS (SELECT doc_id, rk, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM ep GROUP BY 1, 2)
+        |SELECT pd.doc_id, ${TextDedup.splitNameDuck("pd.rk")} AS split,
+        | pd.n_grams, COALESCE(rmax.mrun, 0) AS max_run,
+        | COALESCE(rmax.mrun + ${ContamN - 1}, 0) AS max_span_toks
+        |FROM pd LEFT JOIN rmax USING (doc_id)""".stripMargin,
 
     "q117_boilerplate_grams" ->
       s"""WITH pairs AS (SELECT DISTINCT * FROM (${gramsDuck(BoilN)})),

@@ -16,6 +16,33 @@ object TextDedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
+  /** Per-source raw vs dedup-surviving token counts — q281's core,
+    * shared with q283 so the two views of the budget cannot drift.
+    * Survivors are q145's canonical rule (longest n_chars, ties to the
+    * smaller id) over q60's LSH-bounded clusters. */
+  private def dedupBudget(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+        k = 8, rows = 2, threshold = 0.5))
+    val assigned = TextAnalysis.withTokens(docs(s, d), "text")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .join(clusters.withColumnRenamed("canonical", "cl0"),
+        Seq("doc_id"), "left")
+      .withColumn("cl", coalesce(col("cl0"), col("doc_id")))
+    val best = assigned.groupBy("cl")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("w"))
+      .select(col("cl"), (-col("w.nid")).as("keep_id"))
+    assigned.join(best, "cl")
+      .withColumn("keep", col("doc_id") === col("keep_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_toks").as("toks_raw"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L))
+          .as("toks_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q248: blocked edit-distance record linkage ----
@@ -152,29 +179,36 @@ object TextDedup {
     // join, the per-cluster 1-row argmax (map-side partial, no
     // window), and a |sources|-row aggregate — nothing new grows
     // faster than the corpus scan.
-    "q281_dedup_token_budget" -> ((s, d) => {
-      val clusters = Dedup.dupClusters(
-        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-          k = 8, rows = 2, threshold = 0.5))
-      val assigned = TextAnalysis.withTokens(docs(s, d), "text")
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          size(col("toks")).cast("long").as("n_toks"))
-        .join(clusters.withColumnRenamed("canonical", "cl0"),
-          Seq("doc_id"), "left")
-        .withColumn("cl", coalesce(col("cl0"), col("doc_id")))
-      val best = assigned.groupBy("cl")
-        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("w"))
-        .select(col("cl"), (-col("w.nid")).as("keep_id"))
-      assigned.join(best, "cl")
-        .withColumn("keep", col("doc_id") === col("keep_id"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-          sum("n_toks").as("toks_raw"),
-          sum(when(col("keep"), col("n_toks")).otherwise(0L))
-            .as("toks_kept"))
-        .withColumn("dup_tok_ppm",
-          expr("(toks_raw - toks_kept) * 1000000 DIV toks_raw"))
+    "q281_dedup_token_budget" -> ((s, d) =>
+      dedupBudget(s, d).withColumn("dup_tok_ppm",
+        expr("(toks_raw - toks_kept) * 1000000 DIV toks_raw"))),
+
+    // ---- q283: epoch plan (mixture weights over the DEDUPED corpus) ----
+    // Closes the loop between q170's sqrt-temperature mixture and
+    // q281's surviving-token budget: allocate a training budget of
+    // B = Σ toks_raw (one raw-corpus-equivalent of tokens) across
+    // sources by the q170 weight formula, then express each source's
+    // allocation as EPOCHS over its deduped tokens — the repeat count
+    // the data-constrained-scaling literature says to cap (flagged
+    // here at >4 epochs). target_toks = B·w_ppm/1e6 is computed by
+    // quotient/remainder split so the product never exceeds ~2e13·1e6
+    // intermediates (exact floor identity, overflow-safe past 9e15
+    // corpus tokens; epochs_milli's direct spelling is safe to the
+    // same bound — both spellings documented for the §8 rail table).
+    // Everything below the cluster machinery is |sources|-row.
+    "q283_epoch_plan" -> ((s, d) => {
+      val per = dedupBudget(s, d).withColumn("isq",
+        expr("CAST(FLOOR(SQRT(CAST(toks_raw AS DOUBLE))) AS BIGINT)"))
+      val tot = per.agg(sum("isq").as("isq_tot"), sum("toks_raw").as("b"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("w_ppm", expr("isq * 1000000 DIV isq_tot"))
+        .withColumn("target_toks", expr(
+          "(b DIV 1000000) * w_ppm + ((b % 1000000) * w_ppm) DIV 1000000"))
+        .withColumn("epochs_milli",
+          expr("target_toks * 1000 DIV toks_kept"))
+        .select(col("source"), col("toks_raw"), col("toks_kept"),
+          col("w_ppm"), col("target_toks"), col("epochs_milli"),
+          (col("epochs_milli") > 4000).as("oversampled"))
     }),
 
     // ---- q168: shard-boundary overlap (suffix == prefix) ----
@@ -511,6 +545,34 @@ object TextDedup {
       |  WHERE ${graft.operators.BucketCap.keepDuck(
                   "b.doc_id", "bsz.bn", mhCap)})""".stripMargin
 
+  /** DuckDB twin of dedupBudget (ends at `g`: per-source n_docs/n_kept/
+    * toks_raw/toks_kept), shared by q281/q283. Needs WITH RECURSIVE. */
+  private lazy val dedupBudgetCtes: String =
+    s"""$minhashPairCtes,
+      | pairs AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5),
+      | ed AS (SELECT ida AS src, idb AS dst FROM pairs
+      |        UNION SELECT idb, ida FROM pairs),
+      | cc AS (SELECT src AS n, src AS m FROM ed
+      |        UNION SELECT e.dst, c.m FROM cc c JOIN ed e ON e.src = c.n),
+      | cl0 AS (SELECT n AS doc_id, MIN(m) AS canonical FROM cc GROUP BY n),
+      | tk AS (SELECT doc_id, len(t) AS n_toks FROM toks),
+      | asg AS (SELECT d.doc_id, d.source, d.n_chars, tk.n_toks,
+      |   COALESCE(cl0.canonical, d.doc_id) AS cl
+      |  FROM documents d
+      |  JOIN tk USING (doc_id)
+      |  LEFT JOIN cl0 USING (doc_id)),
+      | best AS (SELECT cl, doc_id AS keep_id FROM (
+      |   SELECT cl, doc_id, ROW_NUMBER() OVER (PARTITION BY cl
+      |     ORDER BY n_chars DESC, doc_id) AS rn FROM asg) WHERE rn = 1),
+      | g AS (SELECT source,
+      |   CAST(count(*) AS BIGINT) AS n_docs,
+      |   CAST(SUM(CASE WHEN asg.doc_id = best.keep_id
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |   CAST(SUM(n_toks) AS BIGINT) AS toks_raw,
+      |   CAST(SUM(CASE WHEN asg.doc_id = best.keep_id
+      |     THEN n_toks ELSE 0 END) AS BIGINT) AS toks_kept
+      |  FROM asg JOIN best USING (cl) GROUP BY 1)""".stripMargin
+
   /** One-shot MinHash-LSH pair pipeline CTEs (ends at `j`), shared by
     * q39/q85/q88 so the spellings cannot drift. */
   private lazy val minhashPairCtes: String =
@@ -679,33 +741,27 @@ object TextDedup {
 
     // q145's cluster + keep CTEs, rolled up to per-source token budgets
     "q281_dedup_token_budget" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-        | pairs AS (SELECT ida, idb FROM j WHERE inter / uni >= 0.5),
-        | ed AS (SELECT ida AS src, idb AS dst FROM pairs
-        |        UNION SELECT idb, ida FROM pairs),
-        | cc AS (SELECT src AS n, src AS m FROM ed
-        |        UNION SELECT e.dst, c.m FROM cc c JOIN ed e ON e.src = c.n),
-        | cl0 AS (SELECT n AS doc_id, MIN(m) AS canonical FROM cc GROUP BY n),
-        | tk AS (SELECT doc_id, len(t) AS n_toks FROM toks),
-        | asg AS (SELECT d.doc_id, d.source, d.n_chars, tk.n_toks,
-        |   COALESCE(cl0.canonical, d.doc_id) AS cl
-        |  FROM documents d
-        |  JOIN tk USING (doc_id)
-        |  LEFT JOIN cl0 USING (doc_id)),
-        | best AS (SELECT cl, doc_id AS keep_id FROM (
-        |   SELECT cl, doc_id, ROW_NUMBER() OVER (PARTITION BY cl
-        |     ORDER BY n_chars DESC, doc_id) AS rn FROM asg) WHERE rn = 1),
-        | g AS (SELECT source,
-        |   CAST(count(*) AS BIGINT) AS n_docs,
-        |   CAST(SUM(CASE WHEN asg.doc_id = best.keep_id
-        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |   CAST(SUM(n_toks) AS BIGINT) AS toks_raw,
-        |   CAST(SUM(CASE WHEN asg.doc_id = best.keep_id
-        |     THEN n_toks ELSE 0 END) AS BIGINT) AS toks_kept
-        |  FROM asg JOIN best USING (cl) GROUP BY 1)
+      s"""WITH RECURSIVE $dedupBudgetCtes
         |SELECT source, n_docs, n_kept, toks_raw, toks_kept,
         | (toks_raw - toks_kept) * 1000000 // toks_raw AS dup_tok_ppm
         |FROM g""".stripMargin,
+
+    // the budget CTEs + q170's weight formula + the epoch arithmetic
+    "q283_epoch_plan" ->
+      s"""WITH RECURSIVE $dedupBudgetCtes,
+        | w AS (SELECT *, CAST(FLOOR(SQRT(CAST(toks_raw AS DOUBLE)))
+        |   AS BIGINT) AS isq FROM g),
+        | tot AS (SELECT CAST(SUM(isq) AS BIGINT) AS isq_tot,
+        |   CAST(SUM(toks_raw) AS BIGINT) AS b FROM w),
+        | x AS (SELECT w.*, isq * 1000000 // tot.isq_tot AS w_ppm, tot.b
+        |  FROM w, tot),
+        | y AS (SELECT *, (b // 1000000) * w_ppm
+        |   + ((b % 1000000) * w_ppm) // 1000000 AS target_toks FROM x),
+        | z AS (SELECT *,
+        |   target_toks * 1000 // toks_kept AS epochs_milli FROM y)
+        |SELECT source, toks_raw, toks_kept, w_ppm, target_toks,
+        | epochs_milli, epochs_milli > 4000 AS oversampled
+        |FROM z""".stripMargin,
 
     // q60's cluster CTEs + the canonical-split reassignment
     "q279_split_repair" ->
