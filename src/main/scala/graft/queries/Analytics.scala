@@ -82,6 +82,100 @@ object Analytics {
         .agg(count(lit(1)).as("order_count"))
     }),
 
+    // ---- q285: suppliers who kept orders waiting (TPC-H Q21 shape) ----
+    // The classic EXISTS + NOT-EXISTS double self-correlation — which
+    // suppliers were the SOLE late shipper on a finished multi-supplier
+    // order — re-expressed as ONE grouped pass instead of the textbook
+    // pair of lineitem self-joins: per (order, supplier) compute a late
+    // flag (max-when — late iff any of that supplier's lines shipped
+    // >90 days after the order date, q255's lateness rule since this
+    // corpus carries no commit/receipt dates), then per order count
+    // suppliers and late suppliers; qualifying orders (>=2 suppliers,
+    // exactly 1 late) join back to their late row. That is one shuffle
+    // on the join key and two key-local aggregations — the double
+    // self-join's second lineitem-sized shuffle never happens, and no
+    // NOT EXISTS decorrelation is left to chance. The supplier-name
+    // join is a broadcast-sized dim at any SF where suppliers fit (or
+    // AQE's shuffle join where they don't).
+    "q285_waiting_suppliers" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val los = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAY"), 1L)
+          .otherwise(0L)).as("late"))
+      val qual = los.groupBy("ok")
+        .agg(count(lit(1)).as("n_sup"), sum("late").as("n_late"))
+        .filter(col("n_sup") >= 2 && col("n_late") === 1)
+        .select("ok")
+      los.filter(col("late") === 1)
+        .join(qual, "ok")
+        .groupBy("sk").agg(count(lit(1)).as("numwait"))
+        .join(t(s, d, "supplier"), col("sk") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+    }),
+
+    // ---- q286: sales opportunity (TPC-H Q22 shape) ----
+    // Rich customers gone DORMANT (no order since 2000-01-01 — this
+    // corpus has no order-less customers, so the classic "never
+    // ordered" predicate would gate on an always-empty result),
+    // rolled up by nation: the
+    // scalar-subquery threshold (average positive balance) broadcasts
+    // as a 1-row aggregate and the comparison cross-multiplies exact
+    // cents (bal·n > sum — no float average ever materializes), the
+    // "never ordered" is a LEFT ANTI join against the orders key
+    // column only, and the nation dim broadcasts. One shuffle on
+    // custkey (the anti join), one |nations|-row aggregate. Balances
+    // aggregate as exact cents (DetMath.fixed) so both engines hash
+    // the same BIGINTs.
+    "q286_sales_opportunity" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"), fixed(col("c_acctbal"), 2).as("bal_c"))
+      val avgPos = c.filter(col("bal_c") > 0)
+        .agg(sum("bal_c").as("s"), count(lit(1)).as("n"))
+      c.crossJoin(broadcast(avgPos))
+        .filter(col("bal_c") * col("n") > col("s"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("numcust"), sum("bal_c").as("tot_cents"))
+    }),
+
+    // ---- q287: small-quantity-order revenue (TPC-H Q17 shape) ----
+    // The agg-then-join-back correlation: revenue from lineitems whose
+    // quantity is under 20% of their part's average order quantity,
+    // over one selective part slice (Brand#23, size < 10). The
+    // correlated AVG decorrelates into a per-part (sum, count) agg
+    // joined back to the same filtered fact rows, and the 0.2·avg
+    // comparison cross-multiplies integers (5·qty·cnt < sum_q) so no
+    // float average exists in either engine. The part filter reaches
+    // the parquet scan; both lineitem passes run on the part-pruned
+    // subset; revenue sums exact cents. One partkey shuffle, one 1-row
+    // result.
+    "q287_small_qty_revenue" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") < 10)
+        .select("p_partkey")
+      val l = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          fixed(col("l_extendedprice"), 2).as("price_c"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val pa = l.groupBy("l_partkey")
+        .agg(sum("qty").as("sum_q"), count(lit(1)).as("cnt"))
+      l.join(pa, "l_partkey")
+        .filter(col("qty") * col("cnt") * 5 < col("sum_q"))
+        .agg(count(lit(1)).as("n_items"),
+          sum("price_c").as("rev_cents"))
+    }),
+
     // ---- q266: market share (TPC-H Q8 shape, 5-way star join) ----
     // Each ASIA nation's share of the region's yearly revenue — the
     // query shape that exercises Catalyst's join reordering across the
@@ -1005,6 +1099,46 @@ object Analytics {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1""".stripMargin,
+
+    "q285_waiting_suppliers" ->
+      """WITH los AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |   MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |     THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+        | qual AS (SELECT ok FROM los GROUP BY ok
+        |  HAVING count(*) >= 2 AND SUM(late) = 1),
+        | w AS (SELECT sk, CAST(count(*) AS BIGINT) AS numwait
+        |  FROM los JOIN qual USING (ok) WHERE late = 1 GROUP BY 1)
+        |SELECT s_name, numwait FROM w JOIN supplier ON sk = s_suppkey""".stripMargin,
+
+    "q286_sales_opportunity" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+        |   ${fixedSql("c_acctbal", 2)} AS bal_c FROM customer),
+        | a AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS s,
+        |   CAST(count(*) AS BIGINT) AS n FROM c WHERE bal_c > 0),
+        | rich AS (SELECT c.* FROM c, a WHERE bal_c * n > s),
+        | nc AS (SELECT rich.* FROM rich
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = rich.c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01'))
+        |SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(SUM(bal_c) AS BIGINT) AS tot_cents
+        |FROM nc JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q287_small_qty_revenue" ->
+      s"""WITH l AS (SELECT l_partkey,
+        |   CAST(l_quantity AS BIGINT) AS qty,
+        |   ${fixedSql("l_extendedprice", 2)} AS price_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23' AND p_size < 10),
+        | pa AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_q,
+        |   CAST(count(*) AS BIGINT) AS cnt FROM l GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(SUM(price_c) AS BIGINT) AS rev_cents
+        |FROM l JOIN pa USING (l_partkey)
+        |WHERE qty * cnt * 5 < sum_q""".stripMargin,
 
     "q247_pivot_dow" ->
       """SELECT event_type,
