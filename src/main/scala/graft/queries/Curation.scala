@@ -151,6 +151,55 @@ object Curation {
           (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
     }),
 
+    // ---- q288: incremental decontamination admission ----
+    // q116's benchmark gate run the way a crawl pipeline actually runs
+    // it: the benchmark gram set is built ONCE and PERSISTED (the
+    // frozen eval suite), and the training corpus arrives in batches —
+    // here 4 deterministic doc_id%4 increments — each probing the
+    // persisted index independently. Because the index is frozen and
+    // batches are disjoint, the union of per-batch admissions equals
+    // the one-shot gate REGARDLESS of batch boundaries; this query
+    // therefore shares q116's oracle verbatim, so the incremental ==
+    // one-shot law is hash-proven by the gate itself (and pinned
+    // cross-query in OperatorSpec). Scale: per batch the index is a
+    // broadcast semi-join over the batch's gram stream only — no
+    // corpus-side rescan, no shuffle beyond the per-doc agg; the
+    // 4-way loop is a bounded driver constant (the q202/q270
+    // precedent), each iteration a separate read of the persisted
+    // index exactly as separate pipeline runs would.
+    "q288_incr_decontaminate" -> ((s, d) => {
+      val benchGrams = gramPairs(docs(s, d), DecontN)
+        .filter(col("doc_id") % 19 === 0).select("g").distinct()
+      graft.sources.Tables.writeTable(benchGrams, "graft_gram_index_q288")
+      val batches = (0 until 4).map { b =>
+        val idx = s.table("graft_gram_index_q288")
+        val batch = docs(s, d)
+          .filter(col("doc_id") % 19 =!= 0 && col("doc_id") % 4 === b)
+        val hits = gramPairs(batch, DecontN)
+          .join(broadcast(idx), Seq("g"), "left_semi")
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        batch.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("n_hits").isNull.as("keep"))
+      }
+      batches.reduce(_ unionAll _)
+    }),
+
+    // ---- q289: STREAMING decontamination admission ----
+    // q288's frozen-index gate maintained from a document stream —
+    // completing the q116 lattice (one-shot : batch-incremental :
+    // streaming, the q88/q193 relationship applied to exact-gram
+    // contamination). Shares q116's oracle verbatim: the index is
+    // frozen and micro-batches are disjoint, so admission is invariant
+    // to how the source chops the stream. See
+    // EventStreams.streamingDecontaminationStream for the replay
+    // posture.
+    "q289_stream_decontaminate" -> ((s, d) =>
+      graft.streaming.EventStreams.streamingDecontaminationStream(
+        s, d, DecontN)),
+
     // ---- q284: longest contaminated span per eval doc ----
     // q280 counts WHICH eval grams appear in train; this measures HOW
     // LONG the verbatim overlap runs — the triage signal that
@@ -1202,6 +1251,17 @@ object Curation {
     s"""SELECT doc_id, unnest(${ngramsDuck(s"(${toksDuck("text")})", n)}) AS g
        | FROM documents""".stripMargin
 
+  /** q116's oracle — shared verbatim with q288 (see that entry). */
+  private lazy val decontOracle: String =
+    s"""WITH pairs AS (SELECT DISTINCT * FROM (${gramsDuck(DecontN)})),
+      | bench AS (SELECT DISTINCT g FROM pairs WHERE doc_id % 19 = 0),
+      | hits AS (SELECT doc_id, count(*) AS n_hits FROM pairs
+      |   JOIN bench USING (g) WHERE doc_id % 19 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, d.source,
+      |  COALESCE(h.n_hits, 0) AS n_hits, h.doc_id IS NULL AS keep
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 19 <> 0""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q223_dsir_score" ->
@@ -1230,15 +1290,15 @@ object Curation {
         | CAST(score > 0 AS INT) AS keep
         |FROM sc""".stripMargin,
 
-    "q116_decontaminate" ->
-      s"""WITH pairs AS (SELECT DISTINCT * FROM (${gramsDuck(DecontN)})),
-        | bench AS (SELECT DISTINCT g FROM pairs WHERE doc_id % 19 = 0),
-        | hits AS (SELECT doc_id, count(*) AS n_hits FROM pairs
-        |   JOIN bench USING (g) WHERE doc_id % 19 <> 0 GROUP BY 1)
-        |SELECT d.doc_id, d.source,
-        |  COALESCE(h.n_hits, 0) AS n_hits, h.doc_id IS NULL AS keep
-        |FROM documents d LEFT JOIN hits h USING (doc_id)
-        |WHERE d.doc_id % 19 <> 0""".stripMargin,
+    "q116_decontaminate" -> decontOracle,
+
+    // the frozen-index incremental gate lands on the identical row set
+    // (disjoint batches x frozen index), so it shares q116's oracle —
+    // the incremental == one-shot law, hash-proven by the gate
+    "q288_incr_decontaminate" -> decontOracle,
+
+    // streaming maintenance must land on the identical admission set
+    "q289_stream_decontaminate" -> decontOracle,
 
     "q280_gram_contamination" ->
       s"""WITH g AS (SELECT doc_id,

@@ -678,6 +678,54 @@ object EventStreams {
       .select("doc_id")
   }
 
+  /** q289: STREAMING decontamination admission — q288's frozen-index
+    * benchmark gate maintained from a document stream (the q193 : q88
+    * relationship applied to exact-gram contamination). The benchmark
+    * gram set is built once and persisted before the stream starts
+    * (the eval suite is frozen by definition); each micro-batch then
+    * probes it with a broadcast semi-join over ITS OWN gram stream
+    * only and appends its admission rows — no corpus rescan, no
+    * cross-batch state at all, so the union over any micro-batch
+    * chopping equals one-shot q116 and this shares q116's oracle
+    * verbatim. The read-side dropDuplicates(doc_id) is the q193
+    * replay posture: a replayed batch re-appends identical rows, so
+    * dedup-by-key makes the result idempotent under at-least-once
+    * delivery. */
+  def streamingDecontaminationStream(spark: SparkSession, sfDir: String,
+      gramN: Int,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 2): DataFrame = {
+    val all = graft.sources.Tables.read(spark, sfDir, "documents")
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(expr(s"graft_ngrams(text, $gramN)")).as("g"))
+    graft.functions.TextNative.register(spark)
+    graft.sources.Tables.writeTable(
+      grams(all.filter(col("doc_id") % 19 === 0)).select("g").distinct(),
+      "graft_gram_index_q289")
+    graft.sources.Tables.writeTable(
+      all.limit(0).select(col("doc_id"), col("source"),
+        col("doc_id").as("n_hits"), lit(true).as("keep")),
+      "graft_q289_admission")
+    runStagedStream(spark, "graft_q289",
+      all.filter(col("doc_id") % 19 =!= 0)
+        .select("doc_id", "text", "lang", "source", "n_chars"),
+      docSchema, maxFilesPerTrigger, deltaFiles, mb => {
+        val hits = grams(mb)
+          .join(broadcast(spark.table("graft_gram_index_q289")),
+            Seq("g"), "left_semi")
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        mb.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("n_hits").isNull.as("keep"))
+          .write.mode("append").format("parquet")
+          .saveAsTable("graft_q289_admission")
+        ()
+      })
+    spark.table("graft_q289_admission").dropDuplicates("doc_id")
+  }
+
   /** q273: STREAMING incremental count-min maintenance — the streaming
     * face of q272's persisted CMS (exactly the q186 : q94 and
     * q142 : q140 relationships, applied to the SUM lattice). History

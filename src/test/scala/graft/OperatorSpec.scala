@@ -7,6 +7,19 @@ import graft.operators._
 class OperatorSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("q288 incremental decontamination equals one-shot q116") {
+    // frozen index x disjoint batches: union of per-batch admissions
+    // must be row-identical to the one-shot gate
+    val one = SparkEntry.queries("q116_decontaminate")(spark, sf)
+      .select("doc_id", "n_hits", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val incr = SparkEntry.queries("q288_incr_decontaminate")(spark, sf)
+      .select("doc_id", "n_hits", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(incr == one)
+    assert(one.nonEmpty)
+  }
+
   test("q279 split repair: zero cross-split leakage on repaired splits") {
     // one row per doc, repaired split totals preserved
     val rep = SparkEntry.queries("q279_split_repair")(spark, sf)
