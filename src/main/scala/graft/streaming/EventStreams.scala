@@ -694,7 +694,8 @@ object EventStreams {
   def streamingDecontaminationStream(spark: SparkSession, sfDir: String,
       gramN: Int,
       maxFilesPerTrigger: Option[Int] = None,
-      deltaFiles: Int = 2): DataFrame = {
+      deltaFiles: Int = 2,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
     val all = graft.sources.Tables.read(spark, sfDir, "documents")
     def grams(df: DataFrame) = df.select(col("doc_id"),
       explode(expr(s"graft_ngrams(text, $gramN)")).as("g"))
@@ -709,7 +710,7 @@ object EventStreams {
     runStagedStream(spark, "graft_q289",
       all.filter(col("doc_id") % 19 =!= 0)
         .select("doc_id", "text", "lang", "source", "n_chars"),
-      docSchema, maxFilesPerTrigger, deltaFiles, mb => {
+      docSchema, maxFilesPerTrigger, deltaFiles, onBatch = mb => {
         val hits = grams(mb)
           .join(broadcast(spark.table("graft_gram_index_q289")),
             Seq("g"), "left_semi")
@@ -722,7 +723,7 @@ object EventStreams {
           .write.mode("append").format("parquet")
           .saveAsTable("graft_q289_admission")
         ()
-      })
+      }, chaosKillAfter = chaosKillAfter)
     spark.table("graft_q289_admission").dropDuplicates("doc_id")
   }
 

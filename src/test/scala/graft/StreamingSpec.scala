@@ -497,6 +497,28 @@ class StreamingSpec extends SparkTestBase {
       "restarted DAU stream diverged from one-shot q226")
   }
 
+  test("decontamination stream killed mid-sequence restarts from checkpoint to the one-shot gate") {
+    // q289's frozen-index admission through the crash/restart — the
+    // fourth lattice type (append-only rows keyed by doc_id: the
+    // restart must neither skip a batch, which would DROP admission
+    // rows, nor replay one, which the read-side dropDuplicates
+    // absorbs). Passing proves the decontamination lattice carries
+    // the same checkpoint-restart guarantee the rollup/sketch/DAU
+    // lattices do, and that the restarted stream's union still equals
+    // the one-shot q116 gate row-for-row.
+    val merged = EventStreams.streamingDecontaminationStream(
+        spark, sf, gramN = 4, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+        chaosKillAfter = Some(3))
+      .select("doc_id", "n_hits", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val oneShot = SparkEntry.queries("q116_decontaminate")(spark, sf)
+      .select("doc_id", "n_hits", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(merged.nonEmpty)
+    assert(merged == oneShot,
+      "restarted decontamination stream diverged from one-shot q116")
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
