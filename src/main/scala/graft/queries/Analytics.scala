@@ -133,16 +133,22 @@ object Analytics {
     // aggregate as exact cents (DetMath.fixed) so both engines hash
     // the same BIGINTs.
     "q286_sales_opportunity" -> ((s, d) => {
-      val c = t(s, d, "customer").select(col("c_custkey"),
-        col("c_nationkey"), fixed(col("c_acctbal"), 2).as("bal_c"))
-      val avgPos = c.filter(col("bal_c") > 0)
+      val avgPos = t(s, d, "customer")
+        .select(fixed(col("c_acctbal"), 2).as("bal_c"))
+        .filter(col("bal_c") > 0)
         .agg(sum("bal_c").as("s"), count(lit(1)).as("n"))
-      c.crossJoin(broadcast(avgPos))
-        .filter(col("bal_c") * col("n") > col("s"))
+      // anti-join FIRST (it shrinks the customer side before anything
+      // else touches it — also the order Catalyst picks for the NOT
+      // EXISTS spelling, which SqlSurfaceSpec pins against this plan),
+      // then compute cents once on the survivors.
+      t(s, d, "customer")
         .join(t(s, d, "orders")
           .filter(col("o_orderdate") >= lit("2000-01-01"))
           .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_nationkey"), fixed(col("c_acctbal"), 2).as("bal_c"))
+        .crossJoin(broadcast(avgPos))
+        .filter(col("bal_c") * col("n") > col("s"))
         .join(broadcast(t(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"))
@@ -164,10 +170,14 @@ object Analytics {
       val p = t(s, d, "part")
         .filter(col("p_brand") === "Brand#23" && col("p_size") < 10)
         .select("p_partkey")
+      // project AFTER the part join so the cast/floor only run on the
+      // part-pruned survivors (also the plan the SQL spelling
+      // optimizes to — SqlSurfaceSpec pins the two together)
       val l = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
           fixed(col("l_extendedprice"), 2).as("price_c"))
-        .join(p, col("l_partkey") === col("p_partkey"))
       val pa = l.groupBy("l_partkey")
         .agg(sum("qty").as("sum_q"), count(lit(1)).as("cnt"))
       l.join(pa, "l_partkey")

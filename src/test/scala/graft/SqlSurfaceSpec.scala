@@ -152,6 +152,75 @@ class SqlSurfaceSpec extends SparkTestBase
         |FROM rev""".stripMargin)
   }
 
+  test("q285_waiting_suppliers (TPC-H Q21): SQL and façade share one optimized plan") {
+    // The SQL spelling mirrors the façade's one-grouped-pass shape (a
+    // CTE of per-(order, supplier) late flags used twice) rather than
+    // the textbook EXISTS + NOT-EXISTS pair — that is the point: the
+    // user-facing SQL entry is the decorrelated form whose second
+    // lineitem shuffle never exists, and this pin proves both
+    // spellings plan identically.
+    assertSamePlan("q285_waiting_suppliers",
+      """WITH los AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN 1L ELSE 0L END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey),
+        |qual AS (
+        |  SELECT ok FROM los GROUP BY ok
+        |  HAVING COUNT(1) >= 2 AND SUM(late) = 1)
+        |SELECT s_name, numwait FROM (
+        |  SELECT sk, COUNT(1) AS numwait
+        |  FROM los JOIN qual USING (ok)
+        |  WHERE late = 1
+        |  GROUP BY sk) w
+        |JOIN supplier ON sk = s_suppkey""".stripMargin)
+  }
+
+  test("q286_sales_opportunity (TPC-H Q22): SQL NOT EXISTS decorrelates to the façade's anti join") {
+    // moduloNotNull for the same reason as q255: the NOT-EXISTS
+    // decorrelation and the explicit left-anti join infer different
+    // isnotnull conjuncts; the row-equality belt covers semantics.
+    assertSamePlan("q286_sales_opportunity",
+      s"""WITH c AS (
+        |  SELECT c_custkey, c_nationkey, ${F("c_acctbal", 2)} AS bal_c
+        |  FROM customer),
+        |avg_pos AS (
+        |  SELECT SUM(bal_c) AS s, COUNT(1) AS n FROM c WHERE bal_c > 0),
+        |dormant AS (
+        |  SELECT /*+ BROADCAST(avg_pos) */ c_custkey, c_nationkey, bal_c
+        |  FROM c CROSS JOIN avg_pos
+        |  WHERE bal_c * n > s
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |      WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01'))
+        |SELECT /*+ BROADCAST(nation) */ n_name AS nation,
+        |  COUNT(1) AS numcust, SUM(bal_c) AS tot_cents
+        |FROM dormant JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+      moduloNotNull = true)
+  }
+
+  test("q287_small_qty_revenue (TPC-H Q17): SQL and façade share one optimized plan") {
+    // The correlated-AVG shape spelled as its decorrelated join-back;
+    // 5·qty·cnt < sum_q keeps the comparison in exact integers in both
+    // spellings.
+    assertSamePlan("q287_small_qty_revenue",
+      s"""WITH p AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#23' AND p_size < 10),
+        |l AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    ${F("l_extendedprice", 2)} AS price_c
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |pa AS (
+        |  SELECT l_partkey, SUM(qty) AS sum_q, COUNT(1) AS cnt
+        |  FROM l GROUP BY l_partkey)
+        |SELECT COUNT(1) AS n_items, SUM(price_c) AS rev_cents
+        |FROM l JOIN pa USING (l_partkey)
+        |WHERE qty * cnt * 5 < sum_q""".stripMargin)
+  }
+
   test("TPC-H-shaped SQL spellings return the façade's rows") {
     ready
     for ((name, sqlText) <- Seq(
@@ -205,7 +274,54 @@ class SqlSurfaceSpec extends SparkTestBase
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |WHERE r_name = 'ASIA'
-          |GROUP BY n_name""".stripMargin)) {
+          |GROUP BY n_name""".stripMargin,
+      "q285_waiting_suppliers" ->
+        """WITH los AS (
+          |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+          |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |      THEN 1L ELSE 0L END) AS late
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE o_orderstatus = 'F'
+          |  GROUP BY l_orderkey, l_suppkey),
+          |qual AS (
+          |  SELECT ok FROM los GROUP BY ok
+          |  HAVING COUNT(1) >= 2 AND SUM(late) = 1)
+          |SELECT s_name, numwait FROM (
+          |  SELECT sk, COUNT(1) AS numwait
+          |  FROM los JOIN qual USING (ok)
+          |  WHERE late = 1
+          |  GROUP BY sk) w
+          |JOIN supplier ON sk = s_suppkey""".stripMargin,
+      "q286_sales_opportunity" ->
+        s"""WITH c AS (
+          |  SELECT c_custkey, c_nationkey, ${F("c_acctbal", 2)} AS bal_c
+          |  FROM customer),
+          |avg_pos AS (
+          |  SELECT SUM(bal_c) AS s, COUNT(1) AS n FROM c WHERE bal_c > 0),
+          |dormant AS (
+          |  SELECT c_custkey, c_nationkey, bal_c
+          |  FROM c CROSS JOIN avg_pos
+          |  WHERE bal_c * n > s
+          |    AND NOT EXISTS (SELECT 1 FROM orders
+          |      WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01'))
+          |SELECT n_name AS nation,
+          |  COUNT(1) AS numcust, SUM(bal_c) AS tot_cents
+          |FROM dormant JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin,
+      "q287_small_qty_revenue" ->
+        s"""WITH p AS (
+          |  SELECT p_partkey FROM part
+          |  WHERE p_brand = 'Brand#23' AND p_size < 10),
+          |l AS (
+          |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+          |    ${F("l_extendedprice", 2)} AS price_c
+          |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+          |pa AS (
+          |  SELECT l_partkey, SUM(qty) AS sum_q, COUNT(1) AS cnt
+          |  FROM l GROUP BY l_partkey)
+          |SELECT COUNT(1) AS n_items, SUM(price_c) AS rev_cents
+          |FROM l JOIN pa USING (l_partkey)
+          |WHERE qty * cnt * 5 < sum_q""".stripMargin)) {
       val facade = SparkEntry.queries(name)(spark, sf)
       val viaSql = Sql.sql(spark, sqlText)
       assert(facade.exceptAll(viaSql).isEmpty &&
