@@ -218,6 +218,21 @@ object Ranges {
         pick(75).as("q75"), pick(99).as("q99"))
     }),
 
+    // ---- q290: STREAMING approximate quantiles ----
+    // The streaming face of q190's persisted half-sample, completing
+    // the order-statistics lattice (q83 one-shot : q190 incremental :
+    // q290 streaming — the q94 : q186 relationship on the set-union
+    // sample lattice). Each micro-batch filters ITSELF with the pure
+    // content-hash sample predicate and appends its survivors
+    // (q273's replay posture: exactly-once checkpointed foreachBatch,
+    // chaos-spec-proven, since this corpus's lineitem carries no
+    // unique row key to dedup on); exact ranks over the merged sample
+    // reproduce one-shot q83 — the gate shares q190's oracle
+    // verbatim. See
+    // EventStreams.streamingQuantilesStream for the scale shape.
+    "q290_stream_quantiles" -> ((s, d) =>
+      graft.streaming.EventStreams.streamingQuantilesStream(s, d)),
+
     // ---- q191: sketch set-operation cardinalities ----
     // The join-selectivity primitive a planner wants WITHOUT running
     // the join: distinct order-placing customers (A, from orders) and
@@ -308,6 +323,24 @@ object Ranges {
     // (content-hash predicate ⇒ union of samples = sample of union), so
     // the oracle is q83's one-shot sample quantiles verbatim
     "q190_incr_quantiles" -> {
+      val rid = "CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR)"
+      val keep = graft.functions.TextExpr.nibbleDuck(s"md5($rid)", 0)
+      def pick(p: Int) =
+        s"max(CASE WHEN rn = ((n - 1) * $p) // 100 + 1 THEN x END)"
+      s"""WITH samp AS (SELECT l_returnflag, l_extendedprice AS x
+        |   FROM lineitem WHERE $keep < 8),
+        | r AS (SELECT l_returnflag, x,
+        |   row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+        |   count(*) OVER (PARTITION BY l_returnflag) AS n FROM samp)
+        |SELECT l_returnflag, ${pick(25)} AS q25, ${pick(50)} AS q50,
+        | ${pick(75)} AS q75, ${pick(99)} AS q99
+        |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // the streamed-and-merged sample must land on the identical
+    // one-shot half-sample quantiles (q190's oracle verbatim)
+    "q290_stream_quantiles" -> {
       val rid = "CAST(l_orderkey AS VARCHAR) || ':' || " +
         "CAST(l_linenumber AS VARCHAR)"
       val keep = graft.functions.TextExpr.nibbleDuck(s"md5($rid)", 0)

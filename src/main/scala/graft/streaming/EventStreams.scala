@@ -727,6 +727,67 @@ object EventStreams {
     spark.table("graft_q289_admission").dropDuplicates("doc_id")
   }
 
+  /** q290: STREAMING approximate-quantile maintenance — the streaming
+    * face of q190's persisted sample (completing the order-statistics
+    * lattice: q83 one-shot : q190 batch-incremental : q290 streaming,
+    * the q94 : q186 relationship applied to the SET-UNION sample
+    * lattice). The deterministic md5 half-sample is a pure per-row
+    * content-hash predicate, so the union of per-micro-batch samples
+    * IS the sample of the union no matter how the source chops the
+    * delta: seed rows (l_orderkey % 4 < 3) sample once via a batch
+    * write; the delta (== 3) is staged as landed files and STREAMED,
+    * each micro-batch filtering ITSELF with the same predicate and
+    * appending only its surviving sample rows. Replay caveat (q273's
+    * posture, not q193's): lineitem has NO unique row key in this
+    * corpus — (l_orderkey, l_linenumber) collides — so read-side
+    * dedup-by-key is unsound and a REPLAYED batch would duplicate
+    * sample rows and shift ranks; checkpointed exactly-once
+    * foreachBatch fronts the append, and the kill-restart chaos spec
+    * proves a restart resumes at the first uncommitted batch with zero
+    * replays. Exact ranks over the merged sample then reproduce the
+    * one-shot q83 answer EXACTLY — same oracle. 100 TB: per-trigger
+    * work is batch-sized, sample state is a fixed fraction of the
+    * corpus, and the rank windows partition by the group key over
+    * sample rows only. */
+  def streamingQuantilesStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 2,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
+    val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
+      .withColumn("rid",
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+      .withColumn("b", pmod(col("l_orderkey"), lit(4)))
+      .select(col("rid"), col("l_returnflag"),
+        col("l_extendedprice").as("x"), col("b"))
+    def sampOf(part: DataFrame) =
+      graft.operators.Sampling.hashSample(part, "rid", 8)
+        .select("l_returnflag", "x")
+    graft.sources.Tables.writeTable(
+      sampOf(li.filter(col("b") < 3)), "graft_q290_samples")
+    val sampleSchema = StructType(Seq(
+      StructField("rid", StringType), StructField("l_returnflag", StringType),
+      StructField("x", org.apache.spark.sql.types.DoubleType)))
+    runStagedStream(spark, "graft_q290",
+      li.filter(col("b") === 3).select("rid", "l_returnflag", "x"),
+      sampleSchema, maxFilesPerTrigger, deltaFiles,
+      onBatch = mb => sampOf(mb).write.mode("append")
+        .format("parquet").saveAsTable("graft_q290_samples"),
+      chaosKillAfter = chaosKillAfter)
+    val merged = spark.table("graft_q290_samples")
+    val ranked = merged
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("x")).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")))
+    def pick(p: Int) =
+      max(when(expr(s"rn = ((n - 1) * $p) DIV 100 + 1"), col("x")))
+    ranked.groupBy("l_returnflag").agg(
+      pick(25).as("q25"), pick(50).as("q50"),
+      pick(75).as("q75"), pick(99).as("q99"))
+  }
+
   /** q273: STREAMING incremental count-min maintenance — the streaming
     * face of q272's persisted CMS (exactly the q186 : q94 and
     * q142 : q140 relationships, applied to the SUM lattice). History

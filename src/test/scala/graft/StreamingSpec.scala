@@ -519,6 +519,24 @@ class StreamingSpec extends SparkTestBase {
       "restarted decontamination stream diverged from one-shot q116")
   }
 
+  test("quantile-sample stream killed mid-sequence restarts from checkpoint to the one-shot sample") {
+    // q290's set-union sample lattice through the crash/restart: the
+    // merged sample — and therefore every exact rank over it — must
+    // equal the one-shot half-sample recompute (q190's law, now under
+    // a mid-stream kill).
+    val merged = EventStreams.streamingQuantilesStream(
+        spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+        chaosKillAfter = Some(3))
+      .select("l_returnflag", "q25", "q50", "q75", "q99")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    val oneShot = SparkEntry.queries("q190_incr_quantiles")(spark, sf)
+      .select("l_returnflag", "q25", "q50", "q75", "q99")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    assert(merged.nonEmpty)
+    assert(merged == oneShot,
+      "restarted quantile stream diverged from one-shot sample quantiles")
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
