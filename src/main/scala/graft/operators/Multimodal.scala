@@ -562,7 +562,7 @@ object Multimodal {
     * the full 64-bit hash alongside — 4 rows × ~32 B per image, so the
     * Hamming verify after a chunk collision is ROW-LOCAL (no second
     * join back to a hash table). */
-  private def aHashChunkTable(hashes: DataFrame): DataFrame =
+  def aHashChunkTable(hashes: DataFrame): DataFrame =
     hashes.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
       posexplode(expr(
         "array(ahash_lo & 65535, shiftright(ahash_lo, 16) & 65535, " +

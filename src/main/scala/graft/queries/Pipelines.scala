@@ -168,6 +168,67 @@ object Pipelines {
           coalesce(col("true_dup"), lit(false)).as("true_dup"))
     }),
 
+    // ---- q292: INCREMENTAL Bloom-bit maintenance ----
+    // q98's admission bits run as persisted maintenance, opening the
+    // Bloom face of the lattice family (q98 one-shot : q292
+    // incremental : q293 streaming). The bit set is the DISTINCT of
+    // hash positions — a set-union lattice, idempotent like q94's
+    // registers and unlike q272's additive CMS cells — so corpus
+    // history (doc_id % 4 < 3 of the corpus slice) pays one scan into
+    // the persisted ≤ m-row bit table, the delta (== 3) appends only
+    // ITS positions, and the query-time distinct-merge equals the
+    // one-shot bit set EXACTLY (union of per-part position sets = the
+    // position set of the union). The batch probe and true-dup rider
+    // are then q98 verbatim — same oracle. 100 TB: state bounded at m
+    // rows; the delta append never rescans history.
+    "q292_incr_bloom" -> ((s, d) => {
+      val all = docs(s, d).withColumn("fp",
+        expr(fingerprintSpark(toksSpark("text"))))
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("b", pmod(col("doc_id"), lit(4)))
+      val batch = all.filter(col("doc_id") % 5 === 0)
+      graft.sources.Tables.writeTable(
+        Sketches.bloomBuild(corpus.filter(col("b") < 3), "fp",
+          BloomK, BloomM),
+        "graft_q292_bits")
+      Sketches.bloomBuild(corpus.filter(col("b") === 3), "fp",
+          BloomK, BloomM)
+        .write.mode("append").format("parquet")
+        .saveAsTable("graft_q292_bits")
+      val bits = s.table("graft_q292_bits").distinct()
+      val probed = Sketches.bloomProbe(batch, "doc_id", "fp", bits,
+        BloomK, BloomM)
+      val truth = batch
+        .join(corpus.select("fp").distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("true_dup"))
+      probed.join(truth, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("maybe_present").as("maybe_dup"),
+          coalesce(col("true_dup"), lit(false)).as("true_dup"))
+    }),
+
+    // ---- q293: STREAMING Bloom-bit maintenance ----
+    // The streaming face: the corpus delta arrives as a document
+    // stream and each micro-batch appends its own bit rows (see
+    // EventStreams.streamingBloomBits — set-union lattice, so replays
+    // are exactly harmless under the read-side distinct). The probe
+    // and rider are q98 verbatim — same oracle again.
+    "q293_stream_bloom" -> ((s, d) => {
+      val bits = graft.streaming.EventStreams.streamingBloomBits(
+        s, d, BloomK, BloomM)
+      val all = docs(s, d).withColumn("fp",
+        expr(fingerprintSpark(toksSpark("text"))))
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val batch = all.filter(col("doc_id") % 5 === 0)
+      val probed = Sketches.bloomProbe(batch, "doc_id", "fp", bits,
+        BloomK, BloomM)
+      val truth = batch
+        .join(corpus.select("fp").distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("true_dup"))
+      probed.join(truth, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("maybe_present").as("maybe_dup"),
+          coalesce(col("true_dup"), lit(false)).as("true_dup"))
+    }),
+
     // ---- q99: count-min-sketch heavy hitters ----
     // Token frequencies from a d×w-bounded sketch (state independent of
     // vocabulary size), estimates = min over the d counters, top-20 by
@@ -758,6 +819,30 @@ object Pipelines {
   /** q99's CMS heavy-hitters replay — shared verbatim by q272's
     * incremental path (SUM-lattice exactness makes the two queries
     * answer-identical by construction; the shared oracle pins it). */
+  /** q98's oracle — shared verbatim with q292/q293 (the Bloom bit set
+    * is a set-union lattice, so incremental and streaming maintenance
+    * land on the identical bits). */
+  private lazy val bloomAdmissionSql: String =
+    s"""WITH fps AS (SELECT doc_id,
+      |   ${fingerprintDuck(toksDuck("text"))} AS fp FROM documents),
+      | corpus AS (SELECT * FROM fps WHERE doc_id % 5 <> 0),
+      | batch AS (SELECT * FROM fps WHERE doc_id % 5 = 0),
+      | bits AS (SELECT DISTINCT pos FROM
+      |   (SELECT unnest(${posListDuck("fp", BloomK, BloomM)}) AS pos
+      |    FROM corpus)),
+      | probe AS (SELECT doc_id,
+      |   unnest(${posListDuck("fp", BloomK, BloomM)}) AS pos FROM batch),
+      | hits AS (SELECT p.doc_id, count(*) AS h
+      |   FROM probe p JOIN bits b ON p.pos = b.pos GROUP BY 1),
+      | truth AS (SELECT DISTINCT b.doc_id
+      |   FROM batch b JOIN corpus c ON b.fp = c.fp)
+      |SELECT b.doc_id,
+      | coalesce(h.h, 0) = $BloomK AS maybe_dup,
+      | (t.doc_id IS NOT NULL) AS true_dup
+      |FROM batch b
+      |LEFT JOIN hits h ON b.doc_id = h.doc_id
+      |LEFT JOIN truth t ON b.doc_id = t.doc_id""".stripMargin
+
   private lazy val cmsHeavySql: String =
     s"""WITH toks AS (SELECT unnest(${toksDuck("text")}) AS tok
       |   FROM documents),
@@ -785,26 +870,18 @@ object Pipelines {
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
 
-    "q98_bloom_admission" ->
-      s"""WITH fps AS (SELECT doc_id,
-        |   ${fingerprintDuck(toksDuck("text"))} AS fp FROM documents),
-        | corpus AS (SELECT * FROM fps WHERE doc_id % 5 <> 0),
-        | batch AS (SELECT * FROM fps WHERE doc_id % 5 = 0),
-        | bits AS (SELECT DISTINCT pos FROM
-        |   (SELECT unnest(${posListDuck("fp", BloomK, BloomM)}) AS pos
-        |    FROM corpus)),
-        | probe AS (SELECT doc_id,
-        |   unnest(${posListDuck("fp", BloomK, BloomM)}) AS pos FROM batch),
-        | hits AS (SELECT p.doc_id, count(*) AS h
-        |   FROM probe p JOIN bits b ON p.pos = b.pos GROUP BY 1),
-        | truth AS (SELECT DISTINCT b.doc_id
-        |   FROM batch b JOIN corpus c ON b.fp = c.fp)
-        |SELECT b.doc_id,
-        | coalesce(h.h, 0) = $BloomK AS maybe_dup,
-        | (t.doc_id IS NOT NULL) AS true_dup
-        |FROM batch b
-        |LEFT JOIN hits h ON b.doc_id = h.doc_id
-        |LEFT JOIN truth t ON b.doc_id = t.doc_id""".stripMargin,
+    "q98_bloom_admission" -> bloomAdmissionSql,
+
+    // Incremental == one-shot on the Bloom set-union lattice (the
+    // distinct-merge of per-part position sets IS the one-shot bit
+    // set), so the oracle is q98's verbatim — hash equality proves the
+    // persisted maintenance path bit-equivalent to a full rebuild.
+    "q292_incr_bloom" -> bloomAdmissionSql,
+
+    // The streaming face shares the same one-shot oracle: micro-batch
+    // boundaries are invisible to a set-union lattice, and replays are
+    // idempotent under the read-side distinct.
+    "q293_stream_bloom" -> bloomAdmissionSql,
 
     "q99_cms_heavy" -> cmsHeavySql,
 

@@ -193,6 +193,18 @@ object Vectors {
         "graft_ahash_index")
     }),
 
+    // ---- q291: STREAMING image near-dup admission ----
+    // q188's admission maintained from a document stream, completing
+    // the multimodal lattice (q185 one-shot : q188 batch-incremental :
+    // q291 streaming — the q193 : q85 relationship on images). Shares
+    // q188's brute-force oracle verbatim: pair discovery is symmetric
+    // and idempotent and batches are disjoint, so the accumulated pair
+    // set is invariant to the micro-batch chopping. See
+    // EventStreams.streamingImageDedupStream for the probe/append
+    // cycle and replay posture.
+    "q291_stream_image_dedup" -> ((s, d) =>
+      graft.streaming.EventStreams.streamingImageDedupStream(s, d)),
+
     // REAL image resize: synthesize PNGs (as q61), decode, and resample
     // 16x16 by nearest-neighbor with floor index arithmetic; checksum
     // the OUTPUT pixels. The oracle replays srcX = X*w_in DIV 16 /
@@ -1712,6 +1724,18 @@ s"""WITH $prepCte
     // slice — brute force over the replayed hashes (no banding, no
     // index to agree with by accident)
     "q188_incr_image_dedup" ->
+      s"""WITH $ahashCte
+        |SELECT x.doc_id AS ida, y.doc_id AS idb,
+        | CAST(bit_count(xor(x.ahash_hi, y.ahash_hi))
+        |   + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS INT) AS hamming
+        |FROM ah x JOIN ah y ON x.doc_id < y.doc_id
+        | AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)
+        |WHERE bit_count(xor(x.ahash_hi, y.ahash_hi))
+        |   + bit_count(xor(x.ahash_lo, y.ahash_lo)) <= 3""".stripMargin,
+
+    // the streamed-and-merged pair set must equal the one-shot
+    // batch-touching brute force (q188's oracle verbatim)
+    "q291_stream_image_dedup" ->
       s"""WITH $ahashCte
         |SELECT x.doc_id AS ida, y.doc_id AS idb,
         | CAST(bit_count(xor(x.ahash_hi, y.ahash_hi))

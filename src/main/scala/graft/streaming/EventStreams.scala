@@ -788,6 +788,108 @@ object EventStreams {
       pick(75).as("q75"), pick(99).as("q99"))
   }
 
+  /** q291: STREAMING image near-dup admission — q188's incremental
+    * aHash dedup maintained from a document stream (the q193 : q85
+    * relationship applied to the multimodal index, completing the
+    * image lattice: q185 one-shot : q188 batch-incremental : q291
+    * streaming). The corpus chunk index is built and bucketed ONCE;
+    * each micro-batch then decodes and hashes ONLY ITS OWN images,
+    *   (a) probes the persisted corpus index (bucket-aligned — zero
+    *       corpus-side exchange, corpus pixels never re-decoded) AND
+    *       the accumulated chunk rows of earlier micro-batches
+    *       (delta-scale),
+    *   (b) appends the verified Hamming<=3 pairs, and
+    *   (c) appends its own chunk rows so later micro-batches see it.
+    * Pair discovery is symmetric (least/greatest normalization) and
+    * idempotent, and doc_id IS unique here, so the read-side
+    * dropDuplicates(ida, idb) is the exact q193 replay posture — the
+    * union over any micro-batch chopping equals one-shot q188 and
+    * this shares q188's brute-force oracle verbatim. 100 TB:
+    * per-trigger decode+probe work is batch-sized; the corpus never
+    * re-exchanges and its pixels are never touched again. */
+  def streamingImageDedupStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 2,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = graft.sources.Tables.read(spark, sfDir, "documents")
+    def hashesOf(part: DataFrame) =
+      Multimodal.aHash(Multimodal.synthesizePngs(part, "doc_id")).toDF
+    Multimodal.writeAHashIndex(
+      hashesOf(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
+      "graft_ahash_index_q291")
+    graft.sources.Tables.writeTable(
+      Multimodal.aHashChunkTable(hashesOf(docs.limit(0))),
+      "graft_q291_batch_chunks")
+    graft.sources.Tables.writeTable(
+      hashesOf(docs.limit(0)).select(col("doc_id").as("ida"),
+        col("doc_id").as("idb"),
+        expr("CAST(0 AS INT)").as("hamming")),
+      "graft_q291_pairs")
+    runStagedStream(spark, "graft_q291",
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text", "lang", "source", "n_chars"),
+      docSchema, maxFilesPerTrigger, deltaFiles, onBatch = mb => {
+        val hashes = hashesOf(mb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val vsIndex = Multimodal.incrementalAHashPairs(
+          hashes, "graft_ahash_index_q291")
+        val vsEarlier = Multimodal.incrementalAHashPairs(
+          hashes, "graft_q291_batch_chunks")
+        vsIndex.union(vsEarlier).distinct()
+          .write.mode("append").format("parquet")
+          .saveAsTable("graft_q291_pairs")
+        Multimodal.aHashChunkTable(hashes)
+          .write.mode("append").format("parquet")
+          .saveAsTable("graft_q291_batch_chunks")
+        hashes.unpersist()
+        ()
+      }, chaosKillAfter = chaosKillAfter)
+    spark.table("graft_q291_pairs").dropDuplicates("ida", "idb")
+  }
+
+  /** q293: STREAMING Bloom-bit maintenance — the Bloom face of the
+    * maintenance lattices (q98 one-shot : q292 batch-incremental :
+    * q293 streaming), and the cleanest of them all: the bit set is the
+    * DISTINCT of hash positions, a set-union lattice, so per-batch bit
+    * appends are associative, commutative AND idempotent — the
+    * read-side distinct() makes replays exactly harmless (q186's
+    * register-MAX argument, without even needing MAX). History corpus
+    * bits (doc_id % 4 < 3 of the corpus slice) land once via a batch
+    * write; the corpus delta (== 3) streams, each micro-batch
+    * fingerprinting ONLY ITS OWN documents and appending its own
+    * ≤ k·|batch| bit rows. Returns the merged ≤ m-row bit set — the
+    * caller probes it exactly as q98 does, and because the union of
+    * per-batch position sets IS the position set of the union, the
+    * probe decisions equal one-shot q98 bit-for-bit (same oracle).
+    * 100 TB: state is bounded at m rows regardless of corpus size;
+    * per-trigger work is batch-sized; raw history is never rescanned. */
+  def streamingBloomBits(spark: SparkSession, sfDir: String,
+      k: Int, m: Int,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 2,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
+    import graft.functions.TextExpr
+    import graft.operators.Sketches
+    def withFp(df: DataFrame) = df.withColumn("fp",
+      expr(TextExpr.fingerprintSpark(TextExpr.toksSpark("text"))))
+    val corpus = graft.sources.Tables.read(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+      .withColumn("b", pmod(col("doc_id"), lit(4)))
+    graft.sources.Tables.writeTable(
+      Sketches.bloomBuild(withFp(corpus.filter(col("b") < 3)), "fp", k, m),
+      "graft_q293_bits")
+    runStagedStream(spark, "graft_q293",
+      corpus.filter(col("b") === 3)
+        .select("doc_id", "text", "lang", "source", "n_chars"),
+      docSchema, maxFilesPerTrigger, deltaFiles,
+      onBatch = mb => Sketches.bloomBuild(withFp(mb), "fp", k, m)
+        .write.mode("append").format("parquet")
+        .saveAsTable("graft_q293_bits"),
+      chaosKillAfter = chaosKillAfter)
+    spark.table("graft_q293_bits").distinct()
+  }
+
   /** q273: STREAMING incremental count-min maintenance — the streaming
     * face of q272's persisted CMS (exactly the q186 : q94 and
     * q142 : q140 relationships, applied to the SUM lattice). History

@@ -537,6 +537,49 @@ class StreamingSpec extends SparkTestBase {
       "restarted quantile stream diverged from one-shot sample quantiles")
   }
 
+  test("image-dedup stream killed mid-sequence restarts from checkpoint to the one-shot pairs") {
+    // q291's chunk-index lattice through the crash/restart: the
+    // accumulated pair set must equal one-shot q188 (which rebuilds
+    // its own index from scratch) even when the stream dies after 3
+    // committed micro-batches and resumes from the checkpoint —
+    // sizes-first ordering isn't needed here because pairs and chunks
+    // both append idempotently (doc_id is unique, pairs normalize
+    // least/greatest, and the read-side dropDuplicates absorbs any
+    // replay).
+    val merged = EventStreams.streamingImageDedupStream(
+        spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+        chaosKillAfter = Some(3))
+      .select("ida", "idb", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val oneShot = SparkEntry.queries("q188_incr_image_dedup")(spark, sf)
+      .select("ida", "idb", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(merged.nonEmpty)
+    assert(merged == oneShot,
+      "restarted image-dedup stream diverged from one-shot q188")
+  }
+
+  test("bloom-bit stream killed mid-sequence restarts from checkpoint to the one-shot bits") {
+    // q293's set-union bit lattice through the crash/restart — with
+    // this, all five lattice types (additive rollup, register MAX,
+    // CMS SUM, append-by-key admission, set-union bits) carry the
+    // same checkpoint-restart proof.
+    val k = 3; val m = 1 << 18
+    val merged = EventStreams.streamingBloomBits(
+        spark, sf, k, m, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+        chaosKillAfter = Some(3))
+      .as[Long].collect().toSet
+    val all = sources.Tables.read(spark, sf, "documents")
+      .withColumn("fp", expr(graft.functions.TextExpr.fingerprintSpark(
+        graft.functions.TextExpr.toksSpark("text"))))
+    val oneShot = operators.Sketches.bloomBuild(
+        all.filter(col("doc_id") % 5 =!= 0), "fp", k, m)
+      .as[Long].collect().toSet
+    assert(merged.nonEmpty)
+    assert(merged == oneShot,
+      "restarted bloom stream diverged from the one-shot bit set")
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)

@@ -34,6 +34,8 @@ TARGETS = {
     "q159_containment_join": ("ida", "idb"),
     "q185_ahash_near_dup": ("ida", "idb"),
     "q188_incr_image_dedup": ("ida", "idb"),
+    # shares q188's oracle verbatim (streaming face of the same gate)
+    "q291_stream_image_dedup": ("ida", "idb"),
 }
 
 
