@@ -776,7 +776,8 @@ object Similarity {
   def incrementalLshPairs(batch: DataFrame, lshIndexTable: String,
       verifySource: DataFrame, idCol: String, embCol: String,
       threshold: Double, nBits: Int = 16, bandBits: Int = 4,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBucketCap,
+      unionSizesOverride: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     val corpusBands = spark.table(lshIndexTable)
     val batchBands = lshBands(batch, idCol, embCol, nBits, bandBits).cache()
@@ -791,20 +792,32 @@ object Similarity {
     // Corpus sizes come from the side table
     // [[writeLshIndex]] persists (pre-r9 indexes: recompute once) —
     // the per-batch cost stays O(batch), never an O(corpus) re-scan.
-    val corpusSizes =
-      (try spark.table(s"${lshIndexTable}_sizes")
-       catch {
-         case _: org.apache.spark.sql.AnalysisException =>
-           corpusBands.groupBy("band", "bucket")
-             .agg(count(lit(1)).as("graft_bsz"))
-       }).withColumnRenamed("graft_bsz", "graft_csz")
-    val batchSizes = batchBands.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("graft_nsz"))
-    val unionSizes = corpusSizes
-      .join(batchSizes, Seq("band", "bucket"), "full_outer")
-      .select(col("band"), col("bucket"),
-        (coalesce(col("graft_csz"), lit(0L)) +
-          coalesce(col("graft_nsz"), lit(0L))).as("graft_bsz"))
+    // unionSizesOverride: when a batch streams as MICRO-batches, the
+    // exactness condition is that every probe truncates under the SAME
+    // final union sizes the one-shot recompute uses — the caller
+    // computes (corpus + whole-batch) sizes once when the batch
+    // manifest lands (a narrow band-count pass, before contents
+    // stream) and passes them here; without it each micro-batch would
+    // truncate under its own smaller sizes and, wherever the cap
+    // binds, keep MORE rows than the one-shot cap (q295's sf1 lesson:
+    // 16-value LSH buckets grow linearly with the corpus, so the cap
+    // genuinely binds one decade up).
+    val unionSizes = unionSizesOverride.getOrElse {
+      val corpusSizes =
+        (try spark.table(s"${lshIndexTable}_sizes")
+         catch {
+           case _: org.apache.spark.sql.AnalysisException =>
+             corpusBands.groupBy("band", "bucket")
+               .agg(count(lit(1)).as("graft_bsz"))
+         }).withColumnRenamed("graft_bsz", "graft_csz")
+      val batchSizes = batchBands.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("graft_nsz"))
+      corpusSizes
+        .join(batchSizes, Seq("band", "bucket"), "full_outer")
+        .select(col("band"), col("bucket"),
+          (coalesce(col("graft_csz"), lit(0L)) +
+            coalesce(col("graft_nsz"), lit(0L))).as("graft_bsz"))
+    }
     val truncCorpus =
       truncateBucketsWith(corpusBands, unionSizes, idCol, bucketCap)
     val truncBatch =

@@ -381,6 +381,16 @@ object Vectors {
         m = 8, subLen = 8, "graft_pq_codebook", keep = Seq("label"))
     }),
 
+    // ---- q294: STREAMING PQ encode ----
+    // q214's frozen-codebook encode maintained from a vector stream,
+    // completing the PQ lattice (q211 one-shot : q214 incremental :
+    // q294 streaming). Encode is a pure per-row map under the frozen
+    // broadcast codebook — zero training jobs per trigger, invariant
+    // to the micro-batch chopping — so this shares q214's oracle
+    // verbatim. See EventStreams.streamingPqEncodeStream.
+    "q294_stream_pq_encode" -> ((s, d) =>
+      graft.streaming.EventStreams.streamingPqEncodeStream(s, d)),
+
     // ---- q222: maximal-marginal-relevance diversified rerank ----
     // The retrieval diversification step: greedy MMR selection of 3
     // results from each query's brute-force top-10 pool at λ=0.7, all
@@ -664,6 +674,15 @@ object Vectors {
       Similarity.incrementalLshPairs(batch, "graft_lsh_index", all,
         "vec_id", "embedding", threshold = 0.35)
     }),
+
+    // ---- q295: STREAMING embedding near-dup pairs ----
+    // q87's admission maintained from a vector stream, closing the
+    // tree's last lattice asymmetry (q63 one-shot : q87 incremental :
+    // q295 streaming — the q193 : q85 cycle on embeddings). Shares
+    // q87's batch-touching oracle verbatim. See
+    // EventStreams.streamingEmbedDedupStream.
+    "q295_stream_embed_dedup" -> ((s, d) =>
+      graft.streaming.EventStreams.streamingEmbedDedupStream(s, d)),
 
     // Clusters over the label-free LSH pairs: min-label propagation vs
     // the recursive-CTE oracle — pairwise similarity turned into dedup
@@ -1088,6 +1107,23 @@ object Vectors {
       |     FOR i IN range(0, 32)], 'sum') AS BIGINT) AS ahash_lo
       |  FROM s)""".stripMargin
 
+  /** q214's oracle — shared verbatim with q294 (frozen-codebook encode
+    * is a pure per-row map, so the streaming face lands on the
+    * identical codes). */
+  private lazy val incrPqEncodeSql: String = {
+    val (m, subLen) = (8, 8)
+    val joins = (0 until m).map(i => s"JOIN e$i USING (vec_id)")
+      .mkString(" ")
+    val codes = (0 until m).map(i => s"code$i").mkString(", ")
+    val errs = (0 until m).map(i => s"err$i").mkString(" + ")
+    s"""WITH $prepCte,
+      | ${pqChains(m, k = 8, iters = 2, subLen = subLen,
+          trainWhere = "vec_id % 4 < 3", encodeWhere = "vec_id % 4 = 3")}
+      |SELECT n.vec_id, n.label, $codes,
+      | CAST($errs AS BIGINT) AS qerr
+      |FROM n $joins""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q42_embed_stats" ->
       s"""WITH $prepCte
@@ -1269,19 +1305,12 @@ object Vectors {
 
     // identical Lloyd replay, restricted: codebooks from the history
     // split, codes only for the batch split
-    "q214_incr_pq_encode" -> {
-      val (m, subLen) = (8, 8)
-      val joins = (0 until m).map(i => s"JOIN e$i USING (vec_id)")
-        .mkString(" ")
-      val codes = (0 until m).map(i => s"code$i").mkString(", ")
-      val errs = (0 until m).map(i => s"err$i").mkString(" + ")
-      s"""WITH $prepCte,
-        | ${pqChains(m, k = 8, iters = 2, subLen = subLen,
-            trainWhere = "vec_id % 4 < 3", encodeWhere = "vec_id % 4 = 3")}
-        |SELECT n.vec_id, n.label, $codes,
-        | CAST($errs AS BIGINT) AS qerr
-        |FROM n $joins""".stripMargin
-    },
+    "q214_incr_pq_encode" -> incrPqEncodeSql,
+
+    // the streamed-and-merged codes must equal the one-shot frozen-
+    // codebook encode (q214's oracle verbatim — encode is a pure
+    // per-row map, so micro-batch boundaries are invisible)
+    "q294_stream_pq_encode" -> incrPqEncodeSql,
 
     // greedy MMR chain replayed step by step: each pick k is one
     // (max-sim vs selected) agg + one argmax CTE, exactly the Spark
@@ -1512,6 +1541,14 @@ object Vectors {
     // Full-recompute LSH pairs restricted to those touching the 20%
     // batch: the incremental path must find exactly these.
     "q87_incr_embed_dedup" ->
+      s"""WITH $prepCte,
+        | $lshCtes
+        |SELECT ida, idb, cos FROM scored WHERE cos >= 0.35
+        |  AND (ida % 5 = 0 OR idb % 5 = 0)""".stripMargin,
+
+    // the streamed-and-merged pair set must equal the same one-shot
+    // batch-touching recompute (q87's oracle verbatim)
+    "q295_stream_embed_dedup" ->
       s"""WITH $prepCte,
         | $lshCtes
         |SELECT ida, idb, cos FROM scored WHERE cos >= 0.35

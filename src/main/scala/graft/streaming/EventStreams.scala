@@ -620,6 +620,13 @@ object EventStreams {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** embeddings schema as stored (for staging vector deltas as stream
+    * sources). */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
   /** q193: STREAMING near-dup admission — q88's ingest decision
     * maintained from a document stream (exactly the q186 : q94
     * relationship). Seed: the corpus (doc_id % 5 != 0) band index,
@@ -888,6 +895,127 @@ object EventStreams {
         .saveAsTable("graft_q293_bits"),
       chaosKillAfter = chaosKillAfter)
     spark.table("graft_q293_bits").distinct()
+  }
+
+  /** q295: STREAMING embedding near-dup pairs — q87's incremental LSH
+    * dedup maintained from a vector stream (the q193 : q85 cycle on
+    * the embedding modality, closing the last one-shot :
+    * batch-incremental : streaming asymmetry in the tree: q63 : q87 :
+    * q295). The corpus band index + its `_sizes` side table are built
+    * ONCE, bucketed on the band key; each micro-batch then
+    *   (a) probes the persisted corpus index (bucket-aligned — zero
+    *       corpus-side exchange) AND the accumulated bands of earlier
+    *       micro-batches (delta-scale, sizes recomputed from the
+    *       delta-sized table),
+    *   (b) exact-cosine-verifies its candidates and appends the
+    *       verified pairs, and
+    *   (c) appends its own bands so later micro-batches see it.
+    * Pair discovery is symmetric (the x<y split) and idempotent, and
+    * vec_id IS unique, so the read-side dropDuplicates(ida, idb) is
+    * the q193 replay posture. The cap GENUINELY binds one decade up
+    * (16-value LSH buckets grow linearly with the corpus), so every
+    * probe truncates under the same FINAL union sizes the one-shot
+    * recompute uses — computed manifest-lands-first (see the sizes
+    * write below); with that, the union over any micro-batch chopping
+    * equals the one-shot batch-touching pair set EXACTLY — q87's
+    * oracle verbatim, proven at sf0.01 (cap identity) AND sf1 (cap
+    * binding). 100 TB: per-trigger work is batch-sized; the corpus
+    * never re-exchanges; candidate volume stays `nBands × N × cap`. */
+  def streamingEmbedDedupStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 2,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
+    import graft.operators.Similarity
+    val all = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val corpus = all.filter(col("vec_id") % 5 =!= 0)
+    val batch = all.filter(col("vec_id") % 5 === 0)
+    Similarity.writeLshIndex(corpus, "vec_id", "embedding",
+      "graft_lsh_index_q295", nBuckets = 8)
+    graft.sources.Tables.writeTable(
+      Similarity.lshBands(all.limit(0), "vec_id", "embedding"),
+      "graft_q295_batch_bands")
+    graft.sources.Tables.writeTable(
+      Similarity.incrementalLshPairs(all.limit(0),
+        "graft_lsh_index_q295", all, "vec_id", "embedding",
+        threshold = 0.35),
+      "graft_q295_pairs")
+    // manifest-lands-first sizes: the batch's band-size partials are
+    // one narrow count pass over the landed files, computed BEFORE
+    // contents stream and merged with the corpus `_sizes` side table —
+    // so every micro-batch probe truncates under the same FINAL union
+    // sizes the one-shot recompute uses (the capped law's exactness
+    // condition; without this, wherever the cap binds each micro-batch
+    // would under-truncate and emit pairs the one-shot cap drops).
+    graft.sources.Tables.writeTable(
+      spark.table("graft_lsh_index_q295_sizes")
+        .withColumnRenamed("graft_bsz", "graft_csz")
+        .join(Similarity.lshBands(batch, "vec_id", "embedding")
+            .groupBy("band", "bucket").agg(count(lit(1)).as("graft_nsz")),
+          Seq("band", "bucket"), "full_outer")
+        .select(col("band"), col("bucket"),
+          (coalesce(col("graft_csz"), lit(0L)) +
+            coalesce(col("graft_nsz"), lit(0L))).as("graft_bsz")),
+      "graft_q295_union_sizes")
+    runStagedStream(spark, "graft_q295",
+      batch.select("vec_id", "embedding", "label"),
+      embSchema, maxFilesPerTrigger, deltaFiles, onBatch = mb => {
+        val sizes = spark.table("graft_q295_union_sizes")
+        val vsIndex = Similarity.incrementalLshPairs(mb,
+          "graft_lsh_index_q295", all, "vec_id", "embedding",
+          threshold = 0.35, unionSizesOverride = Some(sizes))
+        val vsEarlier = Similarity.incrementalLshPairs(mb,
+          "graft_q295_batch_bands", all, "vec_id", "embedding",
+          threshold = 0.35, unionSizesOverride = Some(sizes))
+        vsIndex.union(vsEarlier).dropDuplicates("ida", "idb")
+          .write.mode("append").format("parquet")
+          .saveAsTable("graft_q295_pairs")
+        Similarity.lshBands(mb, "vec_id", "embedding")
+          .write.mode("append").format("parquet")
+          .saveAsTable("graft_q295_batch_bands")
+        ()
+      }, chaosKillAfter = chaosKillAfter)
+    spark.table("graft_q295_pairs").dropDuplicates("ida", "idb")
+  }
+
+  /** q294: STREAMING PQ encode — q214's frozen-codebook encode
+    * maintained from a vector stream, the last maintainable family's
+    * streaming face (q211 one-shot : q214 batch-incremental : q294
+    * streaming). The codebook is trained ONCE on the history split and
+    * persisted; each micro-batch then encodes ONLY ITS OWN vectors
+    * against the broadcast m·k-row codebook — zero training jobs per
+    * trigger, the history corpus never rescanned (the q86/q85
+    * persisted-index story on the PQ path). Encode is a pure per-row
+    * map under a frozen codebook, so the appended codes are invariant
+    * to the micro-batch chopping and the merged table equals one-shot
+    * q214 row-for-row — same oracle. vec_id IS unique, so the
+    * read-side dropDuplicates(vec_id) is the exact q193 replay
+    * posture. 100 TB: per-trigger work is batch-sized and map-only
+    * (no shuffle at all on the encode path); state is the codebook +
+    * the code table, 8 bytes of codes per vector. */
+  def streamingPqEncodeStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      deltaFiles: Int = 2,
+      chaosKillAfter: Option[Int] = None): DataFrame = {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    Similarity.writePqCodebook(
+      e.filter(pmod(col("vec_id"), lit(4)) < 3), "vec_id", "embedding",
+      m = 8, k = 8, iters = 2, subLen = 8, "graft_pq_codebook_q294")
+    graft.sources.Tables.writeTable(
+      Similarity.pqEncodeAgainst(e.limit(0), "vec_id", "embedding",
+        m = 8, subLen = 8, "graft_pq_codebook_q294", keep = Seq("label")),
+      "graft_q294_codes")
+    runStagedStream(spark, "graft_q294",
+      e.filter(pmod(col("vec_id"), lit(4)) === 3)
+        .select("vec_id", "embedding", "label"),
+      embSchema, maxFilesPerTrigger, deltaFiles,
+      onBatch = mb => Similarity.pqEncodeAgainst(mb, "vec_id",
+          "embedding", m = 8, subLen = 8, "graft_pq_codebook_q294",
+          keep = Seq("label"))
+        .write.mode("append").format("parquet")
+        .saveAsTable("graft_q294_codes"),
+      chaosKillAfter = chaosKillAfter)
+    spark.table("graft_q294_codes").dropDuplicates("vec_id")
   }
 
   /** q273: STREAMING incremental count-min maintenance — the streaming

@@ -580,6 +580,42 @@ class StreamingSpec extends SparkTestBase {
       "restarted bloom stream diverged from the one-shot bit set")
   }
 
+  test("pq-encode stream killed mid-sequence restarts from checkpoint to the one-shot codes") {
+    // q294's frozen-codebook encode through the crash/restart: codes
+    // are a pure per-row map, so the only thing the kill can break is
+    // batch accounting — the merged table must equal one-shot q214
+    // (which retrains the identical deterministic codebook) with no
+    // row lost to the skipped batch and none doubled by a replay.
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "label", "code0", "code1", "code2", "code3",
+        "code4", "code5", "code6", "code7", "qerr")
+      .collect().map(_.toSeq).toSet
+    val merged = canon(EventStreams.streamingPqEncodeStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+      chaosKillAfter = Some(3)))
+    val oneShot = canon(
+      SparkEntry.queries("q214_incr_pq_encode")(spark, sf))
+    assert(merged.nonEmpty)
+    assert(merged == oneShot,
+      "restarted pq-encode stream diverged from one-shot q214")
+  }
+
+  test("embed-dedup stream killed mid-sequence restarts from checkpoint to the one-shot pairs") {
+    // q295's banded-LSH pair lattice through the crash/restart: the
+    // accumulated pair set must equal one-shot q87 (which rebuilds its
+    // own index) even when the stream dies after 3 committed
+    // micro-batches and resumes from the checkpoint.
+    val merged = EventStreams.streamingEmbedDedupStream(
+        spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+        chaosKillAfter = Some(3))
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val oneShot = SparkEntry.queries("q87_incr_embed_dedup")(spark, sf)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(merged.nonEmpty)
+    assert(merged == oneShot,
+      "restarted embed-dedup stream diverged from one-shot q87")
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink")
     val stream = EventStreams.fromDirectory(spark, eventsDir)
