@@ -1617,6 +1617,69 @@ class OperatorSpec extends SparkTestBase {
       "sizes-table fallback diverged from the persisted-sizes result")
   }
 
+  test("micro-batched capped LSH law: union sizes make the chopping invisible") {
+    import spark.implicits._
+    // q295's exactness condition, pinned at spec scale with a BINDING
+    // cap: chop the batch into 3 micro-batches and probe each under
+    // the manifest-lands-first (corpus + WHOLE-batch) union sizes —
+    // the union of per-micro-batch pair sets must equal the capped
+    // one-shot restricted to batch-touching pairs. Without the shared
+    // sizes each micro-batch would truncate under its own smaller
+    // sizes and keep extra rows wherever the cap binds (the q295 sf1
+    // lesson, reproduced here by cap=3).
+    val cap = 3
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val corpus = e.filter($"vec_id" % 5 =!= 0)
+    val batch = e.filter($"vec_id" % 5 === 0)
+    Similarity.writeLshIndex(corpus, "vec_id", "embedding",
+      "graft_lsh_mbspec", nBuckets = 4)
+    val unionSizes = spark.table("graft_lsh_mbspec_sizes")
+      .withColumnRenamed("graft_bsz", "graft_csz")
+      .join(Similarity.lshBands(batch, "vec_id", "embedding")
+          .groupBy("band", "bucket").agg(count(lit(1)).as("graft_nsz")),
+        Seq("band", "bucket"), "full_outer")
+      .select(col("band"), col("bucket"),
+        (coalesce(col("graft_csz"), lit(0L)) +
+          coalesce(col("graft_nsz"), lit(0L))).as("graft_bsz"))
+    // 3 disjoint micro-batches; each probes the corpus index AND the
+    // accumulated earlier micro-batches (as a growing band table),
+    // exactly the stream's cycle
+    sources.Tables.writeTable(
+      Similarity.lshBands(e.limit(0), "vec_id", "embedding"),
+      "graft_mbspec_bands")
+    val mbPairs = (0 until 3).map { i =>
+      val mb = batch.filter($"vec_id" % 3 === i)
+      val vsIndex = Similarity.incrementalLshPairs(mb,
+        "graft_lsh_mbspec", e, "vec_id", "embedding", threshold = -1.0,
+        bucketCap = cap, unionSizesOverride = Some(unionSizes))
+      val vsEarlier = Similarity.incrementalLshPairs(mb,
+        "graft_mbspec_bands", e, "vec_id", "embedding", threshold = -1.0,
+        bucketCap = cap, unionSizesOverride = Some(unionSizes))
+      // materialize THIS micro-batch's probe BEFORE appending its own
+      // bands (the stream's probe-then-append cycle), and refresh the
+      // table relation after the append so the next iteration's probe
+      // sees every earlier batch rather than a stale file listing
+      val pairs = vsIndex.union(vsEarlier).select("ida", "idb")
+        .as[(Long, Long)].collect().toSet
+      Similarity.lshBands(mb, "vec_id", "embedding")
+        .write.mode("append").format("parquet")
+        .saveAsTable("graft_mbspec_bands")
+      spark.catalog.refreshTable("graft_mbspec_bands")
+      pairs
+    }.reduce(_ ++ _)
+    val oneShot = Similarity.lshDupPairs(e, "vec_id", "embedding",
+        threshold = -1.0, bucketCap = cap)
+      .filter($"ida" % 5 === 0 || $"idb" % 5 === 0)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(mbPairs == oneShot,
+      "micro-batched capped probes diverged from the capped one-shot")
+    // the cap is ACTIVE on this data — otherwise the law is vacuous
+    val openCount = Similarity.lshDupPairs(e, "vec_id", "embedding",
+      threshold = -1.0, bucketCap = Int.MaxValue).count()
+    assert(oneShot.size < openCount,
+      "cap=3 must truncate at spec scale for this law to bite")
+  }
+
   test("bucket-cap keep rule is id-distribution and divisor-structure independent") {
     import spark.implicits._
     // The r9 ADVICE scenario: every id ≡ 0 (mod 5) in one degenerate
