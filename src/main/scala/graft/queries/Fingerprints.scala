@@ -60,7 +60,31 @@ object Fingerprints {
     // micro-batches (boundary independence spec-proved). Same oracle
     // as q207 — the merge is exact, not approximate.
     "q210_stream_manifest" -> ((s, d) =>
-      graft.streaming.EventStreams.manifestStream(s, d))
+      graft.streaming.EventStreams.manifestStream(s, d)),
+
+    // ---- q296: INCREMENTAL shard-manifest maintenance ----
+    // The batch-incremental face between q207 (one-shot) and q210
+    // (streaming), closing the manifest row of the lattice table:
+    // history partials (doc_id % 4 < 3) land once, the delta appends
+    // only ITS per-shard partials, and the query-time merge (SUM of
+    // counts and fp sums, XOR of fp xors — both associative) equals
+    // the one-shot manifest EXACTLY, so q207's oracle gates this
+    // verbatim. Shards span batches (shard = doc_id DIV 50 is
+    // independent of the % 4 split), so the merge is genuinely
+    // cross-batch, not a concatenation. 100 TB: the delta append
+    // scans only itself; state is one partial row per (batch, shard).
+    "q296_incr_manifest" -> ((s, d) => {
+      val all = docs(s, d).withColumn("b", pmod(col("doc_id"), lit(4)))
+      graft.sources.Tables.writeTable(
+        manifest(all.filter(col("b") < 3)), "graft_q296_manifest")
+      manifest(all.filter(col("b") === 3))
+        .write.mode("append").format("parquet")
+        .saveAsTable("graft_q296_manifest")
+      s.table("graft_q296_manifest")
+        .groupBy("shard")
+        .agg(sum("n_rows").as("n_rows"), sum("fp_sum").as("fp_sum"),
+          expr("bit_xor(fp_xor)").as("fp_xor"))
+    })
   )
 
   /** Shard manifest of a documents frame — extracted so the spec can
@@ -116,6 +140,19 @@ object Fingerprints {
     // the streamed partial-merge is exact, so the one-shot manifest
     // oracle gates it verbatim
     "q210_stream_manifest" ->
+      s"""WITH r AS (SELECT doc_id // 50 AS shard,
+        |   MD5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang,
+        |     source, CAST(n_chars AS VARCHAR))) AS h
+        |  FROM documents),
+        | v AS (SELECT shard,
+        |   ${graft.functions.TextExpr.hexIntDuck("h", 12)} AS h FROM r)
+        |SELECT shard, count(*) AS n_rows,
+        | CAST(SUM(h) AS BIGINT) AS fp_sum, bit_xor(h) AS fp_xor
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // incremental == one-shot on the SUM/XOR manifest lattice, so
+    // q207's oracle gates the persisted-partials path verbatim
+    "q296_incr_manifest" ->
       s"""WITH r AS (SELECT doc_id // 50 AS shard,
         |   MD5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang,
         |     source, CAST(n_chars AS VARCHAR))) AS h
