@@ -166,6 +166,39 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("Bloom bits set-union merge to the one-shot bit set for any split") {
+    // the q292/q293 maintenance law (the idempotent twin of the CMS
+    // law above): per-part bit sets over ANY disjoint partitioning
+    // distinct-merge to the one-shot bit set — and unlike SUM cells,
+    // OVERLAPPING parts must merge to the same answer too (set union
+    // is idempotent), which is exactly what makes replayed Bloom
+    // batches harmless where replayed CMS batches are not.
+    import graft.operators.Sketches
+    val (k, m) = (3, 1 << 18)
+    val docs = sources.Tables.read(spark, sf, "documents")
+      .withColumn("fp", expr(graft.functions.TextExpr.fingerprintSpark(
+        graft.functions.TextExpr.toksSpark("text"))))
+    val whole = Sketches.bloomBuild(docs, "fp", k, m)
+    for (p <- Seq(2, 4)) {
+      val merged = (0 until p)
+        .map(r => Sketches.bloomBuild(
+          docs.filter(pmod($"doc_id", lit(p)) === r), "fp", k, m))
+        .reduce(_ unionAll _).distinct()
+      assert(whole.exceptAll(merged).count() == 0 &&
+        merged.exceptAll(whole).count() == 0,
+        s"$p-way bloom bit merge diverged from one-shot")
+    }
+    // idempotence under replay: part 0 merged TWICE still equals the
+    // one-shot set
+    val replayed = (Seq(0, 0) ++ (1 until 4))
+      .map(r => Sketches.bloomBuild(
+        docs.filter(pmod($"doc_id", lit(4)) === r), "fp", k, m))
+      .reduce(_ unionAll _).distinct()
+    assert(whole.exceptAll(replayed).count() == 0 &&
+      replayed.exceptAll(whole).count() == 0,
+      "replayed bloom batch changed the merged bit set")
+  }
+
   test("market segmentation laws: ABC partitions, Gini bounds, RFM terciles") {
     // q227/q231/q232 share customer-revenue grain; their invariants
     // hold per market by construction and must survive any replan:
