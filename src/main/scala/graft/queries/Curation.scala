@@ -1162,42 +1162,78 @@ object Curation {
     // anywhere except the per-doc aggregate, and the confusion matrix
     // is |langs|²-bounded. Docs whose text tokenizes to nothing score
     // no rows and fall out in BOTH engines (documented, not hidden).
-    "q274_naive_bayes" -> ((s, d) => {
-      val dd = docs(s, d)
-      val train = dd.filter(col("doc_id") % 5 =!= 0)
-      val test = dd.filter(col("doc_id") % 5 === 0)
-      val trTok = train.select(col("lang"), explode(expr(toksNat)).as("tok"))
-      val tokc = trTok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-      val labt = tokc.groupBy("lang").agg(sum("c").as("tot"))
-      val vsz = trTok.agg(countDistinct("tok").as("v"))
-      val priorBits = train.groupBy("lang").agg(count(lit(1)).as("nd"))
-        .crossJoin(train.agg(count(lit(1)).as("ndt")))
-        .withColumn("prior_ppm", expr("nd * 1000000 DIV ndt"))
-        .select(col("lang"),
-          expr(log2CaseOn("prior_ppm")).cast("long").as("pl2"))
-      val teTok = test.select(col("doc_id"), col("lang").as("label"),
-        explode(expr(toksNat)).as("tok"))
-      // tokc is the full (lang, tok) count table — vocabulary × |langs|
-      // sized, which grows with the corpus under Heaps' law, so it gets
-      // NO broadcast hint: AQE broadcasts it while it is small and falls
-      // back to a shuffle join on (lang, tok) when it is not. Only the
-      // |langs|-row header (labt × vsz) and priors stay force-broadcast.
-      teTok
-        .crossJoin(broadcast(labt.crossJoin(vsz)))
-        .join(tokc, Seq("lang", "tok"), "left")
-        .withColumn("p_ppm",
-          expr("(coalesce(c, 0) + 1) * 1000000 DIV (tot + v)"))
-        .withColumn("l2", expr(Log2Case))
-        .groupBy("doc_id", "label", "lang")
-        .agg(sum("l2").as("tok_bits"))
-        .join(broadcast(priorBits), "lang")
-        .withColumn("score", col("tok_bits") + col("pl2"))
+    "q274_naive_bayes" -> ((s, d) =>
+      nbScores(s, d)
         .groupBy("doc_id", "label")
         .agg(min(struct((-col("score")).as("ns"), col("lang"))).as("w"))
         .select(col("label"), col("w.lang").as("pred"))
-        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))),
+
+    // ---- q297: NB confidence-margin calibration curve ----
+    // The audit a classifier-based quality/language filter needs
+    // before its scores gate data at 100 TB: is the model's CONFIDENCE
+    // meaningful? Confidence proxy = the bit margin between the best
+    // and second-best class score per document (exact longs from
+    // q274's chain — no new model); docs bucket by margin DIV 4
+    // (capped at 10) and each bucket reports its accuracy in exact
+    // ppm. A calibrated model shows accuracy rising with margin, and a
+    // threshold picked off this curve has a known accept/reject error
+    // rate. Scale shape: q274's scoring chain verbatim (no corpus-side
+    // shuffle beyond the per-doc aggregate), one more
+    // doc_id-partitioned rank-2 window over the |langs|-bounded score
+    // rows, and an 11-row output.
+    "q297_nb_calibration" -> ((s, d) => {
+      val ranked = nbScores(s, d)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id")
+            .orderBy(col("score").desc, col("lang"))))
+        .filter(col("r") <= 2)
+      ranked.groupBy("doc_id", "label")
+        .agg(max(when(col("r") === 1, col("lang"))).as("pred"),
+          max(when(col("r") === 1, col("score"))).as("s1"),
+          max(when(col("r") === 2, col("score"))).as("s2"))
+        .withColumn("bucket", least(expr("(s1 - s2) DIV 4"), lit(10L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)" +
+            " * 1000000 DIV COUNT(*)").as("acc_ppm"))
     })
   )
+
+  /** q274's per-(doc, label, lang) score table — shared with q297 so
+    * the classifier and its calibration audit cannot drift apart.
+    * tokc is the full (lang, tok) count table — vocabulary × |langs|
+    * sized, which grows with the corpus under Heaps' law, so it gets
+    * NO broadcast hint: AQE broadcasts it while it is small and falls
+    * back to a shuffle join on (lang, tok) when it is not. Only the
+    * |langs|-row header (labt × vsz) and priors stay force-broadcast. */
+  private def nbScores(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val train = dd.filter(col("doc_id") % 5 =!= 0)
+    val test = dd.filter(col("doc_id") % 5 === 0)
+    val trTok = train.select(col("lang"), explode(expr(toksNat)).as("tok"))
+    val tokc = trTok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val labt = tokc.groupBy("lang").agg(sum("c").as("tot"))
+    val vsz = trTok.agg(countDistinct("tok").as("v"))
+    val priorBits = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(train.agg(count(lit(1)).as("ndt")))
+      .withColumn("prior_ppm", expr("nd * 1000000 DIV ndt"))
+      .select(col("lang"),
+        expr(log2CaseOn("prior_ppm")).cast("long").as("pl2"))
+    val teTok = test.select(col("doc_id"), col("lang").as("label"),
+      explode(expr(toksNat)).as("tok"))
+    teTok
+      .crossJoin(broadcast(labt.crossJoin(vsz)))
+      .join(tokc, Seq("lang", "tok"), "left")
+      .withColumn("p_ppm",
+        expr("(coalesce(c, 0) + 1) * 1000000 DIV (tot + v)"))
+      .withColumn("l2", expr(Log2Case))
+      .groupBy("doc_id", "label", "lang")
+      .agg(sum("l2").as("tok_bits"))
+      .join(broadcast(priorBits), "lang")
+      .withColumn("score", col("tok_bits") + col("pl2"))
+  }
 
   /** q270's merge-count: rounds of training (small constant — the cost
     * model is K vocab-bounded rounds, so K scales freely). */
@@ -1837,40 +1873,63 @@ object Curation {
         |WHERE c.c_ab >= 3""".stripMargin,
 
     "q274_naive_bayes" ->
-      s"""WITH tr AS (SELECT lang, unnest(${toksDuck("text")}) AS tok
-        |   FROM documents WHERE doc_id % 5 <> 0),
-        | tokc AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY 1, 2),
-        | labt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM tokc
-        |  GROUP BY 1),
-        | vs AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tr),
-        | pri AS (SELECT lang, count(*) AS nd FROM documents
-        |  WHERE doc_id % 5 <> 0 GROUP BY 1),
-        | nt AS (SELECT count(*) AS ndt FROM documents
-        |  WHERE doc_id % 5 <> 0),
-        | prip AS (SELECT lang, (nd * 1000000) // ndt AS prior_ppm
-        |  FROM pri CROSS JOIN nt),
-        | prib AS (SELECT lang,
-        |   CAST(${log2CaseOn("prior_ppm")} AS BIGINT) AS pl2 FROM prip),
-        | te AS (SELECT doc_id, lang AS label,
-        |   unnest(${toksDuck("text")}) AS tok
-        |  FROM documents WHERE doc_id % 5 = 0),
-        | lv AS (SELECT labt.lang, labt.tot, vs.v FROM labt CROSS JOIN vs),
-        | cand AS (SELECT te.doc_id, te.label, l.lang,
-        |   ((coalesce(tc.c, 0) + 1) * 1000000) // (l.tot + l.v) AS p_ppm
-        |  FROM te CROSS JOIN lv l
-        |  LEFT JOIN tokc tc ON tc.lang = l.lang AND tc.tok = te.tok),
-        | sc AS (SELECT doc_id, label, lang,
-        |   CAST(SUM(${log2CaseOn("p_ppm")}) AS BIGINT) AS tok_bits
-        |  FROM cand GROUP BY 1, 2, 3),
-        | fin AS (SELECT sc.doc_id, sc.label, sc.lang,
-        |   sc.tok_bits + prib.pl2 AS score
-        |  FROM sc JOIN prib USING (lang)),
+      s"""WITH $nbScoreCtes,
         | best AS (SELECT doc_id, label, lang AS pred,
         |   ROW_NUMBER() OVER (PARTITION BY doc_id
         |     ORDER BY score DESC, lang) AS rk FROM fin)
         |SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin
+        |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+
+    // calibration curve replayed on the identical score chain: rank-2
+    // margins, DIV-4 buckets capped at 10, accuracy in exact ppm
+    "q297_nb_calibration" ->
+      s"""WITH $nbScoreCtes,
+        | rk AS (SELECT doc_id, label, lang, score,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id
+        |     ORDER BY score DESC, lang) AS r FROM fin),
+        | b AS (SELECT doc_id, label,
+        |   max(CASE WHEN r = 1 THEN lang END) AS pred,
+        |   max(CASE WHEN r = 1 THEN score END) AS s1,
+        |   max(CASE WHEN r = 2 THEN score END) AS s2
+        |  FROM rk WHERE r <= 2 GROUP BY 1, 2)
+        |SELECT LEAST((s1 - s2) // 4, 10) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+        |   * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+        |FROM b GROUP BY 1""".stripMargin
   )
+
+  /** q274's score chain as DuckDB CTEs, ending at `fin`(doc_id, label,
+    * lang, score) — shared with q297's calibration replay. */
+  private lazy val nbScoreCtes: String =
+    s"""tr AS (SELECT lang, unnest(${toksDuck("text")}) AS tok
+      |   FROM documents WHERE doc_id % 5 <> 0),
+      | tokc AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+      | labt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM tokc
+      |  GROUP BY 1),
+      | vs AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tr),
+      | pri AS (SELECT lang, count(*) AS nd FROM documents
+      |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+      | nt AS (SELECT count(*) AS ndt FROM documents
+      |  WHERE doc_id % 5 <> 0),
+      | prip AS (SELECT lang, (nd * 1000000) // ndt AS prior_ppm
+      |  FROM pri CROSS JOIN nt),
+      | prib AS (SELECT lang,
+      |   CAST(${log2CaseOn("prior_ppm")} AS BIGINT) AS pl2 FROM prip),
+      | te AS (SELECT doc_id, lang AS label,
+      |   unnest(${toksDuck("text")}) AS tok
+      |  FROM documents WHERE doc_id % 5 = 0),
+      | lv AS (SELECT labt.lang, labt.tot, vs.v FROM labt CROSS JOIN vs),
+      | cand AS (SELECT te.doc_id, te.label, l.lang,
+      |   ((coalesce(tc.c, 0) + 1) * 1000000) // (l.tot + l.v) AS p_ppm
+      |  FROM te CROSS JOIN lv l
+      |  LEFT JOIN tokc tc ON tc.lang = l.lang AND tc.tok = te.tok),
+      | sc AS (SELECT doc_id, label, lang,
+      |   CAST(SUM(${log2CaseOn("p_ppm")}) AS BIGINT) AS tok_bits
+      |  FROM cand GROUP BY 1, 2, 3),
+      | fin AS (SELECT sc.doc_id, sc.label, sc.lang,
+      |   sc.tok_bits + prib.pl2 AS score
+      |  FROM sc JOIN prib USING (lang))""".stripMargin
 
   /** q270's oracle: the K training rounds as chained MATERIALIZED CTE
     * stages. Stage r counts adjacent-piece concatenations over the
