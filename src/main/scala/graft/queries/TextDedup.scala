@@ -16,11 +16,12 @@ object TextDedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
-  /** Per-source raw vs dedup-surviving token counts — q281's core,
-    * shared with q283 so the two views of the budget cannot drift.
-    * Survivors are q145's canonical rule (longest n_chars, ties to the
-    * smaller id) over q60's LSH-bounded clusters. */
-  private def dedupBudget(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc dedup keep decision — q145's canonical rule (longest
+    * n_chars, ties to the smaller id) over q60's LSH-bounded clusters:
+    * (doc_id, source, n_toks, keep). Shared by q281/q283 (budgets)
+    * and q298 (diversity) so every view of the decision is the same
+    * decision. */
+  private def dedupKeeps(s: SparkSession, d: String): DataFrame = {
     val clusters = Dedup.dupClusters(
       Dedup.minhashPairs(docs(s, d), "doc_id", "text",
         k = 8, rows = 2, threshold = 0.5))
@@ -35,13 +36,19 @@ object TextDedup {
       .select(col("cl"), (-col("w.nid")).as("keep_id"))
     assigned.join(best, "cl")
       .withColumn("keep", col("doc_id") === col("keep_id"))
+      .select("doc_id", "source", "n_toks", "keep")
+  }
+
+  /** Per-source raw vs dedup-surviving token counts — q281's core,
+    * shared with q283 so the two views of the budget cannot drift. */
+  private def dedupBudget(s: SparkSession, d: String): DataFrame =
+    dedupKeeps(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum("n_toks").as("toks_raw"),
         sum(when(col("keep"), col("n_toks")).otherwise(0L))
           .as("toks_kept"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -179,6 +186,32 @@ object TextDedup {
     // join, the per-cluster 1-row argmax (map-side partial, no
     // window), and a |sources|-row aggregate — nothing new grows
     // faster than the corpus scan.
+    // ---- q298: dedup's effect on n-gram diversity ----
+    // The counterpart measurement to q281's token tax: dedup removes
+    // tokens roughly in proportion to the dup rate, but how much
+    // DISTINCT content does it cost? Per source, count distinct token
+    // 3-grams over all docs vs over q145-canonical survivors only (a
+    // gram survives iff ANY kept doc of that source carries it) and
+    // report the retained share in exact ppm — the justification
+    // number for dedup ("near-dups carry the same grams, so diversity
+    // survives") made measurable, per source. Scale shape: one fused
+    // gram explode joined to the narrow per-doc keep table on doc_id,
+    // one (source, gram)-keyed aggregate with map-side partials, one
+    // |sources|-row rollup — no self-joins, nothing quadratic.
+    "q298_dedup_diversity" -> ((s, d) => {
+      graft.functions.TextNative.register(s)
+      val grams = docs(s, d).select(col("doc_id"),
+        explode(expr("graft_ngrams(text, 3)")).as("g"))
+      grams.join(dedupKeeps(s, d).select("doc_id", "source", "keep"),
+          "doc_id")
+        .groupBy("source", "g")
+        .agg(max(when(col("keep"), 1L).otherwise(0L)).as("kept_g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("grams_raw"),
+          sum("kept_g").as("grams_kept"),
+          expr("SUM(kept_g) * 1000000 DIV COUNT(*)").as("retained_ppm"))
+    }),
+
     "q281_dedup_token_budget" -> ((s, d) =>
       dedupBudget(s, d).withColumn("dup_tok_ppm",
         expr("(toks_raw - toks_kept) * 1000000 DIV toks_raw"))),
@@ -740,6 +773,25 @@ object TextDedup {
         |FROM x GROUP BY rlo, rhi""".stripMargin,
 
     // q145's cluster + keep CTEs, rolled up to per-source token budgets
+    // the identical keep decision replayed, then gram distinctness per
+    // source over all docs vs survivors (a gram survives iff ANY kept
+    // doc carries it)
+    "q298_dedup_diversity" ->
+      s"""WITH RECURSIVE $dedupBudgetCtes,
+        | keeps AS (SELECT asg.doc_id, asg.source,
+        |   CASE WHEN asg.doc_id = best.keep_id THEN 1 ELSE 0 END AS keep
+        |  FROM asg JOIN best USING (cl)),
+        | g3 AS (SELECT doc_id,
+        |   unnest(${ngramsDuck(s"(${toksDuck("text")})", 3)}) AS g
+        |  FROM documents),
+        | gr AS (SELECT k.source, g3.g, MAX(k.keep) AS kept_g
+        |  FROM g3 JOIN keeps k USING (doc_id) GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS grams_raw,
+        | CAST(SUM(kept_g) AS BIGINT) AS grams_kept,
+        | CAST(SUM(kept_g) * 1000000 // count(*) AS BIGINT)
+        |   AS retained_ppm
+        |FROM gr GROUP BY 1""".stripMargin,
+
     "q281_dedup_token_budget" ->
       s"""WITH RECURSIVE $dedupBudgetCtes
         |SELECT source, n_docs, n_kept, toks_raw, toks_kept,
