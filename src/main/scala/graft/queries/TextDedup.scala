@@ -102,6 +102,28 @@ object TextDedup {
     "q35_token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text")),
 
+    // ---- q299: stored-label vs detector agreement audit ----
+    // Labeled corpora lie: the per-(source, label) agreement between
+    // the stored `lang` column and q34's n-gram detector, in exact
+    // ppm — low agreement on one source flags mislabeled ingestion;
+    // uniformly-low agreement on one LABEL (zh here, which the 4-list
+    // detector cannot emit) flags a detector coverage gap rather than
+    // bad labels. Both failure modes surface in the same 20-row
+    // report. Scale shape: q34's fused per-doc pass, one doc_id join
+    // to the narrow label projection, one (source, lang) aggregate.
+    "q299_lang_agreement" -> ((s, d) => {
+      val pred = TextAnalysis.langId(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"))
+      docs(s, d).select("doc_id", "source", "lang")
+        .join(pred, "doc_id")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+            .as("n_agree"),
+          expr("SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)" +
+            " * 1000000 DIV COUNT(*)").as("agree_ppm"))
+    }),
+
     "q36_fingerprint" -> ((s, d) =>
       Dedup.fingerprint(docs(s, d), "doc_id", "text")),
 
@@ -689,6 +711,21 @@ object TextDedup {
         |SELECT doc_id, c_en, c_es, c_de, c_fr,
         | $langPick AS pred_lang
         |FROM u""".stripMargin,
+
+    // q34's detector replayed, agreement vs the stored label per
+    // (source, label)
+    "q299_lang_agreement" ->
+      s"""WITH $toksCte,
+        | u AS (SELECT doc_id,
+        |${langWords.map { case (l, ws) => s"   ${hitCountDuck("t", ws)} AS c_$l" }.mkString(",\n")}
+        |  FROM toks),
+        | p AS (SELECT doc_id, $langPick AS pred_lang FROM u)
+        |SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_agree,
+        | CAST(SUM(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END)
+        |   * 1000000 // count(*) AS BIGINT) AS agree_ppm
+        |FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2""".stripMargin,
 
     "q35_token_count" ->
       s"""WITH $toksCte
