@@ -526,7 +526,46 @@ object TextDedup {
     // tells you which rule rejects what (see TextAnalysis.gopherRules
     // for the rule list and the scan-speed/one-join plan shape).
     "q218_gopher_rules" -> ((s, d) =>
-      TextAnalysis.gopherRules(docs(s, d), "doc_id", "text"))
+      TextAnalysis.gopherRules(docs(s, d), "doc_id", "text")),
+
+    // ---- q300: the per-source curation funnel ----
+    // The one report a pipeline owner reads: per source, document and
+    // token attrition through the three standing gates — q218's Gopher
+    // quality rules, q37's exact-fingerprint canonicalization, and
+    // q145's near-dup canonical rule — composed as successive
+    // intersections of the corpus-wide stage decisions (exactly the
+    // decisions the standalone gates emit, so every stage is already
+    // individually oracle-proven; this query proves their
+    // COMPOSITION). survive_ppm is the end-to-end token survival rate
+    // the mixture planner (q170/q283) actually needs per source.
+    // Scale shape: three narrow per-doc decision tables joined on
+    // doc_id (each gate's own plan shape is unchanged), one
+    // |sources|-row aggregate; conjunctions are int products inside
+    // the agg — no new shuffles beyond the gates' own.
+    "q300_curation_funnel" -> ((s, d) => {
+      val dd = docs(s, d)
+      val q = TextAnalysis.gopherRules(dd, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("kq"))
+      val fp = Dedup.fingerprint(dd, "doc_id", "text")
+      val ke = fp.join(
+          fp.groupBy("fp").agg(min("doc_id").as("canon")), "fp")
+        .select(col("doc_id"),
+          (col("doc_id") === col("canon")).cast("int").as("ke"))
+      val kn = dedupKeeps(s, d)
+        .select(col("doc_id"), col("n_toks"),
+          col("keep").cast("int").as("kn"))
+      dd.select("doc_id", "source")
+        .join(q, "doc_id").join(ke, "doc_id").join(kn, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum("n_toks").as("toks_raw"),
+          sum("kq").as("n_q"),
+          sum(expr("kq * ke")).as("n_qe"),
+          sum(expr("kq * ke * kn")).as("n_qen"),
+          sum(expr("n_toks * kq * ke * kn")).as("toks_kept"),
+          expr("SUM(n_toks * kq * ke * kn) * 1000000" +
+            " DIV GREATEST(SUM(n_toks), 1)").as("survive_ppm"))
+    })
   )
 
   /** md5-range split rank of an id expression (90/5/5 train/valid/
@@ -1120,6 +1159,52 @@ object TextDedup {
         | $bandCtes
         |$rows""".stripMargin
     },
+
+    // the three stage decisions replayed from their own shared CTE
+    // chains (near-dup keep = dedupBudget's asg/best, quality = q218's
+    // rule conjunction, exact = fingerprint first-owner) and composed
+    // by the identical int-product conjunctions
+    "q300_curation_funnel" ->
+      s"""WITH RECURSIVE $dedupBudgetCtes,
+        | qn AS (SELECT doc_id, len(t) AS n_toks,
+        |   ${tokCharsDuck("t")} AS tok_chars,
+        |   len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |   ${hitCountDuck("list_distinct(t)", langWords.toMap.apply("en"))} AS n_stop_d,
+        |   t FROM toks),
+        | qg AS (SELECT doc_id, CASE WHEN len(t) >= 2
+        |    THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+        |    ELSE [] END AS grams FROM toks),
+        | qf AS (SELECT doc_id, unnest(grams) AS gram FROM qg),
+        | qc AS (SELECT doc_id, gram, COUNT(*) AS c FROM qf GROUP BY 1, 2),
+        | qa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |    CAST(MAX(c) AS BIGINT) AS max_gram FROM qc GROUP BY doc_id),
+        | kqt AS (SELECT qn.doc_id,
+        |   CAST(n_toks >= 20 AND n_toks <= 1000 AS INT)
+        |   * CAST(n_toks > 0 AND tok_chars * 10 >= n_toks * 30
+        |     AND tok_chars * 10 <= n_toks * 100 AS INT)
+        |   * CAST(n_toks > 0 AND n_alpha * 10 >= n_toks * 8 AS INT)
+        |   * CAST(n_stop_d >= 1 AS INT)
+        |   * CAST(COALESCE(qa.max_gram, 0) * 5
+        |     <= GREATEST(COALESCE(qa.n_grams, 0), 1) AS INT) AS kq
+        |  FROM qn LEFT JOIN qa USING (doc_id)),
+        | fpc AS (SELECT doc_id, ${fingerprintDuck("t")} AS fp FROM toks),
+        | kec AS (SELECT doc_id,
+        |   CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+        |     THEN 1 ELSE 0 END AS ke FROM fpc),
+        | knc AS (SELECT asg.doc_id, asg.source, asg.n_toks,
+        |   CASE WHEN asg.doc_id = best.keep_id THEN 1 ELSE 0 END AS kn
+        |  FROM asg JOIN best USING (cl))
+        |SELECT knc.source, CAST(count(*) AS BIGINT) AS n_raw,
+        | CAST(SUM(knc.n_toks) AS BIGINT) AS toks_raw,
+        | CAST(SUM(kqt.kq) AS BIGINT) AS n_q,
+        | CAST(SUM(kqt.kq * kec.ke) AS BIGINT) AS n_qe,
+        | CAST(SUM(kqt.kq * kec.ke * knc.kn) AS BIGINT) AS n_qen,
+        | CAST(SUM(knc.n_toks * kqt.kq * kec.ke * knc.kn) AS BIGINT)
+        |   AS toks_kept,
+        | CAST(SUM(knc.n_toks * kqt.kq * kec.ke * knc.kn) * 1000000
+        |   // GREATEST(SUM(knc.n_toks), 1) AS BIGINT) AS survive_ppm
+        |FROM knc JOIN kqt USING (doc_id) JOIN kec USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     "q218_gopher_rules" ->
       s"""WITH $toksCte,
