@@ -48,6 +48,7 @@ object ExplainAudit {
         "q269_bpe_doc_tokens" -> "BNLJ broadcasts the 1-row merge array onto the vocab table (by design, as q268)",
         "q271_kneser_ney" -> "BNLJ broadcasts the 1-row bigram-type-count aggregate (by design, as q80)",
         "q274_naive_bayes" -> "BNLJ broadcasts the |langs|-row (tot, v) model header + 1-row doc total (by design, as q129/q80)",
+        "q297_nb_calibration" -> "q274's score chain verbatim (shared nbScores helper): the same |langs|-row header + 1-row total cross-broadcast",
         "q275_apriori_triples" -> "BNLJ broadcasts the 1-row basket-count aggregate (by design, as q230/q144)",
         "q282_tokenizer_fertility" -> "BNLJ broadcasts the 1-row merge array onto the vocab table (by design, as q268/q269)",
         "q283_epoch_plan" -> "BNLJ broadcasts the 1-row (isq_tot, B) budget aggregate onto the |sources|-row table (by design, as q170)",
