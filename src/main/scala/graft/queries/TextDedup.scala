@@ -565,6 +565,53 @@ object TextDedup {
           sum(expr("n_toks * kq * ke * kn")).as("toks_kept"),
           expr("SUM(n_toks * kq * ke * kn) * 1000000" +
             " DIV GREATEST(SUM(n_toks), 1)").as("survive_ppm"))
+    }),
+
+    // ---- q301: funnel stage-order sensitivity ----
+    // The pipeline design decision q300 cannot see: when the near-dup
+    // CANONICAL is chosen before quality filtering (dedup→quality), a
+    // cluster whose longest member fails the quality gate loses the
+    // whole cluster; choosing the canonical AMONG quality survivors
+    // (quality→dedup) rescues it by keeping the best passing member.
+    // Per source: surviving tokens under both orders, each as exact
+    // ppm of raw — the measured answer to "filter before dedup?". The
+    // two orders share every ingredient (q60 clusters, q145 tie rule,
+    // q218 quality), so the delta isolates ordering alone. Scale
+    // shape: one extra per-cluster argmax over the quality-filtered
+    // assignment — same key, same plan family as the global argmax.
+    "q301_funnel_order" -> ((s, d) => {
+      val dd = docs(s, d)
+      val kq = TextAnalysis.gopherRules(dd, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("kq"))
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashPairs(dd, "doc_id", "text",
+          k = 8, rows = 2, threshold = 0.5))
+      val assigned = TextAnalysis.withTokens(dd, "text")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(col("toks")).cast("long").as("n_toks"))
+        .join(clusters.withColumnRenamed("canonical", "cl0"),
+          Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("cl0"), col("doc_id")))
+        .join(kq, "doc_id")
+      def argmax(df: DataFrame, out: String) = df.groupBy("cl")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("w"))
+        .select(col("cl"), (-col("w.nid")).as(out))
+      assigned
+        .join(argmax(assigned, "keep_g"), "cl")
+        .join(argmax(assigned.filter(col("kq") === 1), "keep_q"),
+          Seq("cl"), "left")
+        .groupBy("source")
+        .agg(sum("n_toks").as("toks_raw"),
+          sum(expr("n_toks * kq * CAST(doc_id = keep_g AS INT)"))
+            .as("toks_dedup_then_q"),
+          sum(when(col("doc_id") === col("keep_q"), col("n_toks"))
+            .otherwise(0L)).as("toks_q_then_dedup"),
+          expr("SUM(n_toks * kq * CAST(doc_id = keep_g AS INT))" +
+            " * 1000000 DIV GREATEST(SUM(n_toks), 1)")
+            .as("ppm_dedup_then_q"),
+          expr("SUM(CASE WHEN doc_id = keep_q THEN n_toks ELSE 0 END)" +
+            " * 1000000 DIV GREATEST(SUM(n_toks), 1)")
+            .as("ppm_q_then_dedup"))
     })
   )
 
@@ -638,6 +685,32 @@ object TextDedup {
       |  FROM bands b JOIN bsz USING (bi, bv)
       |  WHERE ${graft.operators.BucketCap.keepDuck(
                   "b.doc_id", "bsz.bn", mhCap)})""".stripMargin
+
+  /** q218's per-doc quality decision as DuckDB CTEs ending at
+    * `kqt`(doc_id, kq) — expects `toks` in scope (any chain built on
+    * toksCte); shared by q300/q301. */
+  private lazy val gopherKeepCtes: String =
+    s"""qn AS (SELECT doc_id, len(t) AS n_toks,
+      |   ${tokCharsDuck("t")} AS tok_chars,
+      |   len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+      |   ${hitCountDuck("list_distinct(t)", langWords.toMap.apply("en"))} AS n_stop_d,
+      |   t FROM toks),
+      | qg AS (SELECT doc_id, CASE WHEN len(t) >= 2
+      |    THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+      |    ELSE [] END AS grams FROM toks),
+      | qf AS (SELECT doc_id, unnest(grams) AS gram FROM qg),
+      | qc AS (SELECT doc_id, gram, COUNT(*) AS c FROM qf GROUP BY 1, 2),
+      | qa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |    CAST(MAX(c) AS BIGINT) AS max_gram FROM qc GROUP BY doc_id),
+      | kqt AS (SELECT qn.doc_id,
+      |   CAST(n_toks >= 20 AND n_toks <= 1000 AS INT)
+      |   * CAST(n_toks > 0 AND tok_chars * 10 >= n_toks * 30
+      |     AND tok_chars * 10 <= n_toks * 100 AS INT)
+      |   * CAST(n_toks > 0 AND n_alpha * 10 >= n_toks * 8 AS INT)
+      |   * CAST(n_stop_d >= 1 AS INT)
+      |   * CAST(COALESCE(qa.max_gram, 0) * 5
+      |     <= GREATEST(COALESCE(qa.n_grams, 0), 1) AS INT) AS kq
+      |  FROM qn LEFT JOIN qa USING (doc_id))""".stripMargin
 
   /** DuckDB twin of dedupBudget (ends at `g`: per-source n_docs/n_kept/
     * toks_raw/toks_kept), shared by q281/q283. Needs WITH RECURSIVE. */
@@ -1166,27 +1239,7 @@ object TextDedup {
     // by the identical int-product conjunctions
     "q300_curation_funnel" ->
       s"""WITH RECURSIVE $dedupBudgetCtes,
-        | qn AS (SELECT doc_id, len(t) AS n_toks,
-        |   ${tokCharsDuck("t")} AS tok_chars,
-        |   len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-        |   ${hitCountDuck("list_distinct(t)", langWords.toMap.apply("en"))} AS n_stop_d,
-        |   t FROM toks),
-        | qg AS (SELECT doc_id, CASE WHEN len(t) >= 2
-        |    THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
-        |    ELSE [] END AS grams FROM toks),
-        | qf AS (SELECT doc_id, unnest(grams) AS gram FROM qg),
-        | qc AS (SELECT doc_id, gram, COUNT(*) AS c FROM qf GROUP BY 1, 2),
-        | qa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
-        |    CAST(MAX(c) AS BIGINT) AS max_gram FROM qc GROUP BY doc_id),
-        | kqt AS (SELECT qn.doc_id,
-        |   CAST(n_toks >= 20 AND n_toks <= 1000 AS INT)
-        |   * CAST(n_toks > 0 AND tok_chars * 10 >= n_toks * 30
-        |     AND tok_chars * 10 <= n_toks * 100 AS INT)
-        |   * CAST(n_toks > 0 AND n_alpha * 10 >= n_toks * 8 AS INT)
-        |   * CAST(n_stop_d >= 1 AS INT)
-        |   * CAST(COALESCE(qa.max_gram, 0) * 5
-        |     <= GREATEST(COALESCE(qa.n_grams, 0), 1) AS INT) AS kq
-        |  FROM qn LEFT JOIN qa USING (doc_id)),
+        | $gopherKeepCtes,
         | fpc AS (SELECT doc_id, ${fingerprintDuck("t")} AS fp FROM toks),
         | kec AS (SELECT doc_id,
         |   CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
@@ -1204,6 +1257,32 @@ object TextDedup {
         | CAST(SUM(knc.n_toks * kqt.kq * kec.ke * knc.kn) * 1000000
         |   // GREATEST(SUM(knc.n_toks), 1) AS BIGINT) AS survive_ppm
         |FROM knc JOIN kqt USING (doc_id) JOIN kec USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
+    // both orderings replayed from the shared chains: global argmax
+    // (best) vs quality-restricted argmax (bq), identical tie rule
+    "q301_funnel_order" ->
+      s"""WITH RECURSIVE $dedupBudgetCtes,
+        | $gopherKeepCtes,
+        | bq AS (SELECT cl, doc_id AS keep_q FROM (
+        |   SELECT asg.cl, asg.doc_id, ROW_NUMBER() OVER (
+        |     PARTITION BY asg.cl
+        |     ORDER BY asg.n_chars DESC, asg.doc_id) AS rn
+        |   FROM asg JOIN kqt USING (doc_id) WHERE kqt.kq = 1)
+        |  WHERE rn = 1)
+        |SELECT asg.source, CAST(SUM(asg.n_toks) AS BIGINT) AS toks_raw,
+        | CAST(SUM(asg.n_toks * kqt.kq * CASE WHEN asg.doc_id = best.keep_id
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS toks_dedup_then_q,
+        | CAST(SUM(CASE WHEN asg.doc_id = bq.keep_q
+        |   THEN asg.n_toks ELSE 0 END) AS BIGINT) AS toks_q_then_dedup,
+        | CAST(SUM(asg.n_toks * kqt.kq * CASE WHEN asg.doc_id = best.keep_id
+        |   THEN 1 ELSE 0 END) * 1000000
+        |   // GREATEST(SUM(asg.n_toks), 1) AS BIGINT) AS ppm_dedup_then_q,
+        | CAST(SUM(CASE WHEN asg.doc_id = bq.keep_q
+        |   THEN asg.n_toks ELSE 0 END) * 1000000
+        |   // GREATEST(SUM(asg.n_toks), 1) AS BIGINT) AS ppm_q_then_dedup
+        |FROM asg JOIN kqt USING (doc_id) JOIN best USING (cl)
+        |LEFT JOIN bq USING (cl)
         |GROUP BY 1""".stripMargin,
 
     "q218_gopher_rules" ->
