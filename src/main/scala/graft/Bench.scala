@@ -72,7 +72,19 @@ object Bench {
     val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val heapByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
-    val results = headline.map { name =>
+    // SPARK_GRAFT_QUERIES=q85_…,q130_…: subset (or extend) the headline
+    // list for scale sweeps — the sf10 measurement runs the heavy family
+    // only, since the cheap queries' sub-linearity is already proven at
+    // sf1. Unknown names fail loudly rather than silently timing nothing.
+    val headlineRun: Seq[String] = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map { s =>
+        val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        names.foreach(n => require(SparkEntry.queries.contains(n),
+          s"SPARK_GRAFT_QUERIES: unknown query $n"))
+        names
+      }.getOrElse(headline)
+
+    val results = headlineRun.map { name =>
       val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
@@ -249,7 +261,12 @@ object Bench {
     // in r11 it was front-truncated past parseability ("parsed": null).
     // Times rounded to ms (plenty for a seconds-scale gate) keep this
     // line ~1.3k so it survives the tail window whole.
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"%.3f" uses the JVM default locale, and a
+    // comma-decimal locale (de_DE) would emit "1,234" — invalid JSON
+    // in the very line this exists to keep parseable (ADVICE r12).
+    def ms(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qsCompact = allQs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val gate = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","failed":$failedJson,"load_avg":[$loadStart,$loadEnd],"baseline_demo_2m_sec":10.718802}"""

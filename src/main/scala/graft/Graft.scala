@@ -75,16 +75,41 @@ object Graft {
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
       "true")
 
+  /** Per-JVM managed-table warehouse. Concurrent graft processes (the
+    * r12 closing sweep ran Verify beside the full test suite) otherwise
+    * share `./spark-warehouse` and rewrite each other's persisted index
+    * tables — the one red row of the r12 sweep was exactly that
+    * collision. Each JVM gets its own tree (pid + random suffix, so a
+    * recycled pid can't collide with a leftover), deleted on exit;
+    * override with SPARK_GRAFT_WAREHOUSE or an explicit
+    * extra("spark.sql.warehouse.dir") when cross-process sharing is
+    * actually wanted. */
+  private lazy val defaultWarehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      s"graft-wh-${ProcessHandle.current().pid()}-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }))
+    dir.getAbsolutePath
+  }
+
   def session(
       master: String = s"local[$cpus]",
       appName: String = "graft",
       shufflePartitions: Int = cpus.toInt,
       extra: Map[String, String] = Map.empty
   ): SparkSession = {
+    val warehouse = extra.getOrElse("spark.sql.warehouse.dir",
+      sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", defaultWarehouse))
     val spark = SparkSession
       .builder()
       .master(master)
       .appName(appName)
+      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

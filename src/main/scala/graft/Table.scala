@@ -125,6 +125,16 @@ final case class Table(df: DataFrame) {
   def getArrow(): Array[Array[Byte]] =
     org.apache.spark.sql.GraftShim.toArrowBatches(df)
 
+  /** fetch as ONE self-describing Arrow IPC stream (schema header +
+    * the [[getArrow]] batches verbatim + EOS) — what a non-JVM client
+    * actually wants on the wire: `pyarrow.ipc.open_stream(payload)
+    * .read_all().to_pandas()` is the whole decode, exactly the
+    * reference client's fetch materialization
+    * (`charmpandas/interface.py:23-33`). tools/pyclient.py round-trips
+    * the Demo pipeline over this. */
+  def getArrowStream(): Array[Byte] =
+    org.apache.spark.sql.GraftShim.toArrowStream(df)
+
   /** print (op=5) — per-partition pretty print in the reference;
     * driver-side show here. */
   def show(n: Int = 20): Unit = df.show(n, truncate = false)

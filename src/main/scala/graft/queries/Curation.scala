@@ -1009,7 +1009,9 @@ object Curation {
     // Overflow bound: num needs 44·tf·Σdl·N < 2^63 (Σdl·N ~ 2e16 at
     // corpus Σdl 1e13 with tf ≤ 20 — beyond that, pre-divide Σdl by
     // 2^10 or move to DECIMAL(38); the ln-idf double spelling is the
-    // conventional at-scale fallback). Plan shape: tf filters to the
+    // conventional at-scale fallback). The bound is ENFORCED in-plan
+    // by bm25Scored's DECIMAL(38,0) assert_true (OperatorSpec pins it
+    // firing on synthetic over-bound stats). Plan shape: tf filters to the
     // query terms BEFORE any shuffle (one narrow explode + tiny hash
     // agg), df and the 1-row corpus stats broadcast, and the top-k
     // window partitions by term — per-term state only, never a global
@@ -1271,16 +1273,43 @@ object Curation {
       val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("tok").orderBy(col("score").desc, col("doc_id"))
-      tf.join(broadcast(dfq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(corpus))
-        .withColumn("score",
-          (lit(44) * col("tf") * col("sumdl") * (col("n") + 1)).cast("double") /
-            ((lit(20) * col("tf") * col("sumdl") + lit(6) * col("sumdl") +
-              lit(18) * col("dl") * col("n")) * (col("df") + 1)).cast("double"))
+      bm25Scored(tf.join(broadcast(dfq), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(corpus)))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= Bm25K)
         .select("tok", "doc_id", "rank", "score")
+  }
+
+  /** Append q164's exact-rational BM25 `score` to a frame carrying
+    * (tf, dl, n, sumdl, df) — factored so the overflow guard is
+    * spec-testable on synthetic over-bound stats without a 2e16-token
+    * corpus. The BIGINT numerator/denominator each get an in-plan
+    * `assert_true` re-computed in DECIMAL(38,0) (q265/q276's widening
+    * discipline): the documented bound 44·tf·Σdl·(N+1) < 2^63 — and
+    * the denominator's (20·tf·Σdl + 6·Σdl + 18·dl·N)·(df+1) twin — is
+    * now ENFORCED per row instead of described, with zero extra jobs
+    * (the check rides the already-joined row; codegen'd decimal
+    * compare against a constant). Past the bound the query fails
+    * loudly with the remediation (pre-scale Σdl by 2^10, or the
+    * conventional ln-idf DOUBLE spelling) rather than wrapping
+    * silently. DECIMAL(38,0) itself saturates near 1e38 — a corpus
+    * ~1e15× past the guard, physically unreachable. */
+  private[graft] def bm25Scored(joined: DataFrame): DataFrame = {
+    val lim = Long.MaxValue.toString
+    val guard =
+      s"""assert_true(
+         | CAST(44 AS DECIMAL(38,0)) * tf * sumdl * (n + 1) <= $lim
+         | AND (CAST(20 AS DECIMAL(38,0)) * tf * sumdl
+         |      + CAST(6 AS DECIMAL(38,0)) * sumdl
+         |      + CAST(18 AS DECIMAL(38,0)) * dl * n) * (df + 1) <= $lim,
+         | 'q164 BM25 BIGINT overflow: 44*tf*sumdl*(N+1) or its
+         | denominator exceeds 2^63 — pre-scale sumdl (DIV 1024) or use
+         | the ln-idf DOUBLE spelling')""".stripMargin.replace("\n", " ")
+    joined.withColumn("score", when(expr(guard).isNull,
+      (lit(44) * col("tf") * col("sumdl") * (col("n") + 1)).cast("double") /
+        ((lit(20) * col("tf") * col("sumdl") + lit(6) * col("sumdl") +
+          lit(18) * col("dl") * col("n")) * (col("df") + 1)).cast("double")))
   }
 
   private def gramsDuck(n: Int): String =

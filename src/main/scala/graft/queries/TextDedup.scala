@@ -234,9 +234,15 @@ object TextDedup {
           expr("SUM(kept_g) * 1000000 DIV COUNT(*)").as("retained_ppm"))
     }),
 
+    // GREATEST(toks_raw, 1): the q300/q301 zero-guard convention — a
+    // source whose docs all tokenize to zero tokens yields NULL in
+    // Spark's DIV but a hard division-by-zero error in DuckDB's //,
+    // so without the guard the engines diverge instead of agreeing
+    // on the row (ADVICE r12).
     "q281_dedup_token_budget" -> ((s, d) =>
       dedupBudget(s, d).withColumn("dup_tok_ppm",
-        expr("(toks_raw - toks_kept) * 1000000 DIV toks_raw"))),
+        expr("(toks_raw - toks_kept) * 1000000" +
+          " DIV GREATEST(toks_raw, 1)"))),
 
     // ---- q283: epoch plan (mixture weights over the DEDUPED corpus) ----
     // Closes the loop between q170's sqrt-temperature mixture and
@@ -259,8 +265,12 @@ object TextDedup {
         .withColumn("w_ppm", expr("isq * 1000000 DIV isq_tot"))
         .withColumn("target_toks", expr(
           "(b DIV 1000000) * w_ppm + ((b % 1000000) * w_ppm) DIV 1000000"))
+        // GREATEST guard: q281's zero-token-source convention applied
+        // to the kept-token divisor (all-duplicate source → toks_kept
+        // could only be 0 if toks_raw is 0 too, but the guard keeps
+        // Spark and DuckDB agreeing instead of NULL-vs-error).
         .withColumn("epochs_milli",
-          expr("target_toks * 1000 DIV toks_kept"))
+          expr("target_toks * 1000 DIV GREATEST(toks_kept, 1)"))
         .select(col("source"), col("toks_raw"), col("toks_kept"),
           col("w_ppm"), col("target_toks"), col("epochs_milli"),
           (col("epochs_milli") > 4000).as("oversampled"))
@@ -944,7 +954,8 @@ object TextDedup {
     "q281_dedup_token_budget" ->
       s"""WITH RECURSIVE $dedupBudgetCtes
         |SELECT source, n_docs, n_kept, toks_raw, toks_kept,
-        | (toks_raw - toks_kept) * 1000000 // toks_raw AS dup_tok_ppm
+        | (toks_raw - toks_kept) * 1000000 // GREATEST(toks_raw, 1)
+        |   AS dup_tok_ppm
         |FROM g""".stripMargin,
 
     // the budget CTEs + q170's weight formula + the epoch arithmetic
@@ -959,7 +970,8 @@ object TextDedup {
         | y AS (SELECT *, (b // 1000000) * w_ppm
         |   + ((b % 1000000) * w_ppm) // 1000000 AS target_toks FROM x),
         | z AS (SELECT *,
-        |   target_toks * 1000 // toks_kept AS epochs_milli FROM y)
+        |   target_toks * 1000 // GREATEST(toks_kept, 1)
+        |     AS epochs_milli FROM y)
         |SELECT source, toks_raw, toks_kept, w_ppm, target_toks,
         | epochs_milli, epochs_milli > 4000 AS oversampled
         |FROM z""".stripMargin,

@@ -402,7 +402,7 @@ object EventStreams {
       deltaFiles,
       seed = hist => graft.sources.Tables.writeTable(
         hourlyPartials(hist), "graft_stream_rollup"),
-      onBatch = batch => hourlyPartials(batch).write.mode("append")
+      onBatch = (batch, _) => hourlyPartials(batch).write.mode("append")
         .format("parquet").saveAsTable("graft_stream_rollup"),
       chaosKillAfter = chaosKillAfter)
     mergePartials(spark, "graft_stream_rollup")
@@ -432,7 +432,7 @@ object EventStreams {
       deltaFiles,
       seed = hist => graft.sources.Tables.writeTable(
         regsOf(hist), "graft_stream_distinct"),
-      onBatch = batch => regsOf(batch).write.mode("append")
+      onBatch = (batch, _) => regsOf(batch).write.mode("append")
         .format("parquet").saveAsTable("graft_stream_distinct"),
       chaosKillAfter = chaosKillAfter)
     detEstimate(
@@ -463,7 +463,7 @@ object EventStreams {
       deltaFiles,
       seed = hist => graft.sources.Tables.writeTable(
         dayUser(hist), "graft_stream_dau"),
-      onBatch = batch => dayUser(batch).write.mode("append")
+      onBatch = (batch, _) => dayUser(batch).write.mode("append")
         .format("parquet").saveAsTable("graft_stream_dau"),
       chaosKillAfter = chaosKillAfter)
     val du = spark.table("graft_stream_dau").distinct()
@@ -504,7 +504,7 @@ object EventStreams {
       "graft_stream_manifest")
     runStagedStream(spark, "graft_q210", delta, docSchema,
       maxFilesPerTrigger, deltaFiles,
-      onBatch = b => manifest(b).write.mode("append").format("parquet")
+      onBatch = (b, _) => manifest(b).write.mode("append").format("parquet")
         .saveAsTable("graft_stream_manifest"))
     spark.table("graft_stream_manifest")
       .groupBy("shard")
@@ -528,7 +528,7 @@ object EventStreams {
     * Ingest.stagingDir trap). */
   private def runDeltaStream(spark: SparkSession, sfDir: String,
       tmpPrefix: String, maxFilesPerTrigger: Option[Int], deltaFiles: Int,
-      seed: DataFrame => Unit, onBatch: DataFrame => Unit,
+      seed: DataFrame => Unit, onBatch: (DataFrame, Long) => Unit,
       chaosKillAfter: Option[Int] = None): Unit = {
     val ev = graft.sources.Tables.read(spark, sfDir, "events")
       .withColumn("b", pmod(col("event_id"), lit(4)))
@@ -561,7 +561,7 @@ object EventStreams {
   private def runStagedStream(spark: SparkSession, tmpPrefix: String,
       delta: DataFrame, schema: StructType,
       maxFilesPerTrigger: Option[Int], deltaFiles: Int,
-      onBatch: DataFrame => Unit,
+      onBatch: (DataFrame, Long) => Unit,
       postRead: DataFrame => DataFrame = identity,
       chaosKillAfter: Option[Int] = None): Unit = {
     import java.nio.file.Files
@@ -586,10 +586,10 @@ object EventStreams {
       postRead(reader.parquet(dir.toString))
         .writeStream
         .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           if (killAt.exists(done.get() >= _))
             throw new RuntimeException("graft-chaos-kill")
-          onBatch(batch.toDF())
+          onBatch(batch.toDF(), bid)
           done.incrementAndGet()
           ()
         }
@@ -666,7 +666,7 @@ object EventStreams {
       "graft_q193_pairs")
     runStagedStream(spark, "graft_q193",
       batchDocs.select("doc_id", "text", "lang", "source", "n_chars"),
-      docSchema, maxFilesPerTrigger, deltaFiles, mb => {
+      docSchema, maxFilesPerTrigger, deltaFiles, (mb, _) => {
         val bands = Dedup.bandTable(mb, "doc_id", "text", k, rows).cache()
         val vsIndex = Dedup.incrementalPairs(mb, "graft_band_index_q193",
           all, "doc_id", "text", k, rows, thr, reuseBands = Some(bands))
@@ -717,7 +717,7 @@ object EventStreams {
     runStagedStream(spark, "graft_q289",
       all.filter(col("doc_id") % 19 =!= 0)
         .select("doc_id", "text", "lang", "source", "n_chars"),
-      docSchema, maxFilesPerTrigger, deltaFiles, onBatch = mb => {
+      docSchema, maxFilesPerTrigger, deltaFiles, onBatch = (mb, _) => {
         val hits = grams(mb)
           .join(broadcast(spark.table("graft_gram_index_q289")),
             Seq("g"), "left_semi")
@@ -744,14 +744,19 @@ object EventStreams {
     * delta: seed rows (l_orderkey % 4 < 3) sample once via a batch
     * write; the delta (== 3) is staged as landed files and STREAMED,
     * each micro-batch filtering ITSELF with the same predicate and
-    * appending only its surviving sample rows. Replay caveat (q273's
-    * posture, not q193's): lineitem has NO unique row key in this
-    * corpus — (l_orderkey, l_linenumber) collides — so read-side
-    * dedup-by-key is unsound and a REPLAYED batch would duplicate
-    * sample rows and shift ranks; checkpointed exactly-once
-    * foreachBatch fronts the append, and the kill-restart chaos spec
-    * proves a restart resumes at the first uncommitted batch with zero
-    * replays. Exact ranks over the merged sample then reproduce the
+    * writing only its surviving sample rows. Replay posture (q273's,
+    * not q193's): lineitem has NO unique row key in this corpus —
+    * (l_orderkey, l_linenumber) collides — so read-side dedup-by-key
+    * is unsound, and foreachBatch is only AT-LEAST-ONCE (a crash
+    * between the side effect and the checkpoint commit replays the
+    * batch). The side effect is therefore made IDEMPOTENT instead of
+    * assumed-once: each micro-batch OVERWRITES its own
+    * `batch_id=<id>` partition directory (the file source's offset
+    * log pins a replayed batch to identical content, so a replay
+    * rewrites the same rows in place rather than appending
+    * duplicates — ADVICE r12). The kill-restart chaos spec
+    * additionally proves a restart resumes at the first uncommitted
+    * batch. Exact ranks over the merged sample then reproduce the
     * one-shot q83 answer EXACTLY — same oracle. 100 TB: per-trigger
     * work is batch-sized, sample state is a fixed fraction of the
     * corpus, and the rank windows partition by the group key over
@@ -769,18 +774,25 @@ object EventStreams {
     def sampOf(part: DataFrame) =
       graft.operators.Sampling.hashSample(part, "rid", 8)
         .select("l_returnflag", "x")
-    graft.sources.Tables.writeTable(
-      sampOf(li.filter(col("b") < 3)), "graft_q290_samples")
+    // Hive-layout sample store: the seed lands at batch_id=-1 and each
+    // micro-batch OVERWRITES batch_id=<its id>, so an at-least-once
+    // replay rewrites its own partition instead of appending dupes.
+    val sampDir =
+      java.nio.file.Files.createTempDirectory("graft_q290_samples")
+    registerTreeCleanup(sampDir.toFile)
+    sampOf(li.filter(col("b") < 3)).write.mode("overwrite")
+      .parquet(s"$sampDir/batch_id=-1")
     val sampleSchema = StructType(Seq(
       StructField("rid", StringType), StructField("l_returnflag", StringType),
       StructField("x", org.apache.spark.sql.types.DoubleType)))
     runStagedStream(spark, "graft_q290",
       li.filter(col("b") === 3).select("rid", "l_returnflag", "x"),
       sampleSchema, maxFilesPerTrigger, deltaFiles,
-      onBatch = mb => sampOf(mb).write.mode("append")
-        .format("parquet").saveAsTable("graft_q290_samples"),
+      onBatch = (mb, bid) => sampOf(mb).write.mode("overwrite")
+        .parquet(s"$sampDir/batch_id=$bid"),
       chaosKillAfter = chaosKillAfter)
-    val merged = spark.table("graft_q290_samples")
+    val merged = spark.read.parquet(sampDir.toString)
+      .select("l_returnflag", "x")
     val ranked = merged
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -836,7 +848,7 @@ object EventStreams {
     runStagedStream(spark, "graft_q291",
       docs.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select("doc_id", "text", "lang", "source", "n_chars"),
-      docSchema, maxFilesPerTrigger, deltaFiles, onBatch = mb => {
+      docSchema, maxFilesPerTrigger, deltaFiles, onBatch = (mb, _) => {
         val hashes = hashesOf(mb)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val vsIndex = Multimodal.incrementalAHashPairs(
@@ -890,7 +902,7 @@ object EventStreams {
       corpus.filter(col("b") === 3)
         .select("doc_id", "text", "lang", "source", "n_chars"),
       docSchema, maxFilesPerTrigger, deltaFiles,
-      onBatch = mb => Sketches.bloomBuild(withFp(mb), "fp", k, m)
+      onBatch = (mb, _) => Sketches.bloomBuild(withFp(mb), "fp", k, m)
         .write.mode("append").format("parquet")
         .saveAsTable("graft_q293_bits"),
       chaosKillAfter = chaosKillAfter)
@@ -958,7 +970,7 @@ object EventStreams {
       "graft_q295_union_sizes")
     runStagedStream(spark, "graft_q295",
       batch.select("vec_id", "embedding", "label"),
-      embSchema, maxFilesPerTrigger, deltaFiles, onBatch = mb => {
+      embSchema, maxFilesPerTrigger, deltaFiles, onBatch = (mb, _) => {
         val sizes = spark.table("graft_q295_union_sizes")
         val vsIndex = Similarity.incrementalLshPairs(mb,
           "graft_lsh_index_q295", all, "vec_id", "embedding",
@@ -1009,7 +1021,7 @@ object EventStreams {
       e.filter(pmod(col("vec_id"), lit(4)) === 3)
         .select("vec_id", "embedding", "label"),
       embSchema, maxFilesPerTrigger, deltaFiles,
-      onBatch = mb => Similarity.pqEncodeAgainst(mb, "vec_id",
+      onBatch = (mb, _) => Similarity.pqEncodeAgainst(mb, "vec_id",
           "embedding", m = 8, subLen = 8, "graft_pq_codebook_q294",
           keep = Seq("label"))
         .write.mode("append").format("parquet")
@@ -1052,7 +1064,7 @@ object EventStreams {
       all.filter(col("b") === 3)
         .select("doc_id", "text", "lang", "source", "n_chars"),
       docSchema, maxFilesPerTrigger, deltaFiles,
-      onBatch = batch => cells(batch).write.mode("append")
+      onBatch = (batch, _) => cells(batch).write.mode("append")
         .format("parquet").saveAsTable("graft_stream_cms"),
       chaosKillAfter = chaosKillAfter)
     val merged = spark.table("graft_stream_cms")

@@ -952,6 +952,43 @@ class OperatorSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("q164 BM25 overflow guard: fires past 2^63, silent inside it") {
+    // synthetic stats frame — the factored bm25Scored takes
+    // (tf, dl, n, sumdl, df) directly, so the 2e16-token corpus the
+    // bound describes needs no data, just numbers (VERDICT r12 #2)
+    def stats(tf: Long, dl: Long, n: Long, sumdl: Long, df: Long) =
+      Seq((tf, dl, n, sumdl, df)).toDF("tf", "dl", "n", "sumdl", "df")
+    // inside the bound: score equals the plain double formula
+    val ok = graft.queries.Curation.bm25Scored(
+      stats(tf = 3, dl = 100, n = 1000, sumdl = 100000, df = 10))
+      .select("score").as[Double].head()
+    val expect = (44.0 * 3 * 100000 * 1001) /
+      ((20.0 * 3 * 100000 + 6.0 * 100000 + 18.0 * 100 * 1000) * 11)
+    assert(math.abs(ok - expect) < 1e-12)
+    // past the bound: 44*tf*sumdl*(N+1) > 2^63 (tf=20, sumdl=1e13,
+    // n=1e7 -> ~8.8e22) must raise the guard, not wrap silently
+    val err = intercept[Exception] {
+      graft.queries.Curation.bm25Scored(
+        stats(tf = 20, dl = 1000, n = 10000000L,
+          sumdl = 10000000000000L, df = 10)).collect()
+    }
+    assert(String.valueOf(err.getMessage)
+        .contains("q164 BM25 BIGINT overflow") ||
+      Option(err.getCause).exists(c => String.valueOf(c.getMessage)
+        .contains("q164 BM25 BIGINT overflow")),
+      s"wrong failure: ${err.getMessage}")
+    // denominator twin: huge dl*n*(df+1) with a small numerator
+    val err2 = intercept[Exception] {
+      graft.queries.Curation.bm25Scored(
+        stats(tf = 1, dl = 100000000000L, n = 100000000L,
+          sumdl = 1000, df = 1000000)).collect()
+    }
+    assert(String.valueOf(err2.getMessage)
+        .contains("q164 BM25 BIGINT overflow") ||
+      Option(err2.getCause).exists(c => String.valueOf(c.getMessage)
+        .contains("q164 BM25 BIGINT overflow")))
+  }
+
   test("incremental PQ: persisted codebook encodes only the batch, stably") {
     val out = SparkEntry.queries("q214_incr_pq_encode")(spark, sf)
     val ids = out.select("vec_id").as[Long].collect()

@@ -164,6 +164,29 @@ class TableSpec extends SparkTestBase {
       "Arrow round-trip changed the rows")
   }
 
+  test("getArrowStream is a self-describing IPC stream a plain Arrow reader decodes") {
+    // the wire contract tools/pyclient.py depends on: schema header +
+    // batches + EOS, decodable WITHOUT any Spark-side schema JSON (a
+    // vanilla ArrowStreamReader here; pyarrow.ipc.open_stream in the
+    // Python client)
+    val t = Table.readParquet(spark, s"$sf/nation.parquet")
+    val bytes = t.getArrowStream()
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = reader.getVectorSchemaRoot.getSchema.getFields.asScala
+        .map(_.getName)
+      assert(names == t.df.columns.toSeq,
+        s"stream schema drifted: $names vs ${t.df.columns.toSeq}")
+      var rows = 0L
+      while (reader.loadNextBatch())
+        rows += reader.getVectorSchemaRoot.getRowCount
+      assert(rows == t.count(), s"stream carried $rows rows")
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("barrier is a sync no-op; join aliases merge") {
     val t = Table(Seq((1, "a")).toDF("k", "v"))
     t.barrier() // must not throw
