@@ -35,7 +35,9 @@ object Dedup {
     // ONE fused native pass (functions.ShinglesExpr — see its scaladoc
     // for why the declarative stacked-alias spelling is both slower
     // per element and exposed to pushed-predicate alias inlining).
-    df.withColumn("sh", expr(s"graft_shingles($textCol)"))
+    // Par.widen: shingling is the text family's per-row hot loop — a
+    // bytes-sized scan plans far too few splits for it (r13 sf10).
+    Par.widen(df).withColumn("sh", expr(s"graft_shingles($textCol)"))
       .withColumn("shset", array_distinct(col("sh")))
   }
 
@@ -43,7 +45,7 @@ object Dedup {
     * (classic "key collision" fingerprinting). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.TextNative.register(df.sparkSession)
-    df.withColumn("toks", expr(s"graft_tokens($textCol)"))
+    Par.widen(df).withColumn("toks", expr(s"graft_tokens($textCol)"))
       .select(col(idCol), expr(fingerprintSpark("toks")).as("fp"))
   }
 
@@ -210,7 +212,7 @@ object Dedup {
     // outlive this call (the returned lazy plan references it); callers
     // running many pipelines in one session reclaim it via
     // spark.catalog.clearCache() or by unpersisting after materializing.
-    val sig = df.select(col(idCol),
+    val sig = Par.widen(df).select(col(idCol),
       expr(s"graft_minhash($textCol, $k)").as("_sig")).cache()
     val bands = bandsOf(sig, idCol, k, rows)
     val cand = bands.as("x")
@@ -284,7 +286,7 @@ object Dedup {
     require(k % rows == 0,
       s"band rows ($rows) must divide signature size ($k)")
     graft.functions.TextNative.register(df.sparkSession)
-    bandsOf(df.select(col(idCol),
+    bandsOf(Par.widen(df).select(col(idCol),
       expr(s"graft_minhash($textCol, $k)").as("_sig")), idCol, k, rows)
   }
 
@@ -504,7 +506,7 @@ object Dedup {
     // (see WinnowExpr's scaladoc and ScaleSpec's detector regression).
     // q219 was the one query the r10/r11 sf1 sweeps could not finish
     // (2h+); the fused pass is O(tokens × w).
-    df.withColumn("fps", expr(s"graft_winnow($textCol, $w)"))
+    Par.widen(df).withColumn("fps", expr(s"graft_winnow($textCol, $w)"))
       .select(col(idCol), size(col("fps")).as("n_fp"),
         explode(col("fps")).as("fp"))
   }
@@ -544,8 +546,8 @@ object Dedup {
     // rows) into the per-doc aggregation, with an interpreted
     // md5+nibble projection and `bits` SUMs per token row on the way.
     // Fused: each token hashes once, and the operator is a narrow
-    // map — no shuffle.
-    df.select(col(idCol),
+    // map — no shuffle (Par.widen only repairs a too-narrow source).
+    Par.widen(df).select(col(idCol),
         expr(s"graft_simhash($textCol, 32)").as("simhash"))
       .filter(col("simhash").isNotNull)
   }
@@ -557,7 +559,7 @@ object Dedup {
       bits: Int): DataFrame = {
     graft.functions.TextNative.register(df.sparkSession)
     // same fused shape as [[simhash]] (see the rationale there)
-    df.select(col(idCol),
+    Par.widen(df).select(col(idCol),
         expr(s"graft_simhash($textCol, $bits)").as("simhash"))
       .filter(col("simhash").isNotNull)
   }

@@ -42,10 +42,14 @@ object Similarity {
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
 
-  /** vec table → (idCol, payload..., q: quantized, n2: squared norm). */
+  /** vec table → (idCol, payload..., q: quantized, n2: squared norm).
+    * [[Par.widen]]ed first: quantization + the LSH signatures computed
+    * on top of `q` are the embedding family's per-row hot loop, and a
+    * bytes-sized scan plans far too few splits for it (r13 sf10: a
+    * 1-split embeddings scan serialized the whole family). */
   def prepare(df: DataFrame, embCol: String): DataFrame = {
     graft.functions.LongArrayDot.register(df.sparkSession)
-    df.withColumn("q", quantized(embCol))
+    Par.widen(df).withColumn("q", quantized(embCol))
       .withColumn("n2", dotQ("q", "q"))
   }
 
@@ -482,15 +486,34 @@ object Similarity {
   def lshDupPairs(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, nBits: Int = 16, bandBits: Int = 4,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val banded = lshBands(df, idCol, embCol, nBits, bandBits)
-    val cand = banded.as("x")
-      .join(truncateBuckets(banded, idCol, bucketCap).as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
-      .dropDuplicates("ida", "idb")
-    verifyCosine(cand, df, idCol, embCol, threshold)
+    // scored inline in the collision join (both vectors row-local
+    // there) — the dedup exchange and threshold filter see 24-byte
+    // scalars, never array payloads; same pairs, same cos values
+    scoredCandidates(df, idCol, embCol, nBits, bandBits, bucketCap,
+        guard = _ < _)
+      .filter(col("cos") >= threshold)
+      .select(col("qid").as("ida"), col("vid").as("idb"), col("cos"))
+  }
+
+  /** The capped collision side of an LSH self-join, broadcast-hinted
+    * whenever its CONSTRUCTIVE row bound — at most ~`cap` survivors per
+    * (band, bucket) × `nBands × 2^bandBits` buckets, CORPUS-SIZE
+    * INDEPENDENT — fits [[Dedup.MaxBroadcastBandKeys]]. Without the
+    * hint, Catalyst (whose estimate can't see the cap) plans a shuffle
+    * join on (band, bucket): at most `nBands × 2^bandBits` = 64
+    * distinct keys at the defaults, whose tiny exchanges AQE then
+    * coalesces to ~1 reducer — so the nBands × N × cap candidate
+    * explosion ran SINGLE-THREADED (r13 sf10 read: q135 33x, q205 24x
+    * for 10x data). Broadcasting keeps the explosion in the probe
+    * side's ([[Par.widen]]ed) partitioning — no (band, bucket) shuffle
+    * at all, at any corpus size. An over-bound custom banding (e.g.
+    * bandBits=12 → 8.4M-row bound) falls back to the plain join. */
+  private def collisionSide(banded: DataFrame, idCol: String, nBits: Int,
+      bandBits: Int, bucketCap: Int): DataFrame = {
+    val truncated = truncateBuckets(banded, idCol, bucketCap)
+    val bound = (nBits / bandBits).toLong * (1L << bandBits) * bucketCap
+    if (bound <= Dedup.MaxBroadcastBandKeys) broadcast(truncated)
+    else truncated
   }
 
   /** Default collision-side posting cap for the LSH joins — see
@@ -565,26 +588,73 @@ object Similarity {
   def lshKnnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
       nBits: Int = 16, bandBits: Int = 4,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val cand = lshCandidates(df, idCol, embCol, nBits, bandBits, bucketCap)
-    val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
-    rankCandidates(cand, p, idCol, k)
-      .withColumnRenamed("vid", "vec_id")
+    val scored = scoredCandidates(df, idCol, embCol, nBits, bandBits,
+      bucketCap, guard = _ =!= _)
+    rankScored(scored, k).withColumnRenamed("vid", "vec_id")
   }
 
-  /** Directed (qid, vid) band-collision candidate pairs — ONE spelling
-    * of the LSH candidate space for [[lshKnnJoin]] and
-    * [[hardNegatives]], so their semantics cannot drift apart. The
-    * vid side rides [[truncateBuckets]]; qid side is the full corpus. */
-  private def lshCandidates(df: DataFrame, idCol: String, embCol: String,
-      nBits: Int, bandBits: Int, bucketCap: Int): DataFrame = {
-    val banded = lshBands(df, idCol, embCol, nBits, bandBits)
+  /** Rank pre-scored (qid, vid, cos) rows per qid (cos desc, id
+    * tiebreak), keep top-k — the window tail of [[rankCandidates]]
+    * without its vector joins (the scores already exist). */
+  private def rankScored(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "rank", "cos")
+  }
+
+  /** Band/bucket rows CARRYING the quantized vectors (and optional
+    * ride-along columns): (idCol, q, n2, extra..., band, bucket). The
+    * arrays ride the band explosion — a narrow, map-local ×nBands
+    * inflation — so the collision join can score candidates INLINE and
+    * only (qid, vid, cos) scalars ever reach a shuffle. The previous
+    * shape joined the vectors onto the CANDIDATE table instead, which
+    * at sf10 meant exchanging ~520 B of array payload per candidate
+    * row — a ~50× shuffle-volume multiplier on the nBands × N × cap
+    * candidate stream (the r13 sf10 read). */
+  private def bandedQ(df: DataFrame, idCol: String, embCol: String,
+      nBits: Int, bandBits: Int, extra: Seq[String] = Nil): DataFrame = {
+    require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
+    val nBands = nBits / bandBits
+    val keep = col(idCol) +: col("q") +: col("n2") +: extra.map(col)
+    val sig = prepare(df, embCol)
+      .select(keep :+ expr(s"graft_lshsig(q, $nBits)").as("sig"): _*)
+    sig.select(keep :+
+      posexplode(expr(s"""transform(sequence(0, ${nBands - 1}), b ->
+        | aggregate(sequence(1, $bandBits), 0,
+        |   (acc, i) -> acc * 2 + element_at(sig, b * $bandBits + i)))"""
+        .stripMargin)).as(Seq("band", "bucket")): _*)
+  }
+
+  /** Directed, INLINE-SCORED (qid, vid, cos) band-collision pairs — ONE
+    * spelling of the LSH candidate space for [[lshKnnJoin]] and
+    * [[hardNegatives]], so their semantics cannot drift apart. The vid
+    * side rides [[truncateBuckets]] (broadcast when its constructive
+    * bound allows — [[collisionSide]]); qid side is the full corpus.
+    * The exact cosine is computed IN the collision join (both vectors
+    * are row-local there), so the per-pair dedup and everything
+    * downstream shuffle 24-byte scalars, never array payloads. A pair
+    * colliding in several bands scores once per band — identical cos
+    * every time (pure function of the pair), so the per-pair MAX
+    * aggregate is exact dedup, not a tie-break (and, unlike
+    * dropDuplicates-with-payload, plans a plain two-level hash
+    * aggregate with map-side combine). */
+  private def scoredCandidates(df: DataFrame, idCol: String, embCol: String,
+      nBits: Int, bandBits: Int, bucketCap: Int,
+      guard: (Column, Column) => Column,
+      extraFilter: Column = lit(true), extra: Seq[String] = Nil)
+      : DataFrame = {
+    val banded = bandedQ(df, idCol, embCol, nBits, bandBits, extra)
     banded.as("x")
-      .join(truncateBuckets(banded, idCol, bucketCap).as("y"),
+      .join(collisionSide(banded, idCol, nBits, bandBits, bucketCap).as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") =!= col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vid"))
-      .dropDuplicates("qid", "vid")
+          guard(col(s"x.$idCol"), col(s"y.$idCol")) && extraFilter)
+      .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vid"),
+        cosine(expr("graft_dot(x.q, y.q)"),
+          col("x.n2"), col("y.n2")).as("cos"))
+      .groupBy("qid", "vid").agg(max(col("cos")).as("cos"))
   }
 
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
@@ -656,11 +726,10 @@ object Similarity {
     * data pipeline actually runs — not a per-query search). Candidates
     * are the same sign-bit LSH band collisions as [[lshKnnJoin]], so
     * there is never an all-pairs stage: the (band, bucket) equi-join
-    * bounds work to near-collisions at any corpus size. Labels join
-    * onto the candidate PAIRS (two narrow joins on the already-banded
-    * id set, not on the corpus) and same-label pairs drop BEFORE the
-    * exact-cosine verify, so positives neither score nor rank; the
-    * surviving negatives rank through [[rankCandidates]] verbatim.
+    * bounds work to near-collisions at any corpus size. The label
+    * rides the banded sides as a column, so same-label pairs drop
+    * INSIDE the collision join — positives neither score nor rank; the
+    * surviving negatives rank through the shared window tail verbatim.
     * Anchors whose buckets hold only same-label vectors yield no row
     * (no near-collision negative ⇒ nothing hard to mine). Output:
     * (qid, vec_id, rank, cos). */
@@ -668,17 +737,14 @@ object Similarity {
       labelCol: String, k: Int,
       nBits: Int = 16, bandBits: Int = 4,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val labels = df.select(col(idCol), col(labelCol))
-    val cand = lshCandidates(df, idCol, embCol, nBits, bandBits, bucketCap)
-      .join(labels.select(col(idCol).as("qid"),
-        col(labelCol).as("ql")), "qid")
-      .join(labels.select(col(idCol).as("vid"),
-        col(labelCol).as("vl")), "vid")
-      .filter(col("ql") =!= col("vl"))
-      .select("qid", "vid")
-    val p = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
-    rankCandidates(cand, p, idCol, k)
-      .withColumnRenamed("vid", "vec_id")
+    // the label rides the banded sides (an extra column on the band
+    // explosion, not a join), so same-label pairs drop INSIDE the
+    // collision join — positives neither score, shuffle, nor rank
+    val scored = scoredCandidates(df, idCol, embCol, nBits, bandBits,
+      bucketCap, guard = _ =!= _,
+      extraFilter = col(s"x.$labelCol") =!= col(s"y.$labelCol"),
+      extra = Seq(labelCol))
+    rankScored(scored, k).withColumnRenamed("vid", "vec_id")
   }
 
   /** Shared tail of every candidate-based search: exact-cosine score
@@ -707,24 +773,16 @@ object Similarity {
   /** Sign-bit band/bucket rows (id, band, bucket) — the LSH key table
     * [[writeLshIndex]] persists and [[incrementalLshPairs]] probes. */
   def lshBands(df: DataFrame, idCol: String, embCol: String,
-      nBits: Int = 16, bandBits: Int = 4): DataFrame = {
-    require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
-    val nBands = nBits / bandBits
+      nBits: Int = 16, bandBits: Int = 4): DataFrame =
     // graft_lshsig = the fused native loop for the declarative
-    // transform∘aggregate spelling (kept below for reference and
-    // spec parity via hyperplaneWeight); it also enforces the dim <=
-    // 128 weight-stride guard per ROW inside the plan — no extra job
-    // at plan-build time, and mixed-dim frames can't slip one
-    // oversized row past a sampled check.
-    val sig = prepare(df, embCol)
-      .select(col(idCol), col("q"))
-      .withColumn("sig", expr(s"graft_lshsig(q, $nBits)"))
-    sig.select(col(idCol),
-      posexplode(expr(s"""transform(sequence(0, ${nBands - 1}), b ->
-        | aggregate(sequence(1, $bandBits), 0,
-        |   (acc, i) -> acc * 2 + element_at(sig, b * $bandBits + i)))"""
-        .stripMargin)).as(Seq("band", "bucket")))
-  }
+    // transform∘aggregate spelling (kept in specs for parity via
+    // hyperplaneWeight); it also enforces the dim <= 128 weight-stride
+    // guard per ROW inside the plan — no extra job at plan-build time,
+    // and mixed-dim frames can't slip one oversized row past a sampled
+    // check. ONE banding spelling ([[bandedQ]]) serves both this
+    // persisted-index shape and the inline-scored self-joins.
+    bandedQ(df, idCol, embCol, nBits, bandBits)
+      .select(col(idCol), col("band"), col("bucket"))
 
   /** Exact-cosine verify on candidate pairs, embeddings re-read from
     * `df` (must cover every id in `cand`). */
