@@ -506,15 +506,29 @@ object Similarity {
     * explosion ran SINGLE-THREADED (r13 sf10 read: q135 33x, q205 24x
     * for 10x data). Broadcasting keeps the explosion in the probe
     * side's ([[Par.widen]]ed) partitioning — no (band, bucket) shuffle
-    * at all, at any corpus size. An over-bound custom banding (e.g.
-    * bandBits=12 → 8.4M-row bound) falls back to the plain join. */
+    * at all, at any corpus size. A finer banding (bandBits >= 8) blows
+    * the bound and falls back to the plain shuffle join — correct
+    * there on BOTH axes: its 2^bandBits-per-band key space distributes
+    * across every reducer (the 64-key collapse can't recur), and its
+    * collision rows carry ~520 B quantized arrays, so the would-be
+    * broadcast is hundreds of MB (measured: a 36/9 banding at sf10 ran
+    * 159 s with the broadcast forced vs 83 s for the default — the
+    * driver gather+rebroadcast ate the win). */
   private def collisionSide(banded: DataFrame, idCol: String, nBits: Int,
       bandBits: Int, bucketCap: Int): DataFrame = {
     val truncated = truncateBuckets(banded, idCol, bucketCap)
     val bound = (nBits / bandBits).toLong * (1L << bandBits) * bucketCap
-    if (bound <= Dedup.MaxBroadcastBandKeys) broadcast(truncated)
+    if (bound <= MaxBroadcastCollisionRows) broadcast(truncated)
     else truncated
   }
+
+  /** Collision-side broadcast ceiling, in ROWS. Unlike
+    * [[Dedup.MaxBroadcastBandKeys]] (key-only rows, ~50 B each) the
+    * scored collision side carries the quantized vector (~520 B at 64
+    * dims), so 2^16 rows ≈ 35 MB — comfortably broadcastable — while
+    * the default banding's 4 × 16 × 512 = 32k-row bound sits inside it
+    * with 2× headroom. */
+  val MaxBroadcastCollisionRows: Long = 1L << 16
 
   /** Default collision-side posting cap for the LSH joins — see
     * [[BucketCap.DefaultCap]]. The DuckDB oracles interpolate the same
@@ -591,6 +605,41 @@ object Similarity {
     val scored = scoredCandidates(df, idCol, embCol, nBits, bandBits,
       bucketCap, guard = _ =!= _)
     rankScored(scored, k).withColumnRenamed("vid", "vec_id")
+  }
+
+  /** Scale-adaptive band width: `bandBits = clamp(ceil(log2(n / cap)),
+    * 4, 12)` — the measured recall lever (SURVEY §6 r13 table). The cap
+    * bounds WORK at any corpus size (volume ≤ nBands × N × cap), but
+    * once buckets overfill, survivors become a shrinking random sample
+    * of each bucket and recall decays (measured: the 4-bit default's
+    * recall@3 fell 0.65 → ~0 between sf1 and sf10, while 8-bit held
+    * 0.665 AND ran faster — under-cap buckets emit less junk to
+    * exact-verify). Keeping expected fill `n / 2^bandBits` near `cap`
+    * preserves recall; the [4, 12] clamp keeps the gate-scale behavior
+    * identical to the fixed default (≤ ~8k vectors → 4) and the
+    * collision-side broadcast bound intact (12 → 8.4M-row bound is the
+    * documented fallback edge). */
+  def adaptiveBandBits(n: Long, bucketCap: Int = DefaultBucketCap): Int = {
+    require(n >= 0 && bucketCap >= 1)
+    // desired bucket count per band: enough that expected fill <= cap
+    val target = math.max(1L, (n + bucketCap - 1L) / bucketCap)
+    // ceil(log2(target)), in integers
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, target - 1L))
+    math.max(4, math.min(12, bits))
+  }
+
+  /** [[lshKnnJoin]] with the banding chosen by [[adaptiveBandBits]]
+    * from the corpus count (one narrow count job at plan-build time;
+    * nBands stays 4, so nBits = 4 × bandBits). At the oracle-gate
+    * scales the clamp makes this IDENTICAL to the fixed-default join —
+    * the q302 gate pins that equality against q135's oracle — while a
+    * 100 TB corpus gets the recall-preserving finer banding
+    * automatically. */
+  def lshKnnJoinAdaptive(df: DataFrame, idCol: String, embCol: String,
+      k: Int, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val bb = adaptiveBandBits(df.count(), bucketCap)
+    lshKnnJoin(df, idCol, embCol, k, nBits = 4 * bb, bandBits = bb,
+      bucketCap = bucketCap)
   }
 
   /** Rank pre-scored (qid, vid, cos) rows per qid (cos desc, id

@@ -14,10 +14,12 @@ import graft.functions.DetMath._
 object TextAnalysis {
 
   /** Append the normalized token array (fused native tokenizer,
-    * spec-identical to TextExpr.toksSpark). */
+    * spec-identical to TextExpr.toksSpark). [[Par.widen]]ed: per-doc
+    * tokenization is the text-stats hot loop, and a bytes-sized scan
+    * plans far too few splits for it (see Par's scaladoc — r13 sf10). */
   def withTokens(df: DataFrame, textCol: String, out: String = "toks"): DataFrame = {
     graft.functions.TextNative.register(df.sparkSession)
-    df.withColumn(out, expr(s"graft_tokens($textCol)"))
+    Par.widen(df).withColumn(out, expr(s"graft_tokens($textCol)"))
   }
 
   /** Per-doc surface statistics: char length, token counts, type-token
@@ -58,8 +60,9 @@ object TextAnalysis {
     // graft_ngrams(text, 2) is the fused twin of the old declarative
     // bigram spelling (empty array below 2 tokens, identical join
     // separator) — one tight loop instead of interpreted per-element
-    // lambda dispatch in the generator expression
-    df.select(col(idCol),
+    // lambda dispatch in the generator expression. Par.widen: the
+    // per-doc gram loop outweighs the scan (see Par's scaladoc).
+    Par.widen(df).select(col(idCol),
         posexplode_outer(expr(s"graft_ngrams($textCol, 2)"))
           .as(Seq("_p", "gram")))
       .groupBy(col(idCol), col("gram"))

@@ -259,6 +259,18 @@ object Vectors {
     "q135_ann_knn_join" -> ((s, d) =>
       Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)),
 
+    // ---- q302: scale-adaptive k-NN join ----
+    // q135 with the banding chosen from the corpus count
+    // (Similarity.adaptiveBandBits = clamp(ceil(log2(n/cap)), 4, 12)):
+    // at both oracle-gate scales the clamp resolves to the fixed
+    // default (gate = q135's oracle shape, exact), while one decade
+    // past the cap regime the finer banding is what preserves recall
+    // (SURVEY §6 r13 recall table: 4-bit 0.65→~0 vs 8-bit 1.0→0.665,
+    // the 8-bit run also FASTER). The formula itself is spec-pinned.
+    "q302_ann_adaptive" -> ((s, d) =>
+      Similarity.lshKnnJoinAdaptive(emb(s, d), "vec_id", "embedding",
+        k = 3)),
+
     // ---- q256: k-NN graph hubness audit (in-degree distribution) ----
     // How often does each vector appear in OTHER vectors' top-3 — the
     // hubness diagnostic for ANN quality (high-dimensional hubs absorb
@@ -1217,6 +1229,26 @@ object Vectors {
     // Directed band collisions ranked per query — the knn-join twin of
     // q63's thresholded pairs, over the same band CTEs.
     "q135_ann_knn_join" ->
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id <> y.vec_id),
+        | sc AS (SELECT kc.qid, kc.vid AS vec_id,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM kc JOIN n a ON a.vec_id = kc.qid
+        |   JOIN n c ON c.vec_id = kc.vid),
+        | rk AS (SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
+
+    // The adaptive join's banding clamp resolves to the fixed default
+    // at every oracle-gate corpus (n/cap <= 16 -> bandBits 4), so the
+    // oracle IS q135's — the gate pins that the adaptivity is exactly
+    // the identity where the oracle can see, and the spec pins the
+    // formula everywhere else.
+    "q302_ann_adaptive" ->
       s"""WITH $prepCte,
         | $lshBandCtes,
         | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid

@@ -1810,4 +1810,28 @@ class OperatorSpec extends SparkTestBase {
       full.exceptAll(incNoSizes).count() == 0,
       "sizes-partials fallback diverged from the persisted-sizes result")
   }
+
+  test("adaptive banding: formula values pinned; gate-scale join is the identity") {
+    // the recall lever (SURVEY §6 r13): bandBits = clamp(ceil(log2(n/cap)), 4, 12)
+    val cases = Seq(
+      0L -> 4, 500L -> 4, 2000L -> 4, 8192L -> 4, // gate scales: clamp floor
+      8193L -> 5, // first count past 16 buckets/band at cap 512
+      20000L -> 6, // sf1
+      200000L -> 9, // sf10 (probe-measured recall regime)
+      (1L << 40) -> 12) // clamp ceiling = the broadcast-bound fallback edge
+    for ((n, want) <- cases)
+      assert(Similarity.adaptiveBandBits(n) == want,
+        s"adaptiveBandBits($n) = ${Similarity.adaptiveBandBits(n)}, want $want")
+    // custom cap shifts the knee proportionally
+    assert(Similarity.adaptiveBandBits(8192, bucketCap = 64) == 7)
+
+    // at spec corpus the clamp resolves to the fixed default, so the
+    // adaptive join must be ROW-IDENTICAL to q135's fixed-banding join
+    // (this is also why q302 can gate on q135's oracle verbatim)
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val fixed = Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3)
+    val adaptive = Similarity.lshKnnJoinAdaptive(e, "vec_id", "embedding", k = 3)
+    assert(adaptive.exceptAll(fixed).count() == 0 &&
+      fixed.exceptAll(adaptive).count() == 0)
+  }
 }
