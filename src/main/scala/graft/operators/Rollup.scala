@@ -25,7 +25,13 @@ object Rollup {
   /** Query-time merge: re-aggregate persisted partials — never raw
     * history — into the final rollup. */
   def mergePartials(spark: SparkSession, table: String): DataFrame =
-    spark.table(table)
+    mergePartials(spark.table(table))
+
+  /** [[mergePartials]] over an already-loaded partials frame — the
+    * shape the streaming face (q142) uses now that its partials live in
+    * a `batch_id=<bid>` Hive-layout directory rather than a table. */
+  def mergePartials(partials: DataFrame): DataFrame =
+    partials
       .groupBy("hr", "event_type")
       .agg(sum("cnt").as("cnt"),
         (sum("cents") / lit(100.0)).as("sum_val"))

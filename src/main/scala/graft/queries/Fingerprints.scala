@@ -54,11 +54,13 @@ object Fingerprints {
 
     // ---- q210: STREAMING shard-manifest maintenance ----
     // q207's manifest maintained from a document stream: history
-    // partials seed once, each micro-batch appends only its own
-    // per-shard partials, and the sum/xor merge equals the one-shot
-    // manifest no matter how the landed files were chopped into
-    // micro-batches (boundary independence spec-proved). Same oracle
-    // as q207 — the merge is exact, not approximate.
+    // partials seed once, each micro-batch OVERWRITES its own
+    // batch_id=<bid> partition of per-shard partials (idempotent under
+    // foreachBatch's at-least-once replay — chaos-spec-proven with a
+    // kill between write and commit), and the sum/xor merge equals the
+    // one-shot manifest no matter how the landed files were chopped
+    // into micro-batches (boundary independence spec-proved). Same
+    // oracle as q207 — the merge is exact, not approximate.
     "q210_stream_manifest" -> ((s, d) =>
       graft.streaming.EventStreams.manifestStream(s, d)),
 

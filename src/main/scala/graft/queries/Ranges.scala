@@ -223,10 +223,11 @@ object Ranges {
     // the order-statistics lattice (q83 one-shot : q190 incremental :
     // q290 streaming — the q94 : q186 relationship on the set-union
     // sample lattice). Each micro-batch filters ITSELF with the pure
-    // content-hash sample predicate and appends its survivors
-    // (q273's replay posture: exactly-once checkpointed foreachBatch,
-    // chaos-spec-proven, since this corpus's lineitem carries no
-    // unique row key to dedup on); exact ranks over the merged sample
+    // content-hash sample predicate and OVERWRITES its own
+    // batch_id=<bid> partition (foreachBatch is at-least-once; the
+    // overwrite makes a replayed batch rewrite identical rows in
+    // place — this corpus's lineitem carries no unique row key to
+    // dedup on instead); exact ranks over the merged sample
     // reproduce one-shot q83 — the gate shares q190's oracle
     // verbatim. See
     // EventStreams.streamingQuantilesStream for the scale shape.

@@ -384,28 +384,43 @@ object EventStreams {
   /** STREAMING incremental rollup (q142 — the streaming face of q140's
     * batch delta-merge): history partials (batches 0-2 of the events
     * table) land once via a batch write; the remaining slice is
-    * re-staged as files and STREAMED, each micro-batch appending ONLY
-    * its own hourly (count, exact-cents) partials to the persisted
-    * rollup through foreachBatch — the lakehouse materialized-view
-    * maintenance loop. Because count/scaled-int-sum partials are
-    * associative and commutative, the final merge equals a full
-    * recompute REGARDLESS of how the source split the stream into
-    * micro-batches (no single-batch assumption needed, unlike the
-    * stream-stream join gate), which is exactly why additive partials
-    * are the production shape for streaming view maintenance. */
+    * re-staged as files and STREAMED, each micro-batch writing ONLY
+    * its own hourly (count, exact-cents) partials through foreachBatch
+    * — the lakehouse materialized-view maintenance loop. Because
+    * count/scaled-int-sum partials are associative and commutative,
+    * the final merge equals a full recompute REGARDLESS of how the
+    * source split the stream into micro-batches (no single-batch
+    * assumption needed, unlike the stream-stream join gate). SUM
+    * partials are NOT idempotent, and foreachBatch is only
+    * AT-LEAST-ONCE (a crash between the side effect and the checkpoint
+    * commit replays the batch), so the side effect is made idempotent
+    * the q290 way: each micro-batch OVERWRITES its own
+    * `batch_id=<bid>` partition directory — the file source's offset
+    * log pins a replayed batch to identical content, so a replay
+    * rewrites the same partials in place instead of double-counting
+    * (VERDICT r13 #1; the chaos spec kills BETWEEN the write and the
+    * commit to prove it). The seed lands at `batch_id=-1`. */
   def incrementalRollupStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       deltaFiles: Int = 1,
-      chaosKillAfter: Option[Int] = None): DataFrame = {
+      chaosKillAfter: Option[Int] = None,
+      chaosKillBeforeCommit: Option[Int] = None): DataFrame = {
     import graft.operators.Rollup.{hourlyPartials, mergePartials}
+    val dir = java.nio.file.Files.createTempDirectory("graft_q142_partials")
+    registerTreeCleanup(dir.toFile)
     runDeltaStream(spark, sfDir, "graft_q142", maxFilesPerTrigger,
       deltaFiles,
-      seed = hist => graft.sources.Tables.writeTable(
-        hourlyPartials(hist), "graft_stream_rollup"),
-      onBatch = (batch, _) => hourlyPartials(batch).write.mode("append")
-        .format("parquet").saveAsTable("graft_stream_rollup"),
-      chaosKillAfter = chaosKillAfter)
-    mergePartials(spark, "graft_stream_rollup")
+      seed = hist => hourlyPartials(hist).write.mode("overwrite")
+        .parquet(s"$dir/batch_id=-1"),
+      onBatch = (batch, bid) => hourlyPartials(batch).write
+        .mode("overwrite").parquet(s"$dir/batch_id=$bid"),
+      chaosKillAfter = chaosKillAfter,
+      chaosKillBeforeCommit = chaosKillBeforeCommit)
+    val partials = spark.read.parquet(dir.toString)
+    // inspection surface (batch_id rides as the partition column):
+    // StreamingSpec proves several micro-batches really ran
+    partials.createOrReplaceTempView("graft_stream_rollup_partials")
+    mergePartials(partials.select("hr", "event_type", "cnt", "cents"))
   }
 
   /** STREAMING incremental distinct counting (q186 — the streaming face
@@ -487,26 +502,35 @@ object EventStreams {
     * over disjoint row sets, so it equals the one-shot q207 manifest
     * REGARDLESS of micro-batch boundaries, and the same DuckDB oracle
     * gates it hash-exactly. Unlike q186's register MAX these partials
-    * are NOT idempotent (a replayed file would double-count n_rows and
-    * fp_sum and xor-cancel fp_xor); exactly-once file delivery comes
-    * from the checkpointed source, the q142 contract. 100 TB: each
-    * trigger's cost is batch-sized, and the published manifest is
-    * shard-count rows — the snapshot-diff artifact stays queryable
-    * mid-ingest. */
+    * are NOT idempotent (a replayed batch would double-count n_rows
+    * and fp_sum and xor-cancel fp_xor) and foreachBatch is only
+    * AT-LEAST-ONCE, so each micro-batch OVERWRITES its own
+    * `batch_id=<bid>` partition directory (the q290 posture — a
+    * replayed batch rewrites identical partials in place; VERDICT r13
+    * #1 replaced the earlier append-and-hope spelling, whose docstring
+    * claimed an exactly-once source contract Spark does not have).
+    * 100 TB: each trigger's cost is batch-sized, and the published
+    * manifest is shard-count rows — the snapshot-diff artifact stays
+    * queryable mid-ingest. */
   def manifestStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      deltaFiles: Int = 2): DataFrame = {
+      deltaFiles: Int = 2,
+      chaosKillBeforeCommit: Option[Int] = None): DataFrame = {
     import graft.queries.Fingerprints.manifest
     val all = graft.sources.Tables.read(spark, sfDir, "documents")
     val hist = all.filter(pmod(col("doc_id"), lit(4)) < 3)
     val delta = all.filter(pmod(col("doc_id"), lit(4)) === 3)
-    graft.sources.Tables.writeTable(manifest(hist),
-      "graft_stream_manifest")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q210_partials")
+    registerTreeCleanup(dir.toFile)
+    manifest(hist).write.mode("overwrite").parquet(s"$dir/batch_id=-1")
     runStagedStream(spark, "graft_q210", delta, docSchema,
       maxFilesPerTrigger, deltaFiles,
-      onBatch = (b, _) => manifest(b).write.mode("append").format("parquet")
-        .saveAsTable("graft_stream_manifest"))
-    spark.table("graft_stream_manifest")
+      onBatch = (b, bid) => manifest(b).write.mode("overwrite")
+        .parquet(s"$dir/batch_id=$bid"),
+      chaosKillBeforeCommit = chaosKillBeforeCommit)
+    val partials = spark.read.parquet(dir.toString)
+    partials.createOrReplaceTempView("graft_stream_manifest_partials")
+    partials
       .groupBy("shard")
       .agg(sum("n_rows").as("n_rows"), sum("fp_sum").as("fp_sum"),
         expr("bit_xor(fp_xor)").as("fp_xor"))
@@ -529,7 +553,8 @@ object EventStreams {
   private def runDeltaStream(spark: SparkSession, sfDir: String,
       tmpPrefix: String, maxFilesPerTrigger: Option[Int], deltaFiles: Int,
       seed: DataFrame => Unit, onBatch: (DataFrame, Long) => Unit,
-      chaosKillAfter: Option[Int] = None): Unit = {
+      chaosKillAfter: Option[Int] = None,
+      chaosKillBeforeCommit: Option[Int] = None): Unit = {
     val ev = graft.sources.Tables.read(spark, sfDir, "events")
       .withColumn("b", pmod(col("event_id"), lit(4)))
     seed(ev.filter(col("b") < 3))
@@ -546,11 +571,13 @@ object EventStreams {
         rawSchema, maxFilesPerTrigger, deltaFiles, onBatch, postRead =
           _.withColumn("ts",
             expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")),
-        chaosKillAfter = chaosKillAfter)
+        chaosKillAfter = chaosKillAfter,
+        chaosKillBeforeCommit = chaosKillBeforeCommit)
     else
       runStagedStream(spark, tmpPrefix, deltaCanon, tsSchema,
         maxFilesPerTrigger, deltaFiles, onBatch,
-        chaosKillAfter = chaosKillAfter)
+        chaosKillAfter = chaosKillAfter,
+        chaosKillBeforeCommit = chaosKillBeforeCommit)
   }
 
   /** Stage `delta` as landed parquet files and stream them back with
@@ -563,7 +590,8 @@ object EventStreams {
       maxFilesPerTrigger: Option[Int], deltaFiles: Int,
       onBatch: (DataFrame, Long) => Unit,
       postRead: DataFrame => DataFrame = identity,
-      chaosKillAfter: Option[Int] = None): Unit = {
+      chaosKillAfter: Option[Int] = None,
+      chaosKillBeforeCommit: Option[Int] = None): Unit = {
     import java.nio.file.Files
     val dir = Files.createTempDirectory(s"${tmpPrefix}_delta")
     registerTreeCleanup(dir.toFile)
@@ -571,15 +599,25 @@ object EventStreams {
     registerTreeCleanup(ckpt.toFile)
     (if (deltaFiles > 1) delta.repartition(deltaFiles) else delta)
       .write.mode("overwrite").parquet(dir.toString)
-    // chaosKillAfter = Some(n): CRASH the query after n committed
-    // micro-batches (batch n+1 dies before any side effect — the
-    // kill-between-micro-batches shape), then restart from the SAME
-    // checkpoint and run to completion. StreamingSpec drives this to
-    // prove the maintenance lattices survive the 100 TB operational
-    // reality: a restart resumes at the first uncommitted batch, no
-    // batch is skipped, no committed batch replays.
+    // Two chaos timings, both followed by a restart from the SAME
+    // checkpoint that must run to completion (StreamingSpec drives
+    // them to prove the maintenance lattices survive the 100 TB
+    // operational reality):
+    //  - chaosKillAfter = Some(n): crash BEFORE batch n+1's side
+    //    effect (the kill-between-micro-batches shape) — the restart
+    //    resumes at the first uncommitted batch, no batch skipped, no
+    //    committed batch's side effect re-run.
+    //  - chaosKillBeforeCommit = Some(n): crash AFTER batch n+1's side
+    //    effect returns but BEFORE the checkpoint commit — the
+    //    at-least-once window VERDICT r13 #1 named. The restart
+    //    REPLAYS that batch's side effect (same content — the file
+    //    source's offset log pins it), so only an IDEMPOTENT side
+    //    effect (batch_id-partition overwrite, register MAX, dedup by
+    //    key) survives with the one-shot answer; an append of additive
+    //    partials would double-count exactly here.
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
-    def start(killAt: Option[Int]) = {
+    val midFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start(killTop: Option[Int], killMid: Option[Int]) = {
       val reader = spark.readStream.schema(schema)
       maxFilesPerTrigger.foreach(nf =>
         reader.option("maxFilesPerTrigger", nf.toString))
@@ -587,29 +625,44 @@ object EventStreams {
         .writeStream
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
-          if (killAt.exists(done.get() >= _))
+          if (killTop.exists(done.get() >= _))
             throw new RuntimeException("graft-chaos-kill")
           onBatch(batch.toDF(), bid)
+          // fires ONCE (the restart must re-run this same batch to
+          // completion), after the side effect, before the counter —
+          // the commit for this batch never happens on this run
+          if (killMid.exists(done.get() >= _) &&
+              midFired.compareAndSet(false, true))
+            throw new RuntimeException("graft-chaos-kill")
           done.incrementAndGet()
           ()
         }
         .start()
     }
+    def runDying(killTop: Option[Int], killMid: Option[Int]): Boolean = {
+      val q1 = start(killTop, killMid)
+      try { q1.processAllAvailable(); false }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if String.valueOf(e.getMessage).contains("graft-chaos-kill") ||
+            Option(e.getCause).exists(c =>
+              String.valueOf(c.getMessage).contains("graft-chaos-kill")) =>
+        true
+      } finally q1.stop()
+    }
     chaosKillAfter.foreach { n =>
-      val q1 = start(Some(n))
-      val died =
-        try { q1.processAllAvailable(); false }
-        catch { case e: org.apache.spark.sql.streaming.StreamingQueryException
-            if String.valueOf(e.getMessage).contains("graft-chaos-kill") ||
-              Option(e.getCause).exists(c =>
-                String.valueOf(c.getMessage).contains("graft-chaos-kill")) =>
-          true
-        } finally q1.stop()
+      val died = runDying(Some(n), None)
       require(died && done.get() == n,
         s"chaos kill did not fire after $n batches (committed=${done.get()})" +
           " — raise deltaFiles or lower the kill point")
     }
-    val q = start(None)
+    chaosKillBeforeCommit.foreach { n =>
+      val died = runDying(None, Some(n))
+      require(died && done.get() == n && midFired.get(),
+        s"before-commit chaos kill did not fire after $n batches " +
+          s"(committed=${done.get()}) — raise deltaFiles or lower the " +
+          "kill point")
+    }
+    val q = start(None, None)
     try q.processAllAvailable() finally q.stop()
   }
 
@@ -654,7 +707,11 @@ object EventStreams {
     val all = graft.sources.Tables.read(spark, sfDir, "documents")
     val corpus = all.filter(col("doc_id") % 5 =!= 0)
     val batchDocs = all.filter(col("doc_id") % 5 === 0)
-    val (k, rows, thr) = (8, 2, 0.5)
+    // banding resolved ONCE at setup from the corpus count (the
+    // stream can't count itself) and threaded through every band
+    // write and probe — the text twin of q295's posture
+    val (k, rows) = Dedup.adaptiveMinhashParams(corpus.count())
+    val thr = 0.5
     Dedup.writeBandIndex(corpus, "doc_id", "text",
       "graft_band_index_q193", k = k, rows = rows, nBuckets = 8)
     graft.sources.Tables.writeTable(
@@ -764,7 +821,8 @@ object EventStreams {
   def streamingQuantilesStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       deltaFiles: Int = 2,
-      chaosKillAfter: Option[Int] = None): DataFrame = {
+      chaosKillAfter: Option[Int] = None,
+      chaosKillBeforeCommit: Option[Int] = None): DataFrame = {
     val li = graft.sources.Tables.read(spark, sfDir, "lineitem")
       .withColumn("rid",
         concat_ws(":", col("l_orderkey"), col("l_linenumber")))
@@ -790,7 +848,8 @@ object EventStreams {
       sampleSchema, maxFilesPerTrigger, deltaFiles,
       onBatch = (mb, bid) => sampOf(mb).write.mode("overwrite")
         .parquet(s"$sampDir/batch_id=$bid"),
-      chaosKillAfter = chaosKillAfter)
+      chaosKillAfter = chaosKillAfter,
+      chaosKillBeforeCommit = chaosKillBeforeCommit)
     val merged = spark.read.parquet(sampDir.toString)
       .select("l_returnflag", "x")
     val ranked = merged
@@ -941,15 +1000,22 @@ object EventStreams {
     val all = graft.sources.Tables.read(spark, sfDir, "embeddings")
     val corpus = all.filter(col("vec_id") % 5 =!= 0)
     val batch = all.filter(col("vec_id") % 5 === 0)
+    // banding resolved ONCE at setup (batch context — the stream can't
+    // count itself) and threaded through every band write and probe,
+    // so the accumulated batch-bands table can never band differently
+    // from the corpus index it is unioned with at scale
+    val bandBits = Similarity.adaptiveBandBits(corpus.count())
+    val nBits = 4 * bandBits
     Similarity.writeLshIndex(corpus, "vec_id", "embedding",
-      "graft_lsh_index_q295", nBuckets = 8)
+      "graft_lsh_index_q295", nBits, bandBits, nBuckets = 8)
     graft.sources.Tables.writeTable(
-      Similarity.lshBands(all.limit(0), "vec_id", "embedding"),
+      Similarity.lshBands(all.limit(0), "vec_id", "embedding",
+        nBits, bandBits),
       "graft_q295_batch_bands")
     graft.sources.Tables.writeTable(
       Similarity.incrementalLshPairs(all.limit(0),
         "graft_lsh_index_q295", all, "vec_id", "embedding",
-        threshold = 0.35),
+        threshold = 0.35, nBits = nBits, bandBits = bandBits),
       "graft_q295_pairs")
     // manifest-lands-first sizes: the batch's band-size partials are
     // one narrow count pass over the landed files, computed BEFORE
@@ -961,7 +1027,8 @@ object EventStreams {
     graft.sources.Tables.writeTable(
       spark.table("graft_lsh_index_q295_sizes")
         .withColumnRenamed("graft_bsz", "graft_csz")
-        .join(Similarity.lshBands(batch, "vec_id", "embedding")
+        .join(Similarity.lshBands(batch, "vec_id", "embedding",
+              nBits, bandBits)
             .groupBy("band", "bucket").agg(count(lit(1)).as("graft_nsz")),
           Seq("band", "bucket"), "full_outer")
         .select(col("band"), col("bucket"),
@@ -974,14 +1041,16 @@ object EventStreams {
         val sizes = spark.table("graft_q295_union_sizes")
         val vsIndex = Similarity.incrementalLshPairs(mb,
           "graft_lsh_index_q295", all, "vec_id", "embedding",
-          threshold = 0.35, unionSizesOverride = Some(sizes))
+          threshold = 0.35, nBits = nBits, bandBits = bandBits,
+          unionSizesOverride = Some(sizes))
         val vsEarlier = Similarity.incrementalLshPairs(mb,
           "graft_q295_batch_bands", all, "vec_id", "embedding",
-          threshold = 0.35, unionSizesOverride = Some(sizes))
+          threshold = 0.35, nBits = nBits, bandBits = bandBits,
+          unionSizesOverride = Some(sizes))
         vsIndex.union(vsEarlier).dropDuplicates("ida", "idb")
           .write.mode("append").format("parquet")
           .saveAsTable("graft_q295_pairs")
-        Similarity.lshBands(mb, "vec_id", "embedding")
+        Similarity.lshBands(mb, "vec_id", "embedding", nBits, bandBits)
           .write.mode("append").format("parquet")
           .saveAsTable("graft_q295_batch_bands")
         ()
@@ -1035,21 +1104,25 @@ object EventStreams {
     * q142 : q140 relationships, applied to the SUM lattice). History
     * cells (doc_id % 4 < 3) land once via a batch write; the document
     * delta (doc_id % 4 == 3) is staged as landed files and STREAMED,
-    * each micro-batch appending ONLY its own d×w-bounded cell partials
+    * each micro-batch writing ONLY its own d×w-bounded cell partials
     * through foreachBatch. Cell counts are plain addends, so the
     * query-time SUM-merge equals the one-shot sketch EXACTLY no matter
     * how the source chopped the delta into micro-batches — q99's
     * DuckDB oracle gates the heavy-hitter output verbatim. The additive
     * caveat carries over from q140/q272: a REPLAYED batch double-counts
-    * (SUM is not idempotent, unlike q186's register MAX), which is why
-    * checkpointed exactly-once foreachBatch — or q88-style admission —
-    * fronts additive maintenance in production. State per trigger:
-    * ≤ d×w cell rows; the merge reads cell partials only, never raw
-    * history. */
+    * (SUM is not idempotent, unlike q186's register MAX), and
+    * foreachBatch is only AT-LEAST-ONCE — so the side effect is made
+    * idempotent the q290 way: each micro-batch OVERWRITES its own
+    * `batch_id=<bid>` partition directory, and a replay rewrites the
+    * same d×w cells in place instead of double-counting (VERDICT r13
+    * #1; the chaos spec kills between write and commit to prove it).
+    * State per trigger: ≤ d×w cell rows; the merge reads cell partials
+    * only, never raw history. */
   def incrementalCmsStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       deltaFiles: Int = 1,
-      chaosKillAfter: Option[Int] = None): DataFrame = {
+      chaosKillAfter: Option[Int] = None,
+      chaosKillBeforeCommit: Option[Int] = None): DataFrame = {
     import graft.operators.Sketches
     import graft.operators.Sketches.{CmsDefD, CmsDefW}
     val all = graft.sources.Tables.read(spark, sfDir, "documents")
@@ -1058,16 +1131,19 @@ object EventStreams {
       df.select(explode(expr(
         graft.functions.TextExpr.toksSpark("text"))).as("tok")),
       "tok", CmsDefD, CmsDefW)
-    graft.sources.Tables.writeTable(
-      cells(all.filter(col("b") < 3)), "graft_stream_cms")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q273_cells")
+    registerTreeCleanup(dir.toFile)
+    cells(all.filter(col("b") < 3)).write.mode("overwrite")
+      .parquet(s"$dir/batch_id=-1")
     runStagedStream(spark, "graft_q273",
       all.filter(col("b") === 3)
         .select("doc_id", "text", "lang", "source", "n_chars"),
       docSchema, maxFilesPerTrigger, deltaFiles,
-      onBatch = (batch, _) => cells(batch).write.mode("append")
-        .format("parquet").saveAsTable("graft_stream_cms"),
-      chaosKillAfter = chaosKillAfter)
-    val merged = spark.table("graft_stream_cms")
+      onBatch = (batch, bid) => cells(batch).write.mode("overwrite")
+        .parquet(s"$dir/batch_id=$bid"),
+      chaosKillAfter = chaosKillAfter,
+      chaosKillBeforeCommit = chaosKillBeforeCommit)
+    val merged = spark.read.parquet(dir.toString)
       .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
     val toks = all.select(explode(expr(
       graft.functions.TextExpr.toksSpark("text"))).as("tok"))

@@ -309,15 +309,11 @@ class StreamingSpec extends SparkTestBase {
           .as("sum_val"))
     assert(merged.exceptAll(full).count() == 0)
     assert(full.exceptAll(merged).count() == 0)
-    // the raw partial table must show MORE partial rows than a single
-    // delta append would produce — proof that multiple micro-batches
-    // really ran (hours recur across part files)
-    val histRows = ev.filter(pmod($"event_id", lit(4)) < 3)
-      .select(date_trunc("hour", $"ts"), $"event_type").distinct().count()
-    val oneBatchDelta = ev.filter(pmod($"event_id", lit(4)) === 3)
-      .select(date_trunc("hour", $"ts"), $"event_type").distinct().count()
-    assert(spark.table("graft_stream_rollup").count() >
-      histRows + oneBatchDelta,
+    // more than (seed + one batch) distinct batch_id partitions —
+    // proof that multiple micro-batches really ran (each overwrites
+    // only its OWN batch_id=<bid> partition)
+    assert(spark.table("graft_stream_rollup_partials")
+      .select("batch_id").distinct().count() > 2,
       "expected per-micro-batch partials from more than one batch")
   }
 
@@ -389,10 +385,10 @@ class StreamingSpec extends SparkTestBase {
     assert(merged.exceptAll(oneShot).count() == 0 &&
       oneShot.exceptAll(merged).count() == 0,
       "shredded streaming manifest merge diverged from one-shot q207")
-    // more partial rows than (history shards + one delta append) —
-    // proof several micro-batches really appended
-    assert(spark.table("graft_stream_manifest").count() >
-      oneShot.count() + 1)
+    // more than (seed + one batch) distinct batch_id partitions —
+    // proof several micro-batches really wrote their own partition
+    assert(spark.table("graft_stream_manifest_partials")
+      .select("batch_id").distinct().count() > 2)
   }
 
   test("streaming near-dup admission is micro-batch-boundary independent") {
@@ -614,6 +610,88 @@ class StreamingSpec extends SparkTestBase {
     assert(merged.nonEmpty)
     assert(merged == oneShot,
       "restarted embed-dedup stream diverged from one-shot q87")
+  }
+
+  test("rollup stream killed BETWEEN side effect and commit still merges to the one-shot rollup") {
+    // The at-least-once window VERDICT r13 #1 named: the crash fires
+    // AFTER batch 4's partials are written but BEFORE its checkpoint
+    // commit, so the restart REPLAYS that batch's side effect. Under
+    // the old append spelling the replay double-counted cnt/cents;
+    // the batch_id-partition overwrite must absorb it bit-for-bit.
+    val merged = EventStreams.incrementalRollupStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 8,
+      chaosKillBeforeCommit = Some(3))
+    val ev = sources.Tables.read(spark, sf, "events")
+    val full = ev
+      .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        (sum(graft.functions.DetMath.fixed($"value", 2)) / lit(100.0))
+          .as("sum_val"))
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0,
+      "replayed rollup batch double-counted — the side effect is not " +
+        "idempotent under the at-least-once window")
+  }
+
+  test("manifest stream killed BETWEEN side effect and commit still merges to the one-shot manifest") {
+    // q210's SUM/XOR partials under the replayed-batch window: a
+    // double-applied batch would inflate n_rows/fp_sum and XOR-cancel
+    // fp_xor (the exact failure the old docstring waved off with a
+    // nonexistent "exactly-once source contract").
+    val merged = EventStreams.manifestStream(
+        spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+        chaosKillBeforeCommit = Some(3))
+      .select("shard", "n_rows", "fp_sum", "fp_xor")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val oneShot = SparkEntry.queries("q207_shard_manifest")(spark, sf)
+      .select("shard", "n_rows", "fp_sum", "fp_xor")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(merged.nonEmpty)
+    assert(merged == oneShot,
+      "replayed manifest batch skewed the SUM/XOR merge — the side " +
+        "effect is not idempotent under the at-least-once window")
+  }
+
+  test("CMS stream killed BETWEEN side effect and commit still merges to the one-shot sketch") {
+    // q273's additive cells under the replayed-batch window — the
+    // sharpest additive face: a double-applied batch inflates d×w
+    // cells and moves heavy-hitter estimates.
+    import graft.operators.Sketches
+    import graft.operators.Sketches.{CmsDefD, CmsDefW}
+    val merged = EventStreams.incrementalCmsStream(
+      spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+      chaosKillBeforeCommit = Some(3))
+    val toks = sources.Tables.read(spark, sf, "documents")
+      .select(explode(expr(
+        graft.functions.TextExpr.toksSpark("text"))).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val oneShot = Sketches.cmsEstimate(exact.select("tok"), "tok",
+        Sketches.cmsBuild(toks, "tok", CmsDefD, CmsDefW),
+        CmsDefD, CmsDefW)
+      .join(exact, "tok")
+      .orderBy(col("est").desc, col("tok")).limit(20)
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0,
+      "replayed CMS batch double-counted cells — the side effect is " +
+        "not idempotent under the at-least-once window")
+  }
+
+  test("quantile-sample stream killed BETWEEN side effect and commit still equals the one-shot sample") {
+    // q290 is the pattern exemplar (it already overwrote per-batch
+    // partitions in r13) — drive it through the new kill timing too so
+    // the claimed posture is proven where it originated.
+    val merged = EventStreams.streamingQuantilesStream(
+        spark, sf, maxFilesPerTrigger = Some(1), deltaFiles = 6,
+        chaosKillBeforeCommit = Some(3))
+      .select("l_returnflag", "q25", "q50", "q75", "q99")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    val oneShot = SparkEntry.queries("q190_incr_quantiles")(spark, sf)
+      .select("l_returnflag", "q25", "q50", "q75", "q99")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    assert(merged.nonEmpty)
+    assert(merged == oneShot,
+      "replayed sample batch duplicated rows — the side effect is not " +
+        "idempotent under the at-least-once window")
   }
 
   test("foreachBatch parquet sink lands every event exactly once") {
