@@ -199,11 +199,10 @@ object Dedup {
     * bounded recall inside an over-cap bucket, never precision (all
     * emitted pairs are exact-verified). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, rows: Int = 2, threshold: Double = 0.5,
+      k: Int = AdaptiveMinhash, rows: Int = AdaptiveMinhash,
+      threshold: Double = 0.5,
       bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
-    require(k % rows == 0,
-      s"band rows ($rows) must divide signature size ($k) — trailing " +
-        "components would be silently dropped")
+    val (kk, rr) = resolveMinhash(df, k, rows)
     graft.functions.TextNative.register(df.sparkSession)
     // Signatures only — the shingle sets are NOT materialized corpus-wide.
     // cache() pins the one-pass signature (id + k hex strings, ~100 B/doc,
@@ -213,8 +212,8 @@ object Dedup {
     // running many pipelines in one session reclaim it via
     // spark.catalog.clearCache() or by unpersisting after materializing.
     val sig = Par.widen(df).select(col(idCol),
-      expr(s"graft_minhash($textCol, $k)").as("_sig")).cache()
-    val bands = bandsOf(sig, idCol, k, rows)
+      expr(s"graft_minhash($textCol, $kk)").as("_sig")).cache()
+    val bands = bandsOf(sig, idCol, kk, rr)
     val cand = bands.as("x")
       .join(truncateBands(bands, idCol, bucketCap).as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
@@ -222,6 +221,55 @@ object Dedup {
       .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
       .distinct()
     verifyJaccard(cand, df, idCol, textCol, threshold)
+  }
+
+  /** Sentinel default for `k`/`rows`: resolve the minhash banding from
+    * the corpus count at plan-build time ([[adaptiveMinhashParams]]) —
+    * the text twin of Similarity.AdaptiveBands (VERDICT r13 #2: the
+    * embedding side's fixed-banding recall collapse is measured; the
+    * text side ships the same compile-time-constant shape, so it gets
+    * the same remedy). Pass explicit values to pin a banding
+    * (persisted-index probes must match their index — see the
+    * `_banding` metadata). */
+  val AdaptiveMinhash: Int = -1
+
+  /** Scale-adaptive minhash banding (k signature size, rows per band):
+    * rows r grows by ONE per decade past 65,536 docs, clamped to
+    * [2, 4]; the band count grows as b = 2^r, so the LSH S-curve
+    * midpoint (1/b)^(1/r) stays EXACTLY at the 0.5 Jaccard threshold
+    * every operator here defaults to — recall AT the threshold is
+    * preserved by construction while sub-threshold collision mass
+    * (what overfills buckets past BucketCap and erodes capped recall
+    * at scale) falls geometrically: a pair at jaccard j collides per
+    * band with probability j^r. k = r · 2^r: (8, 2) → (24, 3) →
+    * (64, 4). Every gated corpus (≤ 50k docs at sf1) resolves to
+    * today's (8, 2), so the oracles — which interpolate the same
+    * constants — are unchanged; tools.TextScaleProbe measures the
+    * recall/seconds trade per banding at sf10 (SURVEY §6). */
+  def adaptiveMinhashParams(n: Long): (Int, Int) = {
+    require(n >= 0)
+    val r = if (n <= 65536L) 2 else if (n <= 655360L) 3 else 4
+    (r * (1 << r), r)
+  }
+
+  /** Resolve a (k, rows) pair that may carry the [[AdaptiveMinhash]]
+    * sentinel — one narrow eager count; explicit pairs pass through
+    * with the divisibility check. */
+  private def resolveMinhash(df: DataFrame, k: Int, rows: Int)
+      : (Int, Int) = {
+    if (k != AdaptiveMinhash && rows != AdaptiveMinhash) {
+      require(k % rows == 0,
+        s"band rows ($rows) must divide signature size ($k) — trailing " +
+          "components would be silently dropped")
+      return (k, rows)
+    }
+    require(k == AdaptiveMinhash && rows == AdaptiveMinhash,
+      s"pass BOTH k and rows or NEITHER (got k=$k, rows=$rows)")
+    require(!df.isStreaming,
+      "adaptive minhash banding resolves via an eager count, which a " +
+        "streaming frame cannot run — pass the explicit (k, rows) the " +
+        "persisted index or setup phase chose")
+    adaptiveMinhashParams(df.count())
   }
 
   /** Per-(bi, bv) band-bucket sizes of a band table — the text twin of
@@ -315,12 +363,17 @@ object Dedup {
   /** Persist a corpus's minhash band table BUCKETED on the band key —
     * the "index build" half of incremental dedup. Pay the corpus
     * shuffle once at write time; every later batch probes it with zero
-    * corpus-side exchange ([[incrementalPairs]]). Probe with the SAME
-    * (k, rows) used here — band keys from mismatched parameters join
-    * silently but match nothing meaningful. */
+    * corpus-side exchange ([[incrementalPairs]]). The banding used
+    * (defaults adaptive — [[resolveMinhash]]) is RECORDED in a one-row
+    * `${table}_banding` metadata table and probes read it back, so a
+    * probe can never silently band differently from its index (band
+    * keys from mismatched parameters join silently but match nothing
+    * meaningful). */
   def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
-      table: String, k: Int = 8, rows: Int = 2, nBuckets: Int = 32): Unit = {
-    val bands = bandTable(df, idCol, textCol, k, rows)
+      table: String, k: Int = AdaptiveMinhash, rows: Int = AdaptiveMinhash,
+      nBuckets: Int = 32): Unit = {
+    val (kk, rr) = resolveMinhash(df, k, rows)
+    val bands = bandTable(df, idCol, textCol, kk, rr)
     // `${table}_sizes` holds per-(bi, bv) posting-count PARTIALS:
     // readers SUM per key, so index growers (IngestStream / q193's
     // accumulator) append their batch's partial counts next to the
@@ -331,9 +384,38 @@ object Dedup {
     // bands-without-sizes. writeBandIndex + the append-partials
     // convention are the ONLY supported writers.
     graft.sources.Tables.dropTable(df.sparkSession, table)
+    graft.sources.Tables.writeTable(
+      df.sparkSession.range(1)
+        .select(lit(kk).as("k"), lit(rr).as("rows")),
+      s"${table}_banding")
     graft.sources.Tables.writeTable(bandSizes(bands), s"${table}_sizes")
     graft.sources.Tables.writeBucketed(bands, table, Seq("bi", "bv"),
       nBuckets)
+  }
+
+  /** The (k, rows) a [[writeBandIndex]]-persisted index was built
+    * with, from its `_banding` metadata; explicit values must MATCH
+    * the recorded banding (fail loud beats band keys that join but
+    * match nothing). Pre-r14 indexes without the metadata fall back
+    * to the explicit values (or the historical 8/2 default). */
+  private def indexBanding(spark: org.apache.spark.sql.SparkSession,
+      table: String, k: Int, rows: Int): (Int, Int) = {
+    val recorded =
+      try {
+        val r = spark.table(s"${table}_banding").head()
+        Some((r.getInt(0), r.getInt(1)))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    (recorded, k == AdaptiveMinhash) match {
+      case (Some((rk, rr)), true) => (rk, rr)
+      case (Some((rk, rr)), false) =>
+        require(rk == k && rr == rows,
+          s"probe banding (k=$k, rows=$rows) != index $table's recorded " +
+            s"banding (k=$rk, rows=$rr) — band keys would join but match " +
+            "nothing meaningful")
+        (rk, rr)
+      case (None, true) => (8, 2) // pre-metadata index: historical default
+      case (None, false) => (k, rows)
+    }
   }
 
   /** Incremental near-dup dedup: pairs touching a NEW batch, against a
@@ -359,14 +441,20 @@ object Dedup {
     * batch MUST pass its own. */
   def incrementalPairs(batch: DataFrame, bandIndexTable: String,
       verifySource: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, rows: Int = 2, threshold: Double = 0.5,
+      k: Int = AdaptiveMinhash, rows: Int = AdaptiveMinhash,
+      threshold: Double = 0.5,
       reuseBands: Option[DataFrame] = None,
       bucketCap: Int = BucketCap.DefaultCap): DataFrame = {
     val spark = batch.sparkSession
+    // the probe MUST band exactly as the index did: read the recorded
+    // banding (cross-checking any explicit values) rather than
+    // trusting the caller to repeat the build-time choice. A caller
+    // passing reuseBands asserts ITS banding through k/rows too.
+    val (kk, rr) = indexBanding(spark, bandIndexTable, k, rows)
     val corpusBands = spark.table(bandIndexTable)
     // batch bands: computed once, tiny relative to the corpus
     val batchBands = reuseBands.getOrElse(
-      bandTable(batch, idCol, textCol, k, rows).cache())
+      bandTable(batch, idCol, textCol, kk, rr).cache())
     // Union (corpus + batch) bucket sizes, but ONLY for batch-touched
     // buckets — untouched buckets can't produce a batch-touching pair,
     // and restricting keeps the size table batch-sized (so it

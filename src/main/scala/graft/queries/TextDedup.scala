@@ -16,6 +16,25 @@ object TextDedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
+  /** The documents table for the MINHASH-BANDED gates, with the
+    * gate-scale precondition asserted (the embGate posture of
+    * queries.Vectors applied to text): their DuckDB oracles bake the
+    * clamp-region (k=8, rows=2) banding, and Dedup.minhashPairs now
+    * resolves it adaptively from the corpus count — identical inside
+    * the clamp region (n <= 65,536 docs), deliberately different
+    * outside it. A future gate-scale bump fails HERE with a
+    * regenerate-the-oracles message, not as a bare hash mismatch. */
+  private def docsGate(s: SparkSession, dir: String): DataFrame = {
+    val dd = docs(s, dir)
+    val n = dd.count()
+    require(Dedup.adaptiveMinhashParams(n) == ((8, 2)),
+      s"gate corpus has n=$n documents — outside the clamp region " +
+        "where adaptive minhash banding equals the oracle-baked " +
+        "(k=8, rows=2); regenerate the minhash oracles for the new " +
+        "gate scale")
+    dd
+  }
+
   /** Per-doc dedup keep decision — q145's canonical rule (longest
     * n_chars, ties to the smaller id) over q60's LSH-bounded clusters:
     * (doc_id, source, n_toks, keep). Shared by q281/q283 (budgets)
@@ -23,8 +42,8 @@ object TextDedup {
     * decision. */
   private def dedupKeeps(s: SparkSession, d: String): DataFrame = {
     val clusters = Dedup.dupClusters(
-      Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-        k = 8, rows = 2, threshold = 0.5))
+      Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+        threshold = 0.5))
     val assigned = TextAnalysis.withTokens(docs(s, d), "text")
       .select(col("doc_id"), col("source"), col("n_chars"),
         size(col("toks")).cast("long").as("n_toks"))
@@ -135,8 +154,8 @@ object TextDedup {
         .drop("shset")),
 
     "q39_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-        k = 8, rows = 2, threshold = 0.5)),
+      Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+        threshold = 0.5)),
 
     "q40_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
@@ -154,8 +173,8 @@ object TextDedup {
     // candidate set; the split lookups are two id-keyed equi-joins
     // against a narrow (id, split) projection — no new self-join.
     "q278_split_leakage" -> ((s, d) => {
-      val pairs = Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-        k = 8, rows = 2, threshold = 0.5)
+      val pairs = Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+        threshold = 0.5)
       val sp = docs(s, d).select(col("doc_id"),
         expr(splitRkSpark("doc_id")).as("rk"))
       def nm(c: Column): Column = splitName(c)
@@ -185,8 +204,8 @@ object TextDedup {
     // md5 evals — no new self-join, no window, no extra shuffle.
     "q279_split_repair" -> ((s, d) => {
       val clusters = Dedup.dupClusters(
-        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-          k = 8, rows = 2, threshold = 0.5))
+        Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+          threshold = 0.5))
       docs(s, d).select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cl", coalesce(col("canonical"), col("doc_id")))
@@ -345,8 +364,8 @@ object TextDedup {
 
     "q60_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(
-        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-          k = 8, rows = 2, threshold = 0.5))),
+        Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+          threshold = 0.5))),
 
     // ---- q145: canonical selection per near-dup cluster ----
     // The curation DECISION the cluster machinery exists for: every doc
@@ -357,8 +376,8 @@ object TextDedup {
     // aggregate is the only extra shuffle on top of the clustering).
     "q145_cluster_canonical" -> ((s, d) => {
       val clusters = Dedup.dupClusters(
-        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-          k = 8, rows = 2, threshold = 0.5))
+        Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+          threshold = 0.5))
       val assigned = docs(s, d).select(col("doc_id"), col("n_chars"))
         .join(clusters.withColumnRenamed("canonical", "cl0"),
           Seq("doc_id"), "left")
@@ -380,8 +399,8 @@ object TextDedup {
     // function of content ids — stable across runs/engines/layouts.
     "q149_leakage_safe_split" -> ((s, d) => {
       val clusters = Dedup.dupClusters(
-        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
-          k = 8, rows = 2, threshold = 0.5))
+        Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+          threshold = 0.5))
       graft.operators.Sampling.hashSplit(
           docs(s, d).select("doc_id")
             .join(clusters.withColumnRenamed("canonical", "cl0"),
@@ -487,13 +506,15 @@ object TextDedup {
     // match proves the incremental path finds exactly the pairs a full
     // recompute would.
     "q85_incremental_dedup" -> ((s, d) => {
-      val all = docs(s, d)
+      val all = docsGate(s, d)
       val corpus = all.filter(col("doc_id") % 5 =!= 0)
       val batch = all.filter(col("doc_id") % 5 === 0)
+      // banding defaults ADAPTIVE at build; the probe reads it back
+      // from the index's _banding metadata — never repeated by hand
       Dedup.writeBandIndex(corpus, "doc_id", "text",
-        "graft_band_index", k = 8, rows = 2, nBuckets = 8)
+        "graft_band_index", nBuckets = 8)
       Dedup.incrementalPairs(batch, "graft_band_index", all,
-        "doc_id", "text", k = 8, rows = 2, threshold = 0.5)
+        "doc_id", "text", threshold = 0.5)
     }),
 
     // The ingest DECISION on top of q85's pairs: admit each batch doc
@@ -501,13 +522,13 @@ object TextDedup {
     // smaller-id batch member. This is the row set a daily pipeline
     // appends to the corpus.
     "q88_batch_admission" -> ((s, d) => {
-      val all = docs(s, d)
+      val all = docsGate(s, d)
       val corpus = all.filter(col("doc_id") % 5 =!= 0)
       val batch = all.filter(col("doc_id") % 5 === 0)
       Dedup.writeBandIndex(corpus, "doc_id", "text",
-        "graft_band_index_q88", k = 8, rows = 2, nBuckets = 8)
+        "graft_band_index_q88", nBuckets = 8)
       val pairs = Dedup.incrementalPairs(batch, "graft_band_index_q88",
-        all, "doc_id", "text", k = 8, rows = 2, threshold = 0.5)
+        all, "doc_id", "text", threshold = 0.5)
       Dedup.admitBatch(batch, pairs, "doc_id").select("doc_id")
     }),
 
@@ -590,12 +611,12 @@ object TextDedup {
     // shape: one extra per-cluster argmax over the quality-filtered
     // assignment — same key, same plan family as the global argmax.
     "q301_funnel_order" -> ((s, d) => {
-      val dd = docs(s, d)
+      val dd = docsGate(s, d)
       val kq = TextAnalysis.gopherRules(dd, "doc_id", "text")
         .select(col("doc_id"), col("keep").as("kq"))
       val clusters = Dedup.dupClusters(
         Dedup.minhashPairs(dd, "doc_id", "text",
-          k = 8, rows = 2, threshold = 0.5))
+          threshold = 0.5))
       val assigned = TextAnalysis.withTokens(dd, "text")
         .select(col("doc_id"), col("source"), col("n_chars"),
           size(col("toks")).cast("long").as("n_toks"))

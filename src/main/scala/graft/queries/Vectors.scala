@@ -14,6 +14,28 @@ object Vectors {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
+  /** The embeddings table for the BANDED/CLUSTERED gates, with the
+    * gate-scale precondition asserted (ADVICE r13): their DuckDB
+    * oracles bake the clamp-region constants (16/4 banding, k=8
+    * SemDeDup clusters), and the operators now resolve those
+    * adaptively from the corpus count — identical inside the clamp
+    * region, deliberately different outside it. A future gate-scale
+    * bump must therefore fail HERE with a regenerate-the-oracles
+    * message, not as a bare hash mismatch downstream. The count is a
+    * parquet-metadata read; production callers use the operators
+    * directly and never pass through this guard. */
+  private def embGate(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = e.count()
+    require(Similarity.adaptiveBandBits(n) == 4 &&
+        Similarity.adaptiveClusterK(n) == 8,
+      s"gate corpus has n=$n embeddings — outside the clamp region " +
+        "where adaptive banding/clustering equals the oracle-baked " +
+        "constants (16/4 bands, 8 clusters); regenerate the banded " +
+        "oracles for the new gate scale")
+    e
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_embed_stats" -> ((s, d) =>
       Similarity.prepare(emb(s, d), "embedding")
@@ -247,7 +269,7 @@ object Vectors {
     // Label-free near-dup pairs: random-hyperplane LSH bucketing, no
     // blocking column needed (q44 requires one).
     "q63_lsh_dup_pairs" -> ((s, d) =>
-      Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
+      Similarity.lshDupPairs(embGate(s, d), "vec_id", "embedding",
         threshold = 0.35)),
 
     // ---- q135: approximate k-NN JOIN (every vector, top-3) ----
@@ -257,7 +279,7 @@ object Vectors {
     // Unlike q43/q62 (query SET searches) this ranks neighbors for all
     // rows at once — the semantic-dedup / retrieval-curation join.
     "q135_ann_knn_join" -> ((s, d) =>
-      Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)),
+      Similarity.lshKnnJoin(embGate(s, d), "vec_id", "embedding", k = 3)),
 
     // ---- q302: scale-adaptive k-NN join ----
     // q135 with the banding chosen from the corpus count
@@ -268,7 +290,7 @@ object Vectors {
     // (SURVEY §6 r13 recall table: 4-bit 0.65→~0 vs 8-bit 1.0→0.665,
     // the 8-bit run also FASTER). The formula itself is spec-pinned.
     "q302_ann_adaptive" -> ((s, d) =>
-      Similarity.lshKnnJoinAdaptive(emb(s, d), "vec_id", "embedding",
+      Similarity.lshKnnJoinAdaptive(embGate(s, d), "vec_id", "embedding",
         k = 3)),
 
     // ---- q256: k-NN graph hubness audit (in-degree distribution) ----
@@ -280,7 +302,7 @@ object Vectors {
     // histogram is degree-bounded, so the report is tiny at any corpus
     // size.
     "q256_knn_hubness" -> ((s, d) => {
-      val knn = Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding",
+      val knn = Similarity.lshKnnJoin(embGate(s, d), "vec_id", "embedding",
         k = 3)
       val indeg = knn.groupBy(col("vec_id").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -297,7 +319,7 @@ object Vectors {
     // q135 (no all-pairs anywhere); same-label pairs drop before the
     // exact-cosine verify so only true negatives compete for the top-k.
     "q205_hard_negatives" -> ((s, d) =>
-      Similarity.hardNegatives(emb(s, d), "vec_id", "embedding",
+      Similarity.hardNegatives(embGate(s, d), "vec_id", "embedding",
         "label", k = 3)),
 
     // ---- q206: int8 scalar-quantization audit ----
@@ -507,7 +529,8 @@ object Vectors {
     // join's fan-out is degree-bounded — two equi-join shuffles total,
     // no enumeration blow-up at 100 TB.
     "q166_knn_triangles" -> ((s, d) => {
-      val knn = Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3)
+      val knn = Similarity.lshKnnJoin(embGate(s, d), "vec_id", "embedding",
+        k = 3)
       val e = knn.select(least(col("qid"), col("vec_id")).as("a"),
         greatest(col("qid"), col("vec_id")).as("b")).distinct()
       val e2 = e.select(col("a").as("b2"), col("b").as("c2"))
@@ -527,7 +550,7 @@ object Vectors {
     // all 3 rounds as chained CTEs. Per round: one edges->labels join
     // (node table broadcast-gated), two hash aggs; rounds lineage-cut.
     "q199_label_prop" -> ((s, d) => {
-      val knn = Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding",
+      val knn = Similarity.lshKnnJoin(embGate(s, d), "vec_id", "embedding",
         k = 3)
       val e = knn.select(least(col("qid"), col("vec_id")).as("a"),
         greatest(col("qid"), col("vec_id")).as("b")).distinct()
@@ -545,8 +568,12 @@ object Vectors {
     // Held-out vectors with no train collision yield no row (the
     // brute-force fallback is q43's shape).
     "q157_knn_classify" -> ((s, d) => {
-      val e = emb(s, d)
-      val bands = Similarity.lshBands(e, "vec_id", "embedding")
+      val e = embGate(s, d)
+      // same adaptive banding rule as the lshKnnJoin default (clamps
+      // to the oracle-baked 16/4 inside the gate region)
+      val bb = Similarity.adaptiveBandBits(e.count())
+      val bands = Similarity.lshBands(e, "vec_id", "embedding",
+        nBits = 4 * bb, bandBits = bb)
       // train = collision side → posting-capped by TRAIN bucket sizes
       // (same rule as every LSH join; identity at gate scale)
       val train = Similarity.truncateBuckets(
@@ -678,7 +705,7 @@ object Vectors {
     // the one-shot q63 pipeline restricted to batch-touching pairs, so
     // hash-green proves incremental == full recompute.
     "q87_incr_embed_dedup" -> ((s, d) => {
-      val all = emb(s, d)
+      val all = embGate(s, d)
       val corpus = all.filter(col("vec_id") % 5 =!= 0)
       val batch = all.filter(col("vec_id") % 5 === 0)
       Similarity.writeLshIndex(corpus, "vec_id", "embedding",
@@ -701,7 +728,7 @@ object Vectors {
     // decisions for embeddings, like q60 does for text.
     "q75_embed_dup_clusters" -> ((s, d) =>
       graft.operators.Dedup.dupClusters(
-          Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
+          Similarity.lshDupPairs(embGate(s, d), "vec_id", "embedding",
             threshold = 0.35))
         .select(col("doc_id").as("vec_id"), col("canonical"))),
 
@@ -741,8 +768,10 @@ object Vectors {
     // oracle replays centroids, assignment, and the keep rule
     // bit-for-bit. 100 TB: the quadratic is per-cell, never corpus².
     "q192_semdedup" -> ((s, d) =>
-      Similarity.semDedup(emb(s, d), "vec_id", "embedding",
-        k = 8, iters = 2, threshold = 0.35)),
+      // k defaults ADAPTIVE (n/1024, floor 8 — embGate pins the gate
+      // region where that equals the oracle-baked 8)
+      Similarity.semDedup(embGate(s, d), "vec_id", "embedding",
+        iters = 2, threshold = 0.35)),
 
     // ---- q264: reciprocal-rank fusion (hybrid retrieval) ----
     // THE hybrid-search move: fuse keyword rankings (q164's BM25 top-5

@@ -1630,11 +1630,15 @@ class OperatorSpec extends SparkTestBase {
     val batch = e.filter($"vec_id" % 5 === 0)
     Similarity.writeLshIndex(corpus, "vec_id", "embedding",
       "graft_lsh_capspec", nBuckets = 4)
+    // banding pinned to 16/4 on BOTH sides: the adaptive default
+    // deliberately couples banding to the cap (a tiny cap -> finer
+    // banding), and this test isolates the CAP law under ONE banding
     val inc = Similarity.incrementalLshPairs(batch, "graft_lsh_capspec",
-        e, "vec_id", "embedding", threshold = -1.0, bucketCap = cap)
+        e, "vec_id", "embedding", threshold = -1.0,
+        nBits = 16, bandBits = 4, bucketCap = cap)
       .select("ida", "idb", "cos")
     val full = Similarity.lshDupPairs(e, "vec_id", "embedding",
-        threshold = -1.0, bucketCap = cap)
+        threshold = -1.0, nBits = 16, bandBits = 4, bucketCap = cap)
       .filter($"ida" % 5 === 0 || $"idb" % 5 === 0)
       .select("ida", "idb", "cos")
     assert(inc.exceptAll(full).count() == 0 &&
@@ -1647,7 +1651,7 @@ class OperatorSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_lsh_capspec_sizes")
     val incNoSizes = Similarity.incrementalLshPairs(batch,
         "graft_lsh_capspec", e, "vec_id", "embedding",
-        threshold = -1.0, bucketCap = cap)
+        threshold = -1.0, nBits = 16, bandBits = 4, bucketCap = cap)
       .select("ida", "idb", "cos")
     assert(incNoSizes.exceptAll(full).count() == 0 &&
       full.exceptAll(incNoSizes).count() == 0,
@@ -1688,9 +1692,11 @@ class OperatorSpec extends SparkTestBase {
       val mb = batch.filter($"vec_id" % 3 === i)
       val vsIndex = Similarity.incrementalLshPairs(mb,
         "graft_lsh_mbspec", e, "vec_id", "embedding", threshold = -1.0,
+        nBits = 16, bandBits = 4,
         bucketCap = cap, unionSizesOverride = Some(unionSizes))
       val vsEarlier = Similarity.incrementalLshPairs(mb,
         "graft_mbspec_bands", e, "vec_id", "embedding", threshold = -1.0,
+        nBits = 16, bandBits = 4,
         bucketCap = cap, unionSizesOverride = Some(unionSizes))
       // materialize THIS micro-batch's probe BEFORE appending its own
       // bands (the stream's probe-then-append cycle), and refresh the
@@ -1705,14 +1711,15 @@ class OperatorSpec extends SparkTestBase {
       pairs
     }.reduce(_ ++ _)
     val oneShot = Similarity.lshDupPairs(e, "vec_id", "embedding",
-        threshold = -1.0, bucketCap = cap)
+        threshold = -1.0, nBits = 16, bandBits = 4, bucketCap = cap)
       .filter($"ida" % 5 === 0 || $"idb" % 5 === 0)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
     assert(mbPairs == oneShot,
       "micro-batched capped probes diverged from the capped one-shot")
     // the cap is ACTIVE on this data — otherwise the law is vacuous
     val openCount = Similarity.lshDupPairs(e, "vec_id", "embedding",
-      threshold = -1.0, bucketCap = Int.MaxValue).count()
+      threshold = -1.0, nBits = 16, bandBits = 4,
+      bucketCap = Int.MaxValue).count()
     assert(oneShot.size < openCount,
       "cap=3 must truncate at spec scale for this law to bite")
   }
@@ -1826,11 +1833,100 @@ class OperatorSpec extends SparkTestBase {
     assert(Similarity.adaptiveBandBits(8192, bucketCap = 64) == 7)
 
     // at spec corpus the clamp resolves to the fixed default, so the
-    // adaptive join must be ROW-IDENTICAL to q135's fixed-banding join
-    // (this is also why q302 can gate on q135's oracle verbatim)
+    // adaptive join (now the lshKnnJoin DEFAULT) must be ROW-IDENTICAL
+    // to an EXPLICIT 16/4 fixed-banding join (this is also why q302
+    // can gate on q135's oracle verbatim)
     val e = sources.Tables.read(spark, sf, "embeddings")
-    val fixed = Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3)
+    val fixed = Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3,
+      nBits = 16, bandBits = 4)
     val adaptive = Similarity.lshKnnJoinAdaptive(e, "vec_id", "embedding", k = 3)
+    assert(adaptive.exceptAll(fixed).count() == 0 &&
+      fixed.exceptAll(adaptive).count() == 0)
+  }
+
+  test("adaptive minhash banding: formula pinned; gate scale is the (8,2) identity; streams refused") {
+    import spark.implicits._
+    // rows grows +1 per decade past 65,536 docs, bands = 2^rows keeps
+    // the S-curve midpoint (1/b)^(1/r) at the 0.5 default threshold,
+    // k = r * 2^r
+    assert(Dedup.adaptiveMinhashParams(0L) == ((8, 2)))
+    assert(Dedup.adaptiveMinhashParams(500L) == ((8, 2)))
+    assert(Dedup.adaptiveMinhashParams(50000L) == ((8, 2))) // sf1 docs
+    assert(Dedup.adaptiveMinhashParams(65536L) == ((8, 2)))
+    assert(Dedup.adaptiveMinhashParams(65537L) == ((24, 3)))
+    assert(Dedup.adaptiveMinhashParams(500000L) == ((24, 3))) // sf10
+    assert(Dedup.adaptiveMinhashParams(655361L) == ((64, 4)))
+    assert(Dedup.adaptiveMinhashParams(1L << 40) == ((64, 4)))
+    // S-curve midpoint invariance: (1/2^r)^(1/r) = 1/2 for every tier
+    for (r <- 2 to 4)
+      assert(math.abs(math.pow(1.0 / (1 << r), 1.0 / r) - 0.5) < 1e-12)
+
+    // gate scale: the adaptive default must be ROW-IDENTICAL to an
+    // explicit (8, 2) run — the equality every minhash oracle rests on
+    val docs = sources.Tables.read(spark, sf, "documents")
+    val fixed = Dedup.minhashPairs(docs, "doc_id", "text",
+      k = 8, rows = 2, threshold = 0.5)
+    val adaptive = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+    assert(adaptive.exceptAll(fixed).count() == 0 &&
+      fixed.exceptAll(adaptive).count() == 0)
+
+    // streaming frames cannot run the eager count: fail loudly
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStreams.docSchema)
+      .parquet(s"$sf")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(stream, "doc_id", "text", threshold = 0.5)
+    }
+  }
+
+  test("persisted band indexes record their banding; mismatched probes fail loudly") {
+    import spark.implicits._
+    // text index: metadata row carries the resolved banding
+    val docs = sources.Tables.read(spark, sf, "documents")
+    Dedup.writeBandIndex(docs, "doc_id", "text", "graft_bandmeta_spec",
+      nBuckets = 4)
+    val tm = spark.table("graft_bandmeta_spec_banding")
+      .as[(Int, Int)].head()
+    assert(tm == ((8, 2)), s"recorded text banding $tm")
+    // a probe under a DIFFERENT banding must fail loudly, not join
+    // band keys that match nothing
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalPairs(docs.limit(5), "graft_bandmeta_spec", docs,
+        "doc_id", "text", k = 24, rows = 3, threshold = 0.5)
+    }
+    assert(ex.getMessage.contains("recorded"))
+
+    // vector index: same contract
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    Similarity.writeLshIndex(e, "vec_id", "embedding",
+      "graft_lshmeta_spec", nBuckets = 4)
+    val vm = spark.table("graft_lshmeta_spec_banding")
+      .as[(Int, Int)].head()
+    assert(vm == ((16, 4)), s"recorded vector banding $vm")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.incrementalLshPairs(e.limit(5), "graft_lshmeta_spec", e,
+        "vec_id", "embedding", threshold = 0.0, nBits = 32, bandBits = 8)
+    }
+    assert(ex2.getMessage.contains("recorded"))
+    // matching explicit values pass the cross-check (plan builds)
+    Similarity.incrementalLshPairs(e.limit(5), "graft_lshmeta_spec", e,
+      "vec_id", "embedding", threshold = 0.0, nBits = 16, bandBits = 4)
+    ()
+  }
+
+  test("adaptive SemDeDup cluster count: formula pinned; gate scale is the k=8 identity") {
+    assert(Similarity.adaptiveClusterK(0L) == 8)
+    assert(Similarity.adaptiveClusterK(2000L) == 8) // gate scale
+    assert(Similarity.adaptiveClusterK(8192L) == 8)
+    assert(Similarity.adaptiveClusterK(20000L) == 20) // sf1
+    assert(Similarity.adaptiveClusterK(200000L) == 196) // sf10
+    assert(Similarity.adaptiveClusterK(1 << 20, targetCell = 512) == 2048)
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val fixed = Similarity.semDedup(e, "vec_id", "embedding",
+      k = 8, iters = 2, threshold = 0.35)
+    val adaptive = Similarity.semDedup(e, "vec_id", "embedding",
+      iters = 2, threshold = 0.35)
     assert(adaptive.exceptAll(fixed).count() == 0 &&
       fixed.exceptAll(adaptive).count() == 0)
   }
