@@ -46,6 +46,12 @@ object Bench {
       shufflePartitions = shuffleParts)
     sys.env.get("SPARK_GRAFT_PREFER_SHJ").foreach(v =>
       spark.conf.set("spark.sql.join.preferSortMergeJoin", (v != "1").toString))
+    // SPARK_GRAFT_WIDEN=0/off disables operators.Par.widen's parallelism
+    // repair — the second A/B knob of the r13-directive-4 attribution
+    // run (isolation × widen decompose the 56→71 s shift).
+    sys.env.get("SPARK_GRAFT_WIDEN").foreach(v =>
+      spark.conf.set(graft.operators.Par.WidenConfKey,
+        if (v == "0" || v.equalsIgnoreCase("off")) "off" else "on"))
 
     val startedAt = java.time.Instant.now().toString
     val loadStart = java.lang.management.ManagementFactory
@@ -84,6 +90,13 @@ object Bench {
         names
       }.getOrElse(headline)
 
+    // SPARK_GRAFT_ISOLATE=0/off: skip the inter-query cache/RDD/GC
+    // cleanup below — the A/B knob that decomposes a round-over-round
+    // shift into methodology (isolation) vs plan changes (VERDICT r13
+    // directive 4). Default ON: cold-start-honest per-query numbers.
+    val isolate = !sys.env.get("SPARK_GRAFT_ISOLATE")
+      .exists(v => v == "0" || v.equalsIgnoreCase("off"))
+
     val results = headlineRun.map { name =>
       val g0 = gcMillis()
       val t0 = System.nanoTime()
@@ -93,6 +106,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+      // elapsed is read HERE — before any cleanup — so clearCache /
+      // unpersist / System.gc pauses never inflate the reported time
+      // (ADVICE r13: the cleanup used to run inside the timed region).
+      val elapsed = (System.nanoTime() - t0) / 1e9
       gcByQuery(name) = gcMillis() - g0
       heapByQuery(name) = heapUsedMb()
       // Each headline query is a self-contained pipeline measurement;
@@ -105,19 +122,21 @@ object Bench {
       // solo time before this line). Cache population still happens
       // inside each query's own timer, so timings stay cold-start
       // honest; clearing sits outside the timed region.
-      spark.catalog.clearCache()
-      // localCheckpoint blocks from iterative operators (pagerank,
-      // label-prop lineage cuts) are persistent RDDs that stay PINNED
-      // until driver GC lets the ContextCleaner at them — tens of GB
-      // that the storageFraction floor then protects from eviction,
-      // pushing later queries' sorts/aggs into early spill (sf10:
-      // in-suite q199 ran ~4x its solo time). Unpersist them
-      // explicitly and nudge GC so each measurement starts clean.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
+      if (isolate) {
+        spark.catalog.clearCache()
+        // localCheckpoint blocks from iterative operators (pagerank,
+        // label-prop lineage cuts) are persistent RDDs that stay PINNED
+        // until driver GC lets the ContextCleaner at them — tens of GB
+        // that the storageFraction floor then protects from eviction,
+        // pushing later queries' sorts/aggs into early spill (sf10:
+        // in-suite q199 ran ~4x its solo time). Unpersist them
+        // explicitly and nudge GC so each measurement starts clean.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
       // -1 marks a failure so a fast crash can't masquerade as a fast run
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     // Like-for-like reproduction of the reference's only published number
     // (BASELINE.md): inner join of two 2,000,000-row tables on TWO string
@@ -276,7 +295,8 @@ object Bench {
     // Full-diagnostics line: everything a cross-round investigation
     // needs (per-run demo times, GC, heap, load averages). Written to
     // target/bench.json AND printed FIRST on stdout.
-    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"baseline_demo_2m_sec":10.718802}"""
+    val widenConf = spark.conf.get(graft.operators.Par.WidenConfKey, "on")
+    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"isolate":$isolate,"widen":"$widenConf","baseline_demo_2m_sec":10.718802}"""
     // Compact gate line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout, and the full diagnostics line is ~2.6k —
     // in r11 it was front-truncated past parseability ("parsed": null).

@@ -602,4 +602,26 @@ class ScaleSpec extends SparkTestBase {
     assert(tools.ExplainAudit.invariantLambdaExprs(fused).isEmpty,
       "the fused spelling must be clean")
   }
+
+  test("Par.widen: repairs a byte-starved plan, no-ops on a pre-split one") {
+    val target = spark.sparkContext.defaultParallelism
+    // tiny single-file scan: byte-starved AND under-split → widened
+    val starved = sources.Tables.read(spark, sf, "documents")
+    assert(operators.Par.widen(starved).rdd.getNumPartitions == target,
+      "a byte-starved, under-split input must repartition to one " +
+        "split per core")
+    // tiny but ALREADY split at/above target: bytes alone said
+    // "repartition", the partition-count gate must say no (VERDICT r13
+    // directive 6 — widen used to pay a shuffle here for nothing).
+    // eq-reference: the gated path returns the input frame itself.
+    val preSplit = starved.repartition(target)
+    assert(operators.Par.widen(preSplit) eq preSplit,
+      "an input already planned at >= target/2 partitions must pass " +
+        "through untouched")
+    // kill switch: spark.graft.widen=off disables the repair entirely
+    spark.conf.set(operators.Par.WidenConfKey, "off")
+    try assert(operators.Par.widen(starved) eq starved,
+      "the conf kill switch must bypass the repair")
+    finally spark.conf.unset(operators.Par.WidenConfKey)
+  }
 }
