@@ -32,7 +32,13 @@ object Bench {
     "q116_decontaminate", "q119_latest_order", "q130_pagerank",
     "q135_ann_knn_join", "q195_dup_spans", "q198_bucketed_join",
     "q199_label_prop", "q205_hard_negatives", "q211_pq_encode",
-    "q226_rolling_distinct", "q232_rfm_segments")
+    "q226_rolling_distinct", "q232_rfm_segments",
+    // the scale-ADAPTIVE twins of q135/q205 (production-default
+    // banding): identical work at gate scale (clamp), the honest
+    // measurement at sf1/sf10 where the pinned 16/4 banding is
+    // measured recall-blind — benching BOTH variants puts the
+    // fixed-vs-adaptive wall-time comparison in every artifact.
+    "q302_ann_adaptive", "q303_hard_negatives_adaptive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -120,8 +120,51 @@ object Verify {
       }
     }
     dumpErrors() // an untouched resume still yields a (empty) file
+    // PRE-FLIGHT (ADVICE r13): the adaptive-banded gates are
+    // oracle-valid only inside the clamp region where the adaptive
+    // parameters equal their oracle-baked constants (16/4 bands + 8
+    // clusters for embeddings; (8,2) minhash for documents). If this
+    // corpus sits outside that region, error-mark those names with a
+    // clear regenerate-the-oracles message INSTEAD of running a
+    // knowingly mismatched compare — a gate-scale bump fails loudly
+    // here, never as a bare hash mismatch. Bench and production
+    // callers never pass through this check: the adaptive operators
+    // are built to run at any scale. Counts are parquet-metadata
+    // reads, paid only when an affected name is selected.
+    val clampExcluded: Map[String, String] = {
+      def excluded(names: Seq[String], table: String,
+          holds: Long => Boolean, baked: String): Map[String, String] = {
+        val sel = names.filter(n => only.forall(_.contains(n)))
+        if (sel.isEmpty) Map.empty
+        else {
+          val n = spark.read.parquet(s"$sfDir/$table.parquet").count()
+          if (holds(n)) Map.empty
+          else sel.map(_ -> (s"PRECONDITION: $table corpus n=$n is " +
+            s"outside the clamp region where the adaptive banding " +
+            s"equals the oracle-baked $baked; regenerate the banded " +
+            "oracles for this scale (or adjudicate via overrides) — " +
+            "the engine-side operator runs fine, only the oracle " +
+            "comparison is invalid")).toMap
+        }
+      }
+      excluded(graft.queries.Vectors.adaptiveGateNames, "embeddings",
+        graft.queries.Vectors.oracleClampHolds, "16/4 bands, 8 clusters") ++
+        excluded(graft.queries.TextDedup.adaptiveGateNames, "documents",
+          graft.queries.TextDedup.oracleClampHolds, "(k=8, rows=2) minhash")
+    }
+    clampExcluded.foreach { case (name, msg) =>
+      System.err.println(s"[verify] $name pre-flight excluded: $msg")
+      errs.put(name, msg)
+      try {
+        import spark.implicits._
+        Seq(msg).toDF("graft_error")
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case _: Throwable => () }
+    }
+    if (clampExcluded.nonEmpty) dumpErrors()
     val futures = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && !clampExcluded.contains(name) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
         // RESUME: a query dir carrying the success marker is finished

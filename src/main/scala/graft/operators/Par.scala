@@ -47,6 +47,24 @@ object Par {
     * way — only parallelism changes — so flipping it is always safe. */
   val WidenConfKey = "spark.graft.widen"
 
+  /** Session-conf lower bound (bytes) below which widen never fires.
+    * The r14 attribution A/B measured the missing term in the r13
+    * design: for a TINY input the per-row compute being parallelized
+    * is also tiny, so the exchange + per-call physical-planning
+    * overhead dominates — widen-on cost ~20 s across the sf0.1 suite
+    * (q85 21.0 s vs 10.5 s widen-off) while repairing nothing. The
+    * benefit only exists where single-threading the per-row loops is
+    * material — and it starts EARLY: at sf1 (~5 MB single-row-group
+    * embeddings) the widen is worth ~10× on the LSH family (q135
+    * 61.2 s with a 16 MB floor vs 6.1 s with the repair firing — the
+    * r14 floor-placement A/B), because ~20k rows × per-row signature
+    * cost already dwarfs a 5 MB exchange. Floor default 2 MB: the
+    * gate corpus (~0.5 MB heads, where the A/B measured pure cost)
+    * passes through untouched; sf1 (~5 MB) and sf10 (~60 MB) heads
+    * widen. */
+  val WidenFloorKey = "spark.graft.widenFloor"
+  val DefaultWidenFloor: Long = 2L << 20
+
   private[graft] def widen(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch frames arrive pre-split
     val spark = df.sparkSession
@@ -54,8 +72,14 @@ object Par {
     val target = spark.sparkContext.defaultParallelism
     val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val floor = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get(WidenFloorKey, DefaultWidenFloor.toString))
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est >= BigInt(maxPart) * target) return df
+    // too small to be worth an exchange, or big enough that the scan
+    // already planned a split per core — either way, no repair. The
+    // floor also short-circuits BEFORE the physical-plan read below,
+    // so gate-scale plans never pay the toRdd planning cost.
+    if (est < BigInt(floor) || est >= BigInt(maxPart) * target) return df
     // the plan may already be adequately split despite its byte size
     // (many small files, an upstream exchange): reading the physical
     // RDD's partition count is driver-side only — the scan's file

@@ -16,24 +16,30 @@ object TextDedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
-  /** The documents table for the MINHASH-BANDED gates, with the
-    * gate-scale precondition asserted (the embGate posture of
-    * queries.Vectors applied to text): their DuckDB oracles bake the
-    * clamp-region (k=8, rows=2) banding, and Dedup.minhashPairs now
-    * resolves it adaptively from the corpus count — identical inside
-    * the clamp region (n <= 65,536 docs), deliberately different
-    * outside it. A future gate-scale bump fails HERE with a
-    * regenerate-the-oracles message, not as a bare hash mismatch. */
-  private def docsGate(s: SparkSession, dir: String): DataFrame = {
-    val dd = docs(s, dir)
-    val n = dd.count()
-    require(Dedup.adaptiveMinhashParams(n) == ((8, 2)),
-      s"gate corpus has n=$n documents — outside the clamp region " +
-        "where adaptive minhash banding equals the oracle-baked " +
-        "(k=8, rows=2); regenerate the minhash oracles for the new " +
-        "gate scale")
-    dd
-  }
+  /** The minhash-banded gates run the operators' scale-ADAPTIVE
+    * banding (the production default): their DuckDB oracles bake the
+    * clamp-region (k=8, rows=2) parameters, which
+    * `Dedup.adaptiveMinhashParams` resolves identically for every
+    * adjudicated corpus (n ≤ 65,536 docs covers sf0.001 through sf1)
+    * — so unlike the vector family (whose sf1 corpus EXITS its clamp,
+    * forcing explicit pins there), these queries stay adaptive and
+    * the sf10 bench measures the true production banding (24/3).
+    * Verify's pre-flight error-marks exactly these names with a
+    * regenerate-the-oracles message if a gate corpus ever leaves the
+    * clamp region, instead of a bare hash mismatch (ADVICE r13). */
+  val adaptiveGateNames: Seq[String] = Seq(
+    "q39_minhash_pairs", "q60_dup_clusters", "q85_incremental_dedup",
+    "q88_batch_admission", "q145_cluster_canonical",
+    "q149_leakage_safe_split", "q193_stream_admission",
+    "q278_split_leakage", "q279_split_repair",
+    "q281_dedup_token_budget", "q283_epoch_plan",
+    "q298_dedup_diversity", "q300_curation_funnel", "q301_funnel_order")
+
+  /** True iff `n` documents resolve to the oracle-baked (8, 2)
+    * minhash banding — Verify's pre-flight companion to
+    * [[graft.queries.Vectors.oracleClampHolds]]. */
+  def oracleClampHolds(n: Long): Boolean =
+    Dedup.adaptiveMinhashParams(n) == ((8, 2))
 
   /** Per-doc dedup keep decision — q145's canonical rule (longest
     * n_chars, ties to the smaller id) over q60's LSH-bounded clusters:
@@ -42,7 +48,7 @@ object TextDedup {
     * decision. */
   private def dedupKeeps(s: SparkSession, d: String): DataFrame = {
     val clusters = Dedup.dupClusters(
-      Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text",
         threshold = 0.5))
     val assigned = TextAnalysis.withTokens(docs(s, d), "text")
       .select(col("doc_id"), col("source"), col("n_chars"),
@@ -154,7 +160,7 @@ object TextDedup {
         .drop("shset")),
 
     "q39_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text",
         threshold = 0.5)),
 
     "q40_simhash" -> ((s, d) =>
@@ -173,7 +179,7 @@ object TextDedup {
     // candidate set; the split lookups are two id-keyed equi-joins
     // against a narrow (id, split) projection — no new self-join.
     "q278_split_leakage" -> ((s, d) => {
-      val pairs = Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+      val pairs = Dedup.minhashPairs(docs(s, d), "doc_id", "text",
         threshold = 0.5)
       val sp = docs(s, d).select(col("doc_id"),
         expr(splitRkSpark("doc_id")).as("rk"))
@@ -204,7 +210,7 @@ object TextDedup {
     // md5 evals — no new self-join, no window, no extra shuffle.
     "q279_split_repair" -> ((s, d) => {
       val clusters = Dedup.dupClusters(
-        Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
           threshold = 0.5))
       docs(s, d).select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
@@ -364,7 +370,7 @@ object TextDedup {
 
     "q60_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(
-        Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
           threshold = 0.5))),
 
     // ---- q145: canonical selection per near-dup cluster ----
@@ -376,7 +382,7 @@ object TextDedup {
     // aggregate is the only extra shuffle on top of the clustering).
     "q145_cluster_canonical" -> ((s, d) => {
       val clusters = Dedup.dupClusters(
-        Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
           threshold = 0.5))
       val assigned = docs(s, d).select(col("doc_id"), col("n_chars"))
         .join(clusters.withColumnRenamed("canonical", "cl0"),
@@ -399,7 +405,7 @@ object TextDedup {
     // function of content ids — stable across runs/engines/layouts.
     "q149_leakage_safe_split" -> ((s, d) => {
       val clusters = Dedup.dupClusters(
-        Dedup.minhashPairs(docsGate(s, d), "doc_id", "text",
+        Dedup.minhashPairs(docs(s, d), "doc_id", "text",
           threshold = 0.5))
       graft.operators.Sampling.hashSplit(
           docs(s, d).select("doc_id")
@@ -506,7 +512,7 @@ object TextDedup {
     // match proves the incremental path finds exactly the pairs a full
     // recompute would.
     "q85_incremental_dedup" -> ((s, d) => {
-      val all = docsGate(s, d)
+      val all = docs(s, d)
       val corpus = all.filter(col("doc_id") % 5 =!= 0)
       val batch = all.filter(col("doc_id") % 5 === 0)
       // banding defaults ADAPTIVE at build; the probe reads it back
@@ -522,7 +528,7 @@ object TextDedup {
     // smaller-id batch member. This is the row set a daily pipeline
     // appends to the corpus.
     "q88_batch_admission" -> ((s, d) => {
-      val all = docsGate(s, d)
+      val all = docs(s, d)
       val corpus = all.filter(col("doc_id") % 5 =!= 0)
       val batch = all.filter(col("doc_id") % 5 === 0)
       Dedup.writeBandIndex(corpus, "doc_id", "text",
@@ -611,7 +617,7 @@ object TextDedup {
     // shape: one extra per-cluster argmax over the quality-filtered
     // assignment — same key, same plan family as the global argmax.
     "q301_funnel_order" -> ((s, d) => {
-      val dd = docsGate(s, d)
+      val dd = docs(s, d)
       val kq = TextAnalysis.gopherRules(dd, "doc_id", "text")
         .select(col("doc_id"), col("keep").as("kq"))
       val clusters = Dedup.dupClusters(

@@ -14,27 +14,25 @@ object Vectors {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
-  /** The embeddings table for the BANDED/CLUSTERED gates, with the
-    * gate-scale precondition asserted (ADVICE r13): their DuckDB
-    * oracles bake the clamp-region constants (16/4 banding, k=8
-    * SemDeDup clusters), and the operators now resolve those
-    * adaptively from the corpus count — identical inside the clamp
-    * region, deliberately different outside it. A future gate-scale
-    * bump must therefore fail HERE with a regenerate-the-oracles
-    * message, not as a bare hash mismatch downstream. The count is a
-    * parquet-metadata read; production callers use the operators
-    * directly and never pass through this guard. */
-  private def embGate(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val n = e.count()
-    require(Similarity.adaptiveBandBits(n) == 4 &&
-        Similarity.adaptiveClusterK(n) == 8,
-      s"gate corpus has n=$n embeddings — outside the clamp region " +
-        "where adaptive banding/clustering equals the oracle-baked " +
-        "constants (16/4 bands, 8 clusters); regenerate the banded " +
-        "oracles for the new gate scale")
-    e
-  }
+  /** The gated queries whose SEMANTICS follow the corpus scale (the
+    * adaptive-banding twins): their oracles bake the clamp-region
+    * constants, so they are oracle-valid only where
+    * `adaptiveBandBits(n) == 4`. Verify's pre-flight error-marks them
+    * with a clear message at any other scale (the r13-ADVICE "fail
+    * loud, not a bare hash mismatch" posture) — Bench and production
+    * callers run them at ANY scale, which is their whole point. Every
+    * OTHER banded query in this module pins the oracle-baked
+    * `nBits=16, bandBits=4` (and `k=8` clusters) EXPLICITLY, so its
+    * oracle replays bit-identically at every adjudicated scale while
+    * the production default of the underlying operator stays
+    * scale-adaptive. */
+  val adaptiveGateNames: Seq[String] =
+    Seq("q302_ann_adaptive", "q303_hard_negatives_adaptive")
+
+  /** True iff `n` embeddings resolve to the oracle-baked clamp-region
+    * constants (16/4 banding, 8 clusters) — Verify's pre-flight. */
+  def oracleClampHolds(n: Long): Boolean =
+    Similarity.adaptiveBandBits(n) == 4 && Similarity.adaptiveClusterK(n) == 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_embed_stats" -> ((s, d) =>
@@ -267,10 +265,13 @@ object Vectors {
     }),
 
     // Label-free near-dup pairs: random-hyperplane LSH bucketing, no
-    // blocking column needed (q44 requires one).
+    // blocking column needed (q44 requires one). Banding pinned to the
+    // oracle-baked 16/4 (the production DEFAULT is scale-adaptive —
+    // q302/q303 gate the adaptivity, OperatorSpec pins the clamp
+    // identity per operator).
     "q63_lsh_dup_pairs" -> ((s, d) =>
-      Similarity.lshDupPairs(embGate(s, d), "vec_id", "embedding",
-        threshold = 0.35)),
+      Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
+        threshold = 0.35, nBits = 16, bandBits = 4)),
 
     // ---- q135: approximate k-NN JOIN (every vector, top-3) ----
     // The corpus-wide "nearest neighbors for EVERY row" primitive:
@@ -279,7 +280,8 @@ object Vectors {
     // Unlike q43/q62 (query SET searches) this ranks neighbors for all
     // rows at once — the semantic-dedup / retrieval-curation join.
     "q135_ann_knn_join" -> ((s, d) =>
-      Similarity.lshKnnJoin(embGate(s, d), "vec_id", "embedding", k = 3)),
+      Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding", k = 3,
+        nBits = 16, bandBits = 4)),
 
     // ---- q302: scale-adaptive k-NN join ----
     // q135 with the banding chosen from the corpus count
@@ -290,7 +292,7 @@ object Vectors {
     // (SURVEY §6 r13 recall table: 4-bit 0.65→~0 vs 8-bit 1.0→0.665,
     // the 8-bit run also FASTER). The formula itself is spec-pinned.
     "q302_ann_adaptive" -> ((s, d) =>
-      Similarity.lshKnnJoinAdaptive(embGate(s, d), "vec_id", "embedding",
+      Similarity.lshKnnJoinAdaptive(emb(s, d), "vec_id", "embedding",
         k = 3)),
 
     // ---- q256: k-NN graph hubness audit (in-degree distribution) ----
@@ -302,8 +304,8 @@ object Vectors {
     // histogram is degree-bounded, so the report is tiny at any corpus
     // size.
     "q256_knn_hubness" -> ((s, d) => {
-      val knn = Similarity.lshKnnJoin(embGate(s, d), "vec_id", "embedding",
-        k = 3)
+      val knn = Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding",
+        k = 3, nBits = 16, bandBits = 4)
       val indeg = knn.groupBy(col("vec_id").as("node"))
         .agg(count(lit(1)).as("deg"))
       emb(s, d).select(col("vec_id").as("node"))
@@ -319,7 +321,18 @@ object Vectors {
     // q135 (no all-pairs anywhere); same-label pairs drop before the
     // exact-cosine verify so only true negatives compete for the top-k.
     "q205_hard_negatives" -> ((s, d) =>
-      Similarity.hardNegatives(embGate(s, d), "vec_id", "embedding",
+      Similarity.hardNegatives(emb(s, d), "vec_id", "embedding",
+        "label", k = 3, nBits = 16, bandBits = 4)),
+
+    // ---- q303: scale-adaptive hard negatives (q302's pattern) ----
+    // q205 with the banding resolved from the corpus count — the
+    // production default. Oracle = q205's (the [4,12] clamp makes the
+    // adaptivity the identity at every gate corpus); outside the clamp
+    // region Verify pre-flight error-marks it instead of running a
+    // knowingly mismatched oracle, while Bench runs it at ANY scale —
+    // it is the sf10 bench vehicle for the adaptive mining path.
+    "q303_hard_negatives_adaptive" -> ((s, d) =>
+      Similarity.hardNegatives(emb(s, d), "vec_id", "embedding",
         "label", k = 3)),
 
     // ---- q206: int8 scalar-quantization audit ----
@@ -529,8 +542,8 @@ object Vectors {
     // join's fan-out is degree-bounded — two equi-join shuffles total,
     // no enumeration blow-up at 100 TB.
     "q166_knn_triangles" -> ((s, d) => {
-      val knn = Similarity.lshKnnJoin(embGate(s, d), "vec_id", "embedding",
-        k = 3)
+      val knn = Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding",
+        k = 3, nBits = 16, bandBits = 4)
       val e = knn.select(least(col("qid"), col("vec_id")).as("a"),
         greatest(col("qid"), col("vec_id")).as("b")).distinct()
       val e2 = e.select(col("a").as("b2"), col("b").as("c2"))
@@ -550,8 +563,8 @@ object Vectors {
     // all 3 rounds as chained CTEs. Per round: one edges->labels join
     // (node table broadcast-gated), two hash aggs; rounds lineage-cut.
     "q199_label_prop" -> ((s, d) => {
-      val knn = Similarity.lshKnnJoin(embGate(s, d), "vec_id", "embedding",
-        k = 3)
+      val knn = Similarity.lshKnnJoin(emb(s, d), "vec_id", "embedding",
+        k = 3, nBits = 16, bandBits = 4)
       val e = knn.select(least(col("qid"), col("vec_id")).as("a"),
         greatest(col("qid"), col("vec_id")).as("b")).distinct()
       graft.operators.Graph.labelPropagate(e, "a", "b", iters = 3)
@@ -568,12 +581,11 @@ object Vectors {
     // Held-out vectors with no train collision yield no row (the
     // brute-force fallback is q43's shape).
     "q157_knn_classify" -> ((s, d) => {
-      val e = embGate(s, d)
-      // same adaptive banding rule as the lshKnnJoin default (clamps
-      // to the oracle-baked 16/4 inside the gate region)
-      val bb = Similarity.adaptiveBandBits(e.count())
+      val e = emb(s, d)
+      // oracle-baked 16/4 banding, pinned (production default is the
+      // adaptive rule; clamp identity spec-pinned in OperatorSpec)
       val bands = Similarity.lshBands(e, "vec_id", "embedding",
-        nBits = 4 * bb, bandBits = bb)
+        nBits = 16, bandBits = 4)
       // train = collision side → posting-capped by TRAIN bucket sizes
       // (same rule as every LSH join; identity at gate scale)
       val train = Similarity.truncateBuckets(
@@ -705,11 +717,11 @@ object Vectors {
     // the one-shot q63 pipeline restricted to batch-touching pairs, so
     // hash-green proves incremental == full recompute.
     "q87_incr_embed_dedup" -> ((s, d) => {
-      val all = embGate(s, d)
+      val all = emb(s, d)
       val corpus = all.filter(col("vec_id") % 5 =!= 0)
       val batch = all.filter(col("vec_id") % 5 === 0)
       Similarity.writeLshIndex(corpus, "vec_id", "embedding",
-        "graft_lsh_index", nBuckets = 8)
+        "graft_lsh_index", nBits = 16, bandBits = 4, nBuckets = 8)
       Similarity.incrementalLshPairs(batch, "graft_lsh_index", all,
         "vec_id", "embedding", threshold = 0.35)
     }),
@@ -728,8 +740,8 @@ object Vectors {
     // decisions for embeddings, like q60 does for text.
     "q75_embed_dup_clusters" -> ((s, d) =>
       graft.operators.Dedup.dupClusters(
-          Similarity.lshDupPairs(embGate(s, d), "vec_id", "embedding",
-            threshold = 0.35))
+          Similarity.lshDupPairs(emb(s, d), "vec_id", "embedding",
+            threshold = 0.35, nBits = 16, bandBits = 4))
         .select(col("doc_id").as("vec_id"), col("canonical"))),
 
     // Reproducible train/test split: assignment is a pure function of
@@ -768,10 +780,10 @@ object Vectors {
     // oracle replays centroids, assignment, and the keep rule
     // bit-for-bit. 100 TB: the quadratic is per-cell, never corpus².
     "q192_semdedup" -> ((s, d) =>
-      // k defaults ADAPTIVE (n/1024, floor 8 — embGate pins the gate
-      // region where that equals the oracle-baked 8)
-      Similarity.semDedup(embGate(s, d), "vec_id", "embedding",
-        iters = 2, threshold = 0.35)),
+      // k pinned to the oracle-baked 8 (production default is the
+      // adaptive max(8, ceil(n/1024)); clamp identity spec-pinned)
+      Similarity.semDedup(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.35)),
 
     // ---- q264: reciprocal-rank fusion (hybrid retrieval) ----
     // THE hybrid-search move: fuse keyword rankings (q164's BM25 top-5
@@ -1093,6 +1105,28 @@ object Vectors {
                   "b.vec_id", "bsz.bn", lshCap)})"""
       .stripMargin
 
+  /** Hard-negative mining replay (q205 and its adaptive twin q303 —
+    * one string so the two gates cannot drift): band collisions,
+    * label-mismatch filter before scoring, exact-cosine top-3. */
+  private val hardNegSql: String =
+    s"""WITH $prepCte,
+      | $lshBandCtes,
+      | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+      |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
+      |    AND x.vec_id <> y.vec_id),
+      | neg AS (SELECT kc.qid, kc.vid FROM kc
+      |  JOIN n a ON a.vec_id = kc.qid
+      |  JOIN n c ON c.vec_id = kc.vid
+      |  WHERE a.label <> c.label),
+      | sc AS (SELECT neg.qid, neg.vid AS vec_id,
+      |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+      |  FROM neg JOIN n a ON a.vec_id = neg.qid
+      |   JOIN n c ON c.vec_id = neg.vid),
+      | rk AS (SELECT qid, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
+      |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin
+
   private val lshCtes: String =
     s"""$lshBandCtes,
       | cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
@@ -1313,26 +1347,17 @@ object Vectors {
         |FROM n LEFT JOIN indeg ON indeg.node = n.vec_id
         |GROUP BY 1""".stripMargin,
 
+    // q205's oracle verbatim: the adaptive banding clamps to the
+    // oracle-baked 16/4 at every gate corpus (q302's pattern applied
+    // to the mining path); outside the clamp region Verify pre-flight
+    // error-marks the query instead of comparing a knowingly
+    // different banding.
+    "q303_hard_negatives_adaptive" -> hardNegSql,
+
     // q135's band-collision CTEs with a label-mismatch filter on the
     // candidate pairs before scoring — only true negatives rank.
-    "q205_hard_negatives" ->
-      s"""WITH $prepCte,
-        | $lshBandCtes,
-        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
-        |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
-        |    AND x.vec_id <> y.vec_id),
-        | neg AS (SELECT kc.qid, kc.vid FROM kc
-        |  JOIN n a ON a.vec_id = kc.qid
-        |  JOIN n c ON c.vec_id = kc.vid
-        |  WHERE a.label <> c.label),
-        | sc AS (SELECT neg.qid, neg.vid AS vec_id,
-        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
-        |  FROM neg JOIN n a ON a.vec_id = neg.qid
-        |   JOIN n c ON c.vec_id = neg.vid),
-        | rk AS (SELECT qid, vec_id, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
-        |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
+    "q205_hard_negatives" -> hardNegSql,
+
 
     // int8 scalar quantization on the exact scaled-integer grid; DuckDB
     // // is floor division but every numerator here is non-negative, so

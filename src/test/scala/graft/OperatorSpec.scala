@@ -1915,6 +1915,33 @@ class OperatorSpec extends SparkTestBase {
     ()
   }
 
+  test("adaptive banding: dup-pairs + hard-negatives clamp identity; " +
+      "Verify pre-flight helpers") {
+    // the two banded consumers whose GATED queries pin 16/4 explicitly
+    // (their oracles bake it at every adjudicated scale): the clamp
+    // must make the pinned spelling identical to the adaptive DEFAULT
+    // at gate corpus, or the pins would hide a production divergence
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val dpFixed = Similarity.lshDupPairs(e, "vec_id", "embedding",
+      threshold = 0.35, nBits = 16, bandBits = 4)
+    val dpAdaptive = Similarity.lshDupPairs(e, "vec_id", "embedding",
+      threshold = 0.35)
+    assert(dpAdaptive.exceptAll(dpFixed).count() == 0 &&
+      dpFixed.exceptAll(dpAdaptive).count() == 0)
+    val hnFixed = Similarity.hardNegatives(e, "vec_id", "embedding",
+      "label", k = 3, nBits = 16, bandBits = 4)
+    val hnAdaptive = Similarity.hardNegatives(e, "vec_id", "embedding",
+      "label", k = 3)
+    assert(hnAdaptive.exceptAll(hnFixed).count() == 0 &&
+      hnFixed.exceptAll(hnAdaptive).count() == 0)
+    // Verify's pre-flight: clamp holds at every gate corpus, breaks
+    // exactly where the adaptive parameters leave the baked constants
+    assert(graft.queries.Vectors.oracleClampHolds(e.count()))
+    assert(!graft.queries.Vectors.oracleClampHolds(20000L)) // sf1
+    assert(graft.queries.TextDedup.oracleClampHolds(50000L)) // sf1 docs
+    assert(!graft.queries.TextDedup.oracleClampHolds(500000L)) // sf10
+  }
+
   test("adaptive SemDeDup cluster count: formula pinned; gate scale is the k=8 identity") {
     assert(Similarity.adaptiveClusterK(0L) == 8)
     assert(Similarity.adaptiveClusterK(2000L) == 8) // gate scale

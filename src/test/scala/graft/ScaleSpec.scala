@@ -603,25 +603,37 @@ class ScaleSpec extends SparkTestBase {
       "the fused spelling must be clean")
   }
 
-  test("Par.widen: repairs a byte-starved plan, no-ops on a pre-split one") {
+  test("Par.widen: repairs a byte-starved plan, no-ops below the floor " +
+      "and on a pre-split one") {
     val target = spark.sparkContext.defaultParallelism
-    // tiny single-file scan: byte-starved AND under-split → widened
     val starved = sources.Tables.read(spark, sf, "documents")
-    assert(operators.Par.widen(starved).rdd.getNumPartitions == target,
-      "a byte-starved, under-split input must repartition to one " +
-        "split per core")
-    // tiny but ALREADY split at/above target: bytes alone said
-    // "repartition", the partition-count gate must say no (VERDICT r13
-    // directive 6 — widen used to pay a shuffle here for nothing).
-    // eq-reference: the gated path returns the input frame itself.
-    val preSplit = starved.repartition(target)
-    assert(operators.Par.widen(preSplit) eq preSplit,
-      "an input already planned at >= target/2 partitions must pass " +
-        "through untouched")
-    // kill switch: spark.graft.widen=off disables the repair entirely
-    spark.conf.set(operators.Par.WidenConfKey, "off")
-    try assert(operators.Par.widen(starved) eq starved,
-      "the conf kill switch must bypass the repair")
-    finally spark.conf.unset(operators.Par.WidenConfKey)
+    // gate-scale input (~0.1 MB): UNDER the 2 MB floor → untouched.
+    // The r14 attribution A/B measured the floorless widen costing
+    // ~20 s across the sf0.1 suite while repairing nothing — tiny
+    // inputs have tiny per-row compute, so the exchange + per-call
+    // physical-planning overhead is all cost.
+    assert(operators.Par.widen(starved) eq starved,
+      "an input below the widen floor must pass through untouched")
+    // same input with the floor lowered beneath it: byte-starved AND
+    // under-split → widened to one split per core (the sf10 repair)
+    spark.conf.set(operators.Par.WidenFloorKey, "1024")
+    try {
+      assert(operators.Par.widen(starved).rdd.getNumPartitions == target,
+        "a byte-starved, under-split input above the floor must " +
+          "repartition to one split per core")
+      // tiny but ALREADY split at/above target: bytes alone said
+      // "repartition", the partition-count gate must say no (VERDICT
+      // r13 directive 6 — widen used to pay a shuffle for nothing).
+      // eq-reference: the gated path returns the input frame itself.
+      val preSplit = starved.repartition(target)
+      assert(operators.Par.widen(preSplit) eq preSplit,
+        "an input already planned at >= target/2 partitions must " +
+          "pass through untouched")
+      // kill switch: spark.graft.widen=off disables the repair entirely
+      spark.conf.set(operators.Par.WidenConfKey, "off")
+      try assert(operators.Par.widen(starved) eq starved,
+        "the conf kill switch must bypass the repair")
+      finally spark.conf.unset(operators.Par.WidenConfKey)
+    } finally spark.conf.unset(operators.Par.WidenFloorKey)
   }
 }

@@ -160,7 +160,16 @@ def main():
     # at sf1 can neither sort nor fit; the digest is exact and runs at
     # DuckDB scan speed). 0/unset = always row-by-row.
     digest_cap = int(os.environ.get("GRAFT_CHECK_DIGEST_ROWS", "0") or 0)
+    skipped = []
     for name in names:
+        # {"skip": reason} override: the query's oracle is DEFINED as
+        # invalid at this scale (e.g. the adaptive-banding twins, whose
+        # oracles bake the clamp-region constants — Verify pre-flight
+        # error-marks them for the same reason). Reported, never failed.
+        if name in overrides and "skip" in overrides[name]:
+            skipped.append(name)
+            print(f"  {name:28s} SKIP ({overrides[name]['skip']})")
+            continue
         if name not in present:
             failures.append(name)
             print(f"  {name:28s} MISSING OUTPUT (query failed in Verify)")
@@ -261,7 +270,9 @@ def main():
         else:
             star = "*" if name in overrides else ""
             print(f"  {name:28s} OK{star} rows={len(g)}")
-    print(f"\n{len(names) - len(failures)}/{len(names)} queries pass")
+    gated = len(names) - len(skipped)
+    skip_note = f" ({len(skipped)} skipped by override)" if skipped else ""
+    print(f"\n{gated - len(failures)}/{gated} queries pass{skip_note}")
     if failures:
         print("FAILED:", ", ".join(failures))
         sys.exit(1)
