@@ -244,8 +244,17 @@ object Dedup {
     * band with probability j^r. k = r · 2^r: (8, 2) → (24, 3) →
     * (64, 4). Every gated corpus (≤ 50k docs at sf1) resolves to
     * today's (8, 2), so the oracles — which interpolate the same
-    * constants — are unchanged; tools.TextScaleProbe measures the
-    * recall/seconds trade per banding at sf10 (SURVEY §6). */
+    * constants — are unchanged. MEASURED at sf10 (tools.TextScaleProbe,
+    * 500k docs, exact prefix-filter ground truth, SURVEY §6 r14): both
+    * (8,2) AND (24,3) recover recall 1.0 with IDENTICAL pair sets at
+    * near-identical cost (193.5 s vs 180.9 s) — unlike the vector
+    * family, text buckets are unbounded minhash tuples that only fill
+    * with genuinely similar docs, so BucketCap truncation has no
+    * dissimilar-neighbor mass to lose at this corpus's clone
+    * structure. The adaptive tier is therefore kept for its
+    * S-curve-midpoint INVARIANT (sub-threshold collision mass falls
+    * geometrically as corpora grow adversarial) at measured-zero cost,
+    * not as a rescue of a measured collapse. */
   def adaptiveMinhashParams(n: Long): (Int, Int) = {
     require(n >= 0)
     val r = if (n <= 65536L) 2 else if (n <= 655360L) 3 else 4

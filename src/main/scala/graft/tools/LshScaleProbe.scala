@@ -40,15 +40,23 @@ object LshScaleProbe {
     val sfDir = args(0)
     val k = if (args.length > 1) args(1).toInt else 3
     val stride = if (args.length > 2) args(2).toInt else 100
-    val configs: Seq[(Int, Int)] =
-      (if (args.length > 3) args(3) else "16/4,32/8")
-        .split(",").toSeq.map { s =>
-          val Array(n, b) = s.split("/"); (n.trim.toInt, b.trim.toInt)
-        }
 
     val spark = graft.Graft.session(appName = "graft-lsh-scale-probe")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
+    // "adaptive" = whatever the production DEFAULT resolves for this
+    // corpus (bandBits = clamp(ceil(log2(n/cap)), 4, 12), nBits = 4bb)
+    // — the config every r14+ banded consumer actually ships
+    val configs: Seq[(String, Int, Int)] =
+      (if (args.length > 3) args(3) else "16/4,adaptive")
+        .split(",").toSeq.map(_.trim).map {
+          case "adaptive" =>
+            val bb = graft.operators.Similarity.adaptiveBandBits(n)
+            ("adaptive", 4 * bb, bb)
+          case s =>
+            val Array(nb, b) = s.split("/")
+            ("fixed", nb.trim.toInt, b.trim.toInt)
+        }
 
     // exact ground truth on the sample — computed ONCE, reused by every
     // config; the cross join is bounded by the (broadcast) sample side
@@ -59,7 +67,7 @@ object LshScaleProbe {
       .select(col("qid"), col("vec_id")).cache()
     val truthRows = truth.count() // pairs where a neighbor exists at all
 
-    for ((nBits, bandBits) <- configs) {
+    for ((tag, nBits, bandBits) <- configs) {
       val t0 = System.nanoTime()
       val knn = graft.operators.Similarity
         .lshKnnJoin(emb, "vec_id", "embedding", k, nBits, bandBits)
@@ -72,7 +80,7 @@ object LshScaleProbe {
         Seq("qid", "vec_id")).count()
       knn.unpersist()
       val recall = if (truthRows == 0) 1.0 else hits.toDouble / truthRows
-      println(s"""{"probe":"lsh_scale","sf":"$sfDir","n":$n,""" +
+      println(s"""{"probe":"lsh_scale","sf":"$sfDir","n":$n,"tag":"$tag",""" +
         s""""nBits":$nBits,"bandBits":$bandBits,"k":$k,""" +
         s""""queries_sampled":$nQueries,"truth_pairs":$truthRows,""" +
         s""""hits":$hits,"recall_at_k":$recall,""" +
