@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the benchmark gate JSON from the TAIL of sbt's
+// stdout, and two sbt behaviors broke that parse two rounds running
+// (BENCH_r13/r14 "parsed": null): the forked run's output was re-logged
+// behind an "[info] " prefix, and "[success] Total time …" trailed the
+// gate line. StdoutOutput makes forked processes inherit sbt's stdout
+// unprefixed, and showSuccess drops the trailer — so the gate line
+// Bench prints last IS the last stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint (its effect is verified: no trailer).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,8 +46,39 @@ object Bench {
     // bench-only tuning knobs for A/B runs
     val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE")
       .map(_.toInt).getOrElse(cpus.toInt)
+    // --- load gate (VERDICT r14 #3): the committed artifact should be
+    // a quiet run, automatically — not via receipt archaeology. If the
+    // 1-min load exceeds the gate (default 2.0; SPARK_GRAFT_LOADGATE=N
+    // overrides, =off disables) BEFORE any work starts, wait once for
+    // the window to drain (90 s ≈ the 1-min loadavg decay horizon from
+    // the contamination band the r14 artifact recorded) and re-read;
+    // still-loaded runs proceed but carry "contended": true so the
+    // artifact indicts itself.
+    val loadGate: Double = sys.env.get("SPARK_GRAFT_LOADGATE") match {
+      case Some(v) if v.equalsIgnoreCase("off") => Double.MaxValue
+      case Some(v) => v.toDouble
+      case None => 2.0
+    }
+    def load1(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    var contended = false
+    if (load1() > loadGate) {
+      System.err.println(f"[bench] load_avg ${load1()}%.2f > gate " +
+        f"$loadGate%.1f — backing off 90 s for a quiet window")
+      Thread.sleep(90000)
+      if (load1() > loadGate) {
+        contended = true
+        System.err.println(f"[bench] still loaded (${load1()}%.2f) after " +
+          "backoff — proceeding; artifact tagged \"contended\": true")
+      }
+    }
+    // SPARK_GRAFT_MASTER overrides the master URL — the two-JVM realism
+    // probe (VERDICT r14 optional 8) runs the heavy family under
+    // local-cluster[2,16,...] so broadcast/exchange decisions meet real
+    // serialization + network boundaries; default stays local[cpus].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = Graft.session(
-      master = s"local[$cpus]",
+      master = master,
       appName = "graft-bench",
       shufflePartitions = shuffleParts)
     sys.env.get("SPARK_GRAFT_PREFER_SHJ").foreach(v =>
@@ -302,7 +333,7 @@ object Bench {
     // needs (per-run demo times, GC, heap, load averages). Written to
     // target/bench.json AND printed FIRST on stdout.
     val widenConf = spark.conf.get(graft.operators.Par.WidenConfKey, "on")
-    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"isolate":$isolate,"widen":"$widenConf","baseline_demo_2m_sec":10.718802}"""
+    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":"$widenConf","master":"$master","baseline_demo_2m_sec":10.718802}"""
     // Compact gate line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout, and the full diagnostics line is ~2.6k —
     // in r11 it was front-truncated past parseability ("parsed": null).
@@ -316,7 +347,7 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qsCompact = allQs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val gate = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","failed":$failedJson,"load_avg":[$loadStart,$loadEnd],"baseline_demo_2m_sec":10.718802}"""
+    val gate = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","failed":$failedJson,"load_avg":[$loadStart,$loadEnd],"contended":$contended,"baseline_demo_2m_sec":10.718802}"""
     println(diag)
     try {
       val p = java.nio.file.Paths.get("target/bench.json")
@@ -325,7 +356,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
-    println(gate)
+    // stop() BEFORE the gate line: any shutdown chatter Spark emits
+    // lands above the JSON, keeping the gate the LAST stdout line — the
+    // other half of the parsed:null fix (build.sbt suppresses sbt's own
+    // trailing "[success]" line; VERDICT r14 #2).
     spark.stop()
+    println(gate)
+    Console.out.flush()
   }
 }

@@ -131,23 +131,50 @@ object Verify {
     // callers never pass through this check: the adaptive operators
     // are built to run at any scale. Counts are parquet-metadata
     // reads, paid only when an affected name is selected.
+    //
+    // Soundness note (ADVICE r14): this gates on the FULL table count,
+    // while some gated queries resolve their banding from a SUBSET
+    // (q85/q88/q193 band the ~80% `doc_id % 5 =!= 0` corpus slice).
+    // That is valid because every clamp region is a PREFIX [0, N] of
+    // the count axis and the adaptive rules are MONOTONE in n (spec:
+    // OperatorSpec "adaptive rules are monotone…") — full-n inside the
+    // clamp implies every subset is too. A future non-monotonic
+    // adaptive rule would invalidate this shortcut; the spec pins it.
+    //
+    // SPARK_GRAFT_ADAPTIVE_GATES=run bypasses the exclusion: the
+    // adjudication path for a run whose downstream check carries
+    // override oracles baked at THIS scale's adaptive banding (the r15
+    // 24/6 sf1 receipts) — without overrides the comparison the bypass
+    // enables is known-invalid, so the default stays fail-loud.
+    val runAdaptiveGates =
+      sys.env.get("SPARK_GRAFT_ADAPTIVE_GATES").contains("run")
     val clampExcluded: Map[String, String] = {
       def excluded(names: Seq[String], table: String,
           holds: Long => Boolean, baked: String): Map[String, String] = {
         val sel = names.filter(n => only.forall(_.contains(n)))
         if (sel.isEmpty) Map.empty
-        else {
-          val n = spark.read.parquet(s"$sfDir/$table.parquet").count()
-          if (holds(n)) Map.empty
-          else sel.map(_ -> (s"PRECONDITION: $table corpus n=$n is " +
-            s"outside the clamp region where the adaptive banding " +
-            s"equals the oracle-baked $baked; regenerate the banded " +
-            "oracles for this scale (or adjudicate via overrides) — " +
-            "the engine-side operator runs fine, only the oracle " +
-            "comparison is invalid")).toMap
+        else scala.util.Try(
+            spark.read.parquet(s"$sfDir/$table.parquet").count()) match {
+          // an unreadable/corrupt gate table error-marks ONLY these
+          // gate names (ADVICE r14: an unguarded count here aborted
+          // the ENTIRE sweep before any query ran); the per-query
+          // reads of the same table will record their own failures.
+          case scala.util.Failure(e) =>
+            sel.map(_ -> (s"PRE-FLIGHT: $table.parquet unreadable " +
+              s"(${String.valueOf(e.toString).take(300)}) — the clamp " +
+              "check could not run")).toMap
+          case scala.util.Success(n) =>
+            if (holds(n)) Map.empty
+            else sel.map(_ -> (s"PRECONDITION: $table corpus n=$n is " +
+              s"outside the clamp region where the adaptive banding " +
+              s"equals the oracle-baked $baked; regenerate the banded " +
+              "oracles for this scale (or adjudicate via overrides) — " +
+              "the engine-side operator runs fine, only the oracle " +
+              "comparison is invalid")).toMap
         }
       }
-      excluded(graft.queries.Vectors.adaptiveGateNames, "embeddings",
+      if (runAdaptiveGates) Map.empty
+      else excluded(graft.queries.Vectors.adaptiveGateNames, "embeddings",
         graft.queries.Vectors.oracleClampHolds, "16/4 bands, 8 clusters") ++
         excluded(graft.queries.TextDedup.adaptiveGateNames, "documents",
           graft.queries.TextDedup.oracleClampHolds, "(k=8, rows=2) minhash")
@@ -159,7 +186,13 @@ object Verify {
         import spark.implicits._
         Seq(msg).toDF("graft_error")
           .write.mode("overwrite").parquet(s"$outDir/$name")
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        // the marker parquet is what reaches check.py's per-name
+        // output; if writing it fails, say so instead of letting the
+        // query surface as a misleading MISSING OUTPUT (ADVICE r14)
+        System.err.println(s"[verify] $name pre-flight marker write " +
+          s"failed: $e")
+      }
     }
     if (clampExcluded.nonEmpty) dumpErrors()
     val futures = SparkEntry.queries.toSeq
@@ -194,7 +227,10 @@ object Verify {
               import spark.implicits._
               Seq(String.valueOf(e.toString).take(800)).toDF("graft_error")
                 .write.mode("overwrite").parquet(s"$outDir/$name")
-            } catch { case _: Throwable => () }
+            } catch { case e2: Throwable =>
+              System.err.println(
+                s"[verify] $name error-marker write failed: $e2")
+            }
           }
         }
       }

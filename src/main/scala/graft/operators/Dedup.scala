@@ -278,7 +278,9 @@ object Dedup {
       "adaptive minhash banding resolves via an eager count, which a " +
         "streaming frame cannot run — pass the explicit (k, rows) the " +
         "persisted index or setup phase chose")
-    adaptiveMinhashParams(df.count())
+    // memoized per corpus snapshot: one count job per session, not per
+    // operator call (VERDICT r14 #3) — see [[AdaptiveCount]]
+    adaptiveMinhashParams(AdaptiveCount.of(df))
   }
 
   /** Per-(bi, bv) band-bucket sizes of a band table — the text twin of
@@ -405,8 +407,11 @@ object Dedup {
   /** The (k, rows) a [[writeBandIndex]]-persisted index was built
     * with, from its `_banding` metadata; explicit values must MATCH
     * the recorded banding (fail loud beats band keys that join but
-    * match nothing). Pre-r14 indexes without the metadata fall back
-    * to the explicit values (or the historical 8/2 default). */
+    * match nothing). A pre-metadata index probed ADAPTIVELY fails
+    * loudly too (VERDICT r14 #2): guessing the historical (8, 2)
+    * default would silently join nothing against an index built with
+    * any other banding — rebuild via [[writeBandIndex]] (which records
+    * the metadata) or pass the explicit banding it was built with. */
   private def indexBanding(spark: org.apache.spark.sql.SparkSession,
       table: String, k: Int, rows: Int): (Int, Int) = {
     val recorded =
@@ -422,7 +427,11 @@ object Dedup {
             s"banding (k=$rk, rows=$rr) — band keys would join but match " +
             "nothing meaningful")
         (rk, rr)
-      case (None, true) => (8, 2) // pre-metadata index: historical default
+      case (None, true) => throw new IllegalArgumentException(
+        s"index $table has no ${table}_banding metadata and the probe " +
+          "asked for ADAPTIVE banding — the build-time (k, rows) cannot " +
+          s"be inferred. Rebuild the index via writeBandIndex (records " +
+          "the metadata) or pass the explicit (k, rows) it was built with")
       case (None, false) => (k, rows)
     }
   }

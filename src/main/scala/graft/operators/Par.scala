@@ -84,9 +84,17 @@ object Par {
     // (many small files, an upstream exchange): reading the physical
     // RDD's partition count is driver-side only — the scan's file
     // listing was already done for the stats read above.
-    val planned =
-      try df.queryExecution.toRdd.getNumPartitions
-      catch { case _: Throwable => 0 } // unplannable edge: fall through
+    val planned = plannedOrZero(df.queryExecution.toRdd.getNumPartitions)
     if (planned >= math.max(1, target / 2)) df else df.repartition(target)
   }
+
+  /** The partition-count read's failure posture, extracted so it is
+    * spec-pinned (VERDICT r14 #1): a NON-fatal planning failure on this
+    * advisory read falls through to 0 (widen then repartitions — the
+    * conservative repair), but a FATAL throwable (OOM during physical
+    * planning) must PROPAGATE — swallowing it here would let a dying
+    * driver limp on past the first symptom. */
+  private[graft] def plannedOrZero(read: => Int): Int =
+    try read
+    catch { case scala.util.control.NonFatal(_) => 0 }
 }

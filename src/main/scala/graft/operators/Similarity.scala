@@ -526,7 +526,9 @@ object Similarity {
       "adaptive banding resolves via an eager count, which a streaming " +
         "frame cannot run — pass the explicit (nBits, bandBits) the " +
         "persisted index or setup phase chose")
-    val bb = adaptiveBandBits(df.count(), bucketCap)
+    // memoized per corpus snapshot: one count job per session, not per
+    // operator call (VERDICT r14 #3) — see [[AdaptiveCount]]
+    val bb = adaptiveBandBits(AdaptiveCount.of(df), bucketCap)
     (4 * bb, bb)
   }
 
@@ -929,8 +931,10 @@ object Similarity {
     * built with, from its `_banding` metadata table. `explicit`
     * values, when given, must MATCH the recorded banding — failing
     * loudly beats a probe whose band keys join but mean nothing. A
-    * pre-r14 index without the metadata table falls back to the
-    * explicit values (or the historical 16/4 default). */
+    * pre-metadata index probed ADAPTIVELY also fails loudly (VERDICT
+    * r14 #2): guessing the historical 16/4 default would silently join
+    * nothing against an index built with any other banding — rebuild
+    * via [[writeLshIndex]] or pass the build-time explicit values. */
   private def indexBanding(spark: org.apache.spark.sql.SparkSession,
       table: String, nBits: Int, bandBits: Int): (Int, Int) = {
     val recorded =
@@ -945,7 +949,12 @@ object Similarity {
           s"probe banding ($nBits/$bandBits) != index $table's recorded " +
             s"banding ($rn/$rb) — band keys would join but mean nothing")
         (rn, rb)
-      case (None, true) => (16, 4) // pre-metadata index: historical default
+      case (None, true) => throw new IllegalArgumentException(
+        s"index $table has no ${table}_banding metadata and the probe " +
+          "asked for ADAPTIVE banding — the build-time (nBits, bandBits) " +
+          "cannot be inferred. Rebuild the index via writeLshIndex " +
+          "(records the metadata) or pass the explicit banding it was " +
+          "built with")
       case (None, false) => (nBits, bandBits)
     }
   }
@@ -1060,12 +1069,13 @@ object Similarity {
     // with the corpus" promise made real (the cluster index is this
     // operator's banding; a compile-time k is the same
     // broken-at-scale shape as a compile-time bandBits). One eager
-    // count at plan-build time, like resolveBanding.
+    // count at plan-build time, like resolveBanding — memoized per
+    // corpus snapshot ([[AdaptiveCount]], VERDICT r14 #3).
     val kk = if (k == AdaptiveBands) {
       require(!df.isStreaming,
         "adaptive cluster count needs an eager count — pass explicit k " +
           "for streaming frames")
-      adaptiveClusterK(df.count())
+      adaptiveClusterK(AdaptiveCount.of(df))
     } else k
     val prep = prepare(df, embCol).select(col(idCol), col("q"), col("n2"))
     val cent = kmeansCentroids(prep, idCol, kk, iters)

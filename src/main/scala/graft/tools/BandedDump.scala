@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.Graft
+import graft.operators.Similarity
+
+/** Dump the q302/q303 operator outputs under an EXPLICIT banding — the
+  * small-scale validation leg of the adaptive-banding adjudication
+  * (VERDICT r14 #1 / tools/gen_adaptive_overrides.py).
+  *
+  * The override generator rewrites the adjudicated 16/4 pinned oracles
+  * to a non-clamp banding by string surgery; before trusting that
+  * surgery at sf1/sf10 (where only the adaptive default produces the
+  * banding), this dumps the engine's explicit (nBits, bandBits) run at
+  * a CHEAP scale so tools/check.py can gate surgery-oracle vs engine
+  * where both sides are fast and independent of the adaptive count:
+  *
+  *   tools/run.sh graft.tools.BandedDump /root/testdata/sf0.1 /tmp/bd 24 6
+  *   (echo '{}' > /tmp/bd/oracle_sql.json)
+  *   GRAFT_CHECK_ONLY=q302_ann_adaptive,q303_hard_negatives_adaptive \
+  *     python3 tools/check.py /root/testdata/sf0.1 /tmp/bd <overrides>
+  */
+object BandedDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: BandedDump <sfDir> <outDir> <nBits> <bandBits>")
+    val (sfDir, outDir) = (args(0), args(1))
+    val (nBits, bandBits) = (args(2).toInt, args(3).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Graft.session(master = s"local[$cpus]",
+      appName = "graft-banded-dump", shufflePartitions = cpus.toInt)
+    val e = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3,
+        nBits = nBits, bandBits = bandBits)
+      .write.mode("overwrite").parquet(s"$outDir/q302_ann_adaptive")
+    Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 3,
+        nBits = nBits, bandBits = bandBits)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/q303_hard_negatives_adaptive")
+    println(s"dumped q302/q303 at $nBits/$bandBits from $sfDir to $outDir")
+    spark.stop()
+  }
+}

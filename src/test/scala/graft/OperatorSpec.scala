@@ -1957,4 +1957,100 @@ class OperatorSpec extends SparkTestBase {
     assert(adaptive.exceptAll(fixed).count() == 0 &&
       fixed.exceptAll(adaptive).count() == 0)
   }
+
+  test("Par.plannedOrZero: non-fatal planning failures fall through to 0; " +
+      "fatal throwables propagate") {
+    // VERDICT r14 #1: the advisory partition-count read must never eat
+    // an OOM — a dying driver has to die at the first symptom
+    assert(Par.plannedOrZero(7) == 7)
+    assert(Par.plannedOrZero(throw new RuntimeException("planning")) == 0)
+    intercept[OutOfMemoryError] {
+      Par.plannedOrZero(throw new OutOfMemoryError("fatal"))
+    }
+  }
+
+  test("adaptive count memo: one count job per corpus snapshot per " +
+      "session; an overwrite invalidates") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_adaptcnt").toFile.getAbsolutePath
+    spark.range(100).toDF("id").write.mode("overwrite").parquet(dir)
+    val m0 = AdaptiveCount.misses.get()
+    assert(AdaptiveCount.of(spark.read.parquet(dir)) == 100L)
+    assert(AdaptiveCount.misses.get() == m0 + 1)
+    // a SECOND resolution over the same snapshot — via a fresh read,
+    // the shape every repeated operator call takes — hits the memo
+    assert(AdaptiveCount.of(spark.read.parquet(dir)) == 100L)
+    assert(AdaptiveCount.misses.get() == m0 + 1,
+      "re-resolving an unchanged corpus must not run another count job")
+    // overwrite = fresh part-file names = new key: stale counts can
+    // never serve after the data changes
+    spark.range(50).toDF("id").write.mode("overwrite").parquet(dir)
+    assert(AdaptiveCount.of(spark.read.parquet(dir)) == 50L)
+    assert(AdaptiveCount.misses.get() == m0 + 2)
+  }
+
+  test("pre-metadata band indexes probed adaptively fail loudly instead " +
+      "of guessing the historical default") {
+    // VERDICT r14 #2: a legacy index built with non-default banding
+    // would silently join band keys that match nothing under the old
+    // (8,2)/(16,4) guess — fail-loud names the index and the fix
+    val docs = sources.Tables.read(spark, sf, "documents")
+    Dedup.writeBandIndex(docs, "doc_id", "text", "graft_premeta_spec",
+      nBuckets = 4)
+    spark.sql("DROP TABLE graft_premeta_spec_banding")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalPairs(docs.limit(5), "graft_premeta_spec", docs,
+        "doc_id", "text", threshold = 0.5)
+    }
+    assert(ex.getMessage.contains("writeBandIndex"),
+      s"message must name the fix: ${ex.getMessage}")
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    Similarity.writeLshIndex(e, "vec_id", "embedding",
+      "graft_premetav_spec", nBuckets = 4)
+    spark.sql("DROP TABLE graft_premetav_spec_banding")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.incrementalLshPairs(e.limit(5), "graft_premetav_spec", e,
+        "vec_id", "embedding", threshold = 0.0)
+    }
+    assert(ex2.getMessage.contains("writeLshIndex"),
+      s"message must name the fix: ${ex2.getMessage}")
+    // explicit banding still works against the metadata-less index
+    Similarity.incrementalLshPairs(e.limit(5), "graft_premetav_spec", e,
+      "vec_id", "embedding", threshold = 0.0, nBits = 16, bandBits = 4)
+    ()
+  }
+
+  test("adaptive rules are monotone in n — the pre-flight " +
+      "full-table-count shortcut is sound") {
+    // Verify's clamp pre-flight counts the FULL table while some gated
+    // queries resolve banding from a SUBSET (q85/q88/q193's ~80% doc
+    // slice). That shortcut is sound iff every clamp region is a
+    // prefix [0, N] of the count axis, i.e. every adaptive rule is
+    // monotone nondecreasing in n (ADVICE r14: assert it, so a future
+    // non-monotonic rule change breaks HERE, not silently there).
+    var n = 0L
+    var pb = operators.Similarity.adaptiveBandBits(0L)
+    var pk = operators.Similarity.adaptiveClusterK(0L)
+    var pr = operators.Dedup.adaptiveMinhashParams(0L)._2
+    while (n < (1L << 20)) {
+      n += 1
+      val b = operators.Similarity.adaptiveBandBits(n)
+      val k = operators.Similarity.adaptiveClusterK(n)
+      val r = operators.Dedup.adaptiveMinhashParams(n)._2
+      assert(b >= pb && k >= pk && r >= pr, s"non-monotone at n=$n")
+      pb = b; pk = k; pr = r
+    }
+    // multiplicative grid past the exhaustive range, out to 1e12
+    var lo = 1L << 20
+    while (lo < 1000000000000L) {
+      val hi = lo + math.max(1L, lo / 64)
+      assert(operators.Similarity.adaptiveBandBits(hi) >=
+        operators.Similarity.adaptiveBandBits(lo))
+      assert(operators.Similarity.adaptiveClusterK(hi) >=
+        operators.Similarity.adaptiveClusterK(lo))
+      assert(operators.Dedup.adaptiveMinhashParams(hi)._2 >=
+        operators.Dedup.adaptiveMinhashParams(lo)._2)
+      lo = hi
+    }
+  }
 }

@@ -168,7 +168,12 @@ def main():
         # error-marks them for the same reason). Reported, never failed.
         if name in overrides and "skip" in overrides[name]:
             skipped.append(name)
-            print(f"  {name:28s} SKIP ({overrides[name]['skip']})")
+            # presence marker (ADVICE r14): a skip must not also hide a
+            # Verify crash — 'no output dir' on a skipped name means
+            # Verify never even wrote its pre-flight error marker.
+            mark = ("output present" if name in present
+                    else "NO OUTPUT DIR — Verify wrote nothing for it")
+            print(f"  {name:28s} SKIP [{mark}] ({overrides[name]['skip']})")
             continue
         if name not in present:
             failures.append(name)
