@@ -77,10 +77,21 @@ object Bench {
     // local-cluster[2,16,...] so broadcast/exchange decisions meet real
     // serialization + network boundaries; default stays local[cpus].
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // local-cluster workers launch separate executor JVMs from the
+    // Spark dist: ship the engine classes and size their heap (same
+    // recipe RescaleDemo proved; SPARK_GRAFT_EXEC_MEM per executor).
+    val clusterExtra: Map[String, String] =
+      if (master.startsWith("local-cluster")) Map(
+        "spark.executor.extraClassPath" ->
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath,
+        "spark.executor.memory" ->
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+      else Map.empty
     val spark = Graft.session(
       master = master,
       appName = "graft-bench",
-      shufflePartitions = shuffleParts)
+      shufflePartitions = shuffleParts,
+      extra = clusterExtra)
     sys.env.get("SPARK_GRAFT_PREFER_SHJ").foreach(v =>
       spark.conf.set("spark.sql.join.preferSortMergeJoin", (v != "1").toString))
     // SPARK_GRAFT_WIDEN=0/off disables operators.Par.widen's parallelism

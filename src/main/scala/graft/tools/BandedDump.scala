@@ -22,21 +22,33 @@ import graft.operators.Similarity
 object BandedDump {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
-      "usage: BandedDump <sfDir> <outDir> <nBits> <bandBits>")
+      "usage: BandedDump <sfDir> <outDir> <nBits> <bandBits> | " +
+        "BandedDump <sfDir> <outDir> text <k> <rows>")
     val (sfDir, outDir) = (args(0), args(1))
-    val (nBits, bandBits) = (args(2).toInt, args(3).toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Graft.session(master = s"local[$cpus]",
       appName = "graft-banded-dump", shufflePartitions = cpus.toInt)
-    val e = graft.sources.Tables.read(spark, sfDir, "embeddings")
-    Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3,
-        nBits = nBits, bandBits = bandBits)
-      .write.mode("overwrite").parquet(s"$outDir/q302_ann_adaptive")
-    Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 3,
-        nBits = nBits, bandBits = bandBits)
-      .write.mode("overwrite")
-      .parquet(s"$outDir/q303_hard_negatives_adaptive")
-    println(s"dumped q302/q303 at $nBits/$bandBits from $sfDir to $outDir")
+    if (args(2) == "text") {
+      // text twin: q39 under an explicit (k, rows) minhash banding —
+      // validates gen_text_adaptive_override.py's surgery cheaply
+      val (k, rows) = (args(3).toInt, args(4).toInt)
+      val d = graft.sources.Tables.read(spark, sfDir, "documents")
+      graft.operators.Dedup.minhashPairs(d, "doc_id", "text",
+          k = k, rows = rows, threshold = 0.5)
+        .write.mode("overwrite").parquet(s"$outDir/q39_minhash_pairs")
+      println(s"dumped q39 at ($k, $rows) from $sfDir to $outDir")
+    } else {
+      val (nBits, bandBits) = (args(2).toInt, args(3).toInt)
+      val e = graft.sources.Tables.read(spark, sfDir, "embeddings")
+      Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3,
+          nBits = nBits, bandBits = bandBits)
+        .write.mode("overwrite").parquet(s"$outDir/q302_ann_adaptive")
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 3,
+          nBits = nBits, bandBits = bandBits)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/q303_hard_negatives_adaptive")
+      println(s"dumped q302/q303 at $nBits/$bandBits from $sfDir to $outDir")
+    }
     spark.stop()
   }
 }

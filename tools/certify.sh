@@ -59,9 +59,37 @@ if [ "${1:-}" = "--sf1" ]; then
       /root/testdata/sf0.1 /tmp/sf1 10 >"$OUT/scaleup_sf1.log" 2>&1 \
       || { echo "sf1 SCALEUP-CRASH" >> "$RECEIPT"; FAIL=1; }
   fi
+  # SPARK_GRAFT_ADAPTIVE_GATES=run: at sf1 the adaptive twins resolve
+  # 24/6 — outside the oracle clamp — and since r15 the overrides file
+  # carries EXACT 24/6-baked oracles for them (gen_adaptive_overrides),
+  # so the right posture is run-and-adjudicate, not pre-flight-exclude.
   [ -d /tmp/sf1 ] && run_scale sf1 /tmp/sf1 \
     SPARK_DRIVER_MEM=24g GRAFT_CHECK_MEM=55GB GRAFT_CHECK_THREADS=16 \
-    GRAFT_CHECK_TMPDIR=/tmp/graft_certify_duck
+    GRAFT_CHECK_TMPDIR=/tmp/graft_certify_duck \
+    SPARK_GRAFT_ADAPTIVE_GATES=run
+
+fi
+
+# Recall probes ride the same receipt (VERDICT r14 optional 7): the
+# quality gate (does the production banding still beat the pinned
+# 16/4 on recall AND time at scale?) lands next to the correctness
+# counts instead of needing a separate archaeology run. Runs whenever
+# a scale corpus is present — independent of the (hours-long) --sf1
+# oracle replay. CERTIFY_RECALL=0 skips.
+if [ "${CERTIFY_RECALL:-1}" != 0 ]; then
+  : > "$OUT/recall_probes.jsonl"
+  for rsf in /tmp/sf1 /tmp/sf10; do
+    [ -d "$rsf" ] || continue
+    echo "[certify] recall probe at $rsf"
+    if SPARK_DRIVER_MEM=24g tools/run.sh graft.tools.LshScaleProbe \
+        "$rsf" 3 100 16/4,adaptive >"$OUT/recall_$(basename "$rsf").log" 2>&1; then
+      grep '^{' "$OUT/recall_$(basename "$rsf").log" >> "$OUT/recall_probes.jsonl"
+    else
+      echo "recall-probe $rsf CRASH (see $OUT/recall_$(basename "$rsf").log)" >> "$RECEIPT"
+      FAIL=1
+    fi
+  done
+  echo "recall_probes: $(wc -l < "$OUT/recall_probes.jsonl") lines -> $OUT/recall_probes.jsonl" >> "$RECEIPT"
 fi
 
 echo "==== certify receipt ===="

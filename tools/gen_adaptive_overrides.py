@@ -75,6 +75,35 @@ def rebanded(sql: str, bb: int, sample: str | None) -> str:
     return out
 
 
+def staged_q303(sql: str) -> str:
+    """Restructure the (already rebanded/sampled) q303 oracle into the
+    q199/q221 temp-table staging. The monolithic spelling spilled >50 GB
+    of DuckDB temp at sf10 even on a 1/64 qid sample: with neg and sc
+    inlined, the optimizer carries the ~520 B quantized arrays through
+    FOUR hash joins around two blocking operators. Staging materializes
+    (1) the quantized corpus once (200k rows), (2) the candidate pairs
+    as bare int scalars, then streams one label-filter + cosine pass
+    into the window — identical rows by construction (the stages are
+    the oracle's own CTEs, split at their boundaries)."""
+    a2 = sql.index(",\n s AS (")
+    a3 = sql.index(",\n neg AS (")
+    head = sql[:a2]                      # WITH p AS (...), n AS (...)
+    mid = sql[a2 + 1:a3]                 # \n s/b/bsz/br/kc CTEs
+    tail = sql[a3 + 2:]                  # neg/sc/rk CTEs + final SELECT
+    assert " FROM n)" in mid
+    mid = mid.replace(" FROM n)", " FROM q303n)")
+    for old, new in (("FROM kc", "FROM q303kc kc"),
+                     ("JOIN n a", "JOIN q303n a"),
+                     ("JOIN n c", "JOIN q303n c")):
+        assert old in tail
+        tail = tail.replace(old, new)
+    return (f"CREATE OR REPLACE TEMP TABLE q303n AS\n{head}\n"
+            "SELECT * FROM n;\n"
+            f"CREATE OR REPLACE TEMP TABLE q303kc AS\nWITH{mid}\n"
+            "SELECT * FROM kc;\n"
+            f"WITH {tail}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--band-bits", type=int, required=True)
@@ -86,6 +115,9 @@ def main():
                     help="deterministic qid-side sample predicate, e.g. "
                          "'vec_id % 16 = 3' (adds the matching spark_sql "
                          "post-filter)")
+    ap.add_argument("--stage-q303", action="store_true",
+                    help="emit q303 in the temp-table staging (needed at "
+                         "sf10 where the monolithic spelling spills)")
     args = ap.parse_args()
 
     with open(args.source) as f:
@@ -101,7 +133,10 @@ def main():
         # rail: the surgery at bb=4 is the identity on the pinned oracle
         assert rebanded(pinned, 4, None) == pinned, \
             f"identity check failed for {pinned_name}"
-        entry = {"oracle": rebanded(pinned, args.band_bits, args.sample),
+        sql = rebanded(pinned, args.band_bits, args.sample)
+        if args.stage_q303 and target == "q303_hard_negatives_adaptive":
+            sql = staged_q303(sql)
+        entry = {"oracle": sql,
                  "_banding": f"{4 * args.band_bits}/{args.band_bits} "
                              f"(adaptive at this scale; derived from the "
                              f"adjudicated {pinned_name} pinned oracle by "
