@@ -26,7 +26,13 @@ object TextDedup {
     * the sf10 bench measures the true production banding (24/3).
     * Verify's pre-flight error-marks exactly these names with a
     * regenerate-the-oracles message if a gate corpus ever leaves the
-    * clamp region, instead of a bare hash mismatch (ADVICE r13). */
+    * clamp region, instead of a bare hash mismatch (ADVICE r13).
+    * Since r15 the production (24, 3) banding is itself
+    * hash-adjudicated at sf10: gen_text_adaptive_override.py bakes it
+    * into q39's oracle (full-corpus banding + truncation, candidate
+    * endpoints md5-sampled 1/16) and the engine's ADAPTIVE run matched
+    * it exactly over 1.74M pairs (tools/receipts/r15/
+    * sf10_adaptive_spotcheck.txt). */
   val adaptiveGateNames: Seq[String] = Seq(
     "q39_minhash_pairs", "q60_dup_clusters", "q85_incremental_dedup",
     "q88_batch_admission", "q145_cluster_canonical",

@@ -25,7 +25,15 @@ object Vectors {
     * `nBits=16, bandBits=4` (and `k=8` clusters) EXPLICITLY, so its
     * oracle replays bit-identically at every adjudicated scale while
     * the production default of the underlying operator stays
-    * scale-adaptive. */
+    * scale-adaptive.
+    *
+    * Since r15 the twins are ALSO hash-adjudicated OUTSIDE the clamp:
+    * tools/gen_adaptive_overrides.py bakes the scale's adaptive
+    * banding into exact override oracles (24/6 at sf1 full-row, 36/9
+    * at sf10 on a deterministic qid sample) and Verify runs the twins
+    * there under `SPARK_GRAFT_ADAPTIVE_GATES=run` — receipts in
+    * tools/receipts/r15/. The pre-flight default stays fail-loud for
+    * any run WITHOUT scale-matched override oracles downstream. */
   val adaptiveGateNames: Seq[String] =
     Seq("q302_ann_adaptive", "q303_hard_negatives_adaptive")
 
