@@ -61,6 +61,13 @@ object Bench {
     }
     def load1(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // getSystemLoadAverage returns -1.0 where the platform can't report
+    // it — which silently disables the gate. Say so (ADVICE r15 /
+    // VERDICT r15 wrong #3) instead of letting a quiet-looking artifact
+    // hide an ungated run on such a platform.
+    if (load1() < 0)
+      System.err.println("[bench] WARNING: OS load average unavailable " +
+        "(getSystemLoadAverage = -1) — the load gate is inoperative here")
     var contended = false
     if (load1() > loadGate) {
       System.err.println(f"[bench] load_avg ${load1()}%.2f > gate " +
@@ -344,7 +351,18 @@ object Bench {
     // needs (per-run demo times, GC, heap, load averages). Written to
     // target/bench.json AND printed FIRST on stdout.
     val widenConf = spark.conf.get(graft.operators.Par.WidenConfKey, "on")
-    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":"$widenConf","master":"$master","baseline_demo_2m_sec":10.718802}"""
+    // adaptive_count_misses: the one-count-per-corpus-per-session
+    // contract ([[graft.operators.AdaptiveCount]]) observable in every
+    // committed artifact, not just its unit test (VERDICT r15 #5) — a
+    // regression to N-counts-per-session shows up as this number
+    // jumping far past the handful of distinct corpora the suite reads.
+    val adaptMisses = graft.operators.AdaptiveCount.misses.get()
+    // warmup: the sf10 receipt protocol tag (VERDICT r15 #6) — the
+    // runner that discards a cold first run stamps the kept artifacts
+    // SPARK_GRAFT_WARMUP_NOTE=discarded_first_run so round-over-round
+    // comparisons know the number is settled, not cold.
+    val warmupNote = sys.env.getOrElse("SPARK_GRAFT_WARMUP_NOTE", "none")
+    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":"$widenConf","master":"$master","adaptive_count_misses":$adaptMisses,"warmup":"$warmupNote","baseline_demo_2m_sec":10.718802}"""
     // Compact gate line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout, and the full diagnostics line is ~2.6k —
     // in r11 it was front-truncated past parseability ("parsed": null).
@@ -358,7 +376,7 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qsCompact = allQs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val gate = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","failed":$failedJson,"load_avg":[$loadStart,$loadEnd],"contended":$contended,"baseline_demo_2m_sec":10.718802}"""
+    val gate = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","failed":$failedJson,"load_avg":[$loadStart,$loadEnd],"contended":$contended,"adaptive_count_misses":$adaptMisses,"baseline_demo_2m_sec":10.718802}"""
     println(diag)
     try {
       val p = java.nio.file.Paths.get("target/bench.json")
@@ -367,11 +385,24 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
-    // stop() BEFORE the gate line: any shutdown chatter Spark emits
-    // lands above the JSON, keeping the gate the LAST stdout line — the
-    // other half of the parsed:null fix (build.sbt suppresses sbt's own
-    // trailing "[success]" line; VERDICT r14 #2).
-    spark.stop()
+    stopThenGate(() => spark.stop(), gate)
+  }
+
+  /** stop() BEFORE the gate line: any shutdown chatter Spark emits
+    * lands above the JSON, keeping the gate the LAST stdout line — the
+    * other half of the parsed:null fix (build.sbt suppresses sbt's own
+    * trailing "[success]" line; VERDICT r14 #2). But stop() CAN throw
+    * (executor-loss races on local-cluster teardown), and an uncaught
+    * throw here would lose the gate line — the exact "parsed": null
+    * failure the ordering exists to fix, reintroduced through a
+    * different door (ADVICE r15). So the stop is guarded and the gate
+    * prints no matter what; package-visible so the guarantee is
+    * spec-pinned with a throwing stub. */
+  private[graft] def stopThenGate(stop: () => Unit, gate: String): Unit = {
+    try stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed — gate line " +
+        s"printed anyway: $e")
+    }
     println(gate)
     Console.out.flush()
   }

@@ -38,6 +38,21 @@ object Verify {
     sb.toString
   }
 
+  /** SPARK_GRAFT_ADAPTIVE_GATES parser (spec-pinned): a comma-separated
+    * name list bypasses the clamp pre-flight for exactly those names;
+    * the legacy blanket "run" bypasses all. Scoped is the safe posture
+    * (ADVICE r15): a blanket bypass with overrides for only one family
+    * turns the other family's PRECONDITION markers into bare hash
+    * mismatches the moment the corpus outgrows its clamp. */
+  private[graft] def adaptiveBypassFn(
+      env: Option[String]): String => Boolean = env match {
+    case Some(v) if v.trim.equalsIgnoreCase("run") => _ => true
+    case Some(v) =>
+      val names = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      names.contains(_)
+    case None => _ => false
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (dev iteration
@@ -45,10 +60,24 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER: the two-JVM realism leg (VERDICT r15 #2) runs
+    // the FULL inventory under local-cluster[2,16,...] so every custom
+    // expression/aggregator crosses real executor serialization
+    // boundaries, not just the bench heavy family. Same recipe as
+    // Bench: ship the engine classes, size the executor heap.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val clusterExtra: Map[String, String] =
+      if (master.startsWith("local-cluster")) Map(
+        "spark.executor.extraClassPath" ->
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath,
+        "spark.executor.memory" ->
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+      else Map.empty
     val spark = Graft.session(
-      master = s"local[$cpus]",
+      master = master,
       appName = "graft-verify",
-      shufflePartitions = cpus.toInt)
+      shufflePartitions = cpus.toInt,
+      extra = clusterExtra)
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -141,17 +170,24 @@ object Verify {
     // clamp implies every subset is too. A future non-monotonic
     // adaptive rule would invalidate this shortcut; the spec pins it.
     //
-    // SPARK_GRAFT_ADAPTIVE_GATES=run bypasses the exclusion: the
+    // SPARK_GRAFT_ADAPTIVE_GATES bypasses the exclusion PER NAME: the
     // adjudication path for a run whose downstream check carries
     // override oracles baked at THIS scale's adaptive banding (the r15
     // 24/6 sf1 receipts) — without overrides the comparison the bypass
-    // enables is known-invalid, so the default stays fail-loud.
-    val runAdaptiveGates =
-      sys.env.get("SPARK_GRAFT_ADAPTIVE_GATES").contains("run")
+    // enables is known-invalid, so the default stays fail-loud. The
+    // value is a comma-separated list of gate names to bypass (certify
+    // names exactly the twins its overrides file carries); the legacy
+    // blanket "run" is still accepted but scoping is the right posture
+    // (ADVICE r15): a blanket bypass under a regrown corpus would turn
+    // the OTHER family's explanatory PRECONDITION markers into bare
+    // hash MISMATCHes.
+    val adaptiveBypass: String => Boolean =
+      adaptiveBypassFn(sys.env.get("SPARK_GRAFT_ADAPTIVE_GATES"))
     val clampExcluded: Map[String, String] = {
       def excluded(names: Seq[String], table: String,
           holds: Long => Boolean, baked: String): Map[String, String] = {
-        val sel = names.filter(n => only.forall(_.contains(n)))
+        val sel = names.filter(n =>
+          only.forall(_.contains(n)) && !adaptiveBypass(n))
         if (sel.isEmpty) Map.empty
         else scala.util.Try(
             spark.read.parquet(s"$sfDir/$table.parquet").count()) match {
@@ -173,8 +209,7 @@ object Verify {
               "comparison is invalid")).toMap
         }
       }
-      if (runAdaptiveGates) Map.empty
-      else excluded(graft.queries.Vectors.adaptiveGateNames, "embeddings",
+      excluded(graft.queries.Vectors.adaptiveGateNames, "embeddings",
         graft.queries.Vectors.oracleClampHolds, "16/4 bands, 8 clusters") ++
         excluded(graft.queries.TextDedup.adaptiveGateNames, "documents",
           graft.queries.TextDedup.oracleClampHolds, "(k=8, rows=2) minhash")
@@ -240,6 +275,15 @@ object Verify {
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     dumpErrors()
+    // diag.json: run-level observability riding the output dir —
+    // adaptive_count_misses pins the one-count-per-corpus-per-session
+    // contract in every committed Verify receipt (VERDICT r15 #5).
+    try Files.writeString(Paths.get(s"$outDir/diag.json"),
+      s"""{"adaptive_count_misses":${
+        graft.operators.AdaptiveCount.misses.get()},"master":${q(master)}}""")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] diag.json write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -19,16 +19,32 @@ import org.apache.spark.sql.DataFrame
   * existing part file — is not a write path any Spark sink produces.
   * Both reads (semantic hash, file listing) are driver-side only: the
   * file index was already materialized when the plan was analyzed, so
-  * no job runs on a cache hit OR for the key itself. */
+  * no job runs on a cache hit OR for the key itself.
+  *
+  * Hash keys alone are not identity (ADVICE r15): a hash collision —
+  * or `identityHashCode` reuse after a stopped session is GC'd — would
+  * silently serve another corpus's count, a correctness-bearing value.
+  * So the cached VALUE carries the actual file list plus a weak session
+  * reference, and a hit is honored only after confirming both by
+  * equality; any mismatch falls back to a fresh count (recorded as a
+  * miss) and replaces the entry. The session reference is weak so the
+  * memo never pins a stopped session's object graph. */
 private[graft] object AdaptiveCount {
 
-  // value boxed explicitly: a scala.Long-valued CHM would unbox a
-  // missing key's null to 0L and silently cache-hit every lookup
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), java.lang.Long]()
+  /** Cache value: the count plus the evidence that the key really is
+    * ours — compared by equality on every hit, not trusted by hash. */
+  private[graft] final case class Entry(
+      session: java.lang.ref.WeakReference[AnyRef],
+      files: Array[String],
+      count: Long)
+
+  private[graft] val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Entry]()
 
   /** Count jobs actually run (cache misses) — spec-pinned so the
-    * one-count-per-corpus-per-session contract can't silently rot. */
+    * one-count-per-corpus-per-session contract can't silently rot, and
+    * surfaced in the Bench/Verify diag JSON (VERDICT r15 #5) so every
+    * committed artifact shows the contract holding. */
   private[graft] val misses = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Backstop against unbounded growth in a session that churns
@@ -36,15 +52,24 @@ private[graft] object AdaptiveCount {
     * wholesale invalidation is always safe. */
   private val MaxEntries = 1024
 
+  private[graft] def keyOf(df: DataFrame): ((Int, Int, Int), Array[String]) = {
+    val files = df.inputFiles
+    ((System.identityHashCode(df.sparkSession), df.semanticHash(),
+      java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]])), files)
+  }
+
   private[graft] def of(df: DataFrame): Long = {
-    val key = (System.identityHashCode(df.sparkSession),
-      df.semanticHash(), java.util.Arrays.hashCode(
-        df.inputFiles.asInstanceOf[Array[AnyRef]]))
+    val (key, files) = keyOf(df)
     val cached = cache.get(key)
-    if (cached != null) return cached.longValue()
+    if (cached != null && (cached.session.get() eq df.sparkSession) &&
+        java.util.Arrays.equals(
+          cached.files.asInstanceOf[Array[AnyRef]],
+          files.asInstanceOf[Array[AnyRef]]))
+      return cached.count
     val n = { misses.incrementAndGet(); df.count() }
     if (cache.size() >= MaxEntries) cache.clear()
-    cache.put(key, java.lang.Long.valueOf(n))
+    cache.put(key, Entry(
+      new java.lang.ref.WeakReference[AnyRef](df.sparkSession), files, n))
     n
   }
 }

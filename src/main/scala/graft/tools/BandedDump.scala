@@ -21,9 +21,12 @@ import graft.operators.Similarity
   */
 object BandedDump {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: BandedDump <sfDir> <outDir> <nBits> <bandBits> | " +
-        "BandedDump <sfDir> <outDir> text <k> <rows>")
+    val usage = "usage: BandedDump <sfDir> <outDir> <nBits> <bandBits> | " +
+      "BandedDump <sfDir> <outDir> text <k> <rows>"
+    // the text branch reads args(4): a 4-arg text invocation must die
+    // with the usage line, not an ArrayIndexOutOfBounds (ADVICE r15)
+    require(args.length >= 4, usage)
+    require(args(2) != "text" || args.length >= 5, usage)
     val (sfDir, outDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Graft.session(master = s"local[$cpus]",

@@ -27,23 +27,52 @@ import org.apache.spark.sql.functions._
   * when the banded join ranks it anywhere in ITS top-k for the same
   * query (standard ANN recall@k).
   *
+  * THE PINNED PROTOCOL (VERDICT r15 #1): recall estimates are only
+  * comparable round-over-round if the query sample is the same rule at
+  * the same size — r14 probed sf10 with 500 sampled queries and r15
+  * with 2000, and the resulting 0.800 vs 0.6995 read as a regression
+  * when it was a protocol change (~7σ apart under a binomial model:
+  * different sample SETS, not noise). The pinned rule fixes the TARGET
+  * query count (2000) and derives the stride from the corpus —
+  * stride = max(1, n / 2000), sample = pmod(vec_id, stride) == 0 — so
+  * every probe of a given corpus draws the identical query set and
+  * probes of different corpora draw equally-sized ones. Every output
+  * line carries the protocol fields (protocol/target_queries/stride/
+  * sample_rule); certify.sh gates on lines whose protocol is pinned-v1
+  * and refuses to compare anything else.
+  *
   * Usage:
-  *   tools/run.sh graft.tools.LshScaleProbe <sfDir> [k] [sampleStride] \
+  *   tools/run.sh graft.tools.LshScaleProbe <sfDir> [k] [stride|pinned] \
   *     [configs: nBits/bandBits,nBits/bandBits,...]
   * e.g.
   *   SPARK_DRIVER_MEM=64g tools/run.sh graft.tools.LshScaleProbe \
-  *     /tmp/sf10 3 400 16/4,32/8,48/12
+  *     /tmp/sf10 3 pinned 16/4,32/8,48/12
+  * An explicit integer stride is still accepted for ad-hoc exploration;
+  * such runs are tagged protocol "adhoc-stride-N" and never gate.
   */
 object LshScaleProbe {
+  /** The pinned sample size: one recall estimate = 2000 query points
+    * (the r15 sf10 configuration, adopted as THE protocol). */
+  val PinnedTargetQueries = 2000L
+
+  /** The pinned sample rule, derived from the corpus size only. */
+  def pinnedStride(n: Long): Int =
+    math.max(1L, n / PinnedTargetQueries).toInt
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: LshScaleProbe <sfDir> [k] [stride] [configs]")
+    require(args.nonEmpty,
+      "usage: LshScaleProbe <sfDir> [k] [stride|pinned] [configs]")
     val sfDir = args(0)
     val k = if (args.length > 1) args(1).toInt else 3
-    val stride = if (args.length > 2) args(2).toInt else 100
+    val strideArg = if (args.length > 2) args(2) else "pinned"
 
     val spark = graft.Graft.session(appName = "graft-lsh-scale-probe")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
+    val (stride, protocol) =
+      if (strideArg.equalsIgnoreCase("pinned"))
+        (pinnedStride(n), "pinned-v1")
+      else (strideArg.toInt, s"adhoc-stride-$strideArg")
     // "adaptive" = whatever the production DEFAULT resolves for this
     // corpus (bandBits = clamp(ceil(log2(n/cap)), 4, 12), nBits = 4bb)
     // — the config every r14+ banded consumer actually ships
@@ -82,6 +111,8 @@ object LshScaleProbe {
       val recall = if (truthRows == 0) 1.0 else hits.toDouble / truthRows
       println(s"""{"probe":"lsh_scale","sf":"$sfDir","n":$n,"tag":"$tag",""" +
         s""""nBits":$nBits,"bandBits":$bandBits,"k":$k,""" +
+        s""""protocol":"$protocol","target_queries":$PinnedTargetQueries,""" +
+        s""""stride":$stride,"sample_rule":"pmod(vec_id,stride)==0",""" +
         s""""queries_sampled":$nQueries,"truth_pairs":$truthRows,""" +
         s""""hits":$hits,"recall_at_k":$recall,""" +
         s""""knn_rows":$outRows,"secs":${(secs * 1000).round / 1000.0}}""")

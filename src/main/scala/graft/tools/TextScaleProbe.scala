@@ -82,8 +82,13 @@ object TextScaleProbe {
         Seq("ida", "idb")).count()
       pairs.unpersist()
       val recall = if (truthRows == 0) 1.0 else hits.toDouble / truthRows
+      // protocol fields (VERDICT r15 #1, the text twin): the md5-nibble
+      // sample rule + width ride every line so round-over-round recall
+      // numbers are comparable only when the protocol matches
       println(s"""{"probe":"text_scale","sf":"$sfDir","n":$n,""" +
         s""""tag":"$tag","k":$k,"rows":$rows,""" +
+        s""""protocol":"md5-nibbles-$nibbles",""" +
+        s""""sample_rule":"hashSample(doc_id,$nibbles)",""" +
         s""""sample_docs":$nSample,"truth_pairs":$truthRows,""" +
         s""""hits":$hits,"recall":$recall,""" +
         s""""pair_rows":$outRows,"secs":${(secs * 1000).round / 1000.0}}""")

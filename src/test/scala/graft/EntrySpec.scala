@@ -53,4 +53,58 @@ class EntrySpec extends SparkTestBase {
         s"(got $parsed)")
     assert(Verify.parseErrors("{}").isEmpty)
   }
+
+  test("Bench.stopThenGate: the gate line survives a throwing stop()") {
+    // ADVICE r15: spark.stop() can throw on local-cluster teardown
+    // races; the gate JSON must still be the last stdout line or the
+    // driver-side parse regresses to the very "parsed": null failure
+    // the print-after-stop ordering fixed.
+    def lastLineWith(stop: () => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        Bench.stopThenGate(stop, """{"metric":"total","value":1}""")
+      }
+      bos.toString("UTF-8").trim.linesIterator.toSeq.last
+    }
+    assert(lastLineWith(() => ()) == """{"metric":"total","value":1}""")
+    assert(lastLineWith(() => throw new RuntimeException("teardown race"))
+      == """{"metric":"total","value":1}""")
+  }
+
+  test("Verify adaptive-gates bypass is scoped per name; blanket 'run' " +
+      "still honored") {
+    val none = Verify.adaptiveBypassFn(None)
+    assert(!none("q302_ann_adaptive"))
+    val all = Verify.adaptiveBypassFn(Some("run"))
+    assert(all("q302_ann_adaptive") && all("q39_minhash_pairs"))
+    val scoped = Verify.adaptiveBypassFn(
+      Some("q302_ann_adaptive, q303_hard_negatives_adaptive"))
+    assert(scoped("q302_ann_adaptive"))
+    assert(scoped("q303_hard_negatives_adaptive"))
+    assert(!scoped("q39_minhash_pairs"),
+      "an unlisted gate name must keep its clamp pre-flight")
+    assert(!scoped("q85_incremental_dedup"))
+  }
+
+  test("LshScaleProbe pinned protocol: stride derives from n alone and " +
+      "holds the sample near the 2000-query target") {
+    import graft.tools.LshScaleProbe.{PinnedTargetQueries, pinnedStride}
+    assert(PinnedTargetQueries == 2000L)
+    assert(pinnedStride(200000L) == 100) // the r15 sf10 configuration
+    assert(pinnedStride(20000L) == 10)   // sf1: now also 2000 queries
+    assert(pinnedStride(1999L) == 1)     // tiny corpora: every vector
+    assert(pinnedStride(0L) == 1)
+    for (n <- Seq(2000L, 3000L, 65536L, 1L << 30)) {
+      val q = n / pinnedStride(n)
+      assert(q >= 2000 && q < 4000, s"n=$n samples $q queries")
+    }
+  }
+
+  test("BandedDump: a 4-arg text invocation dies with the usage line, " +
+      "not ArrayIndexOutOfBounds") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.tools.BandedDump.main(Array("/x", "/y", "text", "24"))
+    }
+    assert(ex.getMessage.contains("usage"), ex.getMessage)
+  }
 }

@@ -1989,6 +1989,37 @@ class OperatorSpec extends SparkTestBase {
     assert(AdaptiveCount.misses.get() == m0 + 2)
   }
 
+  test("adaptive count memo: a hit is equality-confirmed, never trusted " +
+      "by hash — a colliding or session-aliased entry recounts") {
+    // ADVICE r15: the key is three hashes; a collision (or
+    // identityHashCode reuse after a session is GC'd) must not serve
+    // another corpus's count. Poison the cache at OUR OWN key with an
+    // entry whose stored evidence differs, and assert of() recounts.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_adaptcoll").toFile.getAbsolutePath
+    spark.range(80).toDF("id").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val (key, _) = AdaptiveCount.keyOf(df)
+    // (a) same hash key, different file list = hash collision
+    AdaptiveCount.cache.put(key, AdaptiveCount.Entry(
+      new java.lang.ref.WeakReference[AnyRef](spark),
+      Array("someone/elses/part-000.parquet"), 999L))
+    val m0 = AdaptiveCount.misses.get()
+    assert(AdaptiveCount.of(df) == 80L,
+      "a colliding entry must be recounted, not served")
+    assert(AdaptiveCount.misses.get() == m0 + 1)
+    // the recount replaced the poisoned entry: next call is a clean hit
+    assert(AdaptiveCount.of(spark.read.parquet(dir)) == 80L)
+    assert(AdaptiveCount.misses.get() == m0 + 1)
+    // (b) right files, wrong session identity = identityHashCode reuse
+    val (key2, files2) = AdaptiveCount.keyOf(df)
+    AdaptiveCount.cache.put(key2, AdaptiveCount.Entry(
+      new java.lang.ref.WeakReference[AnyRef](new Object), files2, 999L))
+    assert(AdaptiveCount.of(df) == 80L,
+      "a session-aliased entry must be recounted, not served")
+    assert(AdaptiveCount.misses.get() == m0 + 2)
+  }
+
   test("pre-metadata band indexes probed adaptively fail loudly instead " +
       "of guessing the historical default") {
     // VERDICT r14 #2: a legacy index built with non-default banding
@@ -2028,17 +2059,22 @@ class OperatorSpec extends SparkTestBase {
     // prefix [0, N] of the count axis, i.e. every adaptive rule is
     // monotone nondecreasing in n (ADVICE r14: assert it, so a future
     // non-monotonic rule change breaks HERE, not silently there).
+    // BOTH minhash banding components are tracked (ADVICE r15): the
+    // shortcut's soundness needs the full (k, rows) pair clamp-stable,
+    // and k's monotonicity must not ride on its current derivation
+    // from rows.
     var n = 0L
     var pb = operators.Similarity.adaptiveBandBits(0L)
     var pk = operators.Similarity.adaptiveClusterK(0L)
-    var pr = operators.Dedup.adaptiveMinhashParams(0L)._2
+    var (pmk, pr) = operators.Dedup.adaptiveMinhashParams(0L)
     while (n < (1L << 20)) {
       n += 1
       val b = operators.Similarity.adaptiveBandBits(n)
       val k = operators.Similarity.adaptiveClusterK(n)
-      val r = operators.Dedup.adaptiveMinhashParams(n)._2
-      assert(b >= pb && k >= pk && r >= pr, s"non-monotone at n=$n")
-      pb = b; pk = k; pr = r
+      val (mk, r) = operators.Dedup.adaptiveMinhashParams(n)
+      assert(b >= pb && k >= pk && mk >= pmk && r >= pr,
+        s"non-monotone at n=$n")
+      pb = b; pk = k; pmk = mk; pr = r
     }
     // multiplicative grid past the exhaustive range, out to 1e12
     var lo = 1L << 20
@@ -2048,8 +2084,9 @@ class OperatorSpec extends SparkTestBase {
         operators.Similarity.adaptiveBandBits(lo))
       assert(operators.Similarity.adaptiveClusterK(hi) >=
         operators.Similarity.adaptiveClusterK(lo))
-      assert(operators.Dedup.adaptiveMinhashParams(hi)._2 >=
-        operators.Dedup.adaptiveMinhashParams(lo)._2)
+      val (hk, hr) = operators.Dedup.adaptiveMinhashParams(hi)
+      val (lk, lr) = operators.Dedup.adaptiveMinhashParams(lo)
+      assert(hk >= lk && hr >= lr)
       lo = hi
     }
   }
