@@ -214,7 +214,15 @@ def main():
                 print(f"  {name:28s} MISSING OUTPUT (query failed in Verify)")
                 continue
             parts = sorted(globmod.glob(os.path.join(out_dir, name, "*.parquet")))
-            cols = pq.read_schema(parts[0]).names if parts else []
+            if not parts:
+                # a dir with no part files is a half-written output, not
+                # a carriable one — the carry covers the oracle replay,
+                # never a Verify crash
+                failures.append(name)
+                print(f"  {name:28s} EMPTY OUTPUT DIR (carry-forward "
+                      "refused: no parquet parts)")
+                continue
+            cols = pq.read_schema(parts[0]).names
             if cols == ["graft_error"]:
                 failures.append(name)
                 print(f"  {name:28s} QUERY ERROR (carry-forward refused: "
