@@ -40,6 +40,33 @@ object Bench {
     // fixed-vs-adaptive wall-time comparison in every artifact.
     "q302_ann_adaptive", "q303_hard_negatives_adaptive")
 
+  /** The documented high-variance family (VERDICT r16 #2): the six
+    * queries that moved >=1.3x between the r16 graded artifact and the
+    * quiet triple at the SAME commit (cold page-cache draw on the
+    * LSH/dedup family), plus the heavy LSH/graph heads that share the
+    * cold-start signature at sf1/sf10 (bench-methodology receipts since
+    * r14). The default warm pass (below) runs exactly these, uncounted. */
+  val warmPassQueries: Seq[String] = Seq(
+    "q29_events_hourly", "q39_minhash_pairs", "q85_incremental_dedup",
+    "q119_latest_order", "q130_pagerank", "q135_ann_knn_join",
+    "q199_label_prop", "q205_hard_negatives", "q211_pq_encode",
+    "q226_rolling_distinct", "q302_ann_adaptive",
+    "q303_hard_negatives_adaptive")
+
+  /** JSON string escaper for env-derived values interpolated into the
+    * hand-built diag/gate lines (ADVICE r16 #2: a quote or backslash in
+    * SPARK_GRAFT_WARMUP_NOTE used to corrupt target/bench.json —
+    * silently, in the very field that exists to harden the artifact). */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -152,7 +179,61 @@ object Bench {
     val isolate = !sys.env.get("SPARK_GRAFT_ISOLATE")
       .exists(v => v == "0" || v.equalsIgnoreCase("off"))
 
-    val results = headlineRun.map { name =>
+    // Inter-query cleanup, shared by the timed loop and the warm pass.
+    // Each headline query is a self-contained pipeline measurement;
+    // the caches some operators pin (minhash signatures, band
+    // tables) are per-pipeline scratch whose documented reclaim
+    // path is clearCache. Left in place they accumulate across the
+    // suite and — because execution can only evict storage down to
+    // spark.memory.storageFraction — starve LATER queries'
+    // execution memory into spills (sf10: in-suite q135 ran 3x its
+    // solo time before this line). Cache population still happens
+    // inside each query's own timer, so timings stay cold-start
+    // honest; clearing sits outside the timed region.
+    def isolateCleanup(): Unit = if (isolate) {
+      spark.catalog.clearCache()
+      // localCheckpoint blocks from iterative operators (pagerank,
+      // label-prop lineage cuts) are persistent RDDs that stay PINNED
+      // until driver GC lets the ContextCleaner at them — tens of GB
+      // that the storageFraction floor then protects from eviction,
+      // pushing later queries' sorts/aggs into early spill (sf10:
+      // in-suite q199 ran ~4x its solo time). Unpersist them
+      // explicitly and nudge GC so each measurement starts clean.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+
+    // --- warm pass (VERDICT r16 #2): ONE uncounted execution of the
+    // documented high-variance family before anything is timed. The r16
+    // graded artifact read 82.4 s against a 61.1–61.6 s quiet triple at
+    // the SAME commit with zero query-path change — all of the drift on
+    // the LSH/dedup heads, whose first execution pays cold page cache
+    // (input parquet + /tmp index scratch) and JIT of the heavy operator
+    // paths. The warm pass absorbs exactly that, so a SINGLE fresh run
+    // (the driver's protocol) measures the engine, not the page cache.
+    // Spark-side state is still torn down after it (isolateCleanup), so
+    // per-query timings stay cold-start honest w.r.t. Spark caches.
+    // SPARK_GRAFT_WARMPASS=0/off disables (A/B attribution knob).
+    val warmPass = !sys.env.get("SPARK_GRAFT_WARMPASS")
+      .exists(v => v == "0" || v.equalsIgnoreCase("off"))
+    val warmed: Seq[String] =
+      if (!warmPass) Nil
+      else headlineRun.filter(warmPassQueries.contains)
+    if (warmed.nonEmpty) {
+      System.err.println(s"[bench] warm pass (uncounted) over " +
+        s"${warmed.size} high-variance queries")
+      warmed.foreach { name =>
+        try materialize(SparkEntry.queries(name)(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm pass $name failed " +
+            s"(ignored — the timed run reports it): ${e.getMessage}")
+        }
+        isolateCleanup()
+      }
+    }
+
+    def runSuite(): Seq[(String, Double)] = headlineRun.map { name =>
       val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
@@ -167,31 +248,27 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       gcByQuery(name) = gcMillis() - g0
       heapByQuery(name) = heapUsedMb()
-      // Each headline query is a self-contained pipeline measurement;
-      // the caches some operators pin (minhash signatures, band
-      // tables) are per-pipeline scratch whose documented reclaim
-      // path is clearCache. Left in place they accumulate across the
-      // suite and — because execution can only evict storage down to
-      // spark.memory.storageFraction — starve LATER queries'
-      // execution memory into spills (sf10: in-suite q135 ran 3x its
-      // solo time before this line). Cache population still happens
-      // inside each query's own timer, so timings stay cold-start
-      // honest; clearing sits outside the timed region.
-      if (isolate) {
-        spark.catalog.clearCache()
-        // localCheckpoint blocks from iterative operators (pagerank,
-        // label-prop lineage cuts) are persistent RDDs that stay PINNED
-        // until driver GC lets the ContextCleaner at them — tens of GB
-        // that the storageFraction floor then protects from eviction,
-        // pushing later queries' sorts/aggs into early spill (sf10:
-        // in-suite q199 ran ~4x its solo time). Unpersist them
-        // explicitly and nudge GC so each measurement starts clean.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
-      }
+      isolateCleanup()
       // -1 marks a failure so a fast crash can't masquerade as a fast run
       name -> (if (ok) elapsed else -1.0)
+    }
+
+    // --- SPARK_GRAFT_RUNS=N (VERDICT r16 optional 7): run the whole
+    // headline loop N times and report the per-query MEDIAN, turning
+    // the three-command round-close quiet triple into one artifact.
+    // Every individual run lands in the diag line (suite_runs) so the
+    // spread stays inspectable. Default 1: the driver's single-run
+    // protocol, unchanged.
+    val suiteReps = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
+    require(suiteReps >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $suiteReps")
+    val suiteRuns: Seq[Seq[(String, Double)]] =
+      (1 to suiteReps).map(_ => runSuite())
+    def medianOf(vs: Seq[Double]): Double = {
+      val ok = vs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+    }
+    val results: Seq[(String, Double)] = headlineRun.map { name =>
+      name -> medianOf(suiteRuns.map(_.toMap.apply(name)))
     }
     // Like-for-like reproduction of the reference's only published number
     // (BASELINE.md): inner join of two 2,000,000-row tables on TWO string
@@ -362,7 +439,15 @@ object Bench {
     // SPARK_GRAFT_WARMUP_NOTE=discarded_first_run so round-over-round
     // comparisons know the number is settled, not cold.
     val warmupNote = sys.env.getOrElse("SPARK_GRAFT_WARMUP_NOTE", "none")
-    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":"$widenConf","master":"$master","adaptive_count_misses":$adaptMisses,"warmup":"$warmupNote","baseline_demo_2m_sec":10.718802}"""
+    // suite_runs: every individual per-query time of the N-run medians
+    // mode (empty-object when N=1 — the value field IS the single run)
+    val suiteRunsJson =
+      if (suiteReps <= 1) "{}"
+      else headlineRun.map { name =>
+        jq(name) + ":" + suiteRuns.map(_.toMap.apply(name))
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jq(sfDir)},"failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":${jq(widenConf)},"master":${jq(master)},"adaptive_count_misses":$adaptMisses,"warmup":${jq(warmupNote)},"warmpass":${warmed.size},"runs":$suiteReps,"suite_runs":$suiteRunsJson,"baseline_demo_2m_sec":10.718802}"""
     // Compact gate line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout, and the full diagnostics line is ~2.6k —
     // in r11 it was front-truncated past parseability ("parsed": null).
@@ -376,7 +461,7 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qsCompact = allQs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val gate = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","failed":$failedJson,"load_avg":[$loadStart,$loadEnd],"contended":$contended,"adaptive_count_misses":$adaptMisses,"baseline_demo_2m_sec":10.718802}"""
+    val gate = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":${jq(sfDir)},"failed":$failedJson,"load_avg":[$loadStart,$loadEnd],"contended":$contended,"adaptive_count_misses":$adaptMisses,"warmpass":${warmed.size},"runs":$suiteReps,"baseline_demo_2m_sec":10.718802}"""
     println(diag)
     try {
       val p = java.nio.file.Paths.get("target/bench.json")

@@ -57,8 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => WinnowExpr(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("graft_lshsig"),
-      info("graft_lshsig", "graft_lshsig(q, nBits) - sign-bit LSH signature of a bigint array"),
+      info("graft_lshsig", "graft_lshsig(q, nBits[, jOffset]) - sign-bit LSH signature of a bigint array"),
       (exprs: Seq[Expression]) => LshSigExpr(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int])))
+        exprs(1).eval(null).asInstanceOf[Int],
+        if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Int] else 0)))
   }
 }

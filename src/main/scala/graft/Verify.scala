@@ -39,14 +39,20 @@ object Verify {
   }
 
   /** SPARK_GRAFT_ADAPTIVE_GATES parser (spec-pinned): a comma-separated
-    * name list bypasses the clamp pre-flight for exactly those names;
-    * the legacy blanket "run" bypasses all. Scoped is the safe posture
-    * (ADVICE r15): a blanket bypass with overrides for only one family
-    * turns the other family's PRECONDITION markers into bare hash
-    * mismatches the moment the corpus outgrows its clamp. */
+    * name list bypasses the clamp pre-flight for exactly those names.
+    * Scoped is the only posture (ADVICE r15; blanket "run" RETIRED in
+    * r17 per VERDICT r16 #8): a blanket bypass with overrides for only
+    * one family turns the other family's PRECONDITION markers into bare
+    * hash mismatches the moment the corpus outgrows its clamp — and
+    * certify has named exact twins since r16, so nothing needed the
+    * footgun. A leftover blanket value fails loudly with the fix. */
   private[graft] def adaptiveBypassFn(
       env: Option[String]): String => Boolean = env match {
-    case Some(v) if v.trim.equalsIgnoreCase("run") => _ => true
+    case Some(v) if v.trim.equalsIgnoreCase("run") =>
+      throw new IllegalArgumentException(
+        "SPARK_GRAFT_ADAPTIVE_GATES=run (the blanket bypass) is retired " +
+          "— name the gates whose scale-matched override oracles this " +
+          "run carries, e.g. q302_ann_adaptive,q303_hard_negatives_adaptive")
     case Some(v) =>
       val names = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
       names.contains(_)
@@ -177,8 +183,8 @@ object Verify {
     // enables is known-invalid, so the default stays fail-loud. The
     // value is a comma-separated list of gate names to bypass (certify
     // names exactly the twins its overrides file carries); the legacy
-    // blanket "run" is still accepted but scoping is the right posture
-    // (ADVICE r15): a blanket bypass under a regrown corpus would turn
+    // blanket "run" is RETIRED (r17, VERDICT r16 #8) — it fails loudly
+    // in adaptiveBypassFn, because under a regrown corpus it would turn
     // the OTHER family's explanatory PRECONDITION markers into bare
     // hash MISMATCHes.
     val adaptiveBypass: String => Boolean =
@@ -284,6 +290,15 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] diag.json write failed: $e")
     }
-    spark.stop()
+    // Guarded like Bench.stopThenGate and ChaosClusterProbe: stop() can
+    // throw on local-cluster teardown races, and every output this run
+    // exists to produce (parquet, errors.json, diag.json) is already on
+    // disk — an unguarded throw here would turn a fully-successful
+    // sweep into a nonzero exit, which certify.sh records as
+    // VERIFY-CRASH and skips the DuckDB check (ADVICE r16 #1).
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[verify] spark.stop() failed (outputs already " +
+        s"written — exiting clean): $e")
+    }
   }
 }

@@ -71,8 +71,15 @@ case class LongArrayDot(left: Expression, right: Expression)
   * (dup pairs, incremental pairs, clusters, knn join), generated as two
   * tight primitive loops inside whole-stage codegen. Also enforces the
   * dim <= 128 weight-stride guard per row (beyond it, weights would
-  * silently repeat across hyperplanes and correlate the bits). */
-case class LshSigExpr(child: Expression, nBits: Int)
+  * silently repeat across hyperplanes and correlate the bits).
+  *
+  * `jOffset` (default 0 — bit-identical to the historical two-arg form)
+  * shifts the hyperplane INDEX: bit j draws weights w(j + jOffset, d).
+  * Offsets that are multiples of 64 give pairwise-disjoint hyperplane
+  * sets for nBits <= 64 — the "independent draw" a seed-stability study
+  * needs from a seedless LCG (VERDICT r16 #1). Production callers never
+  * pass it; the oracle spelling stays the j-indexed one. */
+case class LshSigExpr(child: Expression, nBits: Int, jOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -96,7 +103,7 @@ case class LshSigExpr(child: Expression, nBits: Int)
       var d = 1
       while (d <= n) {
         acc += q.getLong(d - 1) *
-          (((1103515245L * (j * 128 + d) + 12345L) % 19L) - 9L)
+          (((1103515245L * ((j + jOffset).toLong * 128L + d) + 12345L) % 19L) - 9L)
         d += 1
       }
       out(j) = if (acc >= 0L) 1 else 0
@@ -122,7 +129,7 @@ case class LshSigExpr(child: Expression, nBits: Int)
          |  long $acc = 0L;
          |  for (int $d = 1; $d <= $n; $d++) {
          |    $acc += $q.getLong($d - 1) *
-         |      (((1103515245L * ($j * 128L + $d) + 12345L) % 19L) - 9L);
+         |      (((1103515245L * (($j + $jOffset) * 128L + $d) + 12345L) % 19L) - 9L);
          |  }
          |  $out[$j] = ($acc >= 0L) ? 1 : 0;
          |}
@@ -143,6 +150,8 @@ object LongArrayDot {
       "graft_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lshsig", exprs => LshSigExpr(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+        exprs(1).eval(null).asInstanceOf[Int],
+        if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Int] else 0),
+      "scala_udf")
   }
 }

@@ -24,8 +24,12 @@ import org.apache.spark.sql.DataFrame
   * Hash keys alone are not identity (ADVICE r15): a hash collision —
   * or `identityHashCode` reuse after a stopped session is GC'd — would
   * silently serve another corpus's count, a correctness-bearing value.
-  * So the cached VALUE carries the actual file list plus a weak session
-  * reference, and a hit is honored only after confirming both by
+  * So the cached VALUE carries the actual file list, a weak session
+  * reference, AND a sha-256 digest of the canonicalized plan (ADVICE
+  * r16 #3: two plans over the SAME files — a corpus and its filtered
+  * slice — share session and file list and differ only in the 32-bit
+  * semanticHash, so without the digest that pair was still trusted by
+  * hash alone). A hit is honored only after confirming all three by
   * equality; any mismatch falls back to a fresh count (recorded as a
   * miss) and replaces the entry. The session reference is weak so the
   * memo never pins a stopped session's object graph. */
@@ -36,6 +40,7 @@ private[graft] object AdaptiveCount {
   private[graft] final case class Entry(
       session: java.lang.ref.WeakReference[AnyRef],
       files: Array[String],
+      planDigest: String,
       count: Long)
 
   private[graft] val cache =
@@ -58,10 +63,22 @@ private[graft] object AdaptiveCount {
       java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]])), files)
   }
 
+  /** sha-256 of the canonicalized analyzed plan — the full-strength
+    * plan identity a 32-bit semanticHash only approximates. Driver-side
+    * string render of an already-analyzed plan; no job runs. */
+  private[graft] def planDigestOf(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized.toString
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
   private[graft] def of(df: DataFrame): Long = {
     val (key, files) = keyOf(df)
+    val digest = planDigestOf(df)
     val cached = cache.get(key)
     if (cached != null && (cached.session.get() eq df.sparkSession) &&
+        cached.planDigest == digest &&
         java.util.Arrays.equals(
           cached.files.asInstanceOf[Array[AnyRef]],
           files.asInstanceOf[Array[AnyRef]]))
@@ -69,7 +86,8 @@ private[graft] object AdaptiveCount {
     val n = { misses.incrementAndGet(); df.count() }
     if (cache.size() >= MaxEntries) cache.clear()
     cache.put(key, Entry(
-      new java.lang.ref.WeakReference[AnyRef](df.sparkSession), files, n))
+      new java.lang.ref.WeakReference[AnyRef](df.sparkSession), files,
+      digest, n))
     n
   }
 }

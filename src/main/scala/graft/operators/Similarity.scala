@@ -661,7 +661,27 @@ object Similarity {
     * preserves recall; the [4, 12] clamp keeps the gate-scale behavior
     * identical to the fixed default (≤ ~8k vectors → 4) and the
     * collision-side broadcast bound intact (12 → 8.4M-row bound is the
-    * documented fallback edge). */
+    * documented fallback edge).
+    *
+    * WHY NOT THE 12-BIT CEILING EVERYWHERE (r17 seeded study, VERDICT
+    * r16 #1+#3, receipt tools/receipts/r17/banding_study.txt): on the
+    * sandbox's NEAR-DUP corpora the ceiling seed-stably dominates the
+    * adaptive resolution on recall AND time (sf1: 1.000 vs 0.87–0.89
+    * across 3 disjoint hyperplane draws; truth neighbors agree on
+    * almost every hyperplane, so finer buckets only shed BucketCap
+    * truncation). But on a MARGINAL-COSINE corpus (planted neighbors
+    * at cos ≈ 0.70–0.80 — the natural-retrieval regime, generated by
+    * [[graft.tools.MarginalCorpus]]), the ordering seed-stably
+    * INVERTS: per-hyperplane agreement is only ~0.77, so a 12-bit
+    * band match costs 0.77¹² ≈ 0.04 and recall@3 falls monotonically
+    * with band width (0.23 at 6 bits → 0.12 at 12 bits, all 3 draws).
+    * A production default must not halve recall on natural corpora to
+    * win a near-dup benchmark, so the fill-targeted rule stands;
+    * callers that KNOW their corpus is near-dup (high-threshold dedup)
+    * pass an explicit finer banding — every public entry point takes
+    * (nBits, bandBits). Marginal-corpus recall is re-supplied by MORE
+    * BANDS (the OR side of the amplification), not finer ones — a
+    * cost-linear knob deliberately not spent by default. */
   def adaptiveBandBits(n: Long, bucketCap: Int = DefaultBucketCap): Int = {
     require(n >= 0 && bucketCap >= 1)
     // desired bucket count per band: enough that expected fill <= cap
@@ -684,6 +704,22 @@ object Similarity {
       k: Int, bucketCap: Int = DefaultBucketCap): DataFrame =
     lshKnnJoin(df, idCol, embCol, k, bucketCap = bucketCap)
 
+  /** STUDY-ONLY [[lshKnnJoin]] with an explicit hyperplane-index offset
+    * (see [[graft.functions.LshSigExpr]]): the seed-stability probes
+    * (VERDICT r16 #1) need INDEPENDENT hyperplane draws per banding to
+    * tell a real recall ordering from a lucky draw, and the production
+    * LCG is seedless by design (both engines spell it identically).
+    * Offsets that are multiples of 64 give disjoint draws for
+    * nBits <= 64; offset 0 is bit-identical to [[lshKnnJoin]]. Never a
+    * production default — gated queries pin offset-free bandings. */
+  private[graft] def lshKnnJoinSeeded(df: DataFrame, idCol: String,
+      embCol: String, k: Int, nBits: Int, bandBits: Int,
+      bucketCap: Int = DefaultBucketCap, hpOffset: Int = 0): DataFrame = {
+    val scored = scoredCandidates(df, idCol, embCol, nBits, bandBits,
+      bucketCap, guard = _ =!= _, hpOffset = hpOffset)
+    rankScored(scored, k).withColumnRenamed("vid", "vec_id")
+  }
+
   /** Rank pre-scored (qid, vid, cos) rows per qid (cos desc, id
     * tiebreak), keep top-k — the window tail of [[rankCandidates]]
     * without its vector joins (the scores already exist). */
@@ -705,12 +741,18 @@ object Similarity {
     * row — a ~50× shuffle-volume multiplier on the nBands × N × cap
     * candidate stream (the r13 sf10 read). */
   private def bandedQ(df: DataFrame, idCol: String, embCol: String,
-      nBits: Int, bandBits: Int, extra: Seq[String] = Nil): DataFrame = {
+      nBits: Int, bandBits: Int, extra: Seq[String] = Nil,
+      hpOffset: Int = 0): DataFrame = {
     require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
     val nBands = nBits / bandBits
     val keep = col(idCol) +: col("q") +: col("n2") +: extra.map(col)
+    // hpOffset != 0 is STUDY-ONLY (seed-stability probes — disjoint
+    // hyperplane draws from the seedless LCG); the production spelling
+    // stays the historical two-arg call so plans are byte-identical.
+    val sigCall = if (hpOffset == 0) s"graft_lshsig(q, $nBits)"
+      else s"graft_lshsig(q, $nBits, $hpOffset)"
     val sig = prepare(df, embCol)
-      .select(keep :+ expr(s"graft_lshsig(q, $nBits)").as("sig"): _*)
+      .select(keep :+ expr(sigCall).as("sig"): _*)
     sig.select(keep :+
       posexplode(expr(s"""transform(sequence(0, ${nBands - 1}), b ->
         | aggregate(sequence(1, $bandBits), 0,
@@ -734,9 +776,10 @@ object Similarity {
   private def scoredCandidates(df: DataFrame, idCol: String, embCol: String,
       nBits: Int, bandBits: Int, bucketCap: Int,
       guard: (Column, Column) => Column,
-      extraFilter: Column = lit(true), extra: Seq[String] = Nil)
+      extraFilter: Column = lit(true), extra: Seq[String] = Nil,
+      hpOffset: Int = 0)
       : DataFrame = {
-    val banded = bandedQ(df, idCol, embCol, nBits, bandBits, extra)
+    val banded = bandedQ(df, idCol, embCol, nBits, bandBits, extra, hpOffset)
     banded.as("x")
       .join(collisionSide(banded, idCol, nBits, bandBits, bucketCap).as("y"),
         col("x.band") === col("y.band") &&

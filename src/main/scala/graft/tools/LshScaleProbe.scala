@@ -75,16 +75,26 @@ object LshScaleProbe {
       else (strideArg.toInt, s"adhoc-stride-$strideArg")
     // "adaptive" = whatever the production DEFAULT resolves for this
     // corpus (bandBits = clamp(ceil(log2(n/cap)), 4, 12), nBits = 4bb)
-    // — the config every r14+ banded consumer actually ships
-    val configs: Seq[(String, Int, Int)] =
+    // — the config every r14+ banded consumer actually ships.
+    // "nb/bb@off" = a SEEDED study config (VERDICT r16 #1): the same
+    // banding under hyperplane-index offset `off` (disjoint LCG draws
+    // for offsets that are multiples of 64) — tagged "study" so the
+    // certify gate (which reads only adaptive/fixed pairs) never
+    // mistakes a study line for a production number.
+    val configs: Seq[(String, Int, Int, Int)] =
       (if (args.length > 3) args(3) else "16/4,adaptive")
         .split(",").toSeq.map(_.trim).map {
           case "adaptive" =>
             val bb = graft.operators.Similarity.adaptiveBandBits(n)
-            ("adaptive", 4 * bb, bb)
+            ("adaptive", 4 * bb, bb, 0)
           case s =>
-            val Array(nb, b) = s.split("/")
-            ("fixed", nb.trim.toInt, b.trim.toInt)
+            val (cfg, off) = s.split("@") match {
+              case Array(c) => (c, 0)
+              case Array(c, o) => (c, o.trim.toInt)
+            }
+            val Array(nb, b) = cfg.split("/")
+            (if (off == 0) "fixed" else "study",
+              nb.trim.toInt, b.trim.toInt, off)
         }
 
     // exact ground truth on the sample — computed ONCE, reused by every
@@ -96,10 +106,11 @@ object LshScaleProbe {
       .select(col("qid"), col("vec_id")).cache()
     val truthRows = truth.count() // pairs where a neighbor exists at all
 
-    for ((tag, nBits, bandBits) <- configs) {
+    for ((tag, nBits, bandBits, hpOff) <- configs) {
       val t0 = System.nanoTime()
       val knn = graft.operators.Similarity
-        .lshKnnJoin(emb, "vec_id", "embedding", k, nBits, bandBits)
+        .lshKnnJoinSeeded(emb, "vec_id", "embedding", k, nBits, bandBits,
+          hpOffset = hpOff)
         .cache()
       val outRows = knn.count() // materializes the full join once
       val secs = (System.nanoTime() - t0) / 1e9
@@ -110,7 +121,7 @@ object LshScaleProbe {
       knn.unpersist()
       val recall = if (truthRows == 0) 1.0 else hits.toDouble / truthRows
       println(s"""{"probe":"lsh_scale","sf":"$sfDir","n":$n,"tag":"$tag",""" +
-        s""""nBits":$nBits,"bandBits":$bandBits,"k":$k,""" +
+        s""""nBits":$nBits,"bandBits":$bandBits,"k":$k,"hp_offset":$hpOff,""" +
         s""""protocol":"$protocol","target_queries":$PinnedTargetQueries,""" +
         s""""stride":$stride,"sample_rule":"pmod(vec_id,stride)==0",""" +
         s""""queries_sampled":$nQueries,"truth_pairs":$truthRows,""" +

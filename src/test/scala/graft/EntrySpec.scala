@@ -72,11 +72,18 @@ class EntrySpec extends SparkTestBase {
   }
 
   test("Verify adaptive-gates bypass is scoped per name; blanket 'run' " +
-      "still honored") {
+      "is retired and fails loudly") {
     val none = Verify.adaptiveBypassFn(None)
     assert(!none("q302_ann_adaptive"))
-    val all = Verify.adaptiveBypassFn(Some("run"))
-    assert(all("q302_ann_adaptive") && all("q39_minhash_pairs"))
+    // VERDICT r16 #8: the blanket bypass is a footgun (it turns the
+    // unlisted family's PRECONDITION markers into bare mismatches) and
+    // nothing has needed it since certify named the twins — a leftover
+    // value must fail with the fix in the message, not silently bypass
+    val ex = intercept[IllegalArgumentException] {
+      Verify.adaptiveBypassFn(Some("run"))
+    }
+    assert(ex.getMessage.contains("retired") &&
+      ex.getMessage.contains("q302_ann_adaptive"))
     val scoped = Verify.adaptiveBypassFn(
       Some("q302_ann_adaptive, q303_hard_negatives_adaptive"))
     assert(scoped("q302_ann_adaptive"))

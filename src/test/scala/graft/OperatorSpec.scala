@@ -292,6 +292,22 @@ class OperatorSpec extends SparkTestBase {
         |  >= 0 THEN 1 ELSE 0 END)""".stripMargin).as("dec"))
     assert(sg.filter($"nat" =!= $"dec").count() == 0,
       "graft_lshsig diverged from the declarative spelling")
+    // seeded form (study-only, VERDICT r16 #1): bit j under offset K
+    // draws hyperplane j+K — equals the declarative spelling with the
+    // shifted index, and offset 0 is the two-arg form bit-for-bit
+    val sg64 = emb.select(
+      expr("graft_lshsig(q, 16, 64)").as("nat"),
+      expr(s"""transform(sequence(0, 15), j ->
+        | CASE WHEN aggregate(sequence(1, size(q)), CAST(0 AS BIGINT),
+        |   (acc, d) -> acc + element_at(q, d) *
+        |     ${Similarity.hyperplaneWeight("(j + 64)", "d")})
+        |  >= 0 THEN 1 ELSE 0 END)""".stripMargin).as("dec"))
+    assert(sg64.filter($"nat" =!= $"dec").count() == 0,
+      "seeded graft_lshsig diverged from the shifted declarative spelling")
+    val sg0 = emb.select(expr("graft_lshsig(q, 16)").as("two"),
+      expr("graft_lshsig(q, 16, 0)").as("three"))
+    assert(sg0.filter($"two" =!= $"three").count() == 0,
+      "offset 0 must be bit-identical to the two-arg form")
   }
 
   test("bucketed range join equals the naive theta join; approx distinct close to exact") {
@@ -2003,7 +2019,8 @@ class OperatorSpec extends SparkTestBase {
     // (a) same hash key, different file list = hash collision
     AdaptiveCount.cache.put(key, AdaptiveCount.Entry(
       new java.lang.ref.WeakReference[AnyRef](spark),
-      Array("someone/elses/part-000.parquet"), 999L))
+      Array("someone/elses/part-000.parquet"),
+      AdaptiveCount.planDigestOf(df), 999L))
     val m0 = AdaptiveCount.misses.get()
     assert(AdaptiveCount.of(df) == 80L,
       "a colliding entry must be recounted, not served")
@@ -2014,10 +2031,28 @@ class OperatorSpec extends SparkTestBase {
     // (b) right files, wrong session identity = identityHashCode reuse
     val (key2, files2) = AdaptiveCount.keyOf(df)
     AdaptiveCount.cache.put(key2, AdaptiveCount.Entry(
-      new java.lang.ref.WeakReference[AnyRef](new Object), files2, 999L))
+      new java.lang.ref.WeakReference[AnyRef](new Object), files2,
+      AdaptiveCount.planDigestOf(df), 999L))
     assert(AdaptiveCount.of(df) == 80L,
       "a session-aliased entry must be recounted, not served")
     assert(AdaptiveCount.misses.get() == m0 + 2)
+    // (c) right session + right files, wrong PLAN digest (ADVICE r16):
+    // a corpus and its filtered slice share inputFiles and session and
+    // differ only in the 32-bit semanticHash — simulate that residual
+    // collision by poisoning OUR key with a different plan digest, and
+    // assert the digest comparison recounts instead of serving 999
+    val (key3, files3) = AdaptiveCount.keyOf(df)
+    AdaptiveCount.cache.put(key3, AdaptiveCount.Entry(
+      new java.lang.ref.WeakReference[AnyRef](spark), files3,
+      "not-the-plan-you-are-looking-for", 999L))
+    assert(AdaptiveCount.of(df) == 80L,
+      "a plan-digest mismatch must be recounted, not served")
+    assert(AdaptiveCount.misses.get() == m0 + 3)
+    // and the REAL pair the digest exists for: the full corpus vs its
+    // filtered slice (same files, same session) memoize independently
+    val slice = df.filter(col("id") % 5 === 0)
+    assert(AdaptiveCount.of(slice) == 16L)
+    assert(AdaptiveCount.of(df) == 80L && AdaptiveCount.of(slice) == 16L)
   }
 
   test("pre-metadata band indexes probed adaptively fail loudly instead " +

@@ -31,7 +31,16 @@ import pyarrow.parquet as pq
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def carry_forward_status(name, cf, effective_oracle):
+def parquet_rowcount(path):
+    """Row count of a parquet file OR a Spark part-file directory,
+    footer-metadata only (no data read)."""
+    if os.path.isdir(path):
+        return sum(pq.ParquetFile(p).metadata.num_rows
+                   for p in globmod.glob(os.path.join(path, "*.parquet")))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def carry_forward_status(name, cf, effective_oracle, sf_dir=None):
     """Machine check of a big-SF carry-forward (VERDICT r15 #3).
 
     The three 55GB+ solo sf1 replays (q199/q202/q221) are not re-run
@@ -62,6 +71,24 @@ def carry_forward_status(name, cf, effective_oracle):
             ok = False
             msgs.append(f"source {rel} hash moved ({got[:12]}.. != "
                         f"recorded {want[:12]}..)")
+    # Corpus fingerprint (ADVICE r16 #4): the oracle+source hashes pin
+    # both SIDES of the comparison but not its INPUT — /tmp/sf1 is
+    # wiped on reboot and regenerated, and a drifted regeneration would
+    # leave the carry "valid" over data the adjudication never saw.
+    # The carry records per-table parquet row counts at adjudication
+    # time; a moved count refuses the carry.
+    if sf_dir:
+        for table, want_n in sorted(cf.get("corpus_rowcounts", {}).items()):
+            path = os.path.join(sf_dir, f"{table}.parquet")
+            if not os.path.exists(path):
+                ok = False
+                msgs.append(f"corpus table {table} missing from {sf_dir}")
+                continue
+            got_n = parquet_rowcount(path)
+            if got_n != want_n:
+                ok = False
+                msgs.append(f"corpus {table} rowcount moved "
+                            f"({got_n} != recorded {want_n})")
     return ok, msgs
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -229,7 +256,7 @@ def main():
                       "engine output is an error marker)")
                 continue
             eff = oracle.get(name, "")
-            ok, msgs = carry_forward_status(name, cf, eff)
+            ok, msgs = carry_forward_status(name, cf, eff, sf_dir)
             if ok:
                 carried.append(name)
                 print(f"  {name:28s} OK^ carried forward "
