@@ -40,17 +40,23 @@ object Bench {
     // fixed-vs-adaptive wall-time comparison in every artifact.
     "q302_ann_adaptive", "q303_hard_negatives_adaptive")
 
-  /** The documented high-variance family (VERDICT r16 #2): the six
-    * queries that moved >=1.3x between the r16 graded artifact and the
-    * quiet triple at the SAME commit (cold page-cache draw on the
-    * LSH/dedup family), plus the heavy LSH/graph heads that share the
-    * cold-start signature at sf1/sf10 (bench-methodology receipts since
-    * r14). The default warm pass (below) runs exactly these, uncounted. */
+  /** The documented high-variance family (VERDICT r16 #2): exactly the
+    * six queries that moved >=1.3x between the r16 graded artifact and
+    * the quiet triple at the SAME commit (cold page-cache/scratch draw
+    * on the LSH/dedup family). Deliberately NOT wider: an r17 probe
+    * that warmed 12 heads made the suite's in-JVM history longer and
+    * q39's TIMED run slower (12.6 s vs its 6.2 s solo — accumulated
+    * JVM state, not data coldness), eating the warm pass's own win.
+    * These get BOTH stabilizers: one uncounted warm execution before
+    * the timed loop (absorbs cold page cache / JIT), and a median of
+    * 3 timed reps (absorbs the residual I/O draw — q85 persists a band
+    * index to disk and was measured swinging 8.9→14.1 s WARM across
+    * otherwise-identical fresh runs; a median shrugs one outlier while
+    * best-of would understate a genuinely loaded machine). Every rep
+    * lands in the diag artifact (query_runs). */
   val warmPassQueries: Seq[String] = Seq(
-    "q29_events_hourly", "q39_minhash_pairs", "q85_incremental_dedup",
-    "q119_latest_order", "q130_pagerank", "q135_ann_knn_join",
-    "q199_label_prop", "q205_hard_negatives", "q211_pq_encode",
-    "q226_rolling_distinct", "q302_ann_adaptive",
+    "q29_events_hourly", "q85_incremental_dedup", "q119_latest_order",
+    "q211_pq_encode", "q226_rolling_distinct",
     "q303_hard_negatives_adaptive")
 
   /** JSON string escaper for env-derived values interpolated into the
@@ -233,24 +239,42 @@ object Bench {
       }
     }
 
+    def medianOf(vs: Seq[Double]): Double = {
+      val ok = vs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+    }
+
+    // per-query rep times of the stabilized family (diag artifact) —
+    // the spread stays inspectable even though only the median grades
+    val repsByQuery =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+
     def runSuite(): Seq[(String, Double)] = headlineRun.map { name =>
-      val g0 = gcMillis()
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // elapsed is read HERE — before any cleanup — so clearCache /
-      // unpersist / System.gc pauses never inflate the reported time
-      // (ADVICE r13: the cleanup used to run inside the timed region).
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      gcByQuery(name) = gcMillis() - g0
-      heapByQuery(name) = heapUsedMb()
-      isolateCleanup()
-      // -1 marks a failure so a fast crash can't masquerade as a fast run
-      name -> (if (ok) elapsed else -1.0)
+      // the warmed family is also MEDIAN-OF-3 timed (see
+      // warmPassQueries): isolation cleanup runs between reps, so each
+      // rep is the same cold-Spark-state measurement as a single run
+      val reps = if (warmPass && warmPassQueries.contains(name)) 3 else 1
+      val times = (1 to reps).map { _ =>
+        val g0 = gcMillis()
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // elapsed is read HERE — before any cleanup — so clearCache /
+        // unpersist / System.gc pauses never inflate the reported time
+        // (ADVICE r13: the cleanup used to run inside the timed region).
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        gcByQuery(name) = gcMillis() - g0
+        heapByQuery(name) = heapUsedMb()
+        isolateCleanup()
+        // -1 marks a failure so a fast crash can't masquerade as fast
+        if (ok) elapsed else -1.0
+      }
+      if (reps > 1) repsByQuery(name) = times
+      name -> (if (times.exists(_ < 0)) -1.0 else medianOf(times))
     }
 
     // --- SPARK_GRAFT_RUNS=N (VERDICT r16 optional 7): run the whole
@@ -263,10 +287,6 @@ object Bench {
     require(suiteReps >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $suiteReps")
     val suiteRuns: Seq[Seq[(String, Double)]] =
       (1 to suiteReps).map(_ => runSuite())
-    def medianOf(vs: Seq[Double]): Double = {
-      val ok = vs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
-    }
     val results: Seq[(String, Double)] = headlineRun.map { name =>
       name -> medianOf(suiteRuns.map(_.toMap.apply(name)))
     }
@@ -447,7 +467,11 @@ object Bench {
         jq(name) + ":" + suiteRuns.map(_.toMap.apply(name))
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jq(sfDir)},"failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":${jq(widenConf)},"master":${jq(master)},"adaptive_count_misses":$adaptMisses,"warmup":${jq(warmupNote)},"warmpass":${warmed.size},"runs":$suiteReps,"suite_runs":$suiteRunsJson,"baseline_demo_2m_sec":10.718802}"""
+    // query_runs: the per-rep times behind each stabilized-family median
+    val queryRunsJson = repsByQuery.map { case (k, vs) =>
+      jq(k) + ":" + vs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jq(sfDir)},"failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":${jq(widenConf)},"master":${jq(master)},"adaptive_count_misses":$adaptMisses,"warmup":${jq(warmupNote)},"warmpass":${warmed.size},"runs":$suiteReps,"suite_runs":$suiteRunsJson,"query_runs":$queryRunsJson,"baseline_demo_2m_sec":10.718802}"""
     // Compact gate line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout, and the full diagnostics line is ~2.6k —
     // in r11 it was front-truncated past parseability ("parsed": null).
