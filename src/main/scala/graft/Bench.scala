@@ -59,6 +59,15 @@ object Bench {
     "q211_pq_encode", "q226_rolling_distinct",
     "q303_hard_negatives_adaptive")
 
+  /** Lower-median of the non-failure observations; -1 if none succeeded
+    * (the stabilized-family and SPARK_GRAFT_RUNS aggregation — median
+    * shrugs one contended outlier, while best-of would understate a
+    * genuinely loaded machine). Package-visible: spec-pinned. */
+  private[graft] def medianOf(vs: Seq[Double]): Double = {
+    val ok = vs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+  }
+
   /** JSON string escaper for env-derived values interpolated into the
     * hand-built diag/gate lines (ADVICE r16 #2: a quote or backslash in
     * SPARK_GRAFT_WARMUP_NOTE used to corrupt target/bench.json —
@@ -237,11 +246,6 @@ object Bench {
         }
         isolateCleanup()
       }
-    }
-
-    def medianOf(vs: Seq[Double]): Double = {
-      val ok = vs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
     }
 
     // per-query rep times of the stabilized family (diag artifact) —

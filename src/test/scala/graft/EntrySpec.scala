@@ -93,6 +93,18 @@ class EntrySpec extends SparkTestBase {
     assert(!scoped("q85_incremental_dedup"))
   }
 
+  test("Bench.medianOf: lower-median of successes; failures never " +
+      "masquerade as observations; all-failed stays -1") {
+    assert(Bench.medianOf(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.medianOf(Seq(1.0, 2.0)) == 1.0)      // lower-median
+    assert(Bench.medianOf(Seq(9.0)) == 9.0)
+    assert(Bench.medianOf(Seq(-1.0, 5.0, 4.0)) == 4.0) // failure dropped
+    assert(Bench.medianOf(Seq(-1.0, -1.0)) == -1.0)
+    assert(Bench.medianOf(Nil) == -1.0)
+    // the r17 motivating case: one I/O-drawn outlier must not grade
+    assert(Bench.medianOf(Seq(8.4, 7.3, 14.1)) == 8.4)
+  }
+
   test("LshScaleProbe pinned protocol: stride derives from n alone and " +
       "holds the sample near the 2000-query target") {
     import graft.tools.LshScaleProbe.{PinnedTargetQueries, pinnedStride}
