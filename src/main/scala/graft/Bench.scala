@@ -59,6 +59,28 @@ object Bench {
     "q211_pq_encode", "q226_rolling_distinct",
     "q303_hard_negatives_adaptive")
 
+  /** SPARK_GRAFT_WARMPASS_EXTRA parser (spec-pinned): a comma-separated
+    * list of ADDITIONAL query names to stabilize (warm execution +
+    * median-of-3), for variance that is SCALE-scoped rather than
+    * universal — the r17 sf10 receipts caught q130_pagerank swinging
+    * 51.8→118.6 s on a GC-pressure draw (kept-run gc_ms 6427 vs 1531)
+    * while its sf0.1 number is stable at ~6 s, so the sf10 protocol
+    * opts it in without widening the graded default (the 12-head warm
+    * experiment showed wider lists cost q39's timed run). Unknown
+    * names fail loudly naming the offender — a typo must not silently
+    * run the unstabilized protocol while the receipt claims otherwise. */
+  private[graft] def warmPassExtraFn(env: Option[String],
+                                     known: Set[String]): Seq[String] = {
+    val names =
+      env.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    names.foreach { n =>
+      require(known.contains(n),
+        s"SPARK_GRAFT_WARMPASS_EXTRA names unknown query '$n' — valid " +
+        "names are SparkEntry.queries keys (e.g. q130_pagerank)")
+    }
+    names.distinct
+  }
+
   /** Lower-median of the non-failure observations; -1 if none succeeded
     * (the stabilized-family and SPARK_GRAFT_RUNS aggregation — median
     * shrugs one contended outlier, while best-of would understate a
@@ -232,9 +254,12 @@ object Bench {
     // SPARK_GRAFT_WARMPASS=0/off disables (A/B attribution knob).
     val warmPass = !sys.env.get("SPARK_GRAFT_WARMPASS")
       .exists(v => v == "0" || v.equalsIgnoreCase("off"))
+    val warmExtra = warmPassExtraFn(
+      sys.env.get("SPARK_GRAFT_WARMPASS_EXTRA"), SparkEntry.queries.keySet)
+    val stabilized: Set[String] = warmPassQueries.toSet ++ warmExtra
     val warmed: Seq[String] =
       if (!warmPass) Nil
-      else headlineRun.filter(warmPassQueries.contains)
+      else headlineRun.filter(stabilized.contains)
     if (warmed.nonEmpty) {
       System.err.println(s"[bench] warm pass (uncounted) over " +
         s"${warmed.size} high-variance queries")
@@ -257,7 +282,7 @@ object Bench {
       // the warmed family is also MEDIAN-OF-3 timed (see
       // warmPassQueries): isolation cleanup runs between reps, so each
       // rep is the same cold-Spark-state measurement as a single run
-      val reps = if (warmPass && warmPassQueries.contains(name)) 3 else 1
+      val reps = if (warmPass && stabilized.contains(name)) 3 else 1
       val times = (1 to reps).map { _ =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
@@ -475,7 +500,7 @@ object Bench {
     val queryRunsJson = repsByQuery.map { case (k, vs) =>
       jq(k) + ":" + vs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jq(sfDir)},"failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":${jq(widenConf)},"master":${jq(master)},"adaptive_count_misses":$adaptMisses,"warmup":${jq(warmupNote)},"warmpass":${warmed.size},"runs":$suiteReps,"suite_runs":$suiteRunsJson,"query_runs":$queryRunsJson,"baseline_demo_2m_sec":10.718802}"""
+    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jq(sfDir)},"failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":${jq(widenConf)},"master":${jq(master)},"adaptive_count_misses":$adaptMisses,"warmup":${jq(warmupNote)},"warmpass":${warmed.size},"warmpass_extra":${warmExtra.map(jq).mkString("[", ",", "]")},"runs":$suiteReps,"suite_runs":$suiteRunsJson,"query_runs":$queryRunsJson,"baseline_demo_2m_sec":10.718802}"""
     // Compact gate line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout, and the full diagnostics line is ~2.6k —
     // in r11 it was front-truncated past parseability ("parsed": null).

@@ -11,11 +11,50 @@ object Verify {
     * keys/values never contain an unescaped quote). Package-visible so
     * the resume-seeding behavior is spec-pinned: without seeding, the
     * eager startup dump overwrites a prior crash's recorded failures
-    * with an empty map before the retried queries can re-fail. */
-  private[graft] def parseErrors(txt: String): Map[String, String] =
-    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      .findAllMatchIn(txt)
-      .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
+    * with an empty map before the retried queries can re-fail.
+    *
+    * Hand-rolled LINEAR scan, deliberately not a regex: the previous
+    * `"((?:[^"\\]|\\.)*)"` spelling backtrack-recurses ~10 stack
+    * frames per matched character in java.util.regex, so seeding from
+    * an oracle_sql.json whose values are multi-KB SQL strings (the
+    * filtered-top-up path, r17: q199's 2.8 KB staged oracle) overflowed
+    * the main thread's stack BEFORE the session even started — a
+    * fully-healthy replay reported VERIFY-CRASH. Values this parser
+    * reads are bounded only by what the dump wrote, so the parse must
+    * be O(1) stack at any value length. */
+  private[graft] def parseErrors(txt: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    // reads one "..."-quoted span starting at txt(i) == '"'; returns
+    // its RAW contents (escapes intact — unescape() handles them) and
+    // leaves i just past the closing quote
+    def quoted(): String = {
+      i += 1
+      val start = i
+      while (i < txt.length && txt(i) != '"') {
+        if (txt(i) == '\\' && i + 1 < txt.length) i += 2 else i += 1
+      }
+      val raw = txt.substring(start, math.min(i, txt.length))
+      i += 1
+      raw
+    }
+    while (i < txt.length) {
+      if (txt(i) == '"') {
+        val k = quoted()
+        var sawColon = false
+        while (i < txt.length &&
+            (txt(i).isWhitespace || (!sawColon && txt(i) == ':'))) {
+          if (txt(i) == ':') sawColon = true
+          i += 1
+        }
+        // a key is only a PAIR if a colon and a quoted value follow —
+        // same shape the regex spelling required
+        if (sawColon && i < txt.length && txt(i) == '"')
+          out(unescape(k)) = unescape(quoted())
+      } else i += 1
+    }
+    out.toMap
+  }
 
   /** Inverse of the escaper in main — without it, each resume cycle
     * would re-escape the seeded messages (\n → \\n → \\\\n ...). */

@@ -720,6 +720,127 @@ object Similarity {
     rankScored(scored, k).withColumnRenamed("vid", "vec_id")
   }
 
+  /** Hamming-1 MULTIPROBE [[lshKnnJoin]] (Lv et al., VLDB 2007 —
+    * multi-probe LSH, here with the deterministic radius-1 probe set):
+    * every query row probes its own (band, bucket) PLUS the `bandBits`
+    * buckets one bit-flip away — `1 + bandBits` probes per band
+    * against the SAME capped collision side as [[lshKnnJoin]]. The
+    * recall/cost trade this buys at scale (and WHY it exists — the r17
+    * banding study, tools/receipts/r17/banding_study.txt): on a
+    * marginal-cosine corpus (neighbors at cos ≈ 0.75, per-hyperplane
+    * agreement p ≈ 0.77) a band matches with probability p^bandBits,
+    * and at n=200k NO banding choice rescued recall (banding-flat
+    * ≈ 0.06) — the lever there is MORE PROBES, not finer bands: the
+    * radius-1 ball also admits bands with exactly one disagreeing
+    * hyperplane, p^bb + bb·p^(bb−1)(1−p) ≈ 3.7× the per-band match
+    * rate at bb = 9. Crucially the INDEX does not change: the
+    * collision side keeps the identical banding, cap, truncation rule,
+    * and broadcast bound (a persisted band index serves both probe
+    * modes unchanged) — only probe-side work fans out, ×(bandBits+1)
+    * rows into the collision join, so candidate volume stays bounded
+    * by nBands × (bandBits+1) × N × cap. That asymmetry is the 100 TB
+    * story: recall is re-supplied per QUERY at probe time (spend it
+    * only for the queries that need it), not baked corpus-wide into a
+    * bigger index or a rebuilt banding. Output shape is [[lshKnnJoin]]
+    * 's (qid, vec_id, rank, cos); the candidate set is a SUPERSET of
+    * the single-probe candidates (probe 0 is the identity bucket), so
+    * per (qid, rank) the reported cosine dominates the single-probe
+    * one — spec-pinned. */
+  def lshKnnJoinMultiprobe(df: DataFrame, idCol: String, embCol: String,
+      k: Int, nBits: Int = AdaptiveBands, bandBits: Int = AdaptiveBands,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    lshKnnJoinMultiprobeSeeded(df, idCol, embCol, k, nBits, bandBits,
+      bucketCap)
+
+  /** [[lshKnnJoinMultiprobe]] with the study-only hyperplane offset of
+    * [[lshKnnJoinSeeded]] (offset 0 = the production spelling). */
+  private[graft] def lshKnnJoinMultiprobeSeeded(df: DataFrame,
+      idCol: String, embCol: String, k: Int, nBits: Int, bandBits: Int,
+      bucketCap: Int = DefaultBucketCap, hpOffset: Int = 0): DataFrame = {
+    val (nb, bb) = resolveBanding(df, nBits, bandBits, bucketCap)
+    val banded = bandedQ(df, idCol, embCol, nb, bb, Nil, hpOffset)
+    val scored = scoreProbes(probeExplode(banded, bb), banded, idCol,
+      nb, bb, bucketCap)
+    rankScored(scored, k).withColumnRenamed("vid", "vec_id")
+  }
+
+  /** Radius-1 probe fan-out: the original bucket (probe 0) + one
+    * single-bit flip per signature position — a narrow map-local
+    * ×(bandBits+1) inflation, same shape as the band explosion itself;
+    * the collision side is untouched. */
+  private def probeExplode(banded: DataFrame, bandBits: Int): DataFrame =
+    banded.withColumn("bucket",
+      explode(array(col("bucket") +:
+        (0 until bandBits).map(i =>
+          col("bucket").bitwiseXOR(lit(1 << i))): _*)))
+
+  /** Score a (possibly probe-exploded) banded probe side against the
+    * capped collision side of `index` — the one collision-join
+    * spelling the multiprobe paths share with [[scoredCandidates]]. */
+  private def scoreProbes(probes: DataFrame, index: DataFrame,
+      idCol: String, nBits: Int, bandBits: Int, bucketCap: Int)
+      : DataFrame =
+    probes.as("x")
+      .join(collisionSide(index, idCol, nBits, bandBits, bucketCap)
+          .as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vid"),
+        cosine(expr("graft_dot(x.q, y.q)"),
+          col("x.n2"), col("y.n2")).as("cos"))
+      .groupBy("qid", "vid").agg(max(col("cos")).as("cos"))
+
+  /** QUERY-SET LSH search: rank the corpus top-k for each row of
+    * `queries` only — the deployment shape of an ANN index (band and
+    * cap the corpus ONCE; each query batch probes it), vs
+    * [[lshKnnJoin]]'s all-corpus self-join. Candidate volume is
+    * `|queries| × nBands × cap` — INDEPENDENT of corpus size on the
+    * probe side, so a query batch stays cheap at any N. Same banding,
+    * cap, truncation and broadcast rules as the self-join; a query
+    * whose id also appears in the corpus never matches itself. */
+  def lshKnnSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nBits: Int = AdaptiveBands,
+      bandBits: Int = AdaptiveBands,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    lshKnnSearchSeeded(corpus, queries, idCol, embCol, k, nBits,
+      bandBits, bucketCap, multiprobe = false)
+
+  /** [[lshKnnSearch]] with the Hamming-1 probe fan-out of
+    * [[lshKnnJoinMultiprobe]]: ×(bandBits+1) probe rows PER QUERY,
+    * zero change to the corpus index. This is where multiprobe earns
+    * its keep at scale — the r17 margin-corpus receipts
+    * (tools/receipts/r17/): a radius-1 probe set lifts recall 2.4–5×
+    * in the regime where NO banding choice helps, and on the search
+    * path its cost is `|queries| × nBands × (bandBits+1) × cap`
+    * candidates — a per-query-batch spend, while the SELF-join
+    * multiprobe multiplies the whole corpus's candidate volume by
+    * (bandBits+1) (measured: 36/9 at n=200k ≈ 3.1B scored pairs,
+    * beyond a single box's spill disk — fine for a cluster, but the
+    * search path is the shape that needs no such caveat). */
+  def lshKnnSearchMultiprobe(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, nBits: Int = AdaptiveBands,
+      bandBits: Int = AdaptiveBands,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    lshKnnSearchSeeded(corpus, queries, idCol, embCol, k, nBits,
+      bandBits, bucketCap, multiprobe = true)
+
+  /** Seeded spelling behind both search variants (offset 0 = the
+    * production hyperplanes; the banding resolves adaptively from the
+    * CORPUS — the index side — when left at [[AdaptiveBands]]). */
+  private[graft] def lshKnnSearchSeeded(corpus: DataFrame,
+      queries: DataFrame, idCol: String, embCol: String, k: Int,
+      nBits: Int, bandBits: Int, bucketCap: Int = DefaultBucketCap,
+      multiprobe: Boolean = false, hpOffset: Int = 0): DataFrame = {
+    val (nb, bb) = resolveBanding(corpus, nBits, bandBits, bucketCap)
+    val bandedCorpus = bandedQ(corpus, idCol, embCol, nb, bb, Nil, hpOffset)
+    val bandedQueries = bandedQ(queries, idCol, embCol, nb, bb, Nil, hpOffset)
+    val probes =
+      if (multiprobe) probeExplode(bandedQueries, bb) else bandedQueries
+    val scored = scoreProbes(probes, bandedCorpus, idCol, nb, bb, bucketCap)
+    rankScored(scored, k).withColumnRenamed("vid", "vec_id")
+  }
+
   /** Rank pre-scored (qid, vid, cos) rows per qid (cos desc, id
     * tiebreak), keep top-k — the window tail of [[rankCandidates]]
     * without its vector joins (the scores already exist). */

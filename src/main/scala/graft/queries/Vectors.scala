@@ -303,6 +303,37 @@ object Vectors {
       Similarity.lshKnnJoinAdaptive(emb(s, d), "vec_id", "embedding",
         k = 3)),
 
+    // ---- q304: Hamming-1 MULTIPROBE k-NN join ----
+    // q135's shape with the radius-1 probe fan-out (Lv et al. 2007):
+    // each query probes its own bucket + the bandBits one-bit-flip
+    // neighbors per band, against the IDENTICAL capped collision side.
+    // This is the recall lever the r17 banding study singled out for
+    // marginal-cosine corpora at scale (where NO banding choice helps
+    // — receipts tools/receipts/r17/banding_study.txt): probes are
+    // spent per query at probe time, the index never grows or rebuilds.
+    "q304_ann_multiprobe" -> ((s, d) =>
+      Similarity.lshKnnJoinMultiprobe(emb(s, d), "vec_id", "embedding",
+        k = 3, nBits = 16, bandBits = 4)),
+
+    // ---- q305/q306: QUERY-SET search against the corpus index ----
+    // The deployment shape of an ANN index: band + cap the corpus
+    // once, probe it for a query batch (here the deterministic
+    // vec_id % 20 == 0 slice). q305 probes each query's own buckets;
+    // q306 adds the Hamming-1 probe fan-out — the multiprobe spend is
+    // per QUERY BATCH (|Q| × nBands × (bandBits+1) × cap candidates),
+    // never a corpus-volume multiplier like the self-join variant.
+    "q305_ann_search" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshKnnSearch(e, e.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 3, nBits = 16, bandBits = 4)
+    }),
+    "q306_ann_search_multiprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshKnnSearchMultiprobe(
+        e, e.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 3, nBits = 16, bandBits = 4)
+    }),
+
     // ---- q256: k-NN graph hubness audit (in-degree distribution) ----
     // How often does each vector appear in OTHER vectors' top-3 — the
     // hubness diagnostic for ANN quality (high-dimensional hubs absorb
@@ -1324,6 +1355,69 @@ object Vectors {
         | $lshBandCtes,
         | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
         |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id <> y.vec_id),
+        | sc AS (SELECT kc.qid, kc.vid AS vec_id,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM kc JOIN n a ON a.vec_id = kc.qid
+        |   JOIN n c ON c.vec_id = kc.vid),
+        | rk AS (SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
+
+    // q135's oracle with the probe fan-out CTE: probe 0 is the
+    // identity bucket, probes 1..4 flip one signature bit each
+    // (xor(bucket, 1 << (p-1))) — the collision side `br` (banding,
+    // cap, keep rule) is UNTOUCHED, exactly like the engine.
+    "q304_ann_multiprobe" ->
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | xp AS (SELECT vec_id, band,
+        |    CASE WHEN t.p = 0 THEN bucket
+        |         ELSE xor(bucket, 1 << (t.p - 1)) END AS bucket
+        |  FROM b, range(0, 5) t(p)),
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM xp x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id <> y.vec_id),
+        | sc AS (SELECT kc.qid, kc.vid AS vec_id,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM kc JOIN n a ON a.vec_id = kc.qid
+        |   JOIN n c ON c.vec_id = kc.vid),
+        | rk AS (SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
+
+    // Query-set search: q135's candidate join with the probe side
+    // restricted to the vec_id % 20 = 0 batch; the collision side `br`
+    // (the corpus index: full-corpus banding, sizes, cap) is untouched.
+    "q305_ann_search" ->
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM b x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.vec_id <> y.vec_id
+        |  WHERE x.vec_id % 20 = 0),
+        | sc AS (SELECT kc.qid, kc.vid AS vec_id,
+        |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos
+        |  FROM kc JOIN n a ON a.vec_id = kc.qid
+        |   JOIN n c ON c.vec_id = kc.vid),
+        | rk AS (SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT qid, vec_id, rank, cos FROM rk WHERE rank <= 3""".stripMargin,
+
+    // ... and with q304's Hamming-1 probe fan-out on the query batch.
+    "q306_ann_search_multiprobe" ->
+      s"""WITH $prepCte,
+        | $lshBandCtes,
+        | xp AS (SELECT vec_id, band,
+        |    CASE WHEN t.p = 0 THEN bucket
+        |         ELSE xor(bucket, 1 << (t.p - 1)) END AS bucket
+        |  FROM b, range(0, 5) t(p)
+        |  WHERE vec_id % 20 = 0),
+        | kc AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS vid
+        |  FROM xp x JOIN br y ON x.band = y.band AND x.bucket = y.bucket
         |    AND x.vec_id <> y.vec_id),
         | sc AS (SELECT kc.qid, kc.vid AS vec_id,
         |    ${cosDuck(dotDuck("a.q", "c.q"), "a.n2", "c.n2")} AS cos

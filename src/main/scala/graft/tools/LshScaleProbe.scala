@@ -81,20 +81,45 @@ object LshScaleProbe {
     // for offsets that are multiples of 64) — tagged "study" so the
     // certify gate (which reads only adaptive/fixed pairs) never
     // mistakes a study line for a production number.
-    val configs: Seq[(String, Int, Int, Int)] =
+    // "multiprobe" = adaptive banding probed through the Hamming-1
+    // multiprobe SELF-join (r17 — the per-query recall lever for
+    // regimes where banding is flat); explicit configs compose via
+    // suffixes: "+mp" (multiprobe self-join), "+qs" (query-set search
+    // of the SAMPLED queries against the corpus index), "+mpq"
+    // (query-set + multiprobe — the deployment shape whose candidate
+    // volume scales with the query batch, not the corpus; the "+mp"
+    // self-join at 36/9 × n=200k spills ~3.1B scored pairs, beyond a
+    // single box). The recall estimand is IDENTICAL across modes (the
+    // self-join is graded on the sampled qids anyway). New tags
+    // ("multiprobe", "fixed-mp", "fixed-mpq", ...) are distinct keys,
+    // so the certify gate (adaptive/fixed pairs only) never reads them.
+    val configs: Seq[(String, Int, Int, Int, String)] =
       (if (args.length > 3) args(3) else "16/4,adaptive")
         .split(",").toSeq.map(_.trim).map {
           case "adaptive" =>
             val bb = graft.operators.Similarity.adaptiveBandBits(n)
-            ("adaptive", 4 * bb, bb, 0)
+            ("adaptive", 4 * bb, bb, 0, "join")
+          case "multiprobe" =>
+            val bb = graft.operators.Similarity.adaptiveBandBits(n)
+            ("multiprobe", 4 * bb, bb, 0, "join-mp")
           case s =>
-            val (cfg, off) = s.split("@") match {
+            val (raw, mode) =
+              if (s.endsWith("+mpq")) (s.dropRight(4), "qs-mp")
+              else if (s.endsWith("+qs")) (s.dropRight(3), "qs")
+              else if (s.endsWith("+mp")) (s.dropRight(3), "join-mp")
+              else (s, "join")
+            val (cfg, off) = raw.split("@") match {
               case Array(c) => (c, 0)
               case Array(c, o) => (c, o.trim.toInt)
             }
             val Array(nb, b) = cfg.split("/")
-            (if (off == 0) "fixed" else "study",
-              nb.trim.toInt, b.trim.toInt, off)
+            val tag = (if (off == 0) "fixed" else "study") + (mode match {
+              case "join" => ""
+              case "join-mp" => "-mp"
+              case "qs" => "-qs"
+              case "qs-mp" => "-mpq"
+            })
+            (tag, nb.trim.toInt, b.trim.toInt, off, mode)
         }
 
     // exact ground truth on the sample — computed ONCE, reused by every
@@ -106,12 +131,22 @@ object LshScaleProbe {
       .select(col("qid"), col("vec_id")).cache()
     val truthRows = truth.count() // pairs where a neighbor exists at all
 
-    for ((tag, nBits, bandBits, hpOff) <- configs) {
+    for ((tag, nBits, bandBits, hpOff, mode) <- configs) {
       val t0 = System.nanoTime()
-      val knn = graft.operators.Similarity
-        .lshKnnJoinSeeded(emb, "vec_id", "embedding", k, nBits, bandBits,
-          hpOffset = hpOff)
-        .cache()
+      val knn = (mode match {
+        case "join" =>
+          graft.operators.Similarity.lshKnnJoinSeeded(
+            emb, "vec_id", "embedding", k, nBits, bandBits,
+            hpOffset = hpOff)
+        case "join-mp" =>
+          graft.operators.Similarity.lshKnnJoinMultiprobeSeeded(
+            emb, "vec_id", "embedding", k, nBits, bandBits,
+            hpOffset = hpOff)
+        case qs =>
+          graft.operators.Similarity.lshKnnSearchSeeded(
+            emb, queries, "vec_id", "embedding", k, nBits, bandBits,
+            multiprobe = qs == "qs-mp", hpOffset = hpOff)
+      }).cache()
       val outRows = knn.count() // materializes the full join once
       val secs = (System.nanoTime() - t0) / 1e9
       val hits = truth.join(
@@ -121,6 +156,7 @@ object LshScaleProbe {
       knn.unpersist()
       val recall = if (truthRows == 0) 1.0 else hits.toDouble / truthRows
       println(s"""{"probe":"lsh_scale","sf":"$sfDir","n":$n,"tag":"$tag",""" +
+        s""""mode":"$mode","multiprobe":${mode.endsWith("-mp")},""" +
         s""""nBits":$nBits,"bandBits":$bandBits,"k":$k,"hp_offset":$hpOff,""" +
         s""""protocol":"$protocol","target_queries":$PinnedTargetQueries,""" +
         s""""stride":$stride,"sample_rule":"pmod(vec_id,stride)==0",""" +

@@ -52,6 +52,19 @@ class EntrySpec extends SparkTestBase {
       "resume seeding must round-trip the writer exactly " +
         s"(got $parsed)")
     assert(Verify.parseErrors("{}").isEmpty)
+    // r17 regression: multi-KB values (oracle_sql.json seeding on the
+    // filtered-top-up path) must parse in O(1) stack — the previous
+    // regex spelling StackOverflowed at ~2.8 KB and reported a healthy
+    // replay as VERIFY-CRASH. 400 KB here: ~3 orders past the gate.
+    val big = Map("q199_label_prop" ->
+      ("SELECT * FROM t WHERE x = 'y' -- " + "pad \\\"deep\\\" " * 20000))
+    val bigJson = big.toSeq
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    assert(Verify.parseErrors(bigJson) == big)
+    // adjacent quoted strings WITHOUT a colon are not a pair (the
+    // regex required the colon; the linear scan must too)
+    assert(Verify.parseErrors("""{"a" "b", "c": "d"}""") ==
+      Map("c" -> "d"))
   }
 
   test("Bench.stopThenGate: the gate line survives a throwing stop()") {
@@ -103,6 +116,25 @@ class EntrySpec extends SparkTestBase {
     assert(Bench.medianOf(Nil) == -1.0)
     // the r17 motivating case: one I/O-drawn outlier must not grade
     assert(Bench.medianOf(Seq(8.4, 7.3, 14.1)) == 8.4)
+  }
+
+  test("Bench.warmPassExtraFn: scale-scoped stabilization opt-in parses " +
+      "names, dedups, and fails loudly on a typo") {
+    val known = Set("q130_pagerank", "q39_minhash_pairs")
+    assert(Bench.warmPassExtraFn(None, known) == Nil)
+    assert(Bench.warmPassExtraFn(Some(""), known) == Nil)
+    assert(Bench.warmPassExtraFn(Some("q130_pagerank"), known) ==
+      Seq("q130_pagerank"))
+    assert(Bench.warmPassExtraFn(
+      Some(" q130_pagerank , q39_minhash_pairs,q130_pagerank"), known) ==
+      Seq("q130_pagerank", "q39_minhash_pairs"))
+    // a misspelled name must not silently run the unstabilized protocol
+    // while the receipt claims the stabilizers were on
+    val ex = intercept[IllegalArgumentException] {
+      Bench.warmPassExtraFn(Some("q130_pagernak"), known)
+    }
+    assert(ex.getMessage.contains("q130_pagernak") &&
+      ex.getMessage.contains("SPARK_GRAFT_WARMPASS_EXTRA"))
   }
 
   test("LshScaleProbe pinned protocol: stride derives from n alone and " +

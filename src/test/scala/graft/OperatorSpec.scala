@@ -852,6 +852,84 @@ class OperatorSpec extends SparkTestBase {
     assert(knn.exceptAll(re).count() == 0 && re.exceptAll(knn).count() == 0)
   }
 
+  test("lshKnnJoinMultiprobe: well-formed ranks, per-(qid,rank) cosine " +
+      "dominates single-probe (probe 0 is the identity bucket), true " +
+      "cosines") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val single = Similarity.lshKnnJoin(e, "vec_id", "embedding", k = 3,
+      nBits = 16, bandBits = 4)
+    val multi = Similarity.lshKnnJoinMultiprobe(e, "vec_id", "embedding",
+      k = 3, nBits = 16, bandBits = 4)
+    val m = multi.select("qid", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(m.nonEmpty)
+    m.groupBy(_._1).foreach { case (qid, ns) =>
+      val byRank = ns.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to byRank.length))
+      val cs = byRank.map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(ns.forall(_._2 != qid), s"self-neighbor for $qid")
+    }
+    // DOMINANCE: the multiprobe candidate set per qid is a superset of
+    // the single-probe one, so every (qid, rank) the single-probe join
+    // reports must exist under multiprobe with a cosine at least as
+    // high (adding candidates can only raise each order statistic)
+    val sPairs = single.select("qid", "rank", "cos")
+      .as[(Long, Int, Double)].collect()
+    val mByQ = m.map(t => (t._1, t._3) -> t._4).toMap
+    sPairs.foreach { case (q, r, c) =>
+      val mc = mByQ.get((q, r))
+      assert(mc.isDefined, s"multiprobe lost ($q, rank $r)")
+      assert(mc.get >= c - 1e-12,
+        s"($q, rank $r): multiprobe ${mc.get} < single-probe $c")
+    }
+    // and strictly MORE reach somewhere: at spec scale the flipped
+    // buckets must surface at least one ranked row single-probe lacks
+    assert(m.length >= sPairs.length)
+    // every reported cosine is the TRUE cosine
+    val truth = Similarity.cosineDupPairs(
+        e.withColumn("blk", lit(1)), "vec_id", "embedding", "blk", -1.0)
+      .select(col("ida"), col("idb"), col("cos").as("tcos"))
+    val joined = multi.join(truth,
+      (col("qid") === col("ida") && col("vec_id") === col("idb")) ||
+        (col("qid") === col("idb") && col("vec_id") === col("ida")))
+    assert(joined.filter(col("cos") =!= col("tcos")).count() == 0)
+  }
+
+  test("lshKnnSearch: the query-set slice LAW — search(corpus, Q) is " +
+      "row-identical to the self-join restricted to Q, in both probe " +
+      "modes; multiprobe search dominates per (qid, rank)") {
+    val e = sources.Tables.read(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") % 20 === 0)
+    // single-probe: the probe side is row-local per query and the index
+    // (corpus banding + cap) is identical, so restricting the query set
+    // must not change any answer
+    val search = Similarity.lshKnnSearch(e, q, "vec_id", "embedding",
+      k = 3, nBits = 16, bandBits = 4)
+    val joinSliced = Similarity.lshKnnJoin(e, "vec_id", "embedding",
+      k = 3, nBits = 16, bandBits = 4).filter(col("qid") % 20 === 0)
+    assert(search.exceptAll(joinSliced).count() == 0 &&
+      joinSliced.exceptAll(search).count() == 0)
+    // multiprobe: same law against the multiprobe self-join
+    val mp = Similarity.lshKnnSearchMultiprobe(e, q, "vec_id",
+      "embedding", k = 3, nBits = 16, bandBits = 4)
+    val jmpSliced = Similarity.lshKnnJoinMultiprobe(e, "vec_id",
+      "embedding", k = 3, nBits = 16, bandBits = 4)
+      .filter(col("qid") % 20 === 0)
+    assert(mp.exceptAll(jmpSliced).count() == 0 &&
+      jmpSliced.exceptAll(mp).count() == 0)
+    // and multiprobe search dominates single-probe search per rank
+    val sPairs = search.select("qid", "rank", "cos")
+      .as[(Long, Int, Double)].collect()
+    val mByQ = mp.select("qid", "rank", "cos")
+      .as[(Long, Int, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    sPairs.foreach { case (qq, r, c) =>
+      assert(mByQ.get((qq, r)).exists(_ >= c - 1e-12),
+        s"($qq, rank $r): multiprobe search lost or undercut $c")
+    }
+  }
+
   test("hardNegatives: cross-label only, well-formed ranks, true cosines") {
     val e = sources.Tables.read(spark, sf, "embeddings")
     val neg = Similarity.hardNegatives(
