@@ -358,8 +358,16 @@ object Dedup {
       textCol: String, threshold: Double): DataFrame = {
     val candIds = cand.select(col("ida").as(idCol))
       .union(cand.select(col("idb").as(idCol))).distinct()
+    // cache() the candidate shingle sets: the pair join below references
+    // them TWICE (sa/sb), and only the exchanges beneath the candIds
+    // join are reusable — the join + tokenize/shingle projection above
+    // them re-ran once per side, i.e. the candidate docs were shingled
+    // twice (guide §1.2). Candidates are a vanishing fraction of the
+    // corpus, so the cache is small; MEMORY_AND_DISK (cache default)
+    // spills rather than OOMs, and callers reclaim via clearCache as
+    // with [[minhashPairs]]'s signature cache.
     val sets = withShingles(df.join(candIds, idCol), textCol)
-      .select(col(idCol), col("shset"))
+      .select(col(idCol), col("shset")).cache()
     val sa = sets.select(col(idCol).as("ida"), col("shset").as("seta"))
     val sb = sets.select(col(idCol).as("idb"), col("shset").as("setb"))
     cand.join(sa, "ida").join(sb, "idb")
@@ -384,7 +392,12 @@ object Dedup {
       table: String, k: Int = AdaptiveMinhash, rows: Int = AdaptiveMinhash,
       nBuckets: Int = 32): Unit = {
     val (kk, rr) = resolveMinhash(df, k, rows)
-    val bands = bandTable(df, idCol, textCol, kk, rr)
+    // cache(): the sizes write and the bucketed band write below are
+    // two separate actions over this table — uncached, EACH re-ran the
+    // full corpus tokenize+minhash scan (guide §1.2). The cached rows
+    // are (id, bi, bv) only (~50 B/row), MEMORY_AND_DISK, and released
+    // as soon as both writes land.
+    val bands = bandTable(df, idCol, textCol, kk, rr).cache()
     // `${table}_sizes` holds per-(bi, bv) posting-count PARTIALS:
     // readers SUM per key, so index growers (IngestStream / q193's
     // accumulator) append their batch's partial counts next to the
@@ -402,6 +415,8 @@ object Dedup {
     graft.sources.Tables.writeTable(bandSizes(bands), s"${table}_sizes")
     graft.sources.Tables.writeBucketed(bands, table, Seq("bi", "bv"),
       nBuckets)
+    bands.unpersist(blocking = false)
+    ()
   }
 
   /** The (k, rows) a [[writeBandIndex]]-persisted index was built

@@ -49,13 +49,15 @@ object Graph {
       iters: Int, scale: Long = 1000000L, dampPct: Int = 85,
       cutEvery: Int = 1): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100 && cutEvery >= 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // The edge derivation (typically a distinct over a big relation —
+    // q130's part↔supplier projection) is CUT ONCE and read by both the
+    // node table and the degree join below; uncut, each of those
+    // materialization jobs re-ran the full upstream scan + distinct
+    // shuffle (guide §1.2: don't compute things twice).
+    val e = Dedup.cut(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = Dedup.cut(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
-    // out-degree rides WITH the edge row so the per-edge contribution
-    // `rank DIV deg` needs no second join inside the loop
-    val eDeg = Dedup.cut(e.join(
-      e.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
     // Rank/contribution tables are NODE-cardinality while the loop's
     // joins run against EDGE-cardinality — when nodes fit a broadcast
     // (the overwhelmingly common case: ranks are 16 B/node, so even
@@ -67,6 +69,15 @@ object Graph {
     // iterations (the Pregel layout).
     val small = nodes.count() < 5000000L
     def side(df: DataFrame) = if (small) broadcast(df) else df
+    // out-degree rides WITH the edge row so the per-edge contribution
+    // `rank DIV deg` needs no second join inside the loop. The degree
+    // table is node-cardinality: under the same broadcast gate as the
+    // loop joins, the edge side is never shuffled here either (guide
+    // §3.1 — the previous spelling shuffled the FULL edge table by src
+    // into a shuffled-hash join against its own degree aggregate).
+    val eDeg = Dedup.cut(e.join(
+      side(e.groupBy("src").agg(count(lit(1)).as("deg"))), "src"))
+    Dedup.release(e)
     val teleport = scale * (100 - dampPct) / 100
     // no cut for the initial ranks: they are the (already-cut) node
     // table plus a literal column, so "recomputing" them is free and

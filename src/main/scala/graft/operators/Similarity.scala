@@ -195,8 +195,24 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, iters: Int, subLen: Int,
       keep: Seq[String] = Nil): DataFrame = {
-    val cent = pqTrain(df, idCol, embCol, m, k, iters, subLen)
-    pqEncodeTail(df, cent, idCol, embCol, m, subLen, keep)
+    // ONE prepare+slice pass, cached: every Lloyd iteration AND the
+    // encode pass reads the same sliced table — previously each of the
+    // iters+1 jobs re-parsed and re-sliced the full corpus (guide §1.2:
+    // fix the passes before the per-task work). MEMORY_AND_DISK (cache
+    // default) spills rather than OOMs at scale; callers reclaim via
+    // clearCache as with [[Dedup.minhashPairs]]'s signature cache.
+    val prep = prepare(df, embCol)
+    val sub = pqSlices(prep, idCol, m, subLen).cache()
+    val cent = pqTrainOn(prep, sub, idCol, m, k, iters, subLen)
+    val coded = pqAssign(sub, cent, idCol)
+      .select(col(idCol), col("sub"),
+        col("w.cid").as("code"), col("w.d").as("err"))
+    val codeCols = (0 until m).map(i =>
+      max(when(col("sub") === i, col("code"))).as(s"code$i"))
+    val out = coded.groupBy(col(idCol))
+      .agg(codeCols.head, codeCols.tail :+ sum("err").as("qerr"): _*)
+    if (keep.isEmpty) out
+    else out.join(df.select(col(idCol) +: keep.map(col): _*), idCol)
   }
 
   /** Shared encode tail of [[pqEncode]] and [[pqEncodeAgainst]]: slice,
@@ -228,8 +244,11 @@ object Similarity {
   def pqAdcTopK(df: DataFrame, queryIds: DataFrame, idCol: String,
       embCol: String, m: Int, k: Int, iters: Int, subLen: Int,
       topK: Int): DataFrame = {
-    val sub = pqSlices(prepare(df, embCol), idCol, m, subLen)
-    val cent = pqTrain(df, idCol, embCol, m, k, iters, subLen)
+    // one cached prepare+slice pass shared by training, the code table
+    // and the query LUT (see [[pqEncode]]'s cache contract)
+    val prep = prepare(df, embCol)
+    val sub = pqSlices(prep, idCol, m, subLen).cache()
+    val cent = pqTrainOn(prep, sub, idCol, m, k, iters, subLen)
     val codes = pqAssign(sub, cent, idCol)
       .select(col(idCol).as("vec_id"), col("sub"),
         col("w.cid").as("code"))
@@ -343,7 +362,18 @@ object Similarity {
   def pqTrain(df: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, iters: Int, subLen: Int): DataFrame = {
     val prep = prepare(df, embCol)
-    val sub = pqSlices(prep, idCol, m, subLen)
+    // cached: each Lloyd iteration's cut job re-read this sliced table
+    // instead of re-parsing + re-slicing the corpus per iteration
+    // (same contract as [[pqEncode]]'s cache — caller-reclaimed)
+    val sub = pqSlices(prep, idCol, m, subLen).cache()
+    pqTrainOn(prep, sub, idCol, m, k, iters, subLen)
+  }
+
+  /** [[pqTrain]]'s Lloyd loop over an ALREADY prepared+sliced (and
+    * typically cached) corpus — shared with [[pqEncode]]/[[pqAdcTopK]]
+    * so train+encode pipelines slice the corpus exactly once. */
+  private def pqTrainOn(prep: DataFrame, sub: DataFrame, idCol: String,
+      m: Int, k: Int, iters: Int, subLen: Int): DataFrame = {
     // init: the k lowest-id vectors' slices, cid 1..k per subspace
     var cent = pqSlices(prep.orderBy(col(idCol)).limit(k), idCol, m, subLen)
       .withColumn("cid", row_number().over(
@@ -646,7 +676,7 @@ object Similarity {
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val (nb, bb) = resolveBanding(df, nBits, bandBits, bucketCap)
     val scored = scoredCandidates(df, idCol, embCol, nb, bb,
-      bucketCap, guard = _ =!= _)
+      bucketCap, guard = _ =!= _, dedup = false)
     rankScored(scored, k).withColumnRenamed("vid", "vec_id")
   }
 
@@ -716,7 +746,7 @@ object Similarity {
       embCol: String, k: Int, nBits: Int, bandBits: Int,
       bucketCap: Int = DefaultBucketCap, hpOffset: Int = 0): DataFrame = {
     val scored = scoredCandidates(df, idCol, embCol, nBits, bandBits,
-      bucketCap, guard = _ =!= _, hpOffset = hpOffset)
+      bucketCap, guard = _ =!= _, hpOffset = hpOffset, dedup = false)
     rankScored(scored, k).withColumnRenamed("vid", "vec_id")
   }
 
@@ -780,6 +810,8 @@ object Similarity {
   private def scoreProbes(probes: DataFrame, index: DataFrame,
       idCol: String, nBits: Int, bandBits: Int, bucketCap: Int)
       : DataFrame =
+    // raw multi-collision stream: [[rankScored]]'s fused aggregate
+    // dedups while it ranks (every consumer of this path ranks)
     probes.as("x")
       .join(collisionSide(index, idCol, nBits, bandBits, bucketCap)
           .as("y"),
@@ -789,7 +821,6 @@ object Similarity {
       .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vid"),
         cosine(expr("graft_dot(x.q, y.q)"),
           col("x.n2"), col("y.n2")).as("cos"))
-      .groupBy("qid", "vid").agg(max(col("cos")).as("cos"))
 
   /** QUERY-SET LSH search: rank the corpus top-k for each row of
     * `queries` only — the deployment shape of an ANN index (band and
@@ -842,15 +873,31 @@ object Similarity {
   }
 
   /** Rank pre-scored (qid, vid, cos) rows per qid (cos desc, id
-    * tiebreak), keep top-k — the window tail of [[rankCandidates]]
-    * without its vector joins (the scores already exist). */
-  private def rankScored(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "vid", "rank", "cos")
-  }
+    * tiebreak), keep top-k — the tail of every LSH-candidate search.
+    *
+    * ONE aggregate does pair-dedup AND top-k: collect_set over
+    * struct(cos, -vid) dedups multi-band collisions exactly (a pair's
+    * cos is a pure function of the pair, identical in every band — the
+    * same invariant the former groupBy(qid, vid).max(cos) exchange
+    * relied on), sort_array desc realizes the (cos desc, vid asc)
+    * window ordering in-row, and slice keeps k. This replaces the old
+    * two-exchange tail — Exchange(qid, vid) for the dedup aggregate
+    * THEN Exchange(qid) + full partition Sort for the row_number
+    * window — with a single Exchange(qid) and no sort (guide §2.4:
+    * share one exchange; §2.3: half the shuffled candidate bytes).
+    * Per-group state is bounded by construction: a qid's candidate set
+    * is ≤ nBands × (bandBits+1) × bucketCap distinct vids (the
+    * truncateBuckets cap), corpus-size independent — which is exactly
+    * why the window machinery (built to spill unbounded groups) is not
+    * needed here. Callers feed the RAW scored stream
+    * (`dedup = false` on [[scoredCandidates]]/[[scoreProbes]]). */
+  private def rankScored(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(expr(s"slice(sort_array(collect_set(struct(cos, -vid AS nv))," +
+        s" false), 1, $k)").as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col("qid"), (-col("_t.nv")).as("vid"),
+        (col("_i") + 1).cast("int").as("rank"), col("_t.cos").as("cos"))
 
   /** Band/bucket rows CARRYING the quantized vectors (and optional
     * ride-along columns): (idCol, q, n2, extra..., band, bucket). The
@@ -898,10 +945,10 @@ object Similarity {
       nBits: Int, bandBits: Int, bucketCap: Int,
       guard: (Column, Column) => Column,
       extraFilter: Column = lit(true), extra: Seq[String] = Nil,
-      hpOffset: Int = 0)
+      hpOffset: Int = 0, dedup: Boolean = true)
       : DataFrame = {
     val banded = bandedQ(df, idCol, embCol, nBits, bandBits, extra, hpOffset)
-    banded.as("x")
+    val raw = banded.as("x")
       .join(collisionSide(banded, idCol, nBits, bandBits, bucketCap).as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
@@ -909,7 +956,12 @@ object Similarity {
       .select(col(s"x.$idCol").as("qid"), col(s"y.$idCol").as("vid"),
         cosine(expr("graft_dot(x.q, y.q)"),
           col("x.n2"), col("y.n2")).as("cos"))
-      .groupBy("qid", "vid").agg(max(col("cos")).as("cos"))
+    // `dedup = false` hands the raw multi-collision stream to
+    // [[rankScored]], whose single fused aggregate dedups while it
+    // ranks — pair-set consumers ([[lshDupPairs]]) keep the exact
+    // max-dedup exchange here
+    if (dedup) raw.groupBy("qid", "vid").agg(max(col("cos")).as("cos"))
+    else raw
   }
 
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
@@ -999,7 +1051,7 @@ object Similarity {
     val scored = scoredCandidates(df, idCol, embCol, nb, bb,
       bucketCap, guard = _ =!= _,
       extraFilter = col(s"x.$labelCol") =!= col(s"y.$labelCol"),
-      extra = Seq(labelCol))
+      extra = Seq(labelCol), dedup = false)
     rankScored(scored, k).withColumnRenamed("vid", "vec_id")
   }
 
@@ -1067,7 +1119,11 @@ object Similarity {
       bandBits: Int = AdaptiveBands,
       nBuckets: Int = 32): Unit = {
     val (nb, bb) = resolveBanding(df, nBits, bandBits, DefaultBucketCap)
-    val bands = lshBands(df, idCol, embCol, nb, bb)
+    // cache(): the sizes write and the bucketed band write below are
+    // two separate actions — uncached, each re-ran the full corpus
+    // prepare + LSH-signature scan (same fix as Dedup.writeBandIndex;
+    // guide §1.2). Released as soon as both writes land.
+    val bands = lshBands(df, idCol, embCol, nb, bb).cache()
     // bucket-size side table (≤ nBands·2^bandBits rows): lets the
     // incremental probe truncate against COMBINED corpus+batch sizes
     // without re-scanning the corpus index per batch. Write order on a
@@ -1089,6 +1145,8 @@ object Similarity {
       s"${table}_sizes")
     graft.sources.Tables.writeBucketed(bands, table,
       Seq("band", "bucket"), nBuckets)
+    bands.unpersist(blocking = false)
+    ()
   }
 
   /** The (nBits, bandBits) a [[writeLshIndex]]-persisted index was

@@ -790,17 +790,21 @@ object Curation {
       val dp = p.join(dg, "g").select("doc_id", "pos")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
-      val rmax = dp.withColumn("grp", col("pos") - row_number().over(w))
+      // ONE consumer of dp: islands -> per-doc (max run, Σ run) in the
+      // same aggregate — Σ of island sizes IS the duplicated-position
+      // count, so the former separate n_dup branch (a second evaluation
+      // of the p⋈dg join feeding its own shuffle) is free here
+      val spans = dp.withColumn("grp", col("pos") - row_number().over(w))
         .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
-        .groupBy("doc_id").agg(max("run").as("mrun"))
-      val perdoc = p.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val ds = dp.groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-      doc.select("doc_id")
-        .join(perdoc, Seq("doc_id"), "left")
-        .join(ds, Seq("doc_id"), "left")
-        .join(rmax, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        .groupBy("doc_id").agg(max("run").as("mrun"),
+          sum("run").as("n_dup"))
+      // n_grams is size(grams) — a narrow per-row map on the doc scan,
+      // not an explode + per-doc count-shuffle of the full gram stream
+      doc.select(col("doc_id"),
+          coalesce(size(expr(s"graft_ngrams(text, $n)")), lit(0))
+            .cast("long").as("n_grams"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup"),
           coalesce(col("mrun") + lit(n - 1), lit(0L)).as("max_run_toks"))
     }),
