@@ -519,11 +519,29 @@ object Dedup {
        })
         .join(hinted(touched), Seq("bi", "bv"), "left_semi")
         .groupBy("bi", "bv").agg(sum("graft_bsz").as("graft_csz"))
-    val unionSizes = hinted(batchSizes
+    // cache() (one-shot callers only): the union size table is
+    // referenced by BOTH truncated sides and each side twice again
+    // downstream — uncached, the final probe plan re-expanded this
+    // subtree ~13 times (15 scans of `_sizes` + as many broadcast
+    // builds in plans/r17/q85_incremental_dedup_before.txt), and at
+    // sf0.1 q85's cost is exactly that driver-side planning, not task
+    // time (JobProbe): measured 4.78 → 3.70 s. The table is
+    // batch-sized by construction (batch-touched keys only);
+    // MEMORY_AND_DISK, caller-reclaimed via clearCache like
+    // [[minhashPairs]]' signature cache (guide §1.2 / §5: don't
+    // compute — or plan — the same thing many times). Loop callers
+    // (q193 / IngestStream, signalled by `reuseBands`) skip the
+    // internal cache: they manage per-batch storage themselves and a
+    // handle-less cache would accumulate one entry per micro-batch —
+    // exactly the per-batch leak IngestStream.processBatch documents
+    // itself to be free of.
+    val unionSizesPlan = batchSizes
       .join(corpusSizes, Seq("bi", "bv"), "left_outer")
       .select(col("bi"), col("bv"),
         (col("graft_nsz") + coalesce(col("graft_csz"), lit(0L)))
-          .as("graft_bsz")))
+          .as("graft_bsz"))
+    val unionSizes = hinted(
+      if (reuseBands.isEmpty) unionSizesPlan.cache() else unionSizesPlan)
     val truncCorpus =
       truncateBandsWith(corpusBands, unionSizes, idCol, bucketCap)
     val truncBatch =

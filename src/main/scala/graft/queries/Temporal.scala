@@ -430,8 +430,19 @@ object Temporal {
     // (partial distinct map-side). Days with no events drop out of
     // the join, matching the oracle.
     "q226_rolling_distinct" -> ((s, d) => {
+      // explicit isnotnull(day): the final day===rday join INFERS this
+      // filter on the dau branch only, which made the two branches'
+      // scan+distinct subtrees canonically different — so ReuseExchange
+      // could not fire and the events table was scanned AND
+      // (day, user_id)-shuffled twice (plans/r17/q226_…_before.txt
+      // nodes 1-6 vs 10-14). With the filter stated once below BOTH
+      // branches, the partial-distinct exchange is computed once and
+      // the wau branch reads it as ReusedExchange (guide §2.4). ts is
+      // never null in the corpus, so the filter drops nothing; it only
+      // restores subtree identity.
       val du = t(s, d, "events")
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .filter(col("day").isNotNull).distinct()
       val u1 = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
       val roll = du
         .withColumn("rday", explode(expr("sequence(day, date_add(day, 6))")))

@@ -2203,4 +2203,50 @@ class OperatorSpec extends SparkTestBase {
       lo = hi
     }
   }
+
+  test("fused LSH rank tail: collect_set+sort_array+slice equals the " +
+      "window row_number spelling on dup collisions and cos ties") {
+    // r17: Similarity.rankScored fused the two-exchange tail (max-cos
+    // dedup agg + per-qid row_number window) into ONE aggregate. The
+    // law it relies on: a pair's cos is a pure function of the pair
+    // (identical in every band), so collect_set(struct(cos, -vid))
+    // dedups multi-band collisions exactly, and sort_array desc
+    // realizes (cos desc, vid asc). Pin the algebra on a stream with
+    // BOTH hazards: duplicate (qid, vid, cos) collisions (multi-band)
+    // and cross-vid cos ties (tiebreak must be vid ASC).
+    val k = 3
+    val scored = Seq(
+      // qid 1: vid 10 collides in 3 bands; tie cos=0.9 between 20/30
+      (1L, 10L, 0.95), (1L, 10L, 0.95), (1L, 10L, 0.95),
+      (1L, 30L, 0.9), (1L, 20L, 0.9), (1L, 40L, 0.1),
+      // qid 2: fewer than k candidates, all tied
+      (2L, 7L, 0.5), (2L, 5L, 0.5),
+      // qid 3: exactly k+1 distinct, dup collision on the cut boundary
+      (3L, 1L, 0.4), (3L, 2L, 0.3), (3L, 3L, 0.2), (3L, 4L, 0.2),
+      (3L, 4L, 0.2)
+    ).toDF("qid", "vid", "cos")
+    val fused = scored.groupBy("qid")
+      .agg(expr(s"slice(sort_array(collect_set(struct(cos, -vid AS nv))," +
+        s" false), 1, $k)").as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col("qid"), (-col("_t.nv")).as("vid"),
+        (col("_i") + 1).cast("int").as("rank"), col("_t.cos").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vid"))
+    val windowed = scored.groupBy("qid", "vid")
+      .agg(max("cos").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "rank", "cos")
+    val f = fused.as[(Long, Long, Int, Double)].collect().toSet
+    val d = windowed.as[(Long, Long, Int, Double)].collect().toSet
+    assert(f == d, s"fused tail diverged from the window spelling:\n" +
+      s"fused=$f\nwindow=$d")
+    // the expected answer, by hand (rank carries the vid-asc tiebreak)
+    assert(f((1L, 10L, 1, 0.95)) && f((1L, 20L, 2, 0.9)) &&
+      f((1L, 30L, 3, 0.9)) && !f.exists(r => r._1 == 1L && r._2 == 40L))
+    assert(f((2L, 5L, 1, 0.5)) && f((2L, 7L, 2, 0.5)))
+    assert(f((3L, 1L, 1, 0.4)) && f((3L, 2L, 2, 0.3)) &&
+      f((3L, 3L, 3, 0.2)) && !f.exists(r => r._1 == 3L && r._2 == 4L))
+  }
 }
