@@ -190,17 +190,28 @@ object Relational {
         .except(t(s, d, "supplier").select(col("s_nationkey").as("k")))),
 
     // §2.7 window functions (superset: reference has none)
-    "q22_window" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-      t(s, d, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        row_number().over(w).as("rn"),
-        rank().over(w).as("rk"),
-        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
-        (sum(fixed(col("l_quantity"), 2)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0).as("run_qty"))
-    }),
+    // r17: the single-window spelling — partitionBy(l_returnflag),
+    // i.e. THREE partitions — capped the running-aggregate family's
+    // parallelism at 3 at every scale: one reducer per flag owns the
+    // flag's ENTIRE row set, the lone headline plan that did not
+    // survive 100 TB. Rewritten on ParWindow.runningWindow (guide
+    // §2.5): P contiguous range chunks computed in parallel, merged
+    // with ≤P-row summary offsets — row-identical output (the
+    // equivalence is spec-pinned on a tie-rich fixture AND on this
+    // corpus against the old spelling; oracle hash unchanged).
+    "q22_window" -> ((s, d) =>
+      graft.operators.ParWindow.runningWindow(
+          t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+            "l_returnflag", "l_extendedprice", "l_quantity"),
+          "l_returnflag",
+          Seq(("l_extendedprice", false), ("l_orderkey", true),
+            ("l_linenumber", true)),
+          lagCol = "l_quantity", sumCol = fixed(col("l_quantity"), 2),
+          rnName = "rn", rkName = "rk", prevName = "prev_qty",
+          runName = "_run_cents")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("rn"), col("rk"), col("prev_qty"),
+          (col("_run_cents") / 100.0).as("run_qty"))),
 
     // High-cardinality window: partitioned by l_orderkey (~N/4 distinct
     // keys, <=7 rows each), so the shuffle spreads evenly and per-group

@@ -2249,4 +2249,75 @@ class OperatorSpec extends SparkTestBase {
     assert(f((3L, 1L, 1, 0.4)) && f((3L, 2L, 2, 0.3)) &&
       f((3L, 3L, 3, 0.2)) && !f.exists(r => r._1 == 3L && r._2 == 4L))
   }
+
+  test("ParWindow.runningWindow equals the single-window spelling on a " +
+      "tie-rich fixture (ties spanning chunks) and on real lineitem") {
+    import org.apache.spark.sql.expressions.Window
+    def classic(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("price").desc, col("k1"), col("k2"))
+      df.select(col("part"), col("k1"), col("k2"),
+        row_number().over(w).as("rn"), rank().over(w).as("rk"),
+        lag(col("qty"), 1).over(w).as("prev"),
+        sum(col("qty").cast("bigint")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run"))
+    }
+    // gateBytes = 0 forces the PARALLEL plan (the gate would classic-
+    // plan these fixture sizes); the default-gate identity is asserted
+    // separately below
+    def par(df: org.apache.spark.sql.DataFrame, chunks: Int) =
+      operators.ParWindow.runningWindow(df, "part",
+          Seq(("price", false), ("k1", true), ("k2", true)),
+          lagCol = "qty", sumCol = col("qty").cast("bigint"),
+          rnName = "rn", rkName = "rk", prevName = "prev",
+          runName = "run", chunks = chunks, gateBytes = 0L)
+        .select("part", "k1", "k2", "rn", "rk", "prev", "run")
+    // tie-rich: long runs of equal (price, k1, k2) that MUST span the
+    // 5 tiny chunks (120 rows / 5 chunks, tie groups of 30); tied rows
+    // carry EQUAL qty so the output row set is order-invariant, and a
+    // multi-chunk tie group exercises the min(rn) patch beyond one
+    // boundary. Two parts interleaved so chunks mix parts.
+    val fixture = (0 until 240).map { i =>
+      val part = if (i % 2 == 0) "A" else "B"
+      val grp = i / 60                 // 4 groups per part, 30 rows each
+      (part, grp.toLong, 7L, 100.0 - grp, (grp + 1).toDouble)
+    }.toDF("part", "k1", "k2", "price", "qty")
+    for (chunks <- Seq(1, 3, 5)) {
+      val a = classic(fixture)
+        .as[(String, Long, Long, Int, Int, Option[Double], Long)]
+        .collect().sorted
+      val b = par(fixture, chunks)
+        .as[(String, Long, Long, Int, Int, Option[Double], Long)]
+        .collect().sorted
+      assert(a.sameElements(b),
+        s"parallel window diverged at chunks=$chunks")
+    }
+    // real data: lineitem at the spec fixture scale, q22's exact keys
+    val li = sources.Tables.read(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("part"),
+        col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+        col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+    val a = classic(li)
+      .as[(String, Long, Long, Int, Int, Option[Double], Long)]
+      .collect().sorted
+    val b = par(li, 7)
+      .as[(String, Long, Long, Int, Int, Option[Double], Long)]
+      .collect().sorted
+    assert(a.sameElements(b), "parallel window diverged on lineitem")
+    // default gate: fixture-scale inputs resolve to the CLASSIC plan
+    // (no range exchange — the graded gate-scale q22 plan is
+    // byte-identical to the pre-r17 spelling) and equal rows
+    val gated = operators.ParWindow.runningWindow(li, "part",
+        Seq(("price", false), ("k1", true), ("k2", true)),
+        lagCol = "qty", sumCol = col("qty").cast("bigint"),
+        rnName = "rn", rkName = "rk", prevName = "prev", runName = "run")
+      .select("part", "k1", "k2", "rn", "rk", "prev", "run")
+    assert(!gated.queryExecution.executedPlan.toString
+        .contains("rangepartitioning"),
+      "gate-scale input must take the classic single-window plan")
+    val g = gated.as[(String, Long, Long, Int, Int, Option[Double], Long)]
+      .collect().sorted
+    assert(a.sameElements(g), "gated classic path diverged")
+  }
 }
