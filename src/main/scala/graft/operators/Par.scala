@@ -65,15 +65,34 @@ object Par {
   val WidenFloorKey = "spark.graft.widenFloor"
   val DefaultWidenFloor: Long = 2L << 20
 
-  private[graft] def widen(df: DataFrame): DataFrame = {
+  /** r18: the floor is now a CALL-SITE parameter (session conf still
+    * wins when set — the A/B lever is preserved). Rationale: the 2 MB
+    * default was measured on the TEXT family, where the suite-visible
+    * cost of widening gate-scale inputs is per-call physical planning
+    * across q85's many plan references (r14 A/B: q85 21.0 s vs
+    * 10.5 s), and it correctly keeps those paths floored. But the
+    * EMBEDDING family is the opposite regime: a handful of widen calls
+    * per query and a per-row signature/quantization cost so high that
+    * even the sf0.1 corpus (0.8 MB file, ONE scan split) runs a ~2 s
+    * single-task broadcast build (the r18 q135 JobProbe read: stage 9,
+    * 1 task, 2.1 s taskTime under the collision-side broadcast).
+    * [[Similarity.prepare]] passes `floorOverride = 0` — measured at
+    * sf0.1: q135 4.4/3.2 s → 2.2/1.9 s warm reps with the repair
+    * firing; results bit-identical (round-robin is row-preserving,
+    * operators above are repartition-invariant by spec). */
+  private[graft] def widen(df: DataFrame): DataFrame =
+    widen(df, DefaultWidenFloor)
+
+  private[graft] def widen(df: DataFrame, floorOverride: Long): DataFrame = {
     if (df.isStreaming) return df // micro-batch frames arrive pre-split
     val spark = df.sparkSession
     if (spark.conf.get(WidenConfKey, "on") == "off") return df
     val target = spark.sparkContext.defaultParallelism
     val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    val floor = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get(WidenFloorKey, DefaultWidenFloor.toString))
+    val floor = spark.conf.getOption(WidenFloorKey)
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(floorOverride)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // too small to be worth an exchange, or big enough that the scan
     // already planned a split per core — either way, no repair. The

@@ -46,10 +46,16 @@ object Similarity {
     * [[Par.widen]]ed first: quantization + the LSH signatures computed
     * on top of `q` are the embedding family's per-row hot loop, and a
     * bytes-sized scan plans far too few splits for it (r13 sf10: a
-    * 1-split embeddings scan serialized the whole family). */
+    * 1-split embeddings scan serialized the whole family). r18: the
+    * widen floor is 0 HERE (text paths keep [[Par.DefaultWidenFloor]]):
+    * the embedding family makes few widen calls per query while its
+    * per-row cost dwarfs any gate-scale exchange — measured at sf0.1,
+    * the q135 collision-side broadcast ran as ONE 2.1 s task off the
+    * 0.8 MB 1-split embeddings scan; with the repair firing, q135
+    * 4.4/3.2 → 2.2/1.9 s warm reps (see Par.widen's r18 note). */
   def prepare(df: DataFrame, embCol: String): DataFrame = {
     graft.functions.LongArrayDot.register(df.sparkSession)
-    Par.widen(df).withColumn("q", quantized(embCol))
+    Par.widen(df, 0L).withColumn("q", quantized(embCol))
       .withColumn("n2", dotQ("q", "q"))
   }
 
