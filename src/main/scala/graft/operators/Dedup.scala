@@ -354,8 +354,21 @@ object Dedup {
     * candidates are a vanishing fraction of a 100 TB corpus —
     * recomputing beats carrying a shingle array per doc through the
     * shuffle. */
-  private def verifyJaccard(cand: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, threshold: Double): DataFrame = {
+  private def verifyJaccard(cand0: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      oneShot: Boolean = true): DataFrame = {
+    // r18 (guide §1.2/§5, the q85 plan-weight item): the candidate pair
+    // table is referenced THREE times below (both candIds legs + the
+    // pair join), so the whole collision-join subtree above it used to
+    // re-expand per reference — for q85 that meant the probe's
+    // batch-band/size/broadcast pipeline planned ~3x over, and at sf0.1
+    // q85's cost is exactly that planning + per-reference broadcast
+    // builds (JobProbe). One eager lineage cut (id pairs only — a
+    // vanishing fraction of the corpus) makes every reference a
+    // LogicalRDD scan. Loop callers (IngestStream via incrementalPairs'
+    // reuseBands) skip it: a cut per micro-batch would pin one
+    // checkpoint RDD per batch — the documented per-batch-leak posture.
+    val cand = if (oneShot) cut(cand0) else cand0
     val candIds = cand.select(col("ida").as(idCol))
       .union(cand.select(col("idb").as(idCol))).distinct()
     // cache() the candidate shingle sets: the pair join below references
@@ -540,12 +553,25 @@ object Dedup {
       .select(col("bi"), col("bv"),
         (col("graft_nsz") + coalesce(col("graft_csz"), lit(0L)))
           .as("graft_bsz"))
+    // r18: the one-shot cache() became an eager lineage CUT — the r17
+    // cache stopped recomputation, but every one of the ~13 downstream
+    // references still PRINTED and PLANNED the full cached subtree
+    // (InMemoryRelation carries its child plan), leaving q85's probe
+    // plan at 1,797 lines / 17 `_sizes` scans and its cost in planning
+    // + per-reference broadcast builds (JobProbe). A localCheckpoint is
+    // the same batch-sized materialization with the subtree replaced by
+    // a LogicalRDD everywhere. Same loop-caller carve-out as before
+    // (reuseBands => no internal storage pinned per micro-batch).
     val unionSizes = hinted(
-      if (reuseBands.isEmpty) unionSizesPlan.cache() else unionSizesPlan)
+      if (reuseBands.isEmpty) cut(unionSizesPlan) else unionSizesPlan)
     val truncCorpus =
       truncateBandsWith(corpusBands, unionSizes, idCol, bucketCap)
-    val truncBatch =
+    // truncBatch is referenced twice (vsCorpus' second leg + vsBatch) —
+    // cut it too on the one-shot path; batch-sized by construction.
+    val truncBatch0 =
       truncateBandsWith(batchBands, unionSizes, idCol, bucketCap)
+    val truncBatch =
+      if (reuseBands.isEmpty) cut(truncBatch0) else truncBatch0
     // The one-shot law's x<y join truncates the LARGER-id side, so a
     // pair survives iff its larger id is a representative — the
     // corpus-vs-batch candidates split by id order (corpus-larger
@@ -568,7 +594,8 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
     val cand = vsCorpus.union(vsBatch).distinct()
-    verifyJaccard(cand, verifySource, idCol, textCol, threshold)
+    verifyJaccard(cand, verifySource, idCol, textCol, threshold,
+      oneShot = reuseBands.isEmpty)
   }
 
   /** LSH band-configuration tuning audit: for each candidate (bands ×
