@@ -56,7 +56,22 @@ object Graph {
     // shuffle (guide §1.2: don't compute things twice).
     val e = Dedup.cut(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val nodes = Dedup.cut(e.select(col("src").as("node"))
+    // out-degree rides WITH the broadcast RANK table, not the edge
+    // table (r18; guide §1.2): the r17 spelling materialized an
+    // edge-cardinality `eDeg = e ⋈ deg` cut — a full second edge-scale
+    // write+read whose only purpose was carrying `deg` next to each
+    // edge row. Joining `deg` onto the NODE-cardinality rank table
+    // inside the loop's broadcast side computes the identical per-edge
+    // `rank DIV deg` (every src in `e` has a degree row; the inner
+    // join keeps exactly the contributing nodes) while the edge table
+    // is materialized ONCE and never re-derived, re-joined at scale,
+    // or re-shuffled (broadcast regime). The degree cut is
+    // node-cardinality — near-free.
+    val deg = Dedup.cut(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    // nodes = src ∪ dst, with the src leg read from `deg` (already
+    // distinct, node-cardinality) instead of `e` — the union-distinct
+    // then shuffles |e| + |srcs| rows rather than 2|e| (r18).
+    val nodes = Dedup.cut(deg.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     // Rank/contribution tables are NODE-cardinality while the loop's
     // joins run against EDGE-cardinality — when nodes fit a broadcast
@@ -64,20 +79,9 @@ object Graph {
     // 10^8 nodes are ~1.6 GB while edges are orders larger), pin both
     // loop joins map-side so the edge table is NEVER shuffled after
     // its one up-front cut. nodes is already materialized, so the
-    // count is free. Beyond the threshold, fall back to shuffle joins
-    // — there, pre-partitioning eDeg by src amortizes across
-    // iterations (the Pregel layout).
+    // count is free. Beyond the threshold, fall back to shuffle joins.
     val small = nodes.count() < 5000000L
     def side(df: DataFrame) = if (small) broadcast(df) else df
-    // out-degree rides WITH the edge row so the per-edge contribution
-    // `rank DIV deg` needs no second join inside the loop. The degree
-    // table is node-cardinality: under the same broadcast gate as the
-    // loop joins, the edge side is never shuffled here either (guide
-    // §3.1 — the previous spelling shuffled the FULL edge table by src
-    // into a shuffled-hash join against its own degree aggregate).
-    val eDeg = Dedup.cut(e.join(
-      side(e.groupBy("src").agg(count(lit(1)).as("deg"))), "src"))
-    Dedup.release(e)
     val teleport = scale * (100 - dampPct) / 100
     // no cut for the initial ranks: they are the (already-cut) node
     // table plus a literal column, so "recomputing" them is free and
@@ -85,8 +89,9 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(scale))
     var prevCut: DataFrame = null
     for (i <- 1 to iters) {
-      val contrib = eDeg
-        .join(side(ranks.withColumnRenamed("node", "src")), "src")
+      val contrib = e
+        .join(side(ranks.withColumnRenamed("node", "src").join(deg, "src")),
+          "src")
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
       val next = nodes
@@ -109,7 +114,8 @@ object Graph {
     // is materialized — free them now (checkpoint blocks are not
     // reaped by GC/unpersist; see Dedup.release)
     Dedup.release(nodes)
-    Dedup.release(eDeg)
+    Dedup.release(e)
+    Dedup.release(deg)
     ranks
   }
 
