@@ -191,11 +191,37 @@ object Bench {
       (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
     }
 
+    // Per-query executor task-time (Σ executorRunTime over the query's
+    // stages), r18 per VERDICT r17 #2: at gate scale the heavy queries
+    // are driver/latency-bound, so their wall-clock barely moves with
+    // the core count and the driver's scaling heuristic misreads ≈1
+    // wall ratios as an ignored SPARK_GRAFT_CPUS. task_time_ms next to
+    // wall-time makes the scaling contract legible: where wall ≈ flat
+    // but task-time ≫ wall, the query parallelized fine and the wall
+    // floor is latency, not compute. PASSIVE listener + two AtomicLong
+    // reads OUTSIDE the timed region — timing semantics unchanged
+    // (the r17 comparability freeze; warmPassQueries is FROZEN too:
+    // changes require a verdict directive). Listener delivery is
+    // async; the read happens after the post-query cleanup (clearCache
+    // + GC, several ms), so stragglers land in the right bucket in
+    // practice — a diagnostic field, not a gate.
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          taskTimeMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+          ()
+        }
+      })
+
     // warmup: session + whole-stage-codegen init
     materialize(SparkEntry.queries("q05_groupby_sum")(spark, sfDir))
 
     val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val heapByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val taskByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
     // SPARK_GRAFT_QUERIES=q85_…,q130_…: subset (or extend) the headline
     // list for scale sweeps — the sf10 measurement runs the heavy family
@@ -285,6 +311,7 @@ object Bench {
       val reps = if (warmPass && stabilized.contains(name)) 3 else 1
       val times = (1 to reps).map { _ =>
         val g0 = gcMillis()
+        val tt0 = taskTimeMs.get()
         val t0 = System.nanoTime()
         val ok =
           try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -299,6 +326,10 @@ object Bench {
         gcByQuery(name) = gcMillis() - g0
         heapByQuery(name) = heapUsedMb()
         isolateCleanup()
+        // task-time read AFTER the cleanup (outside the timed region;
+        // gives the async listener bus time to drain) — last rep wins,
+        // matching gc_ms/heap_mb's convention
+        taskByQuery(name) = taskTimeMs.get() - tt0
         // -1 marks a failure so a fast crash can't masquerade as fast
         if (ok) elapsed else -1.0
       }
@@ -404,6 +435,7 @@ object Bench {
     val demo2mRuns = {
       val n = sys.env.getOrElse("SPARK_GRAFT_DEMO2M_N", "2000000").toLong
       val g0 = gcMillis()
+      val tt0 = taskTimeMs.get()
       val runs = guarded("demo_2m_setup") { writeDemoInputs(n, "2m"); 0.0 } match {
         case x if x < 0 => Seq(-1.0)
         case _ => timedRuns("demo_2m", 3) {
@@ -412,6 +444,7 @@ object Bench {
       }
       gcByQuery("demo_2m_join_groupby") = gcMillis() - g0
       heapByQuery("demo_2m_join_groupby") = heapUsedMb()
+      taskByQuery("demo_2m_join_groupby") = taskTimeMs.get() - tt0
       runs
     }
     val demoSecs = if (demo2mRuns.exists(_ < 0)) -1.0 else demo2mRuns.min
@@ -423,6 +456,7 @@ object Bench {
       val n = sys.env.getOrElse("SPARK_GRAFT_DEMO20_N", "20000000").toLong
       val width = sys.env.getOrElse("SPARK_GRAFT_DEMO20_SHUFFLE", "256")
       val g0 = gcMillis()
+      val tt0 = taskTimeMs.get()
       val runs = guarded("demo_20m_setup") { writeDemoInputs(n, "20m"); 0.0 } match {
         case x if x < 0 => Seq(-1.0)
         case _ =>
@@ -442,6 +476,7 @@ object Bench {
       }
       gcByQuery("demo_20m_join_groupby") = gcMillis() - g0
       heapByQuery("demo_20m_join_groupby") = heapUsedMb()
+      taskByQuery("demo_20m_join_groupby") = taskTimeMs.get() - tt0
       runs
     }
     val demo20Secs = if (demo20Runs.exists(_ < 0)) -1.0 else demo20Runs.min
@@ -463,6 +498,10 @@ object Bench {
     // gc_ms / heap_mb per query: attributes a cross-round wall-time move
     // to GC pressure (or rules it out) without a rerun — see VERDICT r8.
     val gcJson = gcByQuery.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // task_time_ms: Σ executorRunTime per query (see the listener note
+    // above) — the scaling-contract companion to the wall-time map
+    val taskJson = taskByQuery.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val heapJson = heapByQuery.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -500,7 +539,7 @@ object Bench {
     val queryRunsJson = repsByQuery.map { case (k, vs) =>
       jq(k) + ":" + vs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jq(sfDir)},"failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":${jq(widenConf)},"master":${jq(master)},"adaptive_count_misses":$adaptMisses,"warmup":${jq(warmupNote)},"warmpass":${warmed.size},"warmpass_extra":${warmExtra.map(jq).mkString("[", ",", "]")},"runs":$suiteReps,"suite_runs":$suiteRunsJson,"query_runs":$queryRunsJson,"baseline_demo_2m_sec":10.718802}"""
+    val diag = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jq(sfDir)},"failed":$failedJson,"demo_runs":$demoRuns,"demo_gate":"best_of_runs","gc_ms":$gcJson,"heap_mb":$heapJson,"started_at":"$startedAt","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"contended":$contended,"isolate":$isolate,"widen":${jq(widenConf)},"master":${jq(master)},"adaptive_count_misses":$adaptMisses,"warmup":${jq(warmupNote)},"warmpass":${warmed.size},"warmpass_extra":${warmExtra.map(jq).mkString("[", ",", "]")},"runs":$suiteReps,"suite_runs":$suiteRunsJson,"query_runs":$queryRunsJson,"task_time_ms":$taskJson,"baseline_demo_2m_sec":10.718802}"""
     // Compact gate line, printed LAST: the driver keeps only the final
     // ~2000 chars of stdout, and the full diagnostics line is ~2.6k —
     // in r11 it was front-truncated past parseability ("parsed": null).

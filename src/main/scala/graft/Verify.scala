@@ -275,11 +275,8 @@ object Verify {
       }
     }
     if (clampExcluded.nonEmpty) dumpErrors()
-    val futures = SparkEntry.queries.toSeq
-      .filter { case (name, _) =>
-        only.forall(_.contains(name)) && !clampExcluded.contains(name) }
-      .map { case (name, fn) =>
-      scala.concurrent.Future {
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame): Unit = {
         // RESUME: a query dir carrying the success marker is finished
         // work from a previous (killed/crashed) sweep — skip it, so a
         // rerun continues instead of restarting. The marker is ours,
@@ -313,11 +310,32 @@ object Verify {
             }
           }
         }
-      }
     }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration.Inf)
+    // Queries run in BATCHES with a cache-reclaim barrier between them
+    // (r18, ADVICE r17 #4): several operators pin clearCache-reclaimed
+    // session caches / checkpoint RDDs (minhash signatures, union-size
+    // cuts, ParWindow's ranged table), and a 306-query sweep with no
+    // reclaim accumulates them all — the same storageFraction
+    // memory-pressure mechanism Bench's isolateCleanup documents.
+    // Bench cleans BETWEEN queries (sequential); here queries run 4-way
+    // concurrent, and clearing mid-flight would yank a consistency-
+    // critical cache out from under a running query — so the reclaim
+    // only runs at batch barriers where nothing is in flight. Batches
+    // of 24 keep the barrier idle-tail cost ~5% of the sweep.
+    SparkEntry.queries.toSeq
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && !clampExcluded.contains(name) }
+      .grouped(24).foreach { batch =>
+        val futures = batch.map { case (name, fn) =>
+          scala.concurrent.Future { runOne(name, fn) }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     pool.shutdown()
     dumpErrors()
     // diag.json: run-level observability riding the output dir —

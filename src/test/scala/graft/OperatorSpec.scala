@@ -2273,11 +2273,14 @@ class OperatorSpec extends SparkTestBase {
           rnName = "rn", rkName = "rk", prevName = "prev",
           runName = "run", chunks = chunks, gateBytes = 0L)
         .select("part", "k1", "k2", "rn", "rk", "prev", "run")
-    // tie-rich: long runs of equal (price, k1, k2) that MUST span the
-    // 5 tiny chunks (120 rows / 5 chunks, tie groups of 30); tied rows
-    // carry EQUAL qty so the output row set is order-invariant, and a
-    // multi-chunk tie group exercises the min(rn) patch beyond one
-    // boundary. Two parts interleaved so chunks mix parts.
+    // tie-rich: long runs of equal (price, k1, k2), far more rows than
+    // chunks. NOTE (r17 ADVICE): repartitionByRange maps EQUAL keys to
+    // one partition by comparison, so tie groups never actually split
+    // across chunks on any real input — this fixture pins the
+    // boundary-adjacent arithmetic (offsets, lag carry, rank restarts)
+    // and the cross-chunk tie-continuation branch is exercised
+    // DIRECTLY on synthetic summaries in the chunkOffsets test below.
+    // Two parts interleaved so chunks mix parts.
     val fixture = (0 until 240).map { i =>
       val part = if (i % 2 == 0) "A" else "B"
       val grp = i / 60                 // 4 groups per part, 30 rows each
@@ -2319,5 +2322,73 @@ class OperatorSpec extends SparkTestBase {
     val g = gated.as[(String, Long, Long, Int, Int, Option[Double], Long)]
       .collect().sorted
     assert(a.sameElements(g), "gated classic path diverged")
+  }
+
+  test("ParWindow.runningWindow null-correct merge: NULL sumCol/lag " +
+      "values across chunks match the classic running sum exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // parts whose sumCol is ALL-NULL for a long prefix (the classic
+    // running sum is NULL there, becomes non-null at the first value),
+    // null lag values crossing chunk boundaries, and a part that is
+    // all-null throughout (run stays NULL for every row) — the r17
+    // ADVICE divergence: a chunk-local all-null prefix must not zero
+    // out earlier chunks' totals, and a row whose earlier chunks were
+    // all-null must stay NULL.
+    val rows = (0 until 200).map { i =>
+      val part = if (i % 2 == 0) "A" else "B"
+      val qty: java.lang.Double =
+        if (part == "B") null                        // all-null part
+        else if (i < 120) null                       // long null prefix
+        else Double.box((i % 7).toDouble)
+      (part, i.toLong, 100.0 - (i / 25), qty)
+    }.toDF("part", "k1", "price", "qty")
+    def classic(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("price").desc, col("k1"))
+      df.select(col("part"), col("k1"),
+        row_number().over(w).as("rn"), rank().over(w).as("rk"),
+        lag(col("qty"), 1).over(w).as("prev"),
+        sum(col("qty").cast("bigint")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run"))
+    }
+    for (chunks <- Seq(1, 4, 9)) {
+      val par = operators.ParWindow.runningWindow(rows, "part",
+          Seq(("price", false), ("k1", true)),
+          lagCol = "qty", sumCol = col("qty").cast("bigint"),
+          rnName = "rn", rkName = "rk", prevName = "prev",
+          runName = "run", chunks = chunks, gateBytes = 0L)
+        .select("part", "k1", "rn", "rk", "prev", "run")
+      val a = classic(rows)
+        .as[(String, Long, Int, Int, Option[Double], Option[Long])]
+        .collect().sorted
+      val b = par
+        .as[(String, Long, Int, Int, Option[Double], Option[Long])]
+        .collect().sorted
+      assert(a.sameElements(b),
+        s"null-merge divergence at chunks=$chunks")
+    }
+  }
+
+  test("ParWindow.chunkOffsets propagates tie-group starts and " +
+      "null-sum partials across multi-chunk spans (synthetic summaries)") {
+    import operators.ParWindow.{SegSum, ChunkOff, chunkOffsets}
+    val kA = Seq[Any](1L); val kB = Seq[Any](2L); val kC = Seq[Any](3L)
+    // part "P": chunk 0 ends in tie group kB (starts at local rn 3);
+    // chunk 1 is ENTIRELY kB (head == tail — continuation must
+    // propagate chunk 0's start, not restart); chunk 2 starts with kB
+    // then moves to kC — its head continues the SAME group two chunks
+    // back. Chunk 0/1 sums are all-null (nn = 0).
+    val segs = Seq(
+      SegSum(0, "P", 5L, 0L, 0L, null, kA, kB, 3L),
+      SegSum(1, "P", 4L, 0L, 0L, 7.0, kB, kB, 1L),
+      SegSum(2, "P", 6L, 42L, 2L, 1.0, kB, kC, 4L))
+    val off = chunkOffsets(segs)
+    assert(off((0, "P")) == ChunkOff(0L, 0L, 0L, null, 1L))
+    // chunk 1: 5 rows before it; its head group started at global 3
+    assert(off((1, "P")) == ChunkOff(5L, 0L, 0L, null, 3L))
+    // chunk 2: 9 rows before; head group STILL the one from global 3;
+    // prevLast = chunk 1's last lag value; sums still all-null
+    assert(off((2, "P")) == ChunkOff(9L, 0L, 0L, 7.0, 3L))
   }
 }
