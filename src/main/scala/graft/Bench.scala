@@ -53,7 +53,13 @@ object Bench {
     * index to disk and was measured swinging 8.9→14.1 s WARM across
     * otherwise-identical fresh runs; a median shrugs one outlier while
     * best-of would understate a genuinely loaded machine). Every rep
-    * lands in the diag artifact (query_runs). */
+    * lands in the diag artifact (query_runs).
+    *
+    * POLICY (r18, VERDICT r17 #7): this list is FROZEN — any change to
+    * it (or to any other timing semantics in this file) requires an
+    * explicit verdict directive and a disclosure in the round's
+    * OPTIMIZATION notes, because editing it silently changes what the
+    * round-over-round comparison measures. */
   val warmPassQueries: Seq[String] = Seq(
     "q29_events_hourly", "q85_incremental_dedup", "q119_latest_order",
     "q211_pq_encode", "q226_rolling_distinct",

@@ -122,6 +122,22 @@ object Graft {
       // (SPARK_GRAFT_SHUFFLE in Bench), exactly as a cluster operator
       // sizes spark.sql.shuffle.partitions to the input.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (collect_set/collect_list family — the LSH
+      // rank tail, shingle-set assembly, PQ codebook collects) falls
+      // back to SORT-BASED aggregation after 128 distinct groups per
+      // task by default — tuned for unbounded per-group state, which
+      // this engine never has: every collecting aggregate here is
+      // bounded by construction (BucketCap'd candidate sets ≤ ~15 KB,
+      // per-doc shingle sets, m·k-row codebooks). The sort fallback
+      // re-serializes the whole pre-agg stream through spill files;
+      // measured at sf1/32 cores the q302 rank-tail final aggregate
+      // burned 162 s of task time sort-based vs 27.5 s hash-based
+      // (r18, tools/receipts/r18/). 32768 keeps hash mode while worst
+      // case map memory stays ~0.5 GB/task at the capped set sizes;
+      // beyond it the sort fallback still engages (the safe behavior
+      // for genuinely huge per-task group counts at 100 TB).
+      .config("spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold",
+        "32768")
       // Prefer shuffled-hash over sort-merge when the per-partition build
       // side fits (it does, given 4x overdecomposition): avoids sorting
       // both sides of large string-keyed joins — measured 2.5x on the

@@ -880,30 +880,36 @@ object Similarity {
 
   /** Rank pre-scored (qid, vid, cos) rows per qid (cos desc, id
     * tiebreak), keep top-k — the tail of every LSH-candidate search.
+    * Dedup aggregate (multi-band collisions score identically, so
+    * max(cos) is exact dedup) + row_number window, both memory-ROBUST:
+    * scalar hash-agg state and a spill-friendly radix sort.
     *
-    * ONE aggregate does pair-dedup AND top-k: collect_set over
-    * struct(cos, -vid) dedups multi-band collisions exactly (a pair's
-    * cos is a pure function of the pair, identical in every band — the
-    * same invariant the former groupBy(qid, vid).max(cos) exchange
-    * relied on), sort_array desc realizes the (cos desc, vid asc)
-    * window ordering in-row, and slice keeps k. This replaces the old
-    * two-exchange tail — Exchange(qid, vid) for the dedup aggregate
-    * THEN Exchange(qid) + full partition Sort for the row_number
-    * window — with a single Exchange(qid) and no sort (guide §2.4:
-    * share one exchange; §2.3: half the shuffled candidate bytes).
-    * Per-group state is bounded by construction: a qid's candidate set
-    * is ≤ nBands × (bandBits+1) × bucketCap distinct vids (the
-    * truncateBuckets cap), corpus-size independent — which is exactly
-    * why the window machinery (built to spill unbounded groups) is not
-    * needed here. Callers feed the RAW scored stream
-    * (`dedup = false` on [[scoredCandidates]]/[[scoreProbes]]). */
-  private def rankScored(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("qid")
-      .agg(expr(s"slice(sort_array(collect_set(struct(cos, -vid AS nv))," +
-        s" false), 1, $k)").as("_top"))
-      .select(col("qid"), posexplode(col("_top")).as(Seq("_i", "_t")))
-      .select(col("qid"), (-col("_t.nv")).as("vid"),
-        (col("_i") + 1).cast("int").as("rank"), col("_t.cos").as("cos"))
+    * r18: this DELIBERATELY reverts r17's fused single-exchange
+    * collect_set/sort_array/slice tail. That spelling assembles every
+    * qid's full candidate set (≤ nBands × (bandBits+1) × bucketCap
+    * entries ≈ 100 KB at sf1 parameters) in the MAP-SIDE partial
+    * aggregation buffer — per-task memory = (qids per task) × set
+    * size, which at sf1 / 32 concurrent tasks is a multi-GB object-agg
+    * map that collapses into a bimodal spill cascade: measured q302
+    * 50.9 s wall / 1,215 s task, q135 up to 118 s / 3,400 s task for
+    * work that costs ~110–170 s of task time in this spelling
+    * (tools/receipts/r18/, sf1 c32 suite runs) — 10–30× inflation,
+    * invisible at sf0.1 where sets are small. With the r18 widen
+    * repair in place this two-exchange tail is also equal-or-FASTER at
+    * gate scale (sf0.1: q135 2.42 vs 2.75, q205 1.45 vs 2.02, q199
+    * 3.62 vs 4.11; q302/q303 within noise the other way), so the fused
+    * tail kept no regime. Guide §1.1's rule applied: the "ideal"
+    * one-exchange plan lost to the measured one. Callers still feed
+    * the RAW scored stream (`dedup = false`) — the dedup happens here,
+    * in a scalar two-phase HashAggregate whose partials combine
+    * map-side and spill gracefully. */
+  private def rankScored(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    scored.groupBy("qid", "vid").agg(max(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "rank", "cos")
+  }
 
   /** Band/bucket rows CARRYING the quantized vectors (and optional
     * ride-along columns): (idCol, q, n2, extra..., band, bucket). The
